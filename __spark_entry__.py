@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (rpt_track_counts: the longest dependency
+chain, SURVEY.md §7.1) on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data extensions; oracle SQL mirrors each
+Spark plan byte-exactly (see spotify_tracks_spark/oracles.py).
 """
 
 from __future__ import annotations
@@ -13,26 +13,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spotify_tracks_spark import oracles
+from spotify_tracks_spark.pipeline import run_models
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return run_models(spark, "/root/testdata/sf0.001")["rpt_track_counts"]
+
+
+def _model(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_models(spark, sf_dir)[name]
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q1_stg_recent_tracks": _model("stg_recent_tracks"),
+        "q2_dim_track": _model("dim_track"),
+        "q3_dim_artist": _model("dim_artist"),
+        "q4_dim_album": _model("dim_album"),
+        "q5_fct_played_track": _model("fct_played_track"),
+        "q6_rpt_track_counts": _model("rpt_track_counts"),
+        "q7_rpt_artist_counts": _model("rpt_artist_counts"),
+        "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_stg_recent_tracks": oracles.Q1_STG,
+        "q2_dim_track": oracles.Q2_DIM_TRACK,
+        "q3_dim_artist": oracles.Q3_DIM_ARTIST,
+        "q4_dim_album": oracles.Q4_DIM_ALBUM,
+        "q5_fct_played_track": oracles.Q5_FCT,
+        "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
+        "q7_rpt_artist_counts": oracles.Q7_RPT_ARTIST_COUNTS,
+        "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
+    }

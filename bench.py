@@ -1,0 +1,58 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs every headline query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query executes end-to-end via the noop sink (full plan runs, nothing is
+collected to the driver — the honest distributed-execution cost).  Session
+startup and parquet-footer warmup are excluded from per-query times but a
+``startup_s`` field is reported for visibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spotify_tracks_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    t0 = time.perf_counter()
+    spark = get_spark("bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    startup_s = time.perf_counter() - t0
+
+    times: dict[str, float] = {}
+    for name, fn in queries.items():
+        t = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "startup_s": round(startup_s, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Q6–Q8 — report models: denormalized aggregates for the dashboard exposure.
+
+Reference: dbt_spotify/models/marts/reports/*.sql.  ``current_date`` is
+replaced by the injected ``RUN_DATE`` literal in both engines
+(SURVEY.md §2.1 caveat b).
+
+Float determinism (caveat c): the reference writes ``sum(duration_ms/1000/60)``
+— a per-row division whose float sum is partial-order dependent.  We compute
+the mathematically identical ``sum(duration_ms)/1000/60``: ``duration_ms`` is
+integral, so the sum is exact (< 2^53) and the two IEEE divisions are
+bit-identical in any engine and any partitioning — no rounding needed (and
+``round()`` itself diverges between engines at half-boundaries: Spark HALF_UP
+on the shortest decimal repr vs DuckDB on the binary double).  Same reasoning
+for the discovery rates: small-int / small-int is a single exact-operand
+division.
+
+Scale notes:
+- The fct⋈dim joins broadcast the dim side (entity directories ≪ fact).
+- The trailing-window filter lands *before* the aggregate, so a
+  date-partitioned fact table prunes to ~1 month of partitions.
+- Q8's two DISTINCT aggregates in one group expand to Catalyst's multi-phase
+  expand-aggregate automatically (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import RUN_DATE
+from ..functions import safe_divide, within_trailing_days
+
+
+def rpt_track_counts(
+    fct: DataFrame, dim_track: DataFrame, dim_album: DataFrame, run_date: str = RUN_DATE
+) -> DataFrame:
+    """30-day per-track play counts + minutes (rpt_track_counts.sql:1-41)."""
+    counts = (
+        fct.join(F.broadcast(dim_track), "track_id", "left")
+        .filter(within_trailing_days(F.col("played_at"), run_date))
+        .groupBy("track_id")
+        .agg(
+            F.count("*").alias("plays"),
+            (F.sum("duration_ms") / 1000 / 60).alias("minutes_played"),
+        )
+    )
+    return (
+        counts.join(
+            F.broadcast(dim_track.select("track_id", "track_name", "artists", "album_id")),
+            "track_id",
+            "left",
+        )
+        .join(F.broadcast(dim_album.select("album_id", "album")), "album_id", "left")
+        .select("track_name", "artists", "album", "plays", "minutes_played")
+    )
+
+
+def rpt_artist_counts(fct: DataFrame, dim_track: DataFrame, run_date: str = RUN_DATE) -> DataFrame:
+    """30-day per-artist-set play counts (rpt_artist_counts.sql:1-22).
+
+    The only INNER join in the reference (rpt_artist_counts.sql:15-16)."""
+    return (
+        fct.join(F.broadcast(dim_track), "track_id", "inner")
+        .filter(within_trailing_days(F.col("played_at"), run_date))
+        .groupBy("artists")
+        .agg(
+            F.count("*").alias("plays"),
+            (F.sum("duration_ms") / 1000 / 60).alias("minutes_played"),
+        )
+    )
+
+
+def rpt_discovery_rate(fct: DataFrame, dim_track: DataFrame, dim_artist: DataFrame) -> DataFrame:
+    """Weekly activity rollup + discovery rates (rpt_discovery_rate.sql:1-70).
+
+    Groups by calendar ``year()`` + ISO ``weekofyear()`` — a deliberately
+    mismatched pair at year boundaries (SURVEY.md §7.4); reproduce as-is."""
+    base = (
+        fct.join(F.broadcast(dim_track.select("track_id", "artists")), "track_id", "left")
+        .groupBy(
+            F.year("played_at_mtn").alias("year_played"),
+            F.weekofyear("played_at_mtn").alias("week_played"),
+        )
+        .agg(
+            F.max(F.col("played_at_mtn").cast("date")).alias("week_dt"),
+            F.count("*").alias("plays"),
+            F.countDistinct("artists").alias("uniq_artists"),
+            F.countDistinct("track_id").alias("uniq_tracks"),
+        )
+    )
+    new_tracks = dim_track.groupBy(
+        F.col("yr_first_played").alias("year_played"),
+        F.col("wk_first_played").alias("week_played"),
+    ).agg(F.count("*").alias("new_tracks"))
+    new_artists = dim_artist.groupBy(
+        F.col("yr_first_played").alias("year_played"),
+        F.col("wk_first_played").alias("week_played"),
+    ).agg(F.count("*").alias("new_artists"))
+    return (
+        base.join(F.broadcast(new_tracks), ["year_played", "week_played"], "left")
+        .join(F.broadcast(new_artists), ["year_played", "week_played"], "left")
+        .select(
+            "year_played",
+            "week_played",
+            "week_dt",
+            "plays",
+            "uniq_artists",
+            "uniq_tracks",
+            "new_tracks",
+            "new_artists",
+            safe_divide(F.col("new_tracks"), F.col("uniq_tracks")).alias("track_discovery_rate"),
+            safe_divide(F.col("new_artists"), F.col("uniq_artists")).alias("artist_discovery_rate"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Deterministic testdata → ``src_recent_tracks`` mapping.
+
+The correctness gate runs over the driver's TPC-H-ish parquet (TESTDATA.md),
+but the reference's declared queries (SURVEY.md §2.1) are defined over a
+9-column track-play event log.  This module derives that log from the
+testdata with a pure, engine-portable expression set — the *same* rows come
+out of Spark and of the DuckDB oracle (``oracles.SRC_CTES``), so the entire
+8-model chain is hash-checkable end to end.
+
+Role mapping (FIXTURES.md §3):  ``lineitem`` = play-grain fact (one play per
+line item), ``part`` = track directory.  Column derivations are chosen to
+exercise every staging edge case from FIXTURES.md §1: all three
+release-date precisions (incl. the unhandled-``month``→NULL CASE hole),
+NULL popularity/context, duration conflicts per track, and multi-artist
+comma-joined sets.
+
+The final dedup-on-play-identity window reproduces the reference's
+idempotent-sink semantics (``ON CONFLICT DO NOTHING``,
+flows/pull_recent_tracks.py:225): the physical table holds one row per
+(track_name, track_album, track_artists, played_at).  Arrival order is not
+reproducible from static testdata, so "first writer wins" becomes a
+deterministic total order (min duration, then context) — identical in the
+oracle.
+
+Scale notes: the lineitem⋈part join broadcasts ``part`` (dim ≪ fact; AQE
+picks broadcast-hash automatically, asserted in tests).  The dedup window
+shuffles once on the play key — the same shuffle the downstream ``play_id``
+aggregations reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .tables import read_table
+
+
+def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9-column source event log (see ``schemas.SRC_RECENT_TRACKS``)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate"
+    )
+    part = read_table(spark, sf_dir, "part")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+    pk = F.col("p_partkey")
+    rd_year = F.lit(1990) + pk % 30
+    rd_month = F.lit(1) + pk % 12
+    rd_day = F.lit(1) + pk % 28
+    precision = (
+        F.when(pk % 3 == 0, F.lit("day"))
+        .when(pk % 3 == 1, F.lit("year"))
+        .otherwise(F.lit("month"))
+    )
+    release_date = (
+        F.when(pk % 3 == 0, F.format_string("%04d-%02d-%02d", rd_year, rd_month, rd_day))
+        .when(pk % 3 == 1, F.format_string("%04d", rd_year))
+        .otherwise(F.format_string("%04d-%02d", rd_year, rd_month))
+    )
+
+    raw = base.select(
+        F.col("p_name").alias("track_name"),
+        F.col("p_brand").alias("track_album"),
+        # p_type words become a comma-joined "artist set" — collaborations
+        # share artist names across sets (FIXTURES.md §1 row 3).
+        F.replace(F.col("p_type"), F.lit(" "), F.lit(", ")).alias("track_artists"),
+        release_date.alias("album_release_date"),
+        precision.alias("release_date_precision"),
+        F.when(pk % 7 == 0, F.lit(None).cast("double"))
+        .otherwise((pk % 101).cast("double"))
+        .alias("track_popularity"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("played_at"),
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit("album"))
+        .when(F.col("l_orderkey") % 4 == 1, F.lit("playlist"))
+        .when(F.col("l_orderkey") % 4 == 2, F.lit("artist"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("context"),
+        (F.lit(30000) + F.floor("l_extendedprice").cast("long") % 570001)
+        .cast("double")
+        .alias("duration_ms"),
+    )
+
+    # Idempotent-sink semantics: one row per play-identity key
+    # (stg_recent_tracks.sql:2-6), deterministic winner.
+    w = Window.partitionBy(
+        "track_name", "track_album", "track_artists", "played_at"
+    ).orderBy("duration_ms", F.coalesce("context", F.lit("~")))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
