@@ -11,10 +11,17 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spotify_tracks_spark import oracles
+from spotify_tracks_spark import oracles, oracles_ext
 from spotify_tracks_spark.pipeline import run_models
+from spotify_tracks_spark.operators import dedup as _dedup
+from spotify_tracks_spark.operators import events as _events
+from spotify_tracks_spark.operators import similarity as _sim
+from spotify_tracks_spark.operators import text_analysis as _text
+from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
+from spotify_tracks_spark.operators.multimodal import multimodal_bytes
+from spotify_tracks_spark.sources.tables import read_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,8 +36,31 @@ def _model(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflict-ignoring append demo: overlapping halves of ``events``
+    (operators/idempotent_sink.py); result = set union on event_id."""
+    ev = read_table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    incoming = ev.filter(F.col("event_id") % 3 == 0)
+    return idempotent_union(existing, incoming, ["event_id"])
+
+
+def _events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (watermark + dropDuplicates +
+    foreachBatch idempotent sink), availableNow trigger."""
+    import tempfile
+
+    from spotify_tracks_spark.streaming import stream_events_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    return stream_events_dedup(
+        spark, sf_dir, out_dir=f"{base}/out", checkpoint_dir=f"{base}/ckpt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # reference model chain (SURVEY.md §2.1)
         "q1_stg_recent_tracks": _model("stg_recent_tracks"),
         "q2_dim_track": _model("dim_track"),
         "q3_dim_artist": _model("dim_artist"),
@@ -39,6 +69,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q7_rpt_artist_counts": _model("rpt_artist_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
+        # text analysis (training-data pipeline)
+        "text_tokens": _text.text_tokens,
+        "text_quality": _text.text_quality,
+        "text_langid": _text.text_langid,
+        "text_fingerprint": _text.text_fingerprint,
+        # dedup family
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_simhash": _dedup.dedup_simhash,
+        # similarity search
+        "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
+        "ann_topk_lsh": _sim.ann_topk_lsh,
+        "dedup_embedding": _sim.dedup_embedding,
+        # events / streaming / sink
+        "events_summary": _events.events_summary,
+        "events_sessionize": _events.events_sessionize,
+        "idempotent_append": _idempotent_append,
+        "events_stream_dedup": _events_stream_dedup,
+        # multimodal plumbing
+        "multimodal_bytes": multimodal_bytes,
     }
     return q
 
@@ -53,4 +104,20 @@ def oracle_sql() -> dict[str, str]:
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
         "q7_rpt_artist_counts": oracles.Q7_RPT_ARTIST_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
+        "text_tokens": oracles_ext.TEXT_TOKENS,
+        "text_quality": oracles_ext.TEXT_QUALITY,
+        "text_langid": oracles_ext.TEXT_LANGID,
+        "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
+        "dedup_exact": oracles_ext.DEDUP_EXACT,
+        "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
+        "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
+        "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
+        "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
+        "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
+        "events_summary": oracles_ext.EVENTS_SUMMARY,
+        "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
+        "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
+        "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
+        "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
     }

@@ -1,0 +1,311 @@
+"""Deduplication operators over ``documents`` — the dedup stage of a
+large-scale training-data pipeline.
+
+Four families, each with a different cost/recall point, all built on the
+engine-portable 60-bit hash (functions/hashing.py) so every one of them —
+including the probabilistic ones — has a byte-exact DuckDB oracle:
+
+- ``dedup_exact``          hash-groupBy on normalized text.  One shuffle of
+                           (hash, doc_id) pairs only.
+- ``dedup_ngram_jaccard``  min-shingle-hash *blocking* + exact Jaccard
+                           verification inside blocks.  Linear candidate
+                           generation (vs quadratic all-pairs).
+- ``dedup_minhash_lsh``    16-hash minhash signatures (computed per-row via
+                           higher-order functions — NO explode, no
+                           shingle-grain shuffle), banded 4×4 into LSH
+                           buckets, candidate pairs verified with exact
+                           Jaccard.
+- ``dedup_simhash``        60-bit simhash fingerprints per-row; near-dup
+                           pairs blocked on 15-bit chunks (hamming≤k ⇒ some
+                           chunk equal) and verified with bit_count(xor).
+
+Scale shape: signature computation is a narrow projection at scan speed;
+the only shuffles are on (band_hash) / (chunk value) keys whose cardinality
+is ~#docs, and the pair joins are self-equi-joins on those keys.  Skewed
+buckets (boilerplate shingles) are AQE skew-split; a production run would
+also cap bucket width (documented in each function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..sources.tables import read_table
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_K = 8
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 8
+
+# Minhash hash family: h_i(s) = (A_i * v + B_i) mod MINHASH_P where
+# v = portable_hash60(s) & 0xFFFFFFFF.  ONE md5 per shingle (the base
+# hash) + 16 integer affine derivations, instead of 16 md5s per shingle.
+# A_i < 2^30 and v < 2^32 keep A_i*v+B_i < 2^62 — no bigint overflow in
+# either engine, so Spark and DuckDB compute identical values.
+# Fixed seed 20260813; regeneration breaks oracle parity.
+MINHASH_P = 4294967291  # largest 32-bit prime
+MINHASH_AB = (
+    (1064082031, 398802782),
+    (298493742, 972347432),
+    (58225162, 291219900),
+    (215489561, 234034474),
+    (703471044, 924035316),
+    (586349398, 402639405),
+    (1071644562, 668925748),
+    (126328945, 428031840),
+    (848272349, 230896653),
+    (397332018, 858479239),
+    (263703426, 106582524),
+    (951695955, 87966394),
+    (333402359, 490296874),
+    (711675979, 955195195),
+    (165938588, 890048279),
+    (332297311, 970348799),
+)
+assert len(MINHASH_AB) == N_HASHES
+
+
+def _norm(col: Column) -> Column:
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def _char_shingles(norm: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-char shingles of the normalized text (set semantics)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda g: norm.substr(g, F.lit(k)),
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: every doc mapped to its duplicate group.
+
+    Output: doc_id, fp (normalized-text md5), canonical_doc_id (min id in
+    group), is_duplicate (true for every non-canonical member)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(_norm(F.col("text"))).alias("fp")
+    )
+    groups = docs.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return docs.join(groups, "fp").select(
+        "doc_id",
+        "fp",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+    )
+
+
+def _with_shingle_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", _char_shingles(_norm(F.col("text"))).alias("shingles")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, blocked on the min shingle hash.
+
+    Candidates = docs sharing the *minimum* shingle hash (single-hash
+    blocking — each doc lands in exactly one block, so candidate
+    generation is linear and the block key shuffle is by an integer).
+    Verification = exact Jaccard over distinct shingle sets via
+    array_intersect/array_union sizes — a per-pair projection.
+
+    The blocked projection (shingle set + min hash) is persisted before the
+    self-join: both join sides reuse one computation instead of re-hashing
+    every shingle twice (at 100 TB this intermediate would be a written
+    table; MEMORY_AND_DISK is its single-job equivalent)."""
+    sh = _with_shingle_sets(read_table(spark, sf_dir, "documents", spread=True))
+    blocked = sh.select(
+        "doc_id",
+        "shingles",
+        F.array_min(F.transform("shingles", portable_hash60)).alias("block"),
+    ).persist()
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature as an array<long> column — computed as a
+    pure projection (nested higher-order functions), no shingle explode.
+
+    Two projection steps: (1) base hashes v = portable_hash60(shingle) &
+    0xFFFFFFFF — one md5 per shingle, computed ONCE; (2) the 16 signature
+    slots as affine derivations min((A_i*v + B_i) mod P) — pure integer
+    ops.  The projection boundary makes Catalyst materialize the base-hash
+    array per row instead of recomputing it per hash function."""
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            _char_shingles(_norm(F.col("text"))),
+            lambda s: portable_hash60(s).bitwiseAND(F.lit(0xFFFFFFFF)),
+        ).alias("vs"),
+    )
+    a_arr = F.array(*[F.lit(a) for a, _ in MINHASH_AB])
+    b_arr = F.array(*[F.lit(b) for _, b in MINHASH_AB])
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("vs"),
+                lambda v: (F.element_at(a_arr, i + 1) * v + F.element_at(b_arr, i + 1))
+                % F.lit(MINHASH_P),
+            )
+        ),
+    )
+    return base.select("doc_id", sig.alias("sig"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle→minhash→band→bucket-join→verify.
+
+    Bands of 4 rows: P(candidate) = 1-(1-j^4)^4 — steep S-curve around
+    j≈0.5.  Output: (doc_a, doc_b, est_jaccard, jaccard) for verified
+    pairs ≥ threshold."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    sigs = minhash_signatures(docs).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = _with_shingle_sets(docs).persist()
+    enriched = (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / N_HASHES
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        enriched.select(
+            "doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# Column-valued shift amounts aren't expressible in the Python lambda DSL,
+# so the simhash fold is a SQL expression (still pure Catalyst / codegen;
+# near-identical text to the DuckDB oracle).  Token hashes live in their
+# own projection (`th`) so the md5 array is computed once per row, not
+# once per bit position (a 60× md5 saving).
+_TOKEN_HASHES_EXPR = """
+transform(
+  split(lower(regexp_replace(text, '\\\\s+', ' ')), ' '),
+  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)
+)
+"""
+
+_SIMHASH_FOLD_EXPR = f"""
+aggregate(
+  sequence(0, {SIMHASH_BITS - 1}),
+  cast(0 as bigint),
+  (acc, p) -> acc + if(
+    aggregate(
+      th,
+      cast(0 as bigint),
+      (a, h) -> a + (cast((h >> p) & 1 as bigint) * 2 - 1)
+    ) > 0,
+    shiftleft(cast(1 as bigint), p),
+    cast(0 as bigint))
+)
+"""
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit simhash per doc as a pure projection.
+
+    Whitespace-token hashes vote ±1 per bit position (frequency-weighted —
+    tokens are not deduplicated); fingerprint bit p is the sign of the
+    vote sum."""
+    return docs.select(
+        "doc_id", F.expr(_TOKEN_HASHES_EXPR).alias("th")
+    ).select("doc_id", F.expr(_SIMHASH_FOLD_EXPR).alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """SimHash near-dup pairs: chunk-blocked candidates + hamming verify.
+
+    The 60-bit fingerprint splits into 4 chunks of 15 bits; hamming ≤ 3
+    guarantees at least one equal chunk (pigeonhole), so blocking on chunk
+    value has full recall at that radius.  We verify with
+    ``bit_count(xor) <= max_hamming``."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    fps = simhash_fingerprints(docs).persist()
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
+                f" c -> named_struct('chunk', c, 'val', (simhash >> (c * {chunk_bits})) & {2**chunk_bits - 1}))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    pairs = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("simhash_a ^ simhash_b"))
+    return pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,62 @@
+"""Event-stream batch operators over the ``events`` table
+(event_id, ts, user_id, event_type, value, props-JSON).
+
+These exercise the engine surface the reference's ingest flow implies
+(SURVEY.md §2.9) plus the event-analytics a training-data pipeline needs:
+
+- ``events_summary``     JSON field extraction (the SQL twin of the ingest
+                         flatten) + grouped aggregates.  Averages are exact
+                         ints divided once — bit-deterministic.
+- ``events_sessionize``  gap-based sessionization via window functions
+                         (lag → gap flag → running sum = session id) —
+                         the canonical stateful-stream op expressed as a
+                         batch window, one shuffle on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import read_table
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", "user_id", "ts", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+def events_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """One row per (user, session): gap > ``gap_minutes`` starts a session.
+
+    Two stacked windows on the same user_id partitioning — a single
+    shuffle; the running sum reuses the sort order of the lag."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > gap_minutes * 60
+    ).cast("int")
+    with_session = ev.withColumn("new_sess", F.coalesce(gap_flag, F.lit(0))).withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_session.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

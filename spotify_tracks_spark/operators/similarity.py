@@ -1,0 +1,131 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+- ``ann_topk_bruteforce`` — exact cosine top-k: broadcast the (small) query
+  set against every vector; one pass over the corpus, no shuffle of the big
+  side until the final per-query top-k (a tiny aggregate).  This is the
+  correctness baseline.
+- ``ann_topk_lsh`` — the scale path: sign-bit (random-hyperplane-style) LSH
+  bucketing on leading dimensions; candidates share the query's bucket, then
+  exact cosine rerank *within the bucket*.  At 100 TB the bucket join
+  replaces the corpus-wide cross product with an equi-join on the signature.
+- ``dedup_embedding`` — embedding-cosine near-duplicate detection: top-1
+  neighbor per probe vector with a near-dup flag.
+
+Numeric determinism: dot/norm are left-fold ``F.aggregate`` over
+double-cast elements — the same sequential order the DuckDB oracle uses
+(list_sum over list_transform), so values are bit-identical; ranking
+tie-breaks on neighbor id.  Cosine is emitted rounded to 6dp (display), but
+ranking uses the full-precision value in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import read_table
+
+SIG_DIMS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm2(a) * _norm2(b))
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str, probe_mod: int):
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return emb, probes
+
+
+def ann_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100
+) -> DataFrame:
+    """Exact cosine top-k for probe vectors (vec_id % probe_mod == 0)."""
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cos", 6).alias("cos"))
+    )
+
+
+def _sign_signature(emb: Column, dims: int = SIG_DIMS) -> Column:
+    """Sign-bit LSH bucket: '1'/'0' per leading dimension."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(emb, 1, dims),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def ann_topk_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100, dims: int = SIG_DIMS
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's sign-bit bucket.
+
+    Recall < 1 by design (bucket boundaries); the oracle applies the same
+    bucketing, so results still hash-match exactly."""
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    emb_sig = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        _sign_signature(F.col("embedding"), dims).alias("sig"),
+    )
+    probe_sig = probes.select(
+        "query_id", "q_emb", _sign_signature(F.col("q_emb"), dims).alias("sig")
+    )
+    scored = (
+        emb_sig.join(F.broadcast(probe_sig), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("n_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cos", 6).alias("cos"))
+    )
+
+
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, probe_mod: int = 10, near_dup_threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup: top-1 neighbor per probe + near-dup flag."""
+    top1 = ann_topk_bruteforce(spark, sf_dir, k=1, probe_mod=probe_mod)
+    return top1.select(
+        "query_id",
+        "neighbor_id",
+        "cos",
+        (F.col("cos") >= near_dup_threshold).alias("is_near_dup"),
+    )

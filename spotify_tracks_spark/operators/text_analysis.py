@@ -1,0 +1,118 @@
+"""Text-analysis operators over the ``documents`` table — the quality/
+filtering stage of a large-scale training-data pipeline.
+
+Every operator here is a *pure narrow projection*: per-row Column
+expressions (higher-order functions over token arrays), no UDFs, no
+shuffles.  At 100 TB these run at parquet-scan speed, fully inside
+whole-stage codegen, and scale linearly with executors — the ideal shape
+for corpus-wide quality scoring.  Each has a byte-exact DuckDB oracle
+(oracles_ext.py).
+
+Float determinism: every ratio is a single IEEE division of two exact
+integers — bit-identical across engines and partitionings (no float
+aggregation anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..sources.tables import read_table
+
+WORD_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword lang-id heuristic.
+# Order matters: ties resolve to the first listed language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "los"),
+    "fr": ("le", "la", "de", "et", "que", "des", "un"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens + chars."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)).cast("long").alias("n_word_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/uniqueness signals.
+
+    ``quality_score`` is a deterministic single-expression combination —
+    the filter threshold a corpus-cleaning pass would apply."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = _tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (sum_tok_len / n_tok).alias("mean_token_len"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (n_uniq / n_tok).alias("distinct_ratio"),
+        ((n_stop / n_tok) * 2.0 + (n_uniq / n_tok)).alias("quality_score"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic family).
+
+    Argmax over per-language stopword hit counts; deterministic tie-break
+    by declaration order; 'und' when nothing matches."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = _tokens(F.lower(F.col("text")))
+    # NB: the lambda must be unary — pyspark passes (element, index) to
+    # two-parameter lambdas, so a `ws=ws` default would capture the index.
+    def _score(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = {lang: _score(ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact hash + min-shingle (winnowing-lite).
+
+    ``fp_exact``: md5 of the whitespace-normalized lowercase text (exact-dup
+    key).  ``fp_min_shingle``: min portable hash over all 8-char shingles —
+    one shared shingle ⇒ same fingerprint candidate bucket (the single-hash
+    blocking used by dedup_ngram).  Computed per-row via
+    sequence+transform+array_min: no explode, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    k = 8
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda g: portable_hash60(norm.substr(g, F.lit(k))),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_exact"),
+        F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )

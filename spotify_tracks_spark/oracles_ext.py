@@ -1,0 +1,329 @@
+"""DuckDB oracle SQL for the training-data extension operators.
+
+Same contract as ``oracles.py``: every query here mirrors its Spark operator
+value-for-value.  The probabilistic operators (minhash/simhash/LSH) are
+oracle-checkable because both engines share the portable 60-bit hash
+(functions/hashing.py): DuckDB ``('0x'||substr(md5(s),1,15))::bigint`` ==
+Spark ``cast(conv(substring(md5(s),1,15),16,10) as bigint)``.
+
+Dialect notes beyond oracles.py's table:
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark replaces all).
+- DuckDB ``^`` is exponent; bitwise xor is ``xor()``.
+- ``sum(BIGINT)`` → HUGEINT; cast back to bigint.
+- ``epoch(ts)`` keeps fractional seconds; ``floor(...)::bigint`` matches
+  Spark's ``cast(ts as long)``.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_HAMMING,
+)
+from .operators.events import SESSION_GAP_MINUTES
+from .operators.text_analysis import LANG_STOPWORDS
+
+H60 = "('0x'||substr(md5({s}),1,15))::bigint"
+
+
+def _h60(s: str) -> str:
+    return H60.format(s=s)
+
+
+_NORM = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+_KM1 = SHINGLE_K - 1
+
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(length(norm)-{_KM1}, 1)),"
+    f" g -> substr(norm, g, {SHINGLE_K})))"
+)
+
+TEXT_TOKENS = """
+select doc_id,
+       length(text) as n_chars,
+       len(string_split(text, ' ')) as n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) as n_word_tokens
+from documents
+"""
+
+_ALL_STOP = ", ".join(f"'{w}'" for ws in LANG_STOPWORDS.values() for w in ws)
+
+TEXT_QUALITY = f"""
+with t as (
+    select doc_id, length(text) as n_chars, string_split(lower(text), ' ') as toks
+    from documents
+)
+select doc_id, n_chars,
+       len(toks) as n_tokens,
+       list_sum(list_transform(toks, t -> length(t))) / len(toks) as mean_token_len,
+       len(list_filter(toks, t -> t in ({_ALL_STOP}))) / len(toks) as stopword_ratio,
+       len(list_distinct(toks)) / len(toks) as distinct_ratio,
+       (len(list_filter(toks, t -> t in ({_ALL_STOP}))) / len(toks)) * 2.0
+         + (len(list_distinct(toks)) / len(toks)) as quality_score
+from t
+"""
+
+
+def _langid_sql() -> str:
+    score_exprs = ",\n       ".join(
+        f"len(list_filter(toks, t -> t in ({', '.join(repr(w) for w in ws)}))) as score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    whens = "\n            ".join(
+        f"when score_{lang} = {best} then '{lang}'" for lang in langs
+    )
+    return f"""
+with t as (
+    select doc_id, lang, string_split(lower(text), ' ') as toks from documents
+),
+scored as (
+    select doc_id, lang,
+       {score_exprs}
+    from t
+)
+select doc_id, lang, {', '.join('score_' + lang for lang in langs)},
+       case when {best} <= 0 then 'und'
+            {whens}
+       end as lang_pred
+from scored
+"""
+
+
+TEXT_LANGID = _langid_sql()
+
+TEXT_FINGERPRINT = f"""
+with t as (select doc_id, {_NORM} as norm from documents)
+select doc_id,
+       md5(norm) as fp_exact,
+       list_min(list_transform(generate_series(1, greatest(length(norm)-{_KM1}, 1)),
+                               g -> {_h60(f"substr(norm, g, {SHINGLE_K})")})) as fp_min_shingle
+from t
+"""
+
+DEDUP_EXACT = f"""
+with d as (select doc_id, md5({_NORM}) as fp from documents),
+g as (select fp, min(doc_id) as canonical_doc_id from d group by fp)
+select d.doc_id, d.fp, g.canonical_doc_id,
+       d.doc_id != g.canonical_doc_id as is_duplicate
+from d join g on d.fp = g.fp
+"""
+
+_SHINGLE_CTES = f"""
+with docs as (select doc_id, {_NORM} as norm from documents),
+sh as (select doc_id, {_SHINGLES} as shingles from docs)
+"""
+
+DEDUP_NGRAM_JACCARD = (
+    _SHINGLE_CTES
+    + f""",
+blocked as (
+    select doc_id, shingles,
+           list_min(list_transform(shingles, s -> {_h60('s')})) as block
+    from sh
+),
+pairs as (
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           len(list_intersect(a.shingles, b.shingles))
+             / len(list_distinct(a.shingles || b.shingles)) as jaccard
+    from blocked a
+    join blocked b on a.block = b.block and a.doc_id < b.doc_id
+)
+select * from pairs where jaccard >= 0.5
+"""
+)
+
+# Same affine minhash family as operators/dedup.py: one base md5 hash per
+# shingle, 16 integer derivations (A_i*v + B_i) mod P.
+_AB_A = "[" + ", ".join(str(a) for a, _ in MINHASH_AB) + "]"
+_AB_B = "[" + ", ".join(str(b) for _, b in MINHASH_AB) + "]"
+_SIG = (
+    f"list_transform(generate_series(0, {N_HASHES - 1}),"
+    f" i -> list_min(list_transform(vs,"
+    f" v -> ({_AB_A}[i+1] * v + {_AB_B}[i+1]) % {MINHASH_P})))"
+)
+
+DEDUP_MINHASH_LSH = (
+    _SHINGLE_CTES
+    + f""",
+base as (select doc_id, shingles,
+                list_transform(shingles, s -> {_h60('s')} & 4294967295) as vs
+         from sh),
+sigs as (select doc_id, shingles, {_SIG} as sig from base),
+bands as (
+    select doc_id, b.band,
+           md5(list_aggregate(
+                 list_transform(sig[b.band*{ROWS_PER_BAND}+1 : b.band*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+                                x -> x::varchar),
+                 'string_agg', ',')) as bh
+    from sigs, (select unnest(generate_series(0, {N_BANDS - 1})) as band) b
+),
+cand as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from bands a join bands b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+),
+enriched as (
+    select c.doc_a, c.doc_b,
+           len(list_filter(generate_series(1, {N_HASHES}), i -> sa.sig[i] = sb.sig[i]))
+             / {N_HASHES} as est_jaccard,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(sa.shingles || sb.shingles)) as jaccard
+    from cand c
+    join sigs sa on c.doc_a = sa.doc_id
+    join sigs sb on c.doc_b = sb.doc_id
+)
+select * from enriched where jaccard >= 0.5
+"""
+)
+
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_MASK = 2**_CHUNK_BITS - 1
+
+DEDUP_SIMHASH = f"""
+with docs as (
+    select doc_id, string_split({_NORM}, ' ') as toks from documents
+),
+fps as (
+    select doc_id,
+           cast(list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), p ->
+               case when list_sum(list_transform(toks,
+                        t -> (({_h60('t')} >> p) & 1) * 2 - 1)) > 0
+                    then (1::bigint << p) else 0::bigint end)) as bigint) as simhash
+    from docs
+),
+chunks as (
+    select doc_id, simhash, c.chunk,
+           (simhash >> (c.chunk * {_CHUNK_BITS})) & {_CHUNK_MASK} as val
+    from fps, (select unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) as chunk) c
+),
+pairs as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+           a.simhash as sa, b.simhash as sb
+    from chunks a join chunks b
+      on a.chunk = b.chunk and a.val = b.val and a.doc_id < b.doc_id
+)
+select doc_a, doc_b, cast(bit_count(xor(sa, sb)) as bigint) as hamming
+from pairs
+where bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+_EMB = "list_transform(embedding, x -> cast(x as double))"
+
+def _ann_sql(k: int, probe_mod: int) -> str:
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0),
+scored as (
+    select p.query_id, emb.vec_id as neighbor_id,
+           list_sum(list_transform(generate_series(1, len(emb.e)), i -> p.qe[i] * emb.e[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+                * sqrt(list_sum(list_transform(emb.e, x -> x*x)))) as cos
+    from emb cross join probes p
+    where emb.vec_id != p.query_id
+),
+ranked as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from scored
+)
+select query_id, neighbor_id, rank, round(cos, 6) as cos
+from ranked where rank <= {k}
+"""
+
+
+ANN_TOPK_BRUTEFORCE = _ann_sql(5, 100)
+
+_SIGN_SIG = (
+    "list_aggregate(list_transform({e}[1:8],"
+    " x -> case when x > 0 then '1' else '0' end), 'string_agg', '')"
+)
+
+ANN_TOPK_LSH = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+sigs as (select vec_id, e, {_SIGN_SIG.format(e='e')} as sig from emb),
+probes as (select vec_id as query_id, e as qe, sig from sigs where vec_id % 100 = 0),
+scored as (
+    select p.query_id, s.vec_id as neighbor_id,
+           list_sum(list_transform(generate_series(1, len(s.e)), i -> p.qe[i] * s.e[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+                * sqrt(list_sum(list_transform(s.e, x -> x*x)))) as cos
+    from sigs s join probes p on s.sig = p.sig
+    where s.vec_id != p.query_id
+),
+ranked as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from scored
+)
+select query_id, neighbor_id, rank, round(cos, 6) as cos
+from ranked where rank <= 5
+"""
+
+_TOP1 = _ann_sql(1, 10)
+
+DEDUP_EMBEDDING = f"""
+with top1 as ({_TOP1})
+select query_id, neighbor_id, cos, cos >= 0.95 as is_near_dup
+from top1
+"""
+
+EVENTS_SUMMARY = """
+select event_type,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       min(ts) as first_ts,
+       max(ts) as max_ts,
+       cast(sum(json_extract_string(props, '$.k')::bigint) as bigint) as sum_k,
+       cast(sum(json_extract_string(props, '$.k')::bigint) as bigint)
+         / count(json_extract_string(props, '$.k')) as avg_k
+from events
+group by event_type
+"""
+
+EVENTS_SESSIONIZE = f"""
+with e as (select event_id, ts, user_id from events),
+g as (
+    select *,
+           case when floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                       over (partition by user_id order by ts, event_id)
+                     > {SESSION_GAP_MINUTES * 60}
+                then 1 else 0 end as new_sess
+    from e
+),
+s as (
+    select *,
+           sum(new_sess) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_no
+    from g
+)
+select user_id, cast(session_no as bigint) as session_no,
+       min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events
+from s
+group by user_id, session_no
+"""
+
+IDEMPOTENT_APPEND = """
+select * from events where event_id % 2 = 0 or event_id % 3 = 0
+"""
+
+EVENTS_STREAM_DEDUP = """
+select * from events
+"""
+
+MULTIMODAL_BYTES = """
+select doc_id,
+       octet_length(encode(text)) as n_bytes,
+       md5(text) as content_md5,
+       cast(case when length(text) = 0 then 0 else ascii(substr(text, 1, 1)) end as double) as first_byte
+from documents
+"""

@@ -43,8 +43,8 @@ def dim_track(stg: DataFrame) -> DataFrame:
             F.col("track_artists").alias("artists"),
             "total_plays",
             "dttm_first_played",
-            F.year(F.col("dttm_first_played").cast("date")).alias("yr_first_played"),
-            F.weekofyear(F.col("dttm_first_played").cast("date")).alias("wk_first_played"),
+            F.year(F.col("dttm_first_played").cast("date")).cast("long").alias("yr_first_played"),
+            F.weekofyear(F.col("dttm_first_played").cast("date")).cast("long").alias("wk_first_played"),
             "duration_ms",
         )
         .distinct()
@@ -66,8 +66,8 @@ def dim_artist(stg: DataFrame) -> DataFrame:
             F.col("track_artists").alias("artists"),
             "total_plays",
             "dttm_first_played",
-            F.year(F.col("dttm_first_played").cast("date")).alias("yr_first_played"),
-            F.weekofyear(F.col("dttm_first_played").cast("date")).alias("wk_first_played"),
+            F.year(F.col("dttm_first_played").cast("date")).cast("long").alias("yr_first_played"),
+            F.weekofyear(F.col("dttm_first_played").cast("date")).cast("long").alias("wk_first_played"),
         )
         .distinct()
     )

@@ -77,8 +77,8 @@ def rpt_discovery_rate(fct: DataFrame, dim_track: DataFrame, dim_artist: DataFra
     base = (
         fct.join(F.broadcast(dim_track.select("track_id", "artists")), "track_id", "left")
         .groupBy(
-            F.year("played_at_mtn").alias("year_played"),
-            F.weekofyear("played_at_mtn").alias("week_played"),
+            F.year("played_at_mtn").cast("long").alias("year_played"),
+            F.weekofyear("played_at_mtn").cast("long").alias("week_played"),
         )
         .agg(
             F.max(F.col("played_at_mtn").cast("date")).alias("week_dt"),

@@ -1,0 +1,72 @@
+"""Structured Streaming ingest — the explicit version of the reference's
+operational micro-batching (SURVEY.md §2.9).
+
+The reference polls an at-least-once source on a cron and relies on
+``ON CONFLICT DO NOTHING`` for effective exactly-once.  The Spark-native
+mapping:
+
+- ``readStream`` over the source (file source here; the REST adapter in
+  ``sources/rest.py`` plays the driver-side role in batch mode);
+- ``withWatermark`` sized to the redelivery window (the API's ≤50-item
+  overlap ⇒ 1 day is generous) bounds the dedup state store;
+- ``dropDuplicates([key])`` within the watermark;
+- ``foreachBatch`` + ``append_if_absent`` makes the sink idempotent across
+  restarts (at-least-once micro-batches → exactly-once table effect);
+- ``trigger(availableNow=True)`` = the cron-run semantics: drain what's
+  available, checkpoint, exit.
+
+At scale: the state store shards by key hash across executors; the
+watermark keeps it bounded to ~1 day of keys; the foreachBatch anti-join
+shuffles only the micro-batch (small) against the sink's key index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.idempotent_sink import append_if_absent
+
+
+def stream_events_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    key: str = "event_id",
+) -> DataFrame:
+    """Run the streaming ingest over the events table (availableNow) and
+    return the resulting deduplicated sink table as a batch DataFrame."""
+    # events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the stream
+    # reads `ts` as epoch-nanos bigint — convert to a microsecond timestamp
+    # (integer division, lossless here) before the watermark, mirroring
+    # sources/tables.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicates([key])
+    )
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_ = batch.sparkSession
+        try:
+            existing = spark_.read.parquet(out_dir)
+        except Exception:  # first batch: empty sink
+            existing = spark_.createDataFrame([], batch.schema)
+        fresh = append_if_absent(existing, batch, [key])
+        fresh.write.mode("append").parquet(out_dir)
+
+    (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
