@@ -21,6 +21,7 @@ from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
 from spotify_tracks_spark.operators.multimodal import multimodal_bytes
+from spotify_tracks_spark.sinks.publish import publish_roundtrip
 from spotify_tracks_spark.sources.tables import read_table
 
 
@@ -90,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": _events_stream_dedup,
         # multimodal plumbing
         "multimodal_bytes": multimodal_bytes,
+        # publish sink round-trip (sqlite copy → dump → payloads → readback)
+        "publish_roundtrip": publish_roundtrip,
     }
     return q
 
@@ -120,4 +123,5 @@ def oracle_sql() -> dict[str, str]:
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
+        "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
     }

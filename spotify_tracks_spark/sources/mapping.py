@@ -30,7 +30,7 @@ aggregations reuse.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .tables import read_table
 
@@ -81,12 +81,34 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Idempotent-sink semantics: one row per play-identity key
-    # (stg_recent_tracks.sql:2-6), deterministic winner.
-    w = Window.partitionBy(
-        "track_name", "track_album", "track_artists", "played_at"
-    ).orderBy("duration_ms", F.coalesce("context", F.lit("~")))
+    # (stg_recent_tracks.sql:2-6), deterministic winner = lexicographic min
+    # on (duration_ms, context) — the remaining columns are functionally
+    # determined by the winner, so a min-over-struct aggregate picks the
+    # same row a ROW_NUMBER window would, but with map-side partial
+    # aggregation and no per-partition sort: the shuffle carries only
+    # unique play keys, which is the shape that survives 100 TB.
+    winner = F.min(
+        F.struct(
+            "duration_ms",
+            F.coalesce("context", F.lit("~")).alias("_ctx_ord"),
+            "album_release_date",
+            "release_date_precision",
+            "track_popularity",
+            "context",
+        )
+    ).alias("w")
     return (
-        raw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        raw.groupBy("track_name", "track_album", "track_artists", "played_at")
+        .agg(winner)
+        .select(
+            "track_name",
+            "track_album",
+            "track_artists",
+            F.col("w.album_release_date").alias("album_release_date"),
+            F.col("w.release_date_precision").alias("release_date_precision"),
+            F.col("w.track_popularity").alias("track_popularity"),
+            "played_at",
+            F.col("w.context").alias("context"),
+            F.col("w.duration_ms").alias("duration_ms"),
+        )
     )

@@ -1,0 +1,83 @@
+"""Ingest-path tests: paginated REST adapter → JSON flatten → idempotent
+sink, with a fixture fetcher replacing the network (the reference's path at
+flows/pull_recent_tracks.py:160-231)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
+from spotify_tracks_spark.sources.json_flatten import flatten_payload
+from spotify_tracks_spark.sources.rest import fetch_pages, pages_to_df
+
+
+def _item(name, album, artists, played_at, context=None, precision="day",
+          release="2020-01-02", pop=55.0, dur=180000.0):
+    return {
+        "track": {
+            "name": name,
+            "album": {
+                "name": album,
+                "release_date": release,
+                "release_date_precision": precision,
+            },
+            "artists": [{"name": a} for a in artists],
+            "popularity": pop,
+            "duration_ms": dur,
+        },
+        "played_at": played_at,
+        "context": {"type": context} if context else None,
+    }
+
+
+PAGE1 = {
+    "items": [
+        _item("Song A", "Album X", ["Artist 1", "Artist 2"], "2024-01-01T10:00:00Z", "playlist"),
+        _item("Song B", "Album X", ["Artist 1"], "2024-01-01T11:00:00Z", None),
+    ],
+    "next": "https://api.example/page2",
+}
+PAGE2 = {
+    "items": [
+        _item("Song C", "Album Y", ["Artist 3"], "2024-01-01T12:00:00Z", "album"),
+        # duplicate of PAGE1's first play — the API window overlap
+        _item("Song A", "Album X", ["Artist 1", "Artist 2"], "2024-01-01T10:00:00Z", "playlist"),
+    ],
+    "next": None,
+}
+
+
+def _fetcher(url: str) -> dict:
+    return PAGE2 if "page2" in url else PAGE1
+
+
+def test_fetch_pages_follows_cursor():
+    pages = fetch_pages(_fetcher)
+    assert len(pages) == 2
+    assert pages[1]["next"] is None
+
+
+def test_fetch_pages_caps_extra_pages():
+    looping = {"items": [], "next": "https://api.example/again"}
+    pages = fetch_pages(lambda url: looping, max_extra_pages=5)
+    assert len(pages) == 6  # first + 5 follows, mirrors the j < 5 cap
+
+
+def test_flatten_payload(spark):
+    flat = flatten_payload(pages_to_df(spark, fetch_pages(_fetcher)))
+    rows = {(r.track_name, r.played_at): r for r in flat.collect()}
+    assert len(flat.collect()) == 4  # flatten keeps duplicates; sink drops them
+    a = rows[("Song A", "2024-01-01T10:00:00Z")]
+    assert a.track_artists == "Artist 1, Artist 2"  # order-preserving join
+    assert a.context == "playlist"
+    b = rows[("Song B", "2024-01-01T11:00:00Z")]
+    assert b.context is None  # null-safe context access
+    assert b.track_popularity == pytest.approx(55.0)
+
+
+def test_ingest_end_to_end_dedup(spark):
+    flat = flatten_payload(pages_to_df(spark, fetch_pages(_fetcher)))
+    key = ["track_name", "track_album", "track_artists", "played_at"]
+    empty = spark.createDataFrame([], flat.schema)
+    sink = idempotent_union(empty.dropDuplicates(key), flat.dropDuplicates(key), key)
+    assert sink.count() == 3  # the overlapping play inserted once

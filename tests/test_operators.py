@@ -1,0 +1,175 @@
+"""Property tests for the training-pipeline operators (dedup, similarity,
+text analysis, idempotent sink, publish sinks) at sf0.001 — semantics the
+hash-parity gate can't express: invariants, idempotence, recall bounds."""
+
+from __future__ import annotations
+
+import sqlite3
+import tempfile
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from spotify_tracks_spark.operators import dedup, similarity, text_analysis
+from spotify_tracks_spark.operators.idempotent_sink import append_if_absent, idempotent_union
+from spotify_tracks_spark.sinks.publish import (
+    copy_to_sqlite,
+    http_batch_payloads,
+    publish_models,
+    sql_dump,
+)
+from spotify_tracks_spark.sources.tables import read_table
+
+from .conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+# --- idempotent sink: re-ingesting any overlap is a no-op (SURVEY.md §5.4) ---
+
+def test_idempotent_reappend_is_noop(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    incoming = ev.filter(F.col("event_id") % 3 == 0)
+    once = idempotent_union(existing, incoming, ["event_id"])
+    twice = idempotent_union(once, incoming, ["event_id"])
+    assert once.count() == twice.count()
+    assert append_if_absent(once, incoming, ["event_id"]).count() == 0
+
+
+def test_idempotent_union_is_set_union(spark):
+    ev = read_table(spark, SF_SMOKE, "events")
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    incoming = ev.filter(F.col("event_id") % 3 == 0)
+    got = idempotent_union(existing, incoming, ["event_id"]).count()
+    want = ev.filter((F.col("event_id") % 2 == 0) | (F.col("event_id") % 3 == 0)).count()
+    assert got == want
+
+
+# --- dedup invariants ---
+
+def test_dedup_exact_canonical_is_min(spark):
+    df = dedup.dedup_exact(spark, SF_SMOKE)
+    assert df.filter(F.col("canonical_doc_id") > F.col("doc_id")).count() == 0
+    # canonical member itself is never flagged duplicate
+    assert df.filter(
+        (F.col("doc_id") == F.col("canonical_doc_id")) & F.col("is_duplicate")
+    ).count() == 0
+
+
+def test_minhash_estimates_bounded_and_ordered(spark):
+    df = dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    for r in df:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.jaccard >= 0.5
+
+
+def test_minhash_catches_exact_duplicates(spark):
+    """Exact duplicate pairs have identical signatures ⇒ LSH must emit them."""
+    exact = dedup.dedup_exact(spark, SF_SMOKE)
+    dup_pairs = {
+        (r.canonical_doc_id, r.doc_id)
+        for r in exact.filter("is_duplicate").collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    missing = dup_pairs - got
+    assert not missing, f"exact dups missed by LSH: {sorted(missing)[:5]}"
+
+
+def test_simhash_pairs_within_radius(spark):
+    for r in dedup.dedup_simhash(spark, SF_SMOKE).collect():
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING
+
+
+# --- similarity search ---
+
+def test_ann_bruteforce_rank_contract(spark):
+    rows = similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=5).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cos <= 1.0
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cos for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_lsh_subset_of_bruteforce_scores(spark):
+    """LSH candidates score identically to brute force for the same pair."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=2000).collect()
+    }
+    for r in similarity.ann_topk_lsh(spark, SF_SMOKE).collect():
+        key = (r.query_id, r.neighbor_id)
+        assert key in bf
+        assert abs(bf[key] - r.cos) < 1e-9
+
+
+# --- text analysis ---
+
+def test_text_quality_ratios_bounded(spark):
+    for r in text_analysis.text_quality(spark, SF_SMOKE).collect():
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 < r.distinct_ratio <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_langid_pred_domain(spark):
+    langs = set(text_analysis.LANG_STOPWORDS) | {"und"}
+    for r in text_analysis.text_langid(spark, SF_SMOKE).collect():
+        assert r.lang_pred in langs
+
+
+# --- publish sinks ---
+
+def test_publish_pipeline_roundtrip(spark):
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    db = tempfile.mktemp(suffix=".db")
+    n = docs.count()
+    sent = publish_models({"docs": docs}, db, batch_size=7)
+    creates, inserts = sql_dump(db)
+    assert len(creates) == 1 and len(inserts) == n
+    assert sent["docs"] == -(-n // 7)  # ceil-div batches
+    conn = sqlite3.connect(db)
+    try:
+        assert conn.execute('SELECT count(*) FROM "docs"').fetchone()[0] == n
+    finally:
+        conn.close()
+
+
+def test_http_batch_payloads_shape():
+    payloads = http_batch_payloads([f"INSERT {i}" for i in range(5)], batch_size=2)
+    assert len(payloads) == 3
+    for p in payloads:
+        assert p["requests"][-1] == {"type": "close"}
+        assert all(r["type"] == "execute" for r in p["requests"][:-1])
+    total = sum(len(p["requests"]) - 1 for p in payloads)
+    assert total == 5
+
+
+def test_copy_to_sqlite_preserves_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "x", None)], "id: long, s: string, d: double"
+    )
+    db = tempfile.mktemp(suffix=".db")
+    copy_to_sqlite({"t": df}, db)
+    conn = sqlite3.connect(db)
+    try:
+        rows = sorted(conn.execute('SELECT * FROM "t"').fetchall())
+    finally:
+        conn.close()
+    assert rows == [(1, None, 2.5), (2, "x", None)]
+
+
+# --- extension queries all have an oracle entry (closed contract) ---
+
+def test_every_query_has_oracle():
+    missing = [k for k in QUERIES if k not in ORACLES]
+    assert not missing, f"queries without oracle_sql: {missing}"
