@@ -154,18 +154,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             lambda s: portable_hash60(s).bitwiseAND(F.lit(0xFFFFFFFF)),
         ).alias("vs"),
     )
-    a_arr = F.array(*[F.lit(a) for a, _ in MINHASH_AB])
-    b_arr = F.array(*[F.lit(b) for _, b in MINHASH_AB])
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("vs"),
-                lambda v: (F.element_at(a_arr, i + 1) * v + F.element_at(b_arr, i + 1))
-                % F.lit(MINHASH_P),
-            )
-        ),
-    )
+    # 16 unrolled array_min(transform(...)) expressions with literal A/B —
+    # indexing a constant array from inside the lambda rebuilds the array
+    # per element evaluation (~3× slower end-to-end); unrolling keeps every
+    # coefficient a folded literal.
+    def _affine_min(a: int, b: int) -> Column:
+        # closure factory: pyspark HOF lambdas must stay unary (a 2-param
+        # lambda is passed (element, index)), so coefficients bind here.
+        return F.array_min(
+            F.transform(F.col("vs"), lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
+    sig = F.array(*[_affine_min(a, b) for a, b in MINHASH_AB])
     return base.select("doc_id", sig.alias("sig"))
 
 

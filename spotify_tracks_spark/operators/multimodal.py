@@ -96,7 +96,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked query: real bytes through the mapInPandas path."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return extract_features(attach_binary(docs)).select(
         "doc_id", "n_bytes", "content_md5", F.element_at("feature", 1).cast("double").alias("first_byte")
     )

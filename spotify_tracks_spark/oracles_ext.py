@@ -157,7 +157,9 @@ DEDUP_MINHASH_LSH = (
 base as (select doc_id, shingles,
                 list_transform(shingles, s -> {_h60('s')} & 4294967295) as vs
          from sh),
-sigs as (select doc_id, shingles, {_SIG} as sig from base),
+-- materialized: DuckDB inlines multiply-referenced CTEs, recomputing the
+-- md5 shingle hashing once per reference (~3x) otherwise
+sigs as materialized (select doc_id, shingles, {_SIG} as sig from base),
 bands as (
     select doc_id, b.band,
            md5(list_aggregate(

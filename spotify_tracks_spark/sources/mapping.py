@@ -37,7 +37,10 @@ from .tables import read_table
 
 def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 9-column source event log (see ``schemas.SRC_RECENT_TRACKS``)."""
-    li = read_table(spark, sf_dir, "lineitem").select(
+    # spread: single-file lineitem can't split, and everything up to the
+    # dedup shuffle (broadcast probe, date formatting, partial agg) would
+    # otherwise run in ONE scan task.
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate"
     )
     part = read_table(spark, sf_dir, "part")

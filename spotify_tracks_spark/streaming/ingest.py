@@ -44,6 +44,15 @@ def stream_events_dedup(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
+    # The dedup state store shards by spark.sql.shuffle.partitions, fixed
+    # into the checkpoint at first batch.  A single-source availableNow run
+    # doesn't need the batch-width default (32): 8 shards cut state-store
+    # checkpoint/commit overhead ~4× here.  A continuous 100 TB deployment
+    # sizes this to (executors × cores) instead — it is per-checkpoint
+    # immutable either way, so it must be set before .start().
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -62,11 +71,14 @@ def stream_events_dedup(
         fresh = append_if_absent(existing, batch, [key])
         fresh.write.mode("append").parquet(out_dir)
 
-    (
-        stream.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.read.parquet(out_dir)
