@@ -59,6 +59,24 @@ def _events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregate (watermark, append mode)."""
+    from spotify_tracks_spark.streaming import stream_events_windowed
+
+    return stream_events_windowed(spark, sf_dir)
+
+
+def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState sessionization."""
+    import tempfile
+
+    from spotify_tracks_spark.streaming import stream_sessionize
+
+    return stream_sessionize(
+        spark, sf_dir, checkpoint_dir=tempfile.mkdtemp(prefix="stream_sess_ckpt_")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1)
@@ -83,12 +101,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "ann_topk_lsh": _sim.ann_topk_lsh,
+        "ann_topk_ivf": _sim.ann_topk_ivf,
         "dedup_embedding": _sim.dedup_embedding,
         # events / streaming / sink
         "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
         "idempotent_append": _idempotent_append,
         "events_stream_dedup": _events_stream_dedup,
+        "events_stream_window": _events_stream_window,
+        "events_stream_sessionize": _events_stream_sessionize,
         # multimodal plumbing
         "multimodal_bytes": multimodal_bytes,
         # publish sink round-trip (sqlite copy → dump → payloads → readback)
@@ -117,11 +138,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
+        "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
+        "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
+        "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
     }

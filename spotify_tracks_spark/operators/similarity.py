@@ -118,6 +118,69 @@ def ann_topk_lsh(
     )
 
 
+N_CENTROIDS = 16
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    probe_mod: int = 100,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize to the nearest centroid,
+    search only the probe's cell (nprobe=1).
+
+    Deterministic centroid choice (the ``n_centroids`` lowest vec_ids) keeps
+    the operator oracle-checkable; a production run would fit k-means on a
+    sample and broadcast the fitted centroids — the *plan shape* is
+    identical: centroid table broadcast to a scan-side argmax projection
+    (no shuffle of the corpus), then an equi-join on cell id replaces the
+    corpus-wide cross product, then exact rerank within the cell.  Ties on
+    cosine break to the lower centroid id in both engines."""
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    centroids = emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).select(
+            id_col,
+            emb_col,
+            "cent_id",
+            cosine(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, emb_col, F.col("cent_id").alias("cell"))
+        )
+
+    corpus = assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")),
+        "neighbor_id",
+        "n_emb",
+    )
+    probe_cells = assign(probes, "query_id", "q_emb")
+    scored = (
+        corpus.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_emb"), F.col("n_emb")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
 def dedup_embedding(
     spark: SparkSession, sf_dir: str, probe_mod: int = 10, near_dup_threshold: float = 0.95
 ) -> DataFrame:

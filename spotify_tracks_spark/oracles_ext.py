@@ -269,6 +269,54 @@ select query_id, neighbor_id, rank, round(cos, 6) as cos
 from ranked where rank <= 5
 """
 
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x*x))))"
+    )
+
+
+ANN_TOPK_IVF = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+centroids as materialized (
+    select vec_id as cent_id, e as c_emb from emb order by vec_id limit 16
+),
+corpus_cells as (
+    select neighbor_id, n_emb, cent_id as cell from (
+        select emb.vec_id as neighbor_id, emb.e as n_emb, c.cent_id,
+               row_number() over (
+                   partition by emb.vec_id
+                   order by {_cos('emb.e', 'c.c_emb')} desc, c.cent_id
+               ) as rn
+        from emb cross join centroids c
+    ) where rn = 1
+),
+probes as (select vec_id as query_id, e as q_emb from emb where vec_id % 100 = 0),
+probe_cells as (
+    select query_id, q_emb, cent_id as cell from (
+        select p.query_id, p.q_emb, c.cent_id,
+               row_number() over (
+                   partition by p.query_id
+                   order by {_cos('p.q_emb', 'c.c_emb')} desc, c.cent_id
+               ) as rn
+        from probes p cross join centroids c
+    ) where rn = 1
+),
+scored as (
+    select p.query_id, c.neighbor_id, {_cos('p.q_emb', 'c.n_emb')} as cos
+    from corpus_cells c join probe_cells p on c.cell = p.cell
+    where c.neighbor_id != p.query_id
+),
+ranked as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from scored
+)
+select query_id, neighbor_id, rank, round(cos, 6) as cos
+from ranked where rank <= 5
+"""
+
 _TOP1 = _ann_sql(1, 10)
 
 DEDUP_EMBEDDING = f"""
@@ -316,6 +364,47 @@ group by user_id, session_no
 
 IDEMPOTENT_APPEND = """
 select * from events where event_id % 2 = 0 or event_id % 3 = 0
+"""
+
+# Streaming windowed rollup: append mode emits a window once the watermark
+# (max event time - 1 day) passes its end — for a drained availableNow run
+# that is exactly this predicate.  time_bucket aligns to the epoch like
+# Spark's window().
+EVENTS_STREAM_WINDOWED = """
+with wm as (select max(ts) - interval 1 day as w from events)
+select time_bucket(interval 1 day, ts) as window_start,
+       time_bucket(interval 1 day, ts) + interval 1 day as window_end,
+       event_type,
+       count(*) as n_events
+from events, wm
+group by 1, 2, 3, wm.w
+having window_end <= wm.w
+"""
+
+# Stateful sessionization drained via availableNow equals the batch
+# window-function sessionization (open tails flushed on the final batch).
+EVENTS_STREAM_SESSIONIZE = f"""
+with e as (select event_id, ts, user_id from events),
+g as (
+    select *,
+           case when floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                       over (partition by user_id order by ts, event_id)
+                     > {SESSION_GAP_MINUTES * 60}
+                then 1 else 0 end as new_sess
+    from e
+),
+s as (
+    select *,
+           sum(new_sess) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_no
+    from g
+)
+select user_id,
+       min(ts) as session_start, max(ts) as session_end,
+       count(*) as n_events
+from s
+group by user_id, session_no
 """
 
 EVENTS_STREAM_DEDUP = """

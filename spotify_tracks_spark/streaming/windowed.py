@@ -1,0 +1,71 @@
+"""Streaming windowed aggregation — tumbling event-time windows with a
+watermark, the Structured Streaming counterpart of the reference's
+calendar-bucketed rollup (SURVEY.md §2.9: the weekly discovery rollup is
+batch by contract; this operator is the engine's streaming-native window
+capability).
+
+Semantics (append mode, availableNow): a window emits once the watermark
+passes its end — exactly the set ``window_end <= max(event_time) -
+watermark_delay`` for a drained source, which is what the DuckDB oracle
+computes, so the streaming result is hash-checkable like any batch query.
+
+Scale shape: the windowed count is a streaming hash aggregate keyed on
+(window, event_type) — partial aggregation per input partition, one
+shuffle of partial counts, state bounded by (#open windows × #types) per
+shard.  The watermark expires state; no unbounded growth.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WINDOW = "1 day"
+WATERMARK = "1 day"
+
+_COUNTER = iter(range(1_000_000))
+
+
+def stream_events_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Tumbling-window event counts per type over the events stream
+    (availableNow drain); returns the emitted (finalized) windows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"win_{next(_COUNTER)}"
+    try:
+        agg = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+        (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="streamwin_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)

@@ -1,0 +1,108 @@
+"""Streaming operator tests: windowed aggregation emission, stateful
+sessionization (incl. state carried across micro-batches), and the
+IVF ANN variant's containment properties."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spotify_tracks_spark.operators import events as batch_events
+from spotify_tracks_spark.operators import similarity
+from spotify_tracks_spark.sources.tables import read_table
+from spotify_tracks_spark.streaming import stream_events_windowed, stream_sessionize
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_window_emits_only_closed_windows(spark):
+    out = stream_events_windowed(spark, SF_SMOKE)
+    ev = read_table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # append mode: window emitted only once the watermark passed its end
+        assert (max_ts - r.window_end).total_seconds() >= 86400
+    # emitted counts equal the batch group-by for those windows
+    batch = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(
+            F.window("ts", "1 day").start.alias("ws"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert batch[(r.window_start, r.event_type)] == r.n_events
+
+
+def test_stream_sessionize_state_carries_across_batches(spark):
+    """Split events into 4 time-ordered files; maxFilesPerTrigger=1 forces
+    4 micro-batches, so sessions spanning file boundaries only come out
+    right if the open tail is carried in state."""
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    # split by TIME so micro-batches arrive in event-time order — the
+    # operator's contract (an in-order polled source), same as the
+    # reference's API window
+    qs = ev.approxQuantile("ts_s", [0.25, 0.5, 0.75], 0.001)
+    src = tempfile.mkdtemp(prefix="sess_multi_")
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        (
+            ev.filter((F.col("ts_s") > bounds[i]) & (F.col("ts_s") <= bounds[i + 1]))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/part{i}")
+        )
+    import glob as globmod
+    import os
+    import shutil
+    import time
+
+    flat = tempfile.mkdtemp(prefix="sess_flat_")
+    now = time.time()
+    for i, f in enumerate(sorted(globmod.glob(f"{src}/part*/part-*.parquet"))):
+        dst = f"{flat}/batch{i}.parquet"
+        shutil.copy(f, dst)
+        # the file stream source orders by mtime; quick copies tie at ms
+        # resolution, so pin strictly increasing times to fix batch order
+        os.utime(dst, (now + i, now + i))
+
+    got = stream_sessionize(
+        spark,
+        flat,
+        checkpoint_dir=tempfile.mkdtemp(prefix="sess_multi_ckpt_"),
+        glob="*.parquet",
+        flush_tail=False,
+    )
+    # carry variant emits only closed sessions: compare against the batch
+    # sessionization minus each user's final (open) session
+    batch = batch_events.events_sessionize(spark, SF_SMOKE)
+    w_last = batch.groupBy("user_id").agg(F.max("session_start").alias("last_start"))
+    closed_batch = (
+        batch.join(w_last, "user_id")
+        .filter(F.col("session_start") != F.col("last_start"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    got_set = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in got.collect()}
+    want_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed_batch.collect()
+    }
+    assert got_set == want_set
+
+
+def test_ann_ivf_scores_match_bruteforce(spark):
+    """IVF candidates score identically to brute force for the same pair,
+    and every result lies in the probe's cell by construction."""
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.ann_topk_bruteforce(spark, SF_SMOKE, k=2000).collect()
+    }
+    rows = similarity.ann_topk_ivf(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
