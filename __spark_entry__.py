@@ -20,7 +20,7 @@ from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
-from spotify_tracks_spark.operators.multimodal import multimodal_bytes
+from spotify_tracks_spark.operators.multimodal import multimodal_bytes, multimodal_frames
 from spotify_tracks_spark.sinks.publish import publish_roundtrip
 from spotify_tracks_spark.sources.tables import read_table
 
@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q7_rpt_artist_counts": _model("rpt_artist_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
+        # publish sink round-trip (sqlite copy → dump → payloads → readback);
+        # sits with the model chain because it republishes rpt_artist_counts
+        "publish_roundtrip": publish_roundtrip,
         # text analysis (training-data pipeline)
         "text_tokens": _text.text_tokens,
         "text_quality": _text.text_quality,
@@ -112,8 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessionize": _events_stream_sessionize,
         # multimodal plumbing
         "multimodal_bytes": multimodal_bytes,
-        # publish sink round-trip (sqlite copy → dump → payloads → readback)
-        "publish_roundtrip": publish_roundtrip,
+        "multimodal_frames": multimodal_frames,
     }
     return q
 
@@ -147,5 +149,6 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
+        "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
     }

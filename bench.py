@@ -36,11 +36,22 @@ def main() -> None:
     startup_s = time.perf_counter() - t0
 
     times: dict[str, float] = {}
+    model_chain_done = False
     for name, fn in queries.items():
+        chain = name.startswith("q") or name == "publish_roundtrip"
+        if not chain and not model_chain_done:
+            # the q1–q8 chain shares cached staging/dim DataFrames; once it
+            # finishes nothing reuses them — drop them (and each extension
+            # query's persisted intermediates after it runs) so later
+            # queries aren't timed under another query's memory pressure
+            spark.catalog.clearCache()
+            model_chain_done = True
         t = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t, 3)
+        if model_chain_done:
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -106,6 +106,24 @@ def _with_shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _with_shingle_hash_sets(docs: DataFrame) -> DataFrame:
+    """Distinct 60-bit shingle hashes per doc — the set the near-dup
+    operators block and verify on.  Hashing the shingles once here and
+    carrying array<long> (instead of the 8-char strings) halves the
+    persisted/shuffled bytes and turns set intersection into long
+    comparisons; Jaccard over hashed shingle sets equals string-set
+    Jaccard up to 60-bit collisions, and the oracle hashes identically."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            # NB: must stay a unary lambda — portable_hash60 itself has a
+            # (col, seed) signature, and pyspark feeds 2-param callables
+            # (element, index), which would seed each hash with its index
+            F.transform(_char_shingles(_norm(F.col("text"))), lambda s: portable_hash60(s))
+        ).alias("hs"),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on the min shingle hash.
 
@@ -115,21 +133,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     Verification = exact Jaccard over distinct shingle sets via
     array_intersect/array_union sizes — a per-pair projection.
 
-    The blocked projection (shingle set + min hash) is persisted before the
-    self-join: both join sides reuse one computation instead of re-hashing
-    every shingle twice (at 100 TB this intermediate would be a written
-    table; MEMORY_AND_DISK is its single-job equivalent)."""
-    sh = _with_shingle_sets(read_table(spark, sf_dir, "documents", spread=True))
+    The blocked projection (hashed shingle set + min hash) is persisted
+    before the self-join: both join sides reuse one computation instead of
+    re-hashing every shingle twice (at 100 TB this intermediate would be a
+    written table; MEMORY_AND_DISK is its single-job equivalent)."""
+    sh = _with_shingle_hash_sets(read_table(spark, sf_dir, "documents", spread=True))
     blocked = sh.select(
         "doc_id",
-        "shingles",
-        F.array_min(F.transform("shingles", portable_hash60)).alias("block"),
+        "hs",
+        F.array_min("hs").alias("block"),
     ).persist()
+    # materialize BEFORE the self-join: a lazy persist lets both join sides
+    # (and AQE's broadcast-side estimation) race to compute the expensive
+    # projection concurrently — the count() pins one computation
+    blocked.count()
     a = blocked.alias("a")
     b = blocked.alias("b")
     pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-    jac = F.size(F.array_intersect("a.shingles", "b.shingles")) / F.size(
-        F.array_union("a.shingles", "b.shingles")
+    jac = F.size(F.array_intersect("a.hs", "b.hs")) / F.size(
+        F.array_union("a.hs", "b.hs")
     )
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
@@ -138,26 +160,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     ).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc minhash signature as an array<long> column — computed as a
-    pure projection (nested higher-order functions), no shingle explode.
+def signatures_from_hash_sets(sh: DataFrame) -> DataFrame:
+    """Minhash signatures from a (doc_id, hs: array<long>) hash-set frame:
+    v = h & 0xFFFFFFFF, slot i = min((A_i*v + B_i) mod P) — pure integer
+    projections over already-hashed shingles, so the md5 pass happens
+    exactly once upstream (and is shared with Jaccard verification).
 
-    Two projection steps: (1) base hashes v = portable_hash60(shingle) &
-    0xFFFFFFFF — one md5 per shingle, computed ONCE; (2) the 16 signature
-    slots as affine derivations min((A_i*v + B_i) mod P) — pure integer
-    ops.  The projection boundary makes Catalyst materialize the base-hash
-    array per row instead of recomputing it per hash function."""
-    base = docs.select(
+    The 16 slots are unrolled array_min(transform(...)) expressions with
+    literal A/B — indexing a constant array from inside the lambda rebuilds
+    the array per element evaluation (~3× slower end-to-end); unrolling
+    keeps every coefficient a folded literal."""
+    base = sh.select(
         "doc_id",
-        F.transform(
-            _char_shingles(_norm(F.col("text"))),
-            lambda s: portable_hash60(s).bitwiseAND(F.lit(0xFFFFFFFF)),
-        ).alias("vs"),
+        F.transform(F.col("hs"), lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("vs"),
     )
-    # 16 unrolled array_min(transform(...)) expressions with literal A/B —
-    # indexing a constant array from inside the lambda rebuilds the array
-    # per element evaluation (~3× slower end-to-end); unrolling keeps every
-    # coefficient a folded literal.
+
     def _affine_min(a: int, b: int) -> Column:
         # closure factory: pyspark HOF lambdas must stay unary (a 2-param
         # lambda is passed (element, index)), so coefficients bind here.
@@ -169,6 +186,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", sig.alias("sig"))
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature as an array<long> column — a pure
+    projection (nested higher-order functions), no shingle explode."""
+    return signatures_from_hash_sets(_with_shingle_hash_sets(docs))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle→minhash→band→bucket-join→verify.
 
@@ -176,7 +199,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
     j≈0.5.  Output: (doc_a, doc_b, est_jaccard, jaccard) for verified
     pairs ≥ threshold."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    sigs = minhash_signatures(docs).persist()
+    # ONE md5 pass: the hash-set frame feeds both signature computation and
+    # Jaccard verification (the intermediate a production DAG would write)
+    sh = _with_shingle_hash_sets(docs).persist()
+    sigs = signatures_from_hash_sets(sh).persist()
+    sigs.count()  # materialize both caches before the self-join (see dedup_ngram_jaccard)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -210,12 +237,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         .distinct()
     )
 
-    sh = _with_shingle_sets(docs).persist()
     enriched = (
         cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")), "doc_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
@@ -278,6 +304,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_M
     ``bit_count(xor) <= max_hamming``."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     fps = simhash_fingerprints(docs).persist()
+    fps.count()  # materialize before the self-join (see dedup_ngram_jaccard)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = fps.select(
         "doc_id",

@@ -50,12 +50,83 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_off", T.LongType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
 def decode_image(content: bytes) -> "object":
     """Real decode hook — requires an image codec not present here."""
     raise NotImplementedError(
         "image decoding requires PIL/libjpeg; wire a real decoder here on a "
         "cluster with codecs installed"
     )
+
+
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """Real resize hook — requires an image codec not present here."""
+    raise NotImplementedError(
+        "image resizing requires PIL/libjpeg; wire a real resizer here on a "
+        "cluster with codecs installed"
+    )
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: nearest-neighbor subsample of the
+    payload bytes onto a width×height grid (stable across engines/runs)."""
+    n = len(content)
+    if n == 0:
+        return b"\0" * (width * height)
+    step = max(n // (width * height), 1)
+    out = bytes(content[min(i * step, n - 1)] for i in range(width * height))
+    return out
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling over opaque payloads: split each payload into
+    fixed-size byte frames (a stand-in for video GOP/frame boundaries a
+    real demuxer would produce), keep every ``stride``-th frame.
+
+    One payload row fans out to ~n_bytes/frame_bytes/stride rows inside
+    ``mapInPandas`` — the fan-out happens executor-side per Arrow batch,
+    never through a driver loop, and the output is a narrow (ids + md5)
+    relation, so the heavy binary column does NOT survive into the result
+    (the shape that matters when the payloads are GB-scale video)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_off": [], "frame_bytes": [], "frame_md5": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(content)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    off = i * frame_bytes
+                    frame = b[off : off + frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked frame sampling: real bytes through mapInPandas fan-out."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    return sample_frames(attach_binary(docs))
 
 
 def _fake_decode(content: bytes) -> list[float]:

@@ -117,23 +117,29 @@ select d.doc_id, d.fp, g.canonical_doc_id,
 from d join g on d.fp = g.fp
 """
 
+# Near-dup operators block and verify on *hashed* shingle sets (array of
+# 60-bit hashes): half the bytes of the string sets, integer intersection,
+# and identical Jaccard up to hash collisions in both engines.
 _SHINGLE_CTES = f"""
 with docs as (select doc_id, {_NORM} as norm from documents),
-sh as (select doc_id, {_SHINGLES} as shingles from docs)
+sh as materialized (
+    select doc_id,
+           list_distinct(list_transform({_SHINGLES}, s -> {_h60('s')})) as hs
+    from docs
+)
 """
 
 DEDUP_NGRAM_JACCARD = (
     _SHINGLE_CTES
-    + f""",
+    + """,
 blocked as (
-    select doc_id, shingles,
-           list_min(list_transform(shingles, s -> {_h60('s')})) as block
+    select doc_id, hs, list_min(hs) as block
     from sh
 ),
 pairs as (
     select a.doc_id as doc_a, b.doc_id as doc_b,
-           len(list_intersect(a.shingles, b.shingles))
-             / len(list_distinct(a.shingles || b.shingles)) as jaccard
+           len(list_intersect(a.hs, b.hs))
+             / len(list_distinct(a.hs || b.hs)) as jaccard
     from blocked a
     join blocked b on a.block = b.block and a.doc_id < b.doc_id
 )
@@ -154,12 +160,11 @@ _SIG = (
 DEDUP_MINHASH_LSH = (
     _SHINGLE_CTES
     + f""",
-base as (select doc_id, shingles,
-                list_transform(shingles, s -> {_h60('s')} & 4294967295) as vs
+base as (select doc_id, hs, list_transform(hs, h -> h & 4294967295) as vs
          from sh),
 -- materialized: DuckDB inlines multiply-referenced CTEs, recomputing the
 -- md5 shingle hashing once per reference (~3x) otherwise
-sigs as materialized (select doc_id, shingles, {_SIG} as sig from base),
+sigs as materialized (select doc_id, hs, {_SIG} as sig from base),
 bands as (
     select doc_id, b.band,
            md5(list_aggregate(
@@ -176,8 +181,8 @@ enriched as (
     select c.doc_a, c.doc_b,
            len(list_filter(generate_series(1, {N_HASHES}), i -> sa.sig[i] = sb.sig[i]))
              / {N_HASHES} as est_jaccard,
-           len(list_intersect(sa.shingles, sb.shingles))
-             / len(list_distinct(sa.shingles || sb.shingles)) as jaccard
+           len(list_intersect(sa.hs, sb.hs))
+             / len(list_distinct(sa.hs || sb.hs)) as jaccard
     from cand c
     join sigs sa on c.doc_a = sa.doc_id
     join sigs sb on c.doc_b = sb.doc_id
@@ -409,6 +414,21 @@ group by user_id, session_no
 
 EVENTS_STREAM_DEDUP = """
 select * from events
+"""
+
+# Frame sampling: documents are pure ASCII in this testdata (asserted in
+# tests), so char offsets equal byte offsets and DuckDB's VARCHAR md5
+# matches Spark's md5 over the frame bytes.
+MULTIMODAL_FRAMES = """
+with t as (select doc_id, text, length(text) as n from documents),
+f as (
+    select t.doc_id, u.i as frame_idx,
+           u.i * 256 as frame_off,
+           least(256, t.n - u.i * 256) as frame_bytes,
+           md5(substr(t.text, u.i * 256 + 1, 256)) as frame_md5
+    from t cross join unnest(generate_series(0, cast(ceil(t.n / 256.0) as bigint) - 1)) as u(i)
+)
+select * from f where frame_idx % 4 = 0
 """
 
 MULTIMODAL_BYTES = """

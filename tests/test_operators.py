@@ -173,3 +173,57 @@ def test_copy_to_sqlite_preserves_nulls(spark):
 def test_every_query_has_oracle():
     missing = [k for k in QUERIES if k not in ORACLES]
     assert not missing, f"queries without oracle_sql: {missing}"
+
+
+# --- multimodal plumbing ---
+
+def test_documents_are_ascii(spark):
+    """The frame-sample oracle equates char and byte offsets — valid only
+    while the testdata documents are pure ASCII."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    diff = docs.select(
+        (F.octet_length(F.encode("text", "utf-8")) - F.length("text")).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    assert diff == 0
+
+
+def test_sample_frames_covers_payload(spark):
+    from spotify_tracks_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(20)
+    media = attach_binary(docs)
+    frames = sample_frames(media).collect()
+    sizes = {r.doc_id: r.n_bytes for r in media.collect()}
+    for r in frames:
+        assert r.frame_idx % FRAME_STRIDE == 0
+        assert r.frame_off == r.frame_idx * FRAME_BYTES
+        assert 1 <= r.frame_bytes <= FRAME_BYTES
+        assert r.frame_off + r.frame_bytes <= sizes[r.doc_id]
+    # frame 0 always sampled: every doc appears
+    assert {r.doc_id for r in frames} == set(sizes)
+
+
+def test_fake_resize_deterministic():
+    from spotify_tracks_spark.operators.multimodal import _fake_resize
+
+    out = _fake_resize(b"abcdefghij" * 100, 4, 4)
+    assert len(out) == 16
+    assert out == _fake_resize(b"abcdefghij" * 100, 4, 4)
+    assert len(_fake_resize(b"", 3, 3)) == 9
+    assert len(_fake_resize(b"ab", 8, 8)) == 64  # payload smaller than grid
+
+
+def test_decode_and_resize_are_explicit_stubs():
+    import pytest as _pytest
+
+    from spotify_tracks_spark.operators.multimodal import decode_image, resize_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"\xff\xd8", 2, 2)
