@@ -22,6 +22,7 @@ from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
 from spotify_tracks_spark.operators.multimodal import multimodal_bytes, multimodal_frames
 from spotify_tracks_spark.sinks.publish import publish_roundtrip
+from spotify_tracks_spark.sql_api import sql_top_artists
 from spotify_tracks_spark.sources.tables import read_table
 
 
@@ -91,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # publish sink round-trip (sqlite copy → dump → payloads → readback);
         # sits with the model chain because it republishes rpt_artist_counts
         "publish_roundtrip": publish_roundtrip,
+        # SQL surface: ad-hoc spark.sql over registered mart views
+        "sql_top_artists": sql_top_artists,
         # text analysis (training-data pipeline)
         "text_tokens": _text.text_tokens,
         "text_quality": _text.text_quality,
@@ -151,4 +154,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
+        "sql_top_artists": oracles.SQL_TOP_ARTISTS,
     }

@@ -45,6 +45,7 @@ with base as (
 
 src_raw as (
     select
+        p_partkey,
         p_name as track_name,
         p_brand as track_album,
         replace(p_type, ' ', ', ') as track_artists,
@@ -74,9 +75,11 @@ src as (
            release_date_precision, track_popularity, played_at, context, duration_ms
     from (
         select *,
+               -- (duration, context, partkey) is a TOTAL order: the winner
+               -- is deterministic even if two parts collide on the play key
                row_number() over (
                    partition by track_name, track_album, track_artists, played_at
-                   order by duration_ms, coalesce(context, '~')
+                   order by duration_ms, coalesce(context, '~'), p_partkey
                ) as rn
         from src_raw
     )
@@ -254,5 +257,24 @@ left join new_tracks
     on wk_base.year_played = new_tracks.year_played and wk_base.week_played = new_tracks.week_played
 left join new_artists
     on wk_base.year_played = new_artists.year_played and wk_base.week_played = new_artists.week_played
+"""
+)
+
+# Ad-hoc SQL-surface proof query (sql_api.sql_top_artists): mart-over-mart
+# join/aggregate; exact-integer duration sum, then two IEEE divisions.
+SQL_TOP_ARTISTS = (
+    SRC_STG_CTES
+    + ","
+    + _DIM_TRACK_CTES
+    + ","
+    + _FCT_CTES
+    + """
+select dt.artists,
+       count(*) as plays,
+       cast(cast(sum(cast(dt.duration_ms as bigint)) as bigint) as double) / 1000 / 60
+         as minutes_played
+from fct f
+join dim_track dt on f.track_id = dt.track_id
+group by dt.artists
 """
 )

@@ -62,6 +62,7 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = base.select(
+        F.col("p_partkey"),
         F.col("p_name").alias("track_name"),
         F.col("p_brand").alias("track_album"),
         # p_type words become a comma-joined "artist set" — collaborations
@@ -84,21 +85,26 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Idempotent-sink semantics: one row per play-identity key
-    # (stg_recent_tracks.sql:2-6), deterministic winner = lexicographic min
-    # on (duration_ms, context) — the remaining columns are functionally
-    # determined by the winner, so a min-over-struct aggregate picks the
-    # same row a ROW_NUMBER window would, but with map-side partial
-    # aggregation and no per-partition sort: the shuffle carries only
-    # unique play keys, which is the shape that survives 100 TB.
-    winner = F.min(
+    # (stg_recent_tracks.sql:2-6), deterministic winner = the row minimizing
+    # (duration_ms, context, p_partkey) — a TOTAL order (partkey is unique
+    # per source part), so the pick is reproducible in both engines even if
+    # two distinct parts collide on the play key.  min_by is an aggregate
+    # (map-side partial combine: only unique play keys shuffle — the shape
+    # that survives 100 TB) and compares just the 3-field ordering struct,
+    # ~2× cheaper than min over the full payload struct.
+    winner = F.min_by(
         F.struct(
-            "duration_ms",
-            F.coalesce("context", F.lit("~")).alias("_ctx_ord"),
             "album_release_date",
             "release_date_precision",
             "track_popularity",
             "context",
-        )
+            "duration_ms",
+        ),
+        F.struct(
+            "duration_ms",
+            F.coalesce("context", F.lit("~")).alias("_ctx_ord"),
+            "p_partkey",
+        ),
     ).alias("w")
     return (
         raw.groupBy("track_name", "track_album", "track_artists", "played_at")

@@ -33,3 +33,31 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert {"track_name", "artists", "album", "plays", "minutes_played"} == set(df.columns)
+
+
+def test_write_models_fact_partition_pruning(spark, tmp_path):
+    """write_models lays the fact out date-partitioned; a date filter must
+    prune at the source (PartitionFilters), not post-scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.pipeline import write_models
+
+    out = str(tmp_path / "marts")
+    models = run_models(spark, SF_SMOKE)
+    write_models(models, out)
+
+    part_dirs = [d for d in os.listdir(f"{out}/fct_played_track") if d.startswith("play_date=")]
+    assert len(part_dirs) > 1, "fact not date-partitioned"
+
+    fct = spark.read.parquet(f"{out}/fct_played_track")
+    one_day = sorted(part_dirs)[0].split("=", 1)[1]
+    plan = (
+        fct.filter(F.col("play_date") == one_day)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "play_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # all models round-trip
+    for name, df in models.items():
+        assert spark.read.parquet(f"{out}/{name}").count() == df.count()
