@@ -438,3 +438,16 @@ select doc_id,
        cast(case when length(text) = 0 then 0 else ascii(substr(text, 1, 1)) end as double) as first_byte
 from documents
 """
+
+# As-of join oracle: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+# implementation of the point-in-time semantics the Spark operator
+# composes from union + running window (operators/asof.py).
+EVENTS_ASOF_PURCHASE_CLICK = """
+with l as (select user_id, ts, event_id from events where event_type = 'purchase'),
+r as (select user_id, ts as click_ts, event_id as click_id from events where event_type = 'click')
+select l.user_id, l.ts, l.event_id,
+       r.click_id as asof_click_id,
+       r.click_ts as asof_click_ts,
+       epoch_us(l.ts) - epoch_us(r.click_ts) as gap_us
+from l asof left join r on l.user_id = r.user_id and l.ts >= r.click_ts
+"""
