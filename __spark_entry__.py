@@ -18,6 +18,7 @@ from spotify_tracks_spark.pipeline import run_models
 from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
+from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
@@ -113,7 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / streaming / sink
         "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
+        "events_percentiles": _events.events_percentiles,
+        "events_rollup": _events.events_rollup,
         "events_asof_purchase_click": events_asof_purchase_click,
+        "events_value_bands": events_value_bands,
         "idempotent_append": _idempotent_append,
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_window": _events_stream_window,
@@ -149,7 +153,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
+        "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
+        "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
+        "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,

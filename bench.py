@@ -38,7 +38,7 @@ def main() -> None:
     times: dict[str, float] = {}
     model_chain_done = False
     for name, fn in queries.items():
-        chain = name.startswith("q") or name == "publish_roundtrip"
+        chain = name.startswith("q") or name in ("publish_roundtrip", "sql_top_artists")
         if not chain and not model_chain_done:
             # the q1–q8 chain shares cached staging/dim DataFrames; once it
             # finishes nothing reuses them — drop them (and each extension

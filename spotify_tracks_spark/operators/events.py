@@ -60,3 +60,47 @@ def events_sessionize(
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of ``value`` per event type.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    linear-interpolation-on-sorted-values definition, so the results are
+    bit-identical (probed to 1e-9) — a sketch-free, oracle-checkable
+    distribution profile.  At 100 TB the exact sort-based percentile
+    becomes ``approx_percentile`` (t-digest) — same plan shape, bounded
+    memory, no oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            pct[0].alias("p50"),
+            pct[1].alias("p90"),
+            pct[2].alias("p99"),
+        )
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day): per-day, per-type subtotals + grand total
+    in one pass — Catalyst expands to a single Expand+Aggregate (one
+    shuffle for all grouping sets).
+
+    Only exact aggregates (counts, distinct users, min/max) — a float SUM
+    over doubles would be partial-order-dependent and break hash parity."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id", "value"
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

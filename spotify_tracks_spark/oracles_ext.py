@@ -451,3 +451,39 @@ select l.user_id, l.ts, l.event_id,
        epoch_us(l.ts) - epoch_us(r.click_ts) as gap_us
 from l asof left join r on l.user_id = r.user_id and l.ts >= r.click_ts
 """
+
+# Spark percentile() and DuckDB quantile_cont() share the linear-
+# interpolation definition — exact, no sketch, bit-identical.
+EVENTS_PERCENTILES = """
+select event_type,
+       count(*) as n_events,
+       quantile_cont(value, 0.5) as p50,
+       quantile_cont(value, 0.9) as p90,
+       quantile_cont(value, 0.99) as p99
+from events
+group by event_type
+"""
+
+# DuckDB grouping(a, b) emits the same bitmask as Spark grouping_id().
+EVENTS_ROLLUP = """
+select event_type, cast(ts as date) as day,
+       cast(grouping(event_type, cast(ts as date)) as bigint) as gid,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       min(value) as min_value,
+       max(value) as max_value
+from events
+group by rollup(event_type, cast(ts as date))
+"""
+
+# Range join oracle: the NAIVE theta join — the binned equi-join rewrite
+# (operators/range_join.py) must reproduce it exactly.
+EVENTS_VALUE_BANDS = """
+with bands(band, lo, hi) as (
+    values ('nano', 0.0, 10.0), ('small', 10.0, 50.0), ('medium', 50.0, 150.0),
+           ('large', 150.0, 400.0), ('huge', 400.0, 2000.0)
+)
+select e.event_id, e.event_type, e.value, b.band, b.lo, b.hi
+from events e
+join bands b on e.value >= b.lo and e.value < b.hi
+"""

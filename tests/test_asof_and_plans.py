@@ -80,3 +80,53 @@ def test_no_accidental_cartesian_products(spark):
             continue
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_range_join_binned_equals_naive(spark):
+    """The binned rewrite must reproduce the naive theta join exactly,
+    including values on bin edges and interval boundaries."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.range_join import BIN_WIDTH, range_join_binned
+
+    vals = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            [0.0, 9.999, 10.0, 24.999, 25.0, 49.999, 50.0, 399.999, 400.0, 1999.999, 2000.0, -1.0]
+        )],
+        "id: long, v: double",
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 50.0), ("c", 50.0, 400.0), ("d", 400.0, 2000.0)],
+        "band: string, lo: double, hi: double",
+    )
+    got = {
+        (r.id, r.band)
+        for r in range_join_binned(vals, "v", bands).collect()
+    }
+    naive = {
+        (r.id, r.band)
+        for r in vals.join(bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))).collect()
+    }
+    assert got == naive
+    # boundary sanity: 2000.0 (== top hi) and -1.0 match nothing
+    matched_ids = {i for i, _ in got}
+    assert 10 not in matched_ids and 11 not in matched_ids
+
+
+def test_rollup_grand_total(spark):
+    from spotify_tracks_spark.operators.events import events_rollup
+    from spotify_tracks_spark.sources.tables import read_table
+
+    rows = events_rollup(spark, SF_SMOKE).collect()
+    total = read_table(spark, SF_SMOKE, "events").count()
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n_events == total
+    # per-type subtotals (gid=1) sum to the grand total
+    assert sum(r.n_events for r in rows if r.gid == 1) == total
+
+
+def test_percentiles_ordered(spark):
+    from spotify_tracks_spark.operators.events import events_percentiles
+
+    for r in events_percentiles(spark, SF_SMOKE).collect():
+        assert r.p50 <= r.p90 <= r.p99
