@@ -81,3 +81,66 @@ def test_ingest_end_to_end_dedup(spark):
     empty = spark.createDataFrame([], flat.schema)
     sink = idempotent_union(empty.dropDuplicates(key), flat.dropDuplicates(key), key)
     assert sink.count() == 3  # the overlapping play inserted once
+
+
+def test_custom_datasource_reads_pages(spark, tmp_path):
+    """The Python DataSource ingests the same pages as the fixture fetcher."""
+    import json
+
+    from spotify_tracks_spark.sources.recent_tracks_datasource import (
+        RecentTracksDataSource,
+    )
+
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps(fetch_pages(_fetcher)))
+    spark.dataSource.register(RecentTracksDataSource)
+    df = (
+        spark.read.format("recent_tracks")
+        .option("pages_path", str(pages_file))
+        .load()
+    )
+    assert df.count() == 4
+    assert df.schema.simpleString().count("string") >= 7
+
+
+def test_custom_datasource_matches_expression_flatten(spark, tmp_path):
+    """Two independent flatten implementations — the executor-side Python
+    DataSource and the from_json/explode expression path — must agree."""
+    import json
+
+    from spotify_tracks_spark.sources.recent_tracks_datasource import (
+        RecentTracksDataSource,
+    )
+
+    pages = fetch_pages(_fetcher)
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps(pages))
+    spark.dataSource.register(RecentTracksDataSource)
+    via_source = (
+        spark.read.format("recent_tracks")
+        .option("pages_path", str(pages_file))
+        .load()
+    )
+    via_expr = flatten_payload(pages_to_df(spark, pages))
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, via_expr.collect())
+    )
+
+
+def test_custom_datasource_page_cap(spark, tmp_path):
+    import json
+
+    from spotify_tracks_spark.sources.recent_tracks_datasource import (
+        RecentTracksDataSource,
+    )
+
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps([PAGE1] * 10))
+    spark.dataSource.register(RecentTracksDataSource)
+    df = (
+        spark.read.format("recent_tracks")
+        .option("pages_path", str(pages_file))
+        .option("max_extra_pages", "2")
+        .load()
+    )
+    assert df.count() == 6  # 3 pages x 2 items
