@@ -130,3 +130,37 @@ def test_percentiles_ordered(spark):
 
     for r in events_percentiles(spark, SF_SMOKE).collect():
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is pure execution strategy: results identical to the plain
+    join on skewed data (one hot key), for inner and left."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901), (5, 999)],
+        "k: long, pv: long",
+    )
+    build = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (4, "unmatched")], "k: long, bv: string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.pv, r.bv)
+            for r in salted_join(probe, build, ["k"], n_salts=4, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.pv, r.bv) for r in probe.join(build, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_cluster_conf_profile():
+    from spotify_tracks_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 8000
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024

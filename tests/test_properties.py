@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the expression kernel and the
+idempotent sink — the helpers every downstream hash depends on.
+
+Each property generates a batch of rows and runs ONE Spark job over the
+whole batch (per-example Spark round-trips would be prohibitively slow),
+comparing against an independent pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spotify_tracks_spark.config import SK_NULL_SENTINEL
+from spotify_tracks_spark.functions import portable_hash60, safe_divide, surrogate_key
+
+# printable unicode without surrogates; Spark/Python agree on utf-8 for these
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=40,
+)
+MAYBE_TEXT = st.one_of(st.none(), TEXT)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _sk_reference(a: str | None, b: str | None) -> str:
+    """dbt_utils.generate_surrogate_key reference (dbt-utils 1.2.0)."""
+    pa = a if a is not None else SK_NULL_SENTINEL
+    pb = b if b is not None else SK_NULL_SENTINEL
+    return hashlib.md5(f"{pa}-{pb}".encode()).hexdigest()
+
+
+@given(rows=st.lists(st.tuples(MAYBE_TEXT, MAYBE_TEXT), min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_surrogate_key_matches_reference_md5(spark, rows):
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    got = [r.k for r in df.select(surrogate_key("a", "b").alias("k")).collect()]
+    want = [_sk_reference(a, b) for a, b in rows]
+    assert sorted(got) == sorted(want)
+
+
+@given(rows=st.lists(TEXT, min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_portable_hash60_matches_reference(spark, rows):
+    df = spark.createDataFrame([(s,) for s in rows], "s: string")
+    got = {r.s: r.h for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()}
+    for s in rows:
+        assert got[s] == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.one_of(st.just(0.0), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_safe_divide_null_on_zero(spark, rows):
+    df = spark.createDataFrame(rows, "n: double, d: double")
+    out = df.select("n", "d", safe_divide(F.col("n"), F.col("d")).alias("q")).collect()
+    for r in out:
+        if r.d == 0.0:
+            assert r.q is None
+        else:
+            assert r.q == r.n / r.d
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40),
+    overlap=st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_idempotent_append_property(spark, keys, overlap):
+    """Appending ANY overlap of already-present keys inserts only the truly
+    new ones, and re-appending is always a no-op (ON CONFLICT DO NOTHING)."""
+    from spotify_tracks_spark.operators.idempotent_sink import (
+        append_if_absent,
+        idempotent_union,
+    )
+
+    existing = spark.createDataFrame([(k, f"v{k}") for k in set(keys)], "k: long, v: string")
+    incoming = spark.createDataFrame(
+        [(k, f"w{k}") for k in set(overlap)] or [(None, None)], "k: long, v: string"
+    ).filter(F.col("k").isNotNull())
+
+    fresh = append_if_absent(existing, incoming, ["k"])
+    assert {r.k for r in fresh.collect()} == set(overlap) - set(keys)
+    after = idempotent_union(existing, incoming, ["k"])
+    assert after.count() == len(set(keys) | set(overlap))
+    assert append_if_absent(after, incoming, ["k"]).count() == 0
