@@ -124,7 +124,12 @@ def _with_shingle_hash_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_block: int | None = None,
+) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on the min shingle hash.
 
     Candidates = docs sharing the *minimum* shingle hash (single-hash
@@ -147,6 +152,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     # (and AQE's broadcast-side estimation) race to compute the expensive
     # projection concurrently — the count() pins one computation
     blocked.count()
+    if max_block is not None:
+        # production skew cap: drop blocks wider than max_block before the
+        # self-join — a single boilerplate shingle shared by W docs creates
+        # W*(W-1)/2 candidate pairs (the dominant cost at sf0.1: one block
+        # of 315 docs = 49k pairs).  Capping trades recall inside mega-
+        # blocks for bounded fan-out; the oracle-checked default keeps full
+        # semantics (max_block=None).
+        wide = blocked.groupBy("block").count().filter(F.col("count") > max_block)
+        blocked = blocked.join(F.broadcast(wide.select("block")), "block", "left_anti")
     a = blocked.alias("a")
     b = blocked.alias("b")
     pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -227,3 +227,16 @@ def test_decode_and_resize_are_explicit_stubs():
         decode_image(b"\xff\xd8")
     with _pytest.raises(NotImplementedError):
         resize_image(b"\xff\xd8", 2, 2)
+
+
+def test_ngram_block_cap_bounds_candidates(spark):
+    """max_block drops only pairs from mega-blocks; survivors identical."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE, max_block=10).collect()
+    }
+    assert capped <= full
