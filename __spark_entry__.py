@@ -18,6 +18,7 @@ from spotify_tracks_spark.pipeline import run_models
 from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
+from spotify_tracks_spark.operators.clustering import embedding_kmeans
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
@@ -111,11 +112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _sim.ann_topk_lsh,
         "ann_topk_ivf": _sim.ann_topk_ivf,
         "dedup_embedding": _sim.dedup_embedding,
+        # iterative algorithm (Lloyd's): float means are partial-order
+        # sensitive — rows-only check by design, properties in tests
+        "embedding_kmeans": embedding_kmeans,
         # events / streaming / sink
         "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
         "events_percentiles": _events.events_percentiles,
         "events_rollup": _events.events_rollup,
+        # sketch scale path: approximate by construction — no oracle entry,
+        # the driver records a rows-only check (tolerance asserted in tests)
+        "events_approx_stats": _events.events_approx_stats,
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_value_bands": events_value_bands,
         "idempotent_append": _idempotent_append,

@@ -1,0 +1,113 @@
+"""Iterative k-means over the embeddings table — the engine's
+iterative-algorithm shape, pure DataFrame ops per Lloyd iteration:
+
+1. assign: centroids (k×d, already driver-side) are inlined as a literal
+   array-of-structs; argmin squared distance is ``array_min`` over struct
+   (sq_dist, cluster) — a map-only scan-side projection.  ZERO corpus
+   shuffle and zero row multiplication: no join, no window.
+2. update: posexplode embeddings → groupBy (cluster, dim) mean → rebuild
+   centroid arrays (one narrow shuffle of (cluster, dim, partial-sum) —
+   map-side combined, cardinality k×d regardless of corpus size).
+
+Each iteration materializes only the k×d centroid table to the driver
+(tiny); the corpus is never collected.  At 100 TB this is exactly
+distributed Lloyd's: broadcast centroids out (as literals in the plan),
+reduce k×d sums back.
+
+Deterministic: fixed init (lowest-k vec_ids), fixed iteration count, and
+argmin ties break to the lower cluster id.  Float means make the
+centroids partial-order-sensitive in the last bits, so the contract is
+rows-only + property tests (inertia non-increasing, assignment in range)
+— the honest check for an iterative float algorithm (genuinely
+non-SQL-expressible per the oracle contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import read_table
+
+K_CLUSTERS = 8
+N_ITERS = 3
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, e, cluster, sq_dist) — map-only argmin over literal centroids.
+
+    The centroid matrix ships as ONE nested-array literal (not k×d literal
+    nodes — a single constant keeps the codegen'd method small and the task
+    binary tiny).  ``transform`` with index scores each centroid; struct
+    comparison orders by (sq_dist, index), so ``array_min`` breaks distance
+    ties to the lower cluster id deterministically.  Centroid ids are the
+    positions 0..k-1 (update() preserves this invariant)."""
+    cents = sorted(centroids)
+    assert [c for c, _ in cents] == list(range(len(cents)))
+    cent_lit = F.lit([[float(v) for v in vec] for _, vec in cents])
+    scored = F.transform(
+        cent_lit,
+        lambda c, i: F.struct(
+            _sq_dist(F.col("e"), c).alias("sq_dist"), i.alias("cluster")
+        ),
+    )
+    best = F.array_min(scored)
+    return emb.select(
+        "vec_id", "e", best["cluster"].alias("cluster"), best["sq_dist"].alias("sq_dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroid per cluster = element-wise mean of member vectors."""
+    by_dim = assigned.select(
+        "cluster", F.posexplode("e").alias("dim", "x")
+    ).groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    return by_dim.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
+    ).select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+
+
+def embedding_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    n_iters: int = N_ITERS,
+) -> DataFrame:
+    """k-means assignments after ``n_iters`` Lloyd iterations.
+
+    Output: (vec_id, cluster, sq_dist) — final assignment per vector."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).persist()
+    emb.count()
+
+    # fixed deterministic init: the k lowest vec_ids, numbered in order.
+    # k×d is tiny, so centroids live driver-side between iterations and are
+    # re-broadcast each round as plan literals.
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, r.e) for i, r in enumerate(seeds)]
+
+    for _ in range(n_iters):
+        assigned = _assign(emb, centroids)
+        new = {r.cluster: r.c for r in _update(assigned).collect()}
+        # a cluster that lost all members keeps its previous centroid, so
+        # ids stay the positions 0..k-1 (the _assign literal invariant)
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+
+    out = _assign(emb, centroids).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "sq_dist"
+    )
+    return out
+
+
+def kmeans_inertia(spark: SparkSession, sf_dir: str, n_iters: int) -> float:
+    """Total within-cluster squared distance after n_iters (for tests)."""
+    df = embedding_kmeans(spark, sf_dir, n_iters=n_iters)
+    return df.agg(F.sum("sq_dist")).collect()[0][0]

@@ -104,3 +104,19 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path for events_summary/events_percentiles:
+    HLL++ distinct counts and t-digest percentiles — bounded memory at any
+    cardinality, mergeable across partitions (one narrow shuffle of
+    sketches instead of a sort).  Approximate by construction, so no
+    value-exact oracle: the driver records a rows-only check, and the
+    test suite asserts tolerance against the exact operators."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    )

@@ -164,3 +164,69 @@ def test_cluster_conf_profile():
     assert int(conf["spark.sql.shuffle.partitions"]) == 8000
     assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+
+
+def test_model_chain_joins_are_broadcast(spark):
+    """Every dim join in the report models must stay a broadcast hash join
+    (dims ≪ fact); a regression to sort-merge would shuffle the fact."""
+    import __spark_entry__ as em
+
+    for name in ("q6_rpt_track_counts", "q7_rpt_artist_counts", "q8_rpt_discovery_rate"):
+        df = em.queries()[name](spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        # the explicit F.broadcast dim joins must be broadcast from the
+        # initial plan; stg-internal joins may start sort-merge and AQE
+        # converts them — assert none SURVIVE to the final plan
+        assert "SortMergeJoin" not in plan or "isFinalPlan=false" in plan, (
+            f"{name} has a sort-merge join in the final plan"
+        )
+
+
+def test_approx_stats_within_tolerance(spark):
+    """Sketch accuracy contracts: HLL within ±5%, t-digest by RANK (the
+    value at the sketch's p99 must cover 95-100% of rows — value-distance
+    in the tail is meaningless at small N)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.events import events_approx_stats, events_summary
+    from spotify_tracks_spark.sources.tables import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    approx = {r.event_type: r for r in events_approx_stats(spark, SF_SMOKE).collect()}
+    exact_sum = {r.event_type: r for r in events_summary(spark, SF_SMOKE).collect()}
+    for et, a in approx.items():
+        assert abs(a.approx_users - exact_sum[et].n_users) <= max(2, 0.05 * exact_sum[et].n_users)
+        n = a.n_events
+        vals = ev.filter(F.col("event_type") == et)
+        frac50 = vals.filter(F.col("value") <= a.approx_p50).count() / n
+        frac99 = vals.filter(F.col("value") <= a.approx_p99).count() / n
+        assert 0.40 <= frac50 <= 0.60, (et, frac50)
+        assert 0.95 <= frac99 <= 1.00, (et, frac99)
+
+
+def test_kmeans_properties(spark):
+    """Iterative Lloyd's: inertia non-increasing with iterations, every
+    vector assigned to a valid cluster, deterministic across runs."""
+    from spotify_tracks_spark.operators.clustering import (
+        K_CLUSTERS,
+        embedding_kmeans,
+        kmeans_inertia,
+    )
+    from spotify_tracks_spark.sources.tables import read_table
+
+    n = read_table(spark, SF_SMOKE, "embeddings").count()
+    out = embedding_kmeans(spark, SF_SMOKE).collect()
+    assert len(out) == n
+    assert all(0 <= r.cluster < K_CLUSTERS for r in out)
+    assert len({r.cluster for r in out}) > 1  # didn't collapse
+
+    i0 = kmeans_inertia(spark, SF_SMOKE, n_iters=0)
+    i1 = kmeans_inertia(spark, SF_SMOKE, n_iters=1)
+    i3 = kmeans_inertia(spark, SF_SMOKE, n_iters=3)
+    assert i1 <= i0 * (1 + 1e-9)
+    assert i3 <= i1 * (1 + 1e-9)
+
+    again = embedding_kmeans(spark, SF_SMOKE).collect()
+    assert {(r.vec_id, r.cluster) for r in out} == {(r.vec_id, r.cluster) for r in again}

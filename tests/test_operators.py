@@ -170,9 +170,18 @@ def test_copy_to_sqlite_preserves_nulls(spark):
 
 # --- extension queries all have an oracle entry (closed contract) ---
 
+# Rows-only by design (per the driver contract these are the genuinely
+# non-SQL-expressible / approximate ops; each is property-tested instead):
+# - embedding_kmeans: iterative Lloyd's, float means partial-order sensitive
+# - events_approx_stats: HLL++/t-digest sketches, approximate by construction
+ROWS_ONLY = {"embedding_kmeans", "events_approx_stats"}
+
+
 def test_every_query_has_oracle():
-    missing = [k for k in QUERIES if k not in ORACLES]
+    missing = [k for k in QUERIES if k not in ORACLES and k not in ROWS_ONLY]
     assert not missing, f"queries without oracle_sql: {missing}"
+    stale = [k for k in ROWS_ONLY if k not in QUERIES or k in ORACLES]
+    assert not stale, f"ROWS_ONLY out of sync: {stale}"
 
 
 # --- multimodal plumbing ---
