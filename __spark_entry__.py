@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spotify_tracks_spark import oracles, oracles_ext
 from spotify_tracks_spark.pipeline import run_models
+from spotify_tracks_spark.operators import analytics as _an
 from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
+        "dedup_clusters": _dedup.dedup_clusters,
         # similarity search
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "ann_topk_lsh": _sim.ann_topk_lsh,
@@ -125,6 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_stats": _events.events_approx_stats,
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_value_bands": events_value_bands,
+        # analytics surface: top-k per group, pivot, deterministic sample
+        "events_topk_per_user": _an.events_topk_per_user,
+        "events_pivot": _an.events_pivot,
+        "events_sample": _an.events_sample,
+        "events_set_ops": _an.events_set_ops,
+        "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_window": _events_stream_window,
@@ -154,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD,
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
+        "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
@@ -164,6 +173,11 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
+        "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
+        "events_pivot": oracles_ext.EVENTS_PIVOT,
+        "events_sample": oracles_ext.EVENTS_SAMPLE,
+        "events_set_ops": oracles_ext.EVENTS_SET_OPS,
+        "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,

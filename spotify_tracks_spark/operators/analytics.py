@@ -1,0 +1,127 @@
+"""General analytics operators over ``events`` — the query shapes the
+reference's SQL surface omits (SURVEY.md §2.10 marks them absent) but any
+user of an analytics engine reaches for on day one: top-k per group,
+pivot, and deterministic sampling.
+
+Scale notes per operator are inline; all three are single-shuffle-or-less
+plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..sources.tables import read_table
+
+TOPK_PER_USER = 3
+# explicit pivot values: skips the extra distinct-scan job Spark otherwise
+# runs, and pins the output schema (a new event type must be a schema
+# change, not a silent new column)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+SAMPLE_PCT = 10
+
+
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TOPK_PER_USER`` events by value per user.
+
+    ``row_number`` over (value desc, event_id asc) — the tie-break on the
+    unique event_id makes the ranking a total order, so the result is
+    deterministic and oracle-checkable.  One shuffle on user_id; the rank
+    filter is applied before any further join, so at scale this is the
+    standard "top-k per key" pattern: shuffle once, sort within key groups,
+    emit k rows per key (Spark pushes the rn<=k filter into the window via
+    WindowGroupLimit — no full materialization of ranked rows).
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_USER)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per (day × event_type) as a wide table, one column per type.
+
+    ``pivot`` with an explicit value list compiles to a single
+    Expand-free aggregate: count(when(type=v)) per value — one shuffle on
+    day, map-side combined.  Counts use coalesce(...,0): a day with no
+    events of a type reads 0, not NULL (pivot-of-count semantics).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    pivoted = (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def events_sample(spark: SparkSession, sf_dir: str, pct: int = SAMPLE_PCT) -> DataFrame:
+    """Deterministic ``pct``% sample keyed on event_id.
+
+    Hash-mod sampling (portable 60-bit hash of the key) instead of
+    ``df.sample``: reproducible across runs/engines, stable under
+    repartitioning, and — the property that matters in a pipeline —
+    *consistent*: every operator sampling on the same key draws the same
+    rows, so sampled tables still join.  Executes as a scan-side filter
+    (no shuffle, no state); selectivity reaches the parquet row-group
+    reader via normal predicate evaluation.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.pmod(portable_hash60(F.col("event_id").cast("string")), F.lit(100))
+    return ev.filter(bucket < pct).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (SURVEY.md §2.7 marks these absent in the
+    reference): one result with a row per (user_id, cohort) where cohort ∈
+    {viewer_only, buyer_only, both} — EXCEPT / EXCEPT / INTERSECT over the
+    viewer and buyer user sets.
+
+    Spark compiles except/intersect to left-anti / left-semi joins over
+    pre-aggregated (distinct) inputs; both sides shuffle once on user_id
+    and AQE broadcasts the smaller cohort.  The union of the three is
+    disjoint by construction, so the plan is also a correctness witness
+    for the set algebra.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        viewers.exceptAll(buyers).select("user_id", F.lit("viewer_only").alias("cohort"))
+        .unionByName(
+            buyers.exceptAll(viewers).select("user_id", F.lit("buyer_only").alias("cohort"))
+        )
+        .unionByName(
+            viewers.intersect(buyers).select("user_id", F.lit("both").alias("cohort"))
+        )
+    )
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + uncorrelated scalar subquery (both absent from the
+    reference, §2.10): users with strictly more events than the average
+    per-user event count.
+
+    Two aggregates over one scan: the per-user counts (one shuffle) and
+    the global average (a scalar reduced from the per-user frame, reused
+    via self-reference — Catalyst plans the scalar subquery as a broadcast
+    of one row, so the HAVING filter is map-side against the counts).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # exact average as int-sum / int-count, one IEEE division (parity rule)
+    avg_row = per_user.agg(
+        (F.sum("n_events") / F.count("*")).alias("avg_n")
+    ).collect()[0]
+    return per_user.filter(F.col("n_events") > float(avg_row.avg_n))

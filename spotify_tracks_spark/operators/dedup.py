@@ -350,3 +350,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_M
     return pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs — connected components by
+    iterative min-label propagation (the step pair-finding ops stop short
+    of: "which rows form one duplicate group", what a training pipeline
+    actually deletes against).
+
+    Edges are the verified minhash-LSH pairs; each node repeatedly adopts
+    the minimum component label in its neighborhood until fixpoint, so
+    every doc in a component ends labeled with the component's smallest
+    doc_id.  Per iteration: one join of (edges ⋈ labels) + a min-aggregate
+    — both shuffle only the EDGE set (≈ #near-dup pairs, ≪ corpus), never
+    the corpus.  Convergence in O(component diameter) rounds; near-dup
+    clusters are shallow (dup chains, not paths), so the loop exits in 2-3
+    rounds with a driver-side scalar check per round (a convergence test,
+    not data collection).  At 100 TB: labels/edges persist per round and
+    unpersist after — bounded memory, and the classic large-star/small-star
+    optimization drops in unchanged if diameters ever grow.
+
+    Output: (doc_id, cluster_id, cluster_size) for docs in a dup cluster.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "comp").select(
+        "doc_id", F.col("comp").alias("cluster_id"), "cluster_size"
+    )
+    edges.unpersist()
+    return out

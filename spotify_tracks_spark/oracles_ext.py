@@ -27,6 +27,7 @@ from .operators.dedup import (
     SIMHASH_CHUNKS,
     SIMHASH_MAX_HAMMING,
 )
+from .operators.analytics import EVENT_TYPES, SAMPLE_PCT, TOPK_PER_USER
 from .operators.events import SESSION_GAP_MINUTES
 from .operators.text_analysis import LANG_STOPWORDS
 
@@ -486,4 +487,81 @@ with bands(band, lo, hi) as (
 select e.event_id, e.event_type, e.value, b.band, b.lo, b.hi
 from events e
 join bands b on e.value >= b.lo and e.value < b.hi
+"""
+
+
+EVENTS_TOPK_PER_USER = f"""
+select user_id, event_id, value, rnk from (
+    select user_id, event_id, value,
+           row_number() over (partition by user_id
+                              order by value desc, event_id asc) as rnk
+    from events
+) t
+where rnk <= {TOPK_PER_USER}
+"""
+
+_PIVOT_COUNTS = ",\n       ".join(
+    f"count(*) filter (where event_type = '{t}') as n_{t}" for t in EVENT_TYPES
+)
+
+EVENTS_PIVOT = f"""
+select ts::date as day,
+       {_PIVOT_COUNTS}
+from events
+group by 1
+"""
+
+EVENTS_SAMPLE = f"""
+select event_id, user_id, event_type, ts, value
+from events
+where {_h60('event_id::varchar')} % 100 < {SAMPLE_PCT}
+"""
+
+# Transitive closure via recursive CTE = the declarative twin of the
+# engine's iterative min-label propagation; min(reachable id) is exactly
+# the converged component label.
+DEDUP_CLUSTERS = f"""
+with recursive pairs as (
+    select doc_a, doc_b from ({DEDUP_MINHASH_LSH}) q
+),
+edges as (
+    select doc_a as a, doc_b as b from pairs
+    union
+    select doc_b as a, doc_a as b from pairs
+),
+reach(src, dst) as (
+    select a, a from edges
+    union
+    select r.src, e.b from reach r join edges e on r.dst = e.a
+),
+comp as (
+    select src as doc_id, min(dst) as cluster_id from reach group by src
+)
+select c.doc_id, c.cluster_id, s.cluster_size
+from comp c
+join (select cluster_id, count(*) as cluster_size from comp group by cluster_id) s
+  using (cluster_id)
+"""
+
+
+EVENTS_SET_OPS = """
+with viewers as (select distinct user_id from events where event_type = 'view'),
+     buyers  as (select distinct user_id from events where event_type = 'purchase')
+select user_id, 'viewer_only' as cohort
+  from (select user_id from viewers except select user_id from buyers)
+union all
+select user_id, 'buyer_only' as cohort
+  from (select user_id from buyers except select user_id from viewers)
+union all
+select user_id, 'both' as cohort
+  from (select user_id from viewers intersect select user_id from buyers)
+"""
+
+EVENTS_ACTIVE_USERS = """
+with per_user as (
+    select user_id, count(*) as n_events from events group by user_id
+)
+select user_id, n_events
+from per_user
+where n_events > (select sum(n_events)::bigint / count(*) from per_user)
 """

@@ -249,3 +249,60 @@ def test_ngram_block_cap_bounds_candidates(spark):
         for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE, max_block=10).collect()
     }
     assert capped <= full
+
+
+# --- analytics surface: top-k / pivot / sample ---
+
+def test_topk_per_user_bounds(spark):
+    from spotify_tracks_spark.operators.analytics import TOPK_PER_USER, events_topk_per_user
+
+    df = events_topk_per_user(spark, SF_SMOKE)
+    per_user = df.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user <= TOPK_PER_USER
+    # rank 1 really is the user's max value
+    ev = read_table(spark, SF_SMOKE, "events")
+    top1 = df.filter(F.col("rnk") == 1).select("user_id", F.col("value").alias("top_v"))
+    maxes = ev.groupBy("user_id").agg(F.max("value").alias("max_v"))
+    assert top1.join(maxes, "user_id").filter(F.col("top_v") != F.col("max_v")).count() == 0
+
+
+def test_pivot_counts_sum_to_total(spark):
+    from spotify_tracks_spark.operators.analytics import EVENT_TYPES, events_pivot
+
+    df = events_pivot(spark, SF_SMOKE)
+    wide_total = df.select(
+        sum([F.sum(f"n_{t}") for t in EVENT_TYPES], F.lit(0)).alias("s")
+    ).collect()[0][0]
+    assert wide_total == read_table(spark, SF_SMOKE, "events").count()
+
+
+def test_sample_deterministic_and_consistent(spark):
+    from spotify_tracks_spark.operators.analytics import events_sample
+
+    a = {r.event_id for r in events_sample(spark, SF_SMOKE).select("event_id").collect()}
+    b = {r.event_id for r in events_sample(spark, SF_SMOKE).select("event_id").collect()}
+    assert a == b and len(a) > 0
+    # widening the rate keeps prior draws (nested samples): pct=10 ⊂ pct=20
+    c = {r.event_id for r in events_sample(spark, SF_SMOKE, pct=20).select("event_id").collect()}
+    assert a <= c
+
+
+# --- dedup clusters (connected components) ---
+
+def test_dedup_clusters_invariants(spark):
+    df = dedup.dedup_clusters(spark, SF_SMOKE).persist()
+    pairs = dedup.dedup_minhash_lsh(spark, SF_SMOKE).select("doc_a", "doc_b")
+    lab = {r.doc_id: r.cluster_id for r in df.collect()}
+    # every edge's endpoints share a component, label = min member id
+    for p in pairs.collect():
+        assert lab[p.doc_a] == lab[p.doc_b]
+    from collections import defaultdict
+    members = defaultdict(set)
+    for d, c in lab.items():
+        members[c].add(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+        assert len(ms) >= 2  # singletons are not dup clusters
+    sizes = {r.cluster_id: r.cluster_size for r in df.collect()}
+    assert all(sizes[c] == len(ms) for c, ms in members.items())
+    df.unpersist()
