@@ -33,6 +33,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+
+    # Steady-state warmup, counted in startup_s, not per-query times:
+    # (a) fork the Python UDF daemon on every core (first mapInPandas
+    #     otherwise pays ~8s of worker spinup inside whichever query hits
+    #     it first), (b) run the sf0.001 model chain once so whole-stage
+    #     codegen JIT-compiles the expression kernel (md5 keys, casts)
+    #     before q1 is timed at the bench SF.
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(0, n_cores * 2, 1, n_cores * 2).mapInPandas(
+        lambda it: it, "id: long"
+    ).write.format("noop").mode("overwrite").save()
+    entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     startup_s = time.perf_counter() - t0
 
     times: dict[str, float] = {}
