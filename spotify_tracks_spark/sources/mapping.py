@@ -46,39 +46,21 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
 
-    pk = F.col("p_partkey")
-    rd_year = F.lit(1990) + pk % 30
-    rd_month = F.lit(1) + pk % 12
-    rd_day = F.lit(1) + pk % 28
-    precision = (
-        F.when(pk % 3 == 0, F.lit("day"))
-        .when(pk % 3 == 1, F.lit("year"))
-        .otherwise(F.lit("month"))
-    )
-    release_date = (
-        F.when(pk % 3 == 0, F.format_string("%04d-%02d-%02d", rd_year, rd_month, rd_day))
-        .when(pk % 3 == 1, F.format_string("%04d", rd_year))
-        .otherwise(F.format_string("%04d-%02d", rd_year, rd_month))
-    )
-
+    # Pre-aggregation rows carry only the COMPACT determinants: every
+    # payload column (release date, precision, popularity, context,
+    # duration) is a pure function of (p_partkey, l_orderkey, duration_ms),
+    # so the dedup shuffle moves 3 numbers per row instead of 5 derived
+    # strings — the string rendering happens once per surviving key, after
+    # the exchange.
     raw = base.select(
         F.col("p_partkey"),
+        F.col("l_orderkey"),
         F.col("p_name").alias("track_name"),
         F.col("p_brand").alias("track_album"),
         # p_type words become a comma-joined "artist set" — collaborations
         # share artist names across sets (FIXTURES.md §1 row 3).
         F.replace(F.col("p_type"), F.lit(" "), F.lit(", ")).alias("track_artists"),
-        release_date.alias("album_release_date"),
-        precision.alias("release_date_precision"),
-        F.when(pk % 7 == 0, F.lit(None).cast("double"))
-        .otherwise((pk % 101).cast("double"))
-        .alias("track_popularity"),
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("played_at"),
-        F.when(F.col("l_orderkey") % 4 == 0, F.lit("album"))
-        .when(F.col("l_orderkey") % 4 == 1, F.lit("playlist"))
-        .when(F.col("l_orderkey") % 4 == 2, F.lit("artist"))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("context"),
         (F.lit(30000) + F.floor("l_extendedprice").cast("long") % 570001)
         .cast("double")
         .alias("duration_ms"),
@@ -90,22 +72,27 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per source part), so the pick is reproducible in both engines even if
     # two distinct parts collide on the play key.  min_by is an aggregate
     # (map-side partial combine: only unique play keys shuffle — the shape
-    # that survives 100 TB) and compares just the 3-field ordering struct,
-    # ~2× cheaper than min over the full payload struct.
+    # that survives 100 TB).  The NULLS-LAST string order on context
+    # ('album' < 'artist' < 'playlist' < '~') is mapped to an integer
+    # ordinal of l_orderkey % 4 (0→album, 2→artist, 1→playlist, 3→NULL) so
+    # the ordering struct is all-numeric.
+    ok4 = F.col("l_orderkey") % 4
+    ctx_ord = (
+        F.when(ok4 == 0, F.lit(0))
+        .when(ok4 == 2, F.lit(1))
+        .when(ok4 == 1, F.lit(2))
+        .otherwise(F.lit(3))
+    )
     winner = F.min_by(
-        F.struct(
-            "album_release_date",
-            "release_date_precision",
-            "track_popularity",
-            "context",
-            "duration_ms",
-        ),
-        F.struct(
-            "duration_ms",
-            F.coalesce("context", F.lit("~")).alias("_ctx_ord"),
-            "p_partkey",
-        ),
+        F.struct("p_partkey", "l_orderkey", "duration_ms"),
+        F.struct("duration_ms", ctx_ord.alias("_ctx_ord"), "p_partkey"),
     ).alias("w")
+
+    wpk = F.col("w.p_partkey")
+    w_rd_year = F.lit(1990) + wpk % 30
+    w_rd_month = F.lit(1) + wpk % 12
+    w_rd_day = F.lit(1) + wpk % 28
+    w_ok4 = F.col("w.l_orderkey") % 4
     return (
         raw.groupBy("track_name", "track_album", "track_artists", "played_at")
         .agg(winner)
@@ -113,11 +100,23 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track_name",
             "track_album",
             "track_artists",
-            F.col("w.album_release_date").alias("album_release_date"),
-            F.col("w.release_date_precision").alias("release_date_precision"),
-            F.col("w.track_popularity").alias("track_popularity"),
+            F.when(wpk % 3 == 0, F.format_string("%04d-%02d-%02d", w_rd_year, w_rd_month, w_rd_day))
+            .when(wpk % 3 == 1, F.format_string("%04d", w_rd_year))
+            .otherwise(F.format_string("%04d-%02d", w_rd_year, w_rd_month))
+            .alias("album_release_date"),
+            F.when(wpk % 3 == 0, F.lit("day"))
+            .when(wpk % 3 == 1, F.lit("year"))
+            .otherwise(F.lit("month"))
+            .alias("release_date_precision"),
+            F.when(wpk % 7 == 0, F.lit(None).cast("double"))
+            .otherwise((wpk % 101).cast("double"))
+            .alias("track_popularity"),
             "played_at",
-            F.col("w.context").alias("context"),
+            F.when(w_ok4 == 0, F.lit("album"))
+            .when(w_ok4 == 1, F.lit("playlist"))
+            .when(w_ok4 == 2, F.lit("artist"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("context"),
             F.col("w.duration_ms").alias("duration_ms"),
         )
     )
