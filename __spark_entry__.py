@@ -42,6 +42,12 @@ def _model(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def _dim_track_window_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tracks_spark.plans import dim_track_window_variant
+
+    return dim_track_window_variant(run_models(spark, sf_dir)["stg_recent_tracks"])
+
+
 def _idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflict-ignoring append demo: overlapping halves of ``events``
     (operators/idempotent_sink.py); result = set union on event_id."""
@@ -87,6 +93,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference model chain (SURVEY.md §2.1)
         "q1_stg_recent_tracks": _model("stg_recent_tracks"),
         "q2_dim_track": _model("dim_track"),
+        # OVER-window re-expression of Q2 (SURVEY.md §2.8: "benchmarked as
+        # a variant, not the contract") — same rows, same oracle, one-shuffle
+        # single-pass physical plan
+        "q2_dim_track_window_variant": _dim_track_window_variant,
         "q3_dim_artist": _model("dim_artist"),
         "q4_dim_album": _model("dim_album"),
         "q5_fct_played_track": _model("fct_played_track"),
@@ -148,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_stg_recent_tracks": oracles.Q1_STG,
         "q2_dim_track": oracles.Q2_DIM_TRACK,
+        "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
         "q3_dim_artist": oracles.Q3_DIM_ARTIST,
         "q4_dim_album": oracles.Q4_DIM_ALBUM,
         "q5_fct_played_track": oracles.Q5_FCT,
