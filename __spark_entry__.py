@@ -20,6 +20,7 @@ from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
 from spotify_tracks_spark.operators.clustering import embedding_kmeans
+from spotify_tracks_spark.operators.corpus import corpus_prep
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
@@ -119,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_clusters": _dedup.dedup_clusters,
+        # end-to-end corpus cleaning: lang gate -> quality gate -> exact
+        # dedup -> deterministic sample, one scan + one shuffle
+        "corpus_prep": corpus_prep,
         # similarity search
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "ann_topk_lsh": _sim.ann_topk_lsh,
@@ -174,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
+        "corpus_prep": oracles_ext.CORPUS_PREP,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,

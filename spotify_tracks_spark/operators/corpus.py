@@ -1,0 +1,99 @@
+"""End-to-end corpus preparation — the composition a training-data
+pipeline actually runs over raw documents, as ONE Spark plan:
+
+    language gate  →  quality gate  →  exact dedup  →  deterministic sample
+
+Each stage reuses the engine's standalone operators' semantics
+(text_langid, text_quality, dedup_exact, hash-mod sampling) but composes
+them as column expressions over a single scan: the three per-doc signals
+(language scores, quality ratios, content fingerprint) are one narrow
+projection, so the whole pipeline costs one documents scan + one groupBy
+shuffle on the fingerprint (the dedup), and the filters run scan-side.
+
+Scale shape: this is the canonical 100 TB corpus-cleaning job. The gates
+drop most rows BEFORE the only shuffle, so the exchange moves just the
+(fp, doc_id) projection of surviving docs; everything else is
+whole-stage-codegen projections. A production run would write the kept
+doc_ids as the training manifest.
+
+Oracle: oracles_ext.CORPUS_PREP mirrors every stage in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..sources.tables import read_table
+from .text_analysis import LANG_STOPWORDS
+
+CORPUS_LANG = "en"
+CORPUS_MIN_TOKENS = 10
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_SAMPLE_PCT = 80
+
+
+def corpus_prep(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str = CORPUS_LANG,
+    min_tokens: int = CORPUS_MIN_TOKENS,
+    min_quality: float = CORPUS_MIN_QUALITY,
+    sample_pct: int = CORPUS_SAMPLE_PCT,
+) -> DataFrame:
+    """Docs surviving the full cleaning pipeline, with their signals.
+
+    Output: (doc_id, lang_pred, n_tokens, quality_score, fp) — one row per
+    kept document (predicted ``lang``, ≥ ``min_tokens`` tokens, quality ≥
+    ``min_quality``, canonical member of its exact-dup group, in the
+    ``sample_pct``% deterministic sample keyed on doc_id)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (n_stop / n_tok) * 2.0 + (n_uniq / n_tok)
+
+    # language gate — same argmax + declaration-order tie-break as
+    # text_langid (operators/text_analysis.py)
+    def _score(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = {lg: _score(ws) for lg, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in scores:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+
+    gated = docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+        fp.alias("fp"),
+    ).filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+
+    # exact dedup among survivors: keep the min-doc_id member per
+    # fingerprint (dedup AFTER the gates — cheaper, and a doc whose dup was
+    # quality-rejected must still survive, which dedup-then-gate would get
+    # wrong the other way around; this order is the contract)
+    canon = gated.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    kept = (
+        gated.join(canon, "fp")
+        .filter(F.col("doc_id") == F.col("canonical_doc_id"))
+        .drop("canonical_doc_id")
+    )
+
+    # deterministic sample, consistent with every other hash-mod sampler
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    return kept.filter(bucket < sample_pct).select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score", "fp"
+    )

@@ -565,3 +565,59 @@ select user_id, n_events
 from per_user
 where n_events > (select sum(n_events)::bigint / count(*) from per_user)
 """
+
+
+def _corpus_prep_sql() -> str:
+    from .operators.corpus import (
+        CORPUS_LANG,
+        CORPUS_MIN_QUALITY,
+        CORPUS_MIN_TOKENS,
+        CORPUS_SAMPLE_PCT,
+    )
+
+    langs = list(LANG_STOPWORDS)
+    score_exprs = ",\n       ".join(
+        f"len(list_filter(toks, t -> t in ({', '.join(repr(w) for w in ws)}))) as score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    best = f"greatest({', '.join('score_' + lg for lg in langs)})"
+    whens = "\n            ".join(
+        f"when score_{lg} = {best} then '{lg}'" for lg in langs
+    )
+    return f"""
+with t as (
+    select doc_id, string_split(lower(text), ' ') as toks,
+           md5({_NORM}) as fp
+    from documents
+),
+scored as (
+    select doc_id, fp, len(toks) as n_tokens,
+       (len(list_filter(toks, t -> t in ({_ALL_STOP}))) / len(toks)) * 2.0
+         + (len(list_distinct(toks)) / len(toks)) as quality_score,
+       {score_exprs}
+    from t
+),
+labeled as (
+    select doc_id, fp, n_tokens, quality_score,
+       case when {best} <= 0 then 'und'
+            {whens}
+       end as lang_pred
+    from scored
+),
+gated as (
+    select * from labeled
+    where lang_pred = '{CORPUS_LANG}'
+      and n_tokens >= {CORPUS_MIN_TOKENS}
+      and quality_score >= {CORPUS_MIN_QUALITY}
+),
+canon as (
+    select fp, min(doc_id) as canonical_doc_id from gated group by fp
+)
+select g.doc_id, g.lang_pred, g.n_tokens, g.quality_score, g.fp
+from gated g join canon c using (fp)
+where g.doc_id = c.canonical_doc_id
+  and {_h60('g.doc_id::varchar')} % 100 < {CORPUS_SAMPLE_PCT}
+"""
+
+
+CORPUS_PREP = _corpus_prep_sql()

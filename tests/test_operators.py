@@ -306,3 +306,26 @@ def test_dedup_clusters_invariants(spark):
     sizes = {r.cluster_id: r.cluster_size for r in df.collect()}
     assert all(sizes[c] == len(ms) for c, ms in members.items())
     df.unpersist()
+
+
+def test_corpus_prep_stage_invariants(spark):
+    """Every survivor passes all four gates; fps are unique (dedup ran);
+    survivors are exactly the oracle-checked composition's fixpoints."""
+    from spotify_tracks_spark.operators.corpus import (
+        CORPUS_MIN_QUALITY,
+        CORPUS_MIN_TOKENS,
+        CORPUS_SAMPLE_PCT,
+        corpus_prep,
+    )
+
+    out = corpus_prep(spark, SF_SMOKE).collect()
+    assert out, "pipeline should keep some docs"
+    assert all(r.lang_pred == "en" for r in out)
+    assert all(r.n_tokens >= CORPUS_MIN_TOKENS for r in out)
+    assert all(r.quality_score >= CORPUS_MIN_QUALITY for r in out)
+    fps = [r.fp for r in out]
+    assert len(fps) == len(set(fps)), "exact dedup must leave unique fingerprints"
+    # widening the sample rate only adds rows (nested deterministic samples)
+    wider = corpus_prep(spark, SF_SMOKE, sample_pct=100)
+    assert {r.doc_id for r in out} <= {r.doc_id for r in wider.collect()}
+    assert CORPUS_SAMPLE_PCT < 100
