@@ -61,3 +61,27 @@ def test_write_models_fact_partition_pruning(spark, tmp_path):
     # all models round-trip
     for name, df in models.items():
         assert spark.read.parquet(f"{out}/{name}").count() == df.count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """fct and dim_track bucketed by track_id into the same bucket count
+    must join bucket-to-bucket: SortMergeJoin with ZERO Exchange nodes,
+    even with broadcast disabled (the at-scale case where neither side
+    fits in memory)."""
+    from spotify_tracks_spark.pipeline import write_models_bucketed
+
+    models = run_models(spark, SF_SMOKE)
+    write_models_bucketed(models, str(tmp_path / "bucketed"))
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fct = spark.table("spotify_bucketed.fct_played_track")
+        dim = spark.table("spotify_bucketed.dim_track")
+        joined = fct.join(dim, "track_id").select("play_id", "track_name")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+        assert joined.count() == fct.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("drop database if exists spotify_bucketed cascade")
