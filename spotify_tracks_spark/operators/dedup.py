@@ -352,7 +352,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_M
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+SMALL_GRAPH_EDGES = 200_000
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs — connected components by
     iterative min-label propagation (the step pair-finding ops stop short
     of: "which rows form one duplicate group", what a training pipeline
@@ -370,9 +375,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpersist after — bounded memory, and the classic large-star/small-star
     optimization drops in unchanged if diameters ever grow.
 
+    Small-graph fast path: the verified near-dup edge set is orders of
+    magnitude smaller than the corpus (pairs of *near-identical* docs), so
+    when it fits comfortably on the driver (≤ ``small_graph_edges``,
+    one count to decide) union-find runs locally in O(E α(E)) — replacing
+    3-4 distributed rounds whose per-round job overhead dwarfs the work.
+    This is the standard production shape: distributed candidate
+    generation + verification, local consolidation of the (tiny) dup
+    graph; the iterative path stays for graphs that outgrow the driver.
+    Both paths produce identical labels (min doc_id per component).
+
     Output: (doc_id, cluster_id, cluster_size) for docs in a dup cluster.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    n_edges = pairs.count()
+
+    if n_edges <= small_graph_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.collect():
+            a, b = row.doc_a, row.doc_b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the label = smallest member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp = {x: find(x) for x in parent}
+        sizes: dict[int, int] = {}
+        for c in comp.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        rows = [(x, c, sizes[c]) for x, c in comp.items()]
+        pairs.unpersist()
+        return spark.createDataFrame(
+            rows, "doc_id long, cluster_id long, cluster_size long"
+        )
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -415,4 +462,5 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("comp").alias("cluster_id"), "cluster_size"
     )
     edges.unpersist()
+    pairs.unpersist()
     return out

@@ -85,3 +85,21 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("drop database if exists spotify_bucketed cascade")
+
+
+def test_scan_prunes_columns(spark):
+    """Projection pruning must reach the parquet scan: the source mapping
+    touches 4 of lineitem's 16 columns, and the scan's ReadSchema must
+    contain exactly those (a scan reading all columns for a 4-column
+    derivation would move ~4x the bytes at 100 TB)."""
+    from spotify_tracks_spark.sources.mapping import src_recent_tracks
+
+    plan = src_recent_tracks(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no parquet scan in plan:\n{plan}"
+    li = next((s for s in schemas if "l_partkey" in s), None)
+    assert li is not None
+    read_cols = {c.split(":")[0] for c in li.split(",")}
+    assert read_cols == {"l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate"}, read_cols

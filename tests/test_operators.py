@@ -329,3 +329,12 @@ def test_corpus_prep_stage_invariants(spark):
     wider = corpus_prep(spark, SF_SMOKE, sample_pct=100)
     assert {r.doc_id for r in out} <= {r.doc_id for r in wider.collect()}
     assert CORPUS_SAMPLE_PCT < 100
+
+
+def test_dedup_clusters_paths_agree(spark):
+    """The driver union-find fast path and the distributed min-label loop
+    must produce identical (doc_id, cluster_id, cluster_size) labelings
+    (small_graph_edges=0 forces the iterative path)."""
+    fast = dedup.dedup_clusters(spark, SF_SMOKE)
+    dist = dedup.dedup_clusters(spark, SF_SMOKE, small_graph_edges=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
