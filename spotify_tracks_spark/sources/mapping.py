@@ -60,7 +60,10 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # p_type words become a comma-joined "artist set" — collaborations
         # share artist names across sets (FIXTURES.md §1 row 3).
         F.replace(F.col("p_type"), F.lit(" "), F.lit(", ")).alias("track_artists"),
-        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("played_at"),
+        # l_shipdate is a whole-second TIMESTAMP, so the plain string cast
+        # renders exactly date_format's "yyyy-MM-dd HH:mm:ss" without the
+        # DateTimeFormatter (~2x cheaper on the hot path)
+        F.col("l_shipdate").cast("string").alias("played_at"),
         (F.lit(30000) + F.floor("l_extendedprice").cast("long") % 570001)
         .cast("double")
         .alias("duration_ms"),
@@ -100,9 +103,13 @@ def src_recent_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track_name",
             "track_album",
             "track_artists",
-            F.when(wpk % 3 == 0, F.format_string("%04d-%02d-%02d", w_rd_year, w_rd_month, w_rd_day))
-            .when(wpk % 3 == 1, F.format_string("%04d", w_rd_year))
-            .otherwise(F.format_string("%04d-%02d", w_rd_year, w_rd_month))
+            # make_date + cast renders the same zero-padded strings as
+            # format_string("%04d-%02d-%02d"/"%04d-%02d"/"%04d") for the
+            # generated ranges (years 1990-2019 are always 4 digits) without
+            # java.util.Formatter
+            F.when(wpk % 3 == 0, F.make_date(w_rd_year, w_rd_month, w_rd_day).cast("string"))
+            .when(wpk % 3 == 1, w_rd_year.cast("string"))
+            .otherwise(F.substring(F.make_date(w_rd_year, w_rd_month, F.lit(1)).cast("string"), 1, 7))
             .alias("album_release_date"),
             F.when(wpk % 3 == 0, F.lit("day"))
             .when(wpk % 3 == 1, F.lit("year"))
