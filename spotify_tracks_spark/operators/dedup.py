@@ -164,9 +164,11 @@ def dedup_ngram_jaccard(
     a = blocked.alias("a")
     b = blocked.alias("b")
     pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-    jac = F.size(F.array_intersect("a.hs", "b.hs")) / F.size(
-        F.array_union("a.hs", "b.hs")
-    )
+    # |A∪B| = |A|+|B|-|A∩B| over distinct-element sets: one hash-set build
+    # per pair instead of two (array_union is as expensive as the
+    # intersect); subexpression elimination reuses the intersect size.
+    n_inter = F.size(F.array_intersect("a.hs", "b.hs"))
+    jac = n_inter / (F.size("a.hs") + F.size("b.hs") - n_inter)
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -261,7 +263,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.5) 
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / N_HASHES
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # |A∪B| = |A|+|B|-|A∩B| (see dedup_ngram_jaccard): one set build per pair
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
         enriched.select(
             "doc_a", "doc_b", est.alias("est_jaccard"), jac.alias("jaccard")
