@@ -15,9 +15,16 @@ flatten: null-safe nested access + order-preserving artist join,
   the source is single-partition — parallelism belongs downstream, after
   the (tiny) page batch lands.
 
-The streaming variant of this pattern is ``streaming/ingest.py``; the
-Spark-expression flatten of the same payload is ``sources/json_flatten.py``
-— a test pins this reader and that flatten to identical output.
+The source is also a MICRO-BATCH STREAM (``spark.readStream.format(
+"recent_tracks")``): offsets are page indices, so each trigger drains the
+pages that became available since the last checkpoint — exactly the
+reference's cron-poll semantics (one run consumes the current API window,
+the checkpoint replaces Prefect's dedup-by-insert as the progress record).
+``readBetweenOffsets`` replays a committed range deterministically for
+failure recovery.  The file-source streaming ingest over the events table
+is ``streaming/ingest.py``; the Spark-expression flatten of the same
+payload is ``sources/json_flatten.py`` — a test pins this reader and that
+flatten to identical output.
 """
 
 from __future__ import annotations
@@ -25,7 +32,11 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "track_name string, track_album string, track_artists string, "
@@ -76,9 +87,53 @@ class RecentTracksReader(DataSourceReader):
                 yield flatten_item(item)
 
 
+class RecentTracksStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the paginated feed: offset = next unread
+    page index.  Each ``read`` drains every currently-available page (the
+    polled API window); a later trigger picks up pages appended to the
+    transport since — the cron-poll loop as checkpointed stream progress.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.pages_path = options.get("pages_path")
+        if not self.pages_path:
+            raise ValueError(
+                "recent_tracks stream requires a 'pages_path' option "
+                "(offline transport); wire an HTTP fetcher here on a "
+                "network-capable cluster"
+            )
+
+    def _pages(self) -> list[dict]:
+        with open(self.pages_path) as f:
+            return json.load(f)
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        pages = self._pages()
+        end = {"page": len(pages)}
+        rows = [
+            flatten_item(item)
+            for page in pages[start["page"]:]
+            for item in page.get("items", [])
+        ]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # deterministic replay of a committed range (restart recovery)
+        pages = self._pages()
+        return iter(
+            flatten_item(item)
+            for page in pages[start["page"]:end["page"]]
+            for item in page.get("items", [])
+        )
+
+
 class RecentTracksDataSource(DataSource):
-    """``spark.read.format("recent_tracks")`` after
-    ``spark.dataSource.register(RecentTracksDataSource)``."""
+    """``spark.read.format("recent_tracks")`` (batch) or
+    ``spark.readStream.format("recent_tracks")`` (micro-batch stream)
+    after ``spark.dataSource.register(RecentTracksDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -89,3 +144,6 @@ class RecentTracksDataSource(DataSource):
 
     def reader(self, schema) -> RecentTracksReader:
         return RecentTracksReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RecentTracksStreamReader:
+        return RecentTracksStreamReader(self.options)

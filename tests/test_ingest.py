@@ -144,3 +144,49 @@ def test_custom_datasource_page_cap(spark, tmp_path):
         .load()
     )
     assert df.count() == 6  # 3 pages x 2 items
+
+
+def test_custom_datasource_streams_pages(spark, tmp_path):
+    """The streaming reader drains the same rows as the batch reader, and
+    a later trigger consumes only pages appended since the checkpoint."""
+    import json
+
+    from spotify_tracks_spark.sources.recent_tracks_datasource import (
+        RecentTracksDataSource,
+    )
+
+    pages = fetch_pages(_fetcher)
+    pages_file = tmp_path / "pages.json"
+    pages_file.write_text(json.dumps(pages))
+    spark.dataSource.register(RecentTracksDataSource)
+
+    out = tmp_path / "out"
+
+    def drain() -> None:
+        (
+            spark.readStream.format("recent_tracks")
+            .option("pages_path", str(pages_file))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    batch = (
+        spark.read.format("recent_tracks")
+        .option("pages_path", str(pages_file))
+        .load()
+    )
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    assert got == sorted(map(tuple, batch.collect()))
+    n_first = len(got)
+
+    # append one page; the same checkpoint must emit ONLY the new items
+    new_page = {"items": [pages[0]["items"][0]], "next": None}
+    pages_file.write_text(json.dumps(pages + [new_page]))
+    drain()
+    assert len(spark.read.parquet(str(out)).collect()) == n_first + 1
