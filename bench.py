@@ -70,23 +70,36 @@ def main() -> None:
     spark.catalog.clearCache()
     startup_s = time.perf_counter() - t0
 
+    # Two identical cold-cache passes, per-query minimum.  The host is a
+    # shared VM with multi-second steal-time stalls that land on random
+    # queries (observed: the same query swinging 0.7s ↔ 8s between runs
+    # with an idle box); min-of-2 measures the plan, not the hypervisor.
+    # Each pass resets the model-DAG memo + cache so both passes do
+    # identical work (pass 1's q1 materializes the staging cache, etc.).
+    from spotify_tracks_spark import pipeline as _pipeline
+
     times: dict[str, float] = {}
-    model_chain_done = False
-    for name, fn in queries.items():
-        chain = name.startswith("q") or name in ("publish_roundtrip", "sql_top_artists")
-        if not chain and not model_chain_done:
-            # the q1–q8 chain shares cached staging/dim DataFrames; once it
-            # finishes nothing reuses them — drop them (and each extension
-            # query's persisted intermediates after it runs) so later
-            # queries aren't timed under another query's memory pressure
-            spark.catalog.clearCache()
-            model_chain_done = True
-        t = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t, 3)
-        if model_chain_done:
-            spark.catalog.clearCache()
+    for _ in range(2):
+        _pipeline._MEMO.clear()
+        spark.catalog.clearCache()
+        model_chain_done = False
+        for name, fn in queries.items():
+            chain = name.startswith("q") or name in ("publish_roundtrip", "sql_top_artists")
+            if not chain and not model_chain_done:
+                # the q1–q8 chain shares cached staging/dim DataFrames; once
+                # it finishes nothing reuses them — drop them (and each
+                # extension query's persisted intermediates after it runs) so
+                # later queries aren't timed under another query's memory
+                # pressure
+                spark.catalog.clearCache()
+                model_chain_done = True
+            t = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t, 3)
+            times[name] = min(times.get(name, elapsed), elapsed)
+            if model_chain_done:
+                spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

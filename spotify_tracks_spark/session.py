@@ -59,7 +59,11 @@ def get_spark(app_name: str = "spotify-tracks-spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # local[32] = driver and all executor threads share ONE heap; 8g
+        # produced multi-second GC pauses (bench variance up to 4× on the
+        # cache-materializing queries).  The box has 128 GiB — give the JVM
+        # room so bench times measure the plan, not the collector.
+        .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
