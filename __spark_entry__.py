@@ -89,6 +89,14 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (watermarked both sides, event-time
+    bound, append mode): purchases ⋈ same-user clicks in the prior hour."""
+    from spotify_tracks_spark.streaming import stream_click_purchase_join
+
+    return stream_click_purchase_join(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1)
@@ -151,6 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_window": _events_stream_window,
         "events_stream_sessionize": _events_stream_sessionize,
+        # NB: streaming/stateful_tws.py holds a transformWithStateInPandas
+        # variant of sessionization (Spark 4 successor API); its Python
+        # state-server protocol requires `protobuf`, absent in this
+        # container, so it is exercised by a gated test rather than a
+        # driver-run query entry.
+        "events_stream_join": _events_stream_join,
         # multimodal plumbing
         "multimodal_bytes": multimodal_bytes,
         "multimodal_frames": multimodal_frames,
@@ -198,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
+        "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,

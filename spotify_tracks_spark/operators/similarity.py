@@ -133,36 +133,42 @@ def ann_topk_ivf(
 
     Deterministic centroid choice (the ``n_centroids`` lowest vec_ids) keeps
     the operator oracle-checkable; a production run would fit k-means on a
-    sample and broadcast the fitted centroids — the *plan shape* is
-    identical: centroid table broadcast to a scan-side argmax projection
-    (no shuffle of the corpus), then an equi-join on cell id replaces the
-    corpus-wide cross product, then exact rerank within the cell.  Ties on
-    cosine break to the lower centroid id in both engines."""
+    sample and broadcast the fitted centroids.  Cell assignment is a
+    map-only scan-side projection: the k×d centroid matrix ships as ONE
+    nested-array literal in the plan (same shape as clustering.py's
+    ``_assign``) and the argmax over centroid cosines is ``array_max`` over
+    struct (c_cos, -cent_id) — ZERO corpus shuffle and zero row
+    multiplication for assignment (the join+window formulation would
+    shuffle corpus×k rows twice).  Then an equi-join on cell id replaces
+    the corpus-wide cross product, then exact rerank within the cell.
+    Ties on cosine break to the lower centroid id in both engines."""
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
-    centroids = emb.orderBy("vec_id").limit(n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    cent_rows = (
+        emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
     )
+    cent_mat = F.lit([[float(x) for x in r.embedding] for r in cent_rows])
+    cent_ids = F.lit([int(r.vec_id) for r in cent_rows])  # ascending vec_id
 
-    def assign(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).select(
-            id_col,
-            emb_col,
-            "cent_id",
-            cosine(F.col(emb_col), F.col("c_emb")).alias("c_cos"),
+    def cell(emb_col: Column) -> Column:
+        # binary HOF lambda receives (element, index); index i is 0-based.
+        scored = F.transform(
+            cent_mat,
+            lambda c, i: F.struct(
+                cosine(emb_col, c).alias("c_cos"),
+                (-F.element_at(cent_ids, i + 1)).alias("neg_id"),
+            ),
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cent_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, emb_col, F.col("cent_id").alias("cell"))
-        )
+        # max by (c_cos, -cent_id): highest cosine, ties to the LOWER cent_id
+        return -F.array_max(scored)["neg_id"]
 
-    corpus = assign(
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")),
-        "neighbor_id",
-        "n_emb",
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        cell(F.col("embedding")).alias("cell"),
     )
-    probe_cells = assign(probes, "query_id", "q_emb")
+    probe_cells = probes.select(
+        "query_id", "q_emb", cell(F.col("q_emb")).alias("cell")
+    )
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

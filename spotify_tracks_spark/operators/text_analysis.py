@@ -21,6 +21,11 @@ from ..functions.hashing import portable_hash60
 from ..sources.tables import read_table
 
 WORD_RE = "[a-z0-9]+"
+# BPE-ish pretokenizer (GPT-2 family): contraction suffixes, space-prefixed
+# letter runs, short digit runs, punctuation runs, whitespace runs.  Both
+# Java regex and DuckDB's RE2 use leftmost-first alternation, so the token
+# stream — and therefore the count — is identical across engines.
+BPE_RE = r"'(?:s|t|ll|ve|re|d|m)| ?[a-z]+| ?[0-9]{1,3}| ?[^\sa-z0-9']+|\s+"
 
 # Tiny per-language stopword lists for the n-gram/stopword lang-id heuristic.
 # Order matters: ties resolve to the first listed language.
@@ -36,13 +41,16 @@ def _tokens(col: Column) -> Column:
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + regex word tokens + chars."""
+    """Token counting: whitespace tokens + regex word tokens + a BPE-ish
+    pretokenizer count (the per-doc budget estimate an LLM-data pipeline
+    filters and packs on) + chars."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.size(_tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
     )
 
 

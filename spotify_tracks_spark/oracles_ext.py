@@ -29,7 +29,7 @@ from .operators.dedup import (
 )
 from .operators.analytics import EVENT_TYPES, SAMPLE_PCT, TOPK_PER_USER
 from .operators.events import SESSION_GAP_MINUTES
-from .operators.text_analysis import LANG_STOPWORDS
+from .operators.text_analysis import BPE_RE, LANG_STOPWORDS
 
 H60 = "('0x'||substr(md5({s}),1,15))::bigint"
 
@@ -46,11 +46,14 @@ _SHINGLES = (
     f" g -> substr(norm, g, {SHINGLE_K})))"
 )
 
-TEXT_TOKENS = """
+_BPE_SQL = BPE_RE.replace("'", "''")
+
+TEXT_TOKENS = f"""
 select doc_id,
        length(text) as n_chars,
        len(string_split(text, ' ')) as n_ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z0-9]+')) as n_word_tokens
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) as n_word_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE_SQL}')) as n_bpe_tokens
 from documents
 """
 
@@ -415,6 +418,19 @@ group by user_id, session_no
 
 EVENTS_STREAM_DEDUP = """
 select * from events
+"""
+
+# Stream-stream interval join drained via availableNow emits every matching
+# (purchase, click-in-preceding-hour) pair exactly once — the batch
+# self-join below.
+EVENTS_STREAM_JOIN = """
+select p.event_id as purchase_id, c.event_id as click_id, p.user_id,
+       p.ts as purchase_ts, c.ts as click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) as lag_us
+from events p join events c
+  on p.user_id = c.user_id
+where p.event_type = 'purchase' and c.event_type = 'click'
+  and c.ts >= p.ts - interval 1 hour and c.ts <= p.ts
 """
 
 # Frame sampling: documents are pure ASCII in this testdata (asserted in

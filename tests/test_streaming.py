@@ -95,6 +95,55 @@ def test_stream_sessionize_state_carries_across_batches(spark):
     assert got_set == want_set
 
 
+def test_stream_sessionize_tws_matches_batch(spark):
+    """transformWithStateInPandas sessionization (flush-tail drain) equals
+    the batch window-function sessionization.  Requires protobuf (the TWS
+    python↔JVM state protocol) — skipped where it isn't installed."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from spotify_tracks_spark.streaming import stream_sessionize_tws
+
+    got = stream_sessionize_tws(
+        spark, SF_SMOKE, checkpoint_dir=tempfile.mkdtemp(prefix="tws_ckpt_")
+    )
+    batch = batch_events.events_sessionize(spark, SF_SMOKE)
+    got_set = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in got.collect()}
+    want_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.select("user_id", "session_start", "session_end", "n_events").collect()
+    }
+    assert got_set == want_set
+
+
+def test_stream_join_matches_batch(spark):
+    """Stream-stream interval join drained via availableNow equals the
+    batch self-join (every pair emitted exactly once)."""
+    from spotify_tracks_spark.streaming import stream_click_purchase_join
+
+    got = stream_click_purchase_join(spark, SF_SMOKE)
+    ev = read_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    got_set = {(r.purchase_id, r.click_id) for r in got.collect()}
+    want_set = {(r.purchase_id, r.click_id) for r in want.collect()}
+    assert got_set and got_set == want_set
+    # lag is non-negative and within the interval bound
+    assert got.filter((F.col("lag_us") < 0) | (F.col("lag_us") > 3600 * 1_000_000)).count() == 0
+
+
 def test_ann_ivf_scores_match_bruteforce(spark):
     """IVF candidates score identically to brute force for the same pair,
     and every result lies in the probe's cell by construction."""
