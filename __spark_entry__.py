@@ -89,6 +89,15 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-incremental mart maintenance: dim_track folded forward
+    per micro-batch via foreachBatch; drained result hash-equals batch Q2
+    (streaming/incremental.py)."""
+    from spotify_tracks_spark.streaming import stream_dim_track_incremental
+
+    return stream_dim_track_incremental(spark, sf_dir)
+
+
 def _events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (watermarked both sides, event-time
     bound, append mode): purchases ⋈ same-user clicks in the prior hour."""
@@ -106,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a variant, not the contract") — same rows, same oracle, one-shuffle
         # single-pass physical plan
         "q2_dim_track_window_variant": _dim_track_window_variant,
+        # streaming-incremental maintenance of the same mart (same oracle):
+        # the reference's twice-daily full rebuild replaced by a foreachBatch
+        # fold; correctness contract = hash-equality with the batch build
+        "q2_dim_track_streaming_incremental": _dim_track_streaming_incremental,
         "q3_dim_artist": _model("dim_artist"),
         "q4_dim_album": _model("dim_album"),
         "q5_fct_played_track": _model("fct_played_track"),
@@ -152,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics surface: top-k per group, pivot, deterministic sample
         "events_topk_per_user": _an.events_topk_per_user,
         "events_pivot": _an.events_pivot,
+        "events_unpivot": _an.events_unpivot,
         "events_sample": _an.events_sample,
         "events_set_ops": _an.events_set_ops,
         "events_active_users": _an.events_active_users,
@@ -177,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_stg_recent_tracks": oracles.Q1_STG,
         "q2_dim_track": oracles.Q2_DIM_TRACK,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
+        "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "q3_dim_artist": oracles.Q3_DIM_ARTIST,
         "q4_dim_album": oracles.Q4_DIM_ALBUM,
         "q5_fct_played_track": oracles.Q5_FCT,
@@ -205,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_pivot": oracles_ext.EVENTS_PIVOT,
+        "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "events_sample": oracles_ext.EVENTS_SAMPLE,
         "events_set_ops": oracles_ext.EVENTS_SET_OPS,
         "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,

@@ -64,6 +64,28 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of ``events_pivot``: the wide per-day
+    count table back to long (day, event_type, n_events) rows, zero-filled
+    combinations included (pivot-of-count round-trip semantics).
+
+    ``DataFrame.unpivot`` compiles to an Expand node — a narrow per-row
+    generator (×|EVENT_TYPES| rows, no shuffle, no state), so at 100 TB it
+    runs at scan speed on top of the already-aggregated wide table."""
+    wide = events_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ["day"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "metric",
+        "n",
+    )
+    return long.select(
+        "day",
+        F.substring("metric", 3, 100).alias("event_type"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
 def events_sample(spark: SparkSession, sf_dir: str, pct: int = SAMPLE_PCT) -> DataFrame:
     """Deterministic ``pct``% sample keyed on event_id.
 

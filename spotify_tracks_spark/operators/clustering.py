@@ -5,9 +5,11 @@ iterative-algorithm shape, pure DataFrame ops per Lloyd iteration:
    array-of-structs; argmin squared distance is ``array_min`` over struct
    (sq_dist, cluster) — a map-only scan-side projection.  ZERO corpus
    shuffle and zero row multiplication: no join, no window.
-2. update: posexplode embeddings → groupBy (cluster, dim) mean → rebuild
-   centroid arrays (one narrow shuffle of (cluster, dim, partial-sum) —
-   map-side combined, cardinality k×d regardless of corpus size).
+2. update: groupBy(cluster) with one ``avg(e[i])`` aggregate per
+   dimension — partial aggregation combines map-side, so the shuffle
+   carries k×d partial (sum, count) pairs per input partition and ZERO
+   row expansion (a posexplode formulation would multiply the corpus ×d
+   before the shuffle).
 
 Each iteration materializes only the k×d centroid table to the driver
 (tiny); the corpus is never collected.  At 100 TB this is exactly
@@ -64,14 +66,18 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFra
     )
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroid per cluster = element-wise mean of member vectors."""
-    by_dim = assigned.select(
-        "cluster", F.posexplode("e").alias("dim", "x")
-    ).groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
-    return by_dim.groupBy("cluster").agg(
-        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
-    ).select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+def _update(assigned: DataFrame, d: int) -> DataFrame:
+    """New centroid per cluster = element-wise mean of member vectors.
+
+    One hash aggregate keyed on ``cluster`` with d ``avg`` columns: the
+    element-wise means combine map-side, so only k×d partials cross the
+    wire and no row is ever widened or exploded."""
+    per = assigned.groupBy("cluster").agg(
+        *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(d)]
+    )
+    return per.select(
+        "cluster", F.array(*[F.col(f"m{i}") for i in range(d)]).alias("c")
+    )
 
 
 def embedding_kmeans(
@@ -94,9 +100,10 @@ def embedding_kmeans(
     seeds = emb.orderBy("vec_id").limit(k).collect()
     centroids = [(i, r.e) for i, r in enumerate(seeds)]
 
+    d = len(centroids[0][1])
     for _ in range(n_iters):
         assigned = _assign(emb, centroids)
-        new = {r.cluster: r.c for r in _update(assigned).collect()}
+        new = {r.cluster: r.c for r in _update(assigned, d).collect()}
         # a cluster that lost all members keeps its previous centroid, so
         # ids stay the positions 0..k-1 (the _assign literal invariant)
         centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]

@@ -527,6 +527,21 @@ from events
 group by 1
 """
 
+# Inverse of EVENTS_PIVOT: every (day × type) combination with its count,
+# zero-filled — the long form the Spark unpivot emits.
+EVENTS_UNPIVOT = f"""
+with days as (select distinct ts::date as day from events),
+types(event_type) as (values {", ".join(f"('{t}')" for t in EVENT_TYPES)}),
+counts as (
+    select ts::date as day, event_type, count(*) as n
+    from events group by 1, 2
+)
+select d.day, t.event_type, coalesce(c.n, 0) as n_events
+from days d
+cross join types t
+left join counts c on c.day = d.day and c.event_type = t.event_type
+"""
+
 EVENTS_SAMPLE = f"""
 select event_id, user_id, event_type, ts, value
 from events

@@ -1,3 +1,4 @@
+from .incremental import stream_dim_track_incremental
 from .ingest import stream_events_dedup
 from .joins import stream_click_purchase_join
 from .stateful import stream_sessionize
@@ -10,4 +11,5 @@ __all__ = [
     "stream_sessionize",
     "stream_sessionize_tws",
     "stream_click_purchase_join",
+    "stream_dim_track_incremental",
 ]
