@@ -19,6 +19,25 @@ from pyspark.sql import Column, functions as F
 from ..config import LOCAL_TZ
 
 
+def epoch_micros(ts: Column) -> Column:
+    """Epoch microseconds, accepting TIMESTAMP or TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects NTZ inputs; the NTZ→LTZ cast re-interprets the
+    wall-clock in the session time zone, which this engine pins to UTC
+    (session.py:48), so the cast is identity on the underlying micros and
+    matches DuckDB's ``epoch_us`` on the same naive timestamp.
+    """
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """Epoch seconds (truncating), accepting TIMESTAMP or TIMESTAMP_NTZ.
+
+    Matches DuckDB ``floor(epoch(ts))::bigint`` under the UTC session zone.
+    """
+    return ts.cast("timestamp").cast("long")
+
+
 def to_local_wallclock(ts: Column, tz: str = LOCAL_TZ) -> Column:
     """``timezone('America/Boise', cast(ts || '+00' as timestamptz))``.
 

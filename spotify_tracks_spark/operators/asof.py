@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.time_utils import epoch_micros
 from ..sources.tables import read_table
 
 
@@ -92,5 +93,5 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "asof_click_id",
         F.col("asof_ts").alias("asof_click_ts"),
-        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+        (epoch_micros(F.col("ts")) - epoch_micros(F.col("asof_ts"))).alias("gap_us"),
     )

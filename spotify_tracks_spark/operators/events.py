@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.time_utils import epoch_seconds
 from ..sources.tables import read_table
 
 SESSION_GAP_MINUTES = 30
@@ -48,10 +49,8 @@ def events_sessionize(
     shuffle; the running sum reuses the sort order of the lag."""
     ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_flag = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > gap_minutes * 60
-    ).cast("int")
+    sec = epoch_seconds(F.col("ts"))
+    gap_flag = (sec - F.lag(sec).over(w) > gap_minutes * 60).cast("int")
     with_session = ev.withColumn("new_sess", F.coalesce(gap_flag, F.lit(0))).withColumn(
         "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

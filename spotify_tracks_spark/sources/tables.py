@@ -36,15 +36,37 @@ def read_table(
     return df
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to microsecond ``TIMESTAMP``.
+
+    Dtype-guarded so the same plan builds against any source layout; every
+    events reader (batch and streaming) must route through this one helper:
+
+    - ``timestamp[us]`` parquet (current testdata, read as TIMESTAMP_NTZ):
+      cast NTZ→LTZ — identity on the underlying micros under the engine's
+      pinned UTC session zone (session.py:48).
+    - epoch-nanos ``bigint`` (TIMESTAMP(NANOS) parquet read with
+      ``spark.sql.legacy.parquet.nanosAsLong``): *integer* division to
+      micros (doubles lose precision above 2^53 — epoch-nanos are ~1.7e18).
+
+    The output is always TimestampType, never NTZ: streaming watermarks
+    reject NTZ event-time columns (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    and epoch arithmetic (cast to long / unix_micros) only resolves on LTZ.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _read_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright; read nanos as long and convert to a
-        # microsecond timestamp with *integer* division (doubles lose
-        # precision above 2^53 — epoch-nanos are ~1.7e18).  Values in this
-        # dataset are µs-exact, so the conversion is lossless and matches
-        # DuckDB's TIMESTAMP read bit-for-bit.
+        # Tolerate either timestamp[us] (current testdata) or TIMESTAMP(NANOS)
+        # layouts: nanosAsLong only affects nanos columns, and the normalize
+        # helper converts only when the read surfaces a bigint.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(raw)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.idempotent_sink import append_if_absent
+from ..sources.tables import normalize_events_ts
 
 
 def stream_events_dedup(
@@ -37,10 +38,9 @@ def stream_events_dedup(
 ) -> DataFrame:
     """Run the streaming ingest over the events table (availableNow) and
     return the resulting deduplicated sink table as a batch DataFrame."""
-    # events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the stream
-    # reads `ts` as epoch-nanos bigint — convert to a microsecond timestamp
-    # (integer division, lossless here) before the watermark, mirroring
-    # sources/tables.py.
+    # `ts` is normalized to a microsecond timestamp before the watermark via
+    # the shared dtype-guarded helper (sources/tables.py) — a no-op for the
+    # timestamp[us] testdata, a lossless integer conversion for nanos-as-long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -54,10 +54,11 @@ def stream_events_dedup(
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
         .withWatermark("ts", watermark)
         .dropDuplicates([key])
     )

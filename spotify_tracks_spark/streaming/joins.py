@@ -22,6 +22,9 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.time_utils import epoch_micros
+from ..sources.tables import normalize_events_ts
+
 MAX_LAG = "1 hour"
 WATERMARK = "1 day"
 
@@ -44,14 +47,16 @@ def stream_click_purchase_join(
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", watermark)
         )
@@ -74,9 +79,9 @@ def stream_click_purchase_join(
                 F.col("purchase_user").alias("user_id"),
                 "purchase_ts",
                 "click_ts",
-                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
-                    "lag_us"
-                ),
+                (
+                    epoch_micros(F.col("purchase_ts")) - epoch_micros(F.col("click_ts"))
+                ).alias("lag_us"),
             )
         )
         (

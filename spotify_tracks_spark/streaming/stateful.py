@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..sources.tables import normalize_events_ts
+
 GAP_MINUTES = 30
 
 OUT_SCHEMA = T.StructType(
@@ -155,13 +157,8 @@ def stream_sessionize(
             .option("maxFilesPerTrigger", "1")
             .parquet(src_dir)
         )
-        ts_col = (
-            F.timestamp_micros(F.expr("ts div 1000"))
-            if dict(stream.dtypes)["ts"] == "bigint"
-            else F.col("ts")
-        )
         sessions = (
-            stream.withColumn("ts", ts_col)
+            normalize_events_ts(stream)
             .select("user_id", "ts")
             .groupBy("user_id")
             .applyInPandasWithState(

@@ -42,6 +42,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from ..sources.tables import normalize_events_ts
+
 GAP_MINUTES = 30
 
 OUT_SCHEMA = T.StructType(
@@ -143,13 +145,8 @@ def stream_sessionize_tws(
             .option("maxFilesPerTrigger", "1")
             .parquet(src_dir)
         )
-        ts_col = (
-            F.timestamp_micros(F.expr("ts div 1000"))
-            if dict(stream.dtypes)["ts"] == "bigint"
-            else F.col("ts")
-        )
         sessions = (
-            stream.withColumn("ts", ts_col)
+            normalize_events_ts(stream)
             .select("user_id", "ts")
             .groupBy("user_id")
             .transformWithStateInPandas(

@@ -21,6 +21,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..sources.tables import normalize_events_ts
+
 WINDOW = "1 day"
 WATERMARK = "1 day"
 
@@ -43,10 +45,11 @@ def stream_events_windowed(
     name = f"win_{next(_COUNTER)}"
     try:
         agg = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("win"), "event_type")
             .agg(F.count("*").alias("n_events"))

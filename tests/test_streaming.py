@@ -8,6 +8,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from spotify_tracks_spark.functions.time_utils import epoch_seconds
 from spotify_tracks_spark.operators import events as batch_events
 from spotify_tracks_spark.operators import similarity
 from spotify_tracks_spark.sources.tables import read_table
@@ -41,7 +42,7 @@ def test_stream_sessionize_state_carries_across_batches(spark):
     4 micro-batches, so sessions spanning file boundaries only come out
     right if the open tail is carried in state."""
     ev = read_table(spark, SF_SMOKE, "events").select(
-        "event_id", "ts", "user_id", F.col("ts").cast("long").alias("ts_s")
+        "event_id", "ts", "user_id", epoch_seconds(F.col("ts")).alias("ts_s")
     )
     # split by TIME so micro-batches arrive in event-time order — the
     # operator's contract (an in-order polled source), same as the
