@@ -58,15 +58,23 @@ def main() -> None:
         stream_sessionize,
     )
 
+    # Warmups are best-effort: a broken warmup costs that query its JIT
+    # amortization, it must NOT zero out timings for 46 unrelated queries.
     warm_sf = "/root/testdata/sf0.001"
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
-    stream_events_dedup(
-        spark, warm_sf, out_dir=f"{warm_dir}/out", checkpoint_dir=f"{warm_dir}/ckpt"
-    ).write.format("noop").mode("overwrite").save()
-    stream_events_windowed(spark, warm_sf).write.format("noop").mode("overwrite").save()
-    stream_sessionize(
-        spark, warm_sf, checkpoint_dir=tempfile.mkdtemp(prefix="bench_warm_ss_")
-    ).write.format("noop").mode("overwrite").save()
+    for warm in (
+        lambda: stream_events_dedup(
+            spark, warm_sf, out_dir=f"{warm_dir}/out", checkpoint_dir=f"{warm_dir}/ckpt"
+        ),
+        lambda: stream_events_windowed(spark, warm_sf),
+        lambda: stream_sessionize(
+            spark, warm_sf, checkpoint_dir=tempfile.mkdtemp(prefix="bench_warm_ss_")
+        ),
+    ):
+        try:
+            warm().write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            print(f"warmup failed (continuing): {e}", file=sys.stderr)
     spark.catalog.clearCache()
     startup_s = time.perf_counter() - t0
 
@@ -79,6 +87,7 @@ def main() -> None:
     from spotify_tracks_spark import pipeline as _pipeline
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         _pipeline._MEMO.clear()
         spark.catalog.clearCache()
@@ -94,22 +103,31 @@ def main() -> None:
                 spark.catalog.clearCache()
                 model_chain_done = True
             t = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001 — one broken query must
+                # not take down the other 46 timings
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+                continue
             elapsed = round(time.perf_counter() - t, 3)
             times[name] = min(times.get(name, elapsed), elapsed)
             if model_chain_done:
                 spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
         "startup_s": round(startup_s, 3),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -16,8 +16,10 @@ including the probabilistic ones — has a byte-exact DuckDB oracle:
                            buckets, candidate pairs verified with exact
                            Jaccard.
 - ``dedup_simhash``        60-bit simhash fingerprints per-row; near-dup
-                           pairs blocked on 15-bit chunks (hamming≤k ⇒ some
-                           chunk equal) and verified with bit_count(xor).
+                           pairs blocked on ``max_hamming + 1`` chunks
+                           (pigeonhole: ≤max_hamming flipped bits leave
+                           some chunk equal ⇒ full recall at the verify
+                           radius) and verified with bit_count(xor).
 
 Scale shape: signature computation is a narrow projection at scan speed;
 the only shuffles are on (band_hash) / (chunk value) keys whose cardinality
@@ -38,7 +40,6 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_K = 8
 SIMHASH_BITS = 60
-SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 8
 
 # Minhash hash family: h_i(s) = (A_i * v + B_i) mod MINHASH_P where
@@ -313,26 +314,45 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.expr(_SIMHASH_FOLD_EXPR).alias("simhash"))
 
 
+def _chunk_layout(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths differing by at most one bit."""
+    base, rem = divmod(bits, n_chunks)
+    layout, pos = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        layout.append((pos, w))
+        pos += w
+    return layout
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """SimHash near-dup pairs: chunk-blocked candidates + hamming verify.
 
-    The 60-bit fingerprint splits into 4 chunks of 15 bits; hamming ≤ 3
-    guarantees at least one equal chunk (pigeonhole), so blocking on chunk
-    value has full recall at that radius.  We verify with
-    ``bit_count(xor) <= max_hamming``."""
+    The 60-bit fingerprint splits into ``max_hamming + 1`` near-equal
+    chunks; ≤ ``max_hamming`` differing bits cannot touch every chunk
+    (pigeonhole), so at least one chunk collides and blocking on chunk
+    value has FULL recall at the verify radius — the blocking adapts to
+    the radius instead of silently dropping distance-(chunks..radius)
+    pairs.  Verification is ``bit_count(xor) <= max_hamming``; the DuckDB
+    oracle is an independent brute-force all-pairs scan, so a recall gap
+    here would hash-mismatch rather than pass unnoticed.
+
+    Scale: narrower chunks (6-7 bits at radius 8 vs 15 at radius 3) mean
+    denser buckets — the price of a wide radius.  Bucket cardinality is
+    2^width per chunk index; at corpus scale pick the radius the product
+    (docs / 2^width)² per bucket affords, or tighten ``max_hamming``."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
     fps = simhash_fingerprints(docs).persist()
     fps.count()  # materialize before the self-join (see dedup_ngram_jaccard)
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    layout = _chunk_layout(SIMHASH_BITS, max_hamming + 1)
+    structs = ", ".join(
+        f"named_struct('chunk', {i}, 'val', shiftright(simhash, {off}) & {2**w - 1})"
+        for i, (off, w) in enumerate(layout)
+    )
     chunks = fps.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}),"
-                f" c -> named_struct('chunk', c, 'val', (simhash >> (c * {chunk_bits})) & {2**chunk_bits - 1}))"
-            )
-        ).alias("cc"),
+        F.explode(F.expr(f"array({structs})")).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
     pairs = (
         chunks.alias("a")

@@ -24,7 +24,6 @@ from .operators.dedup import (
     ROWS_PER_BAND,
     SHINGLE_K,
     SIMHASH_BITS,
-    SIMHASH_CHUNKS,
     SIMHASH_MAX_HAMMING,
 )
 from .operators.analytics import EVENT_TYPES, SAMPLE_PCT, TOPK_PER_USER
@@ -195,9 +194,9 @@ select * from enriched where jaccard >= 0.5
 """
 )
 
-_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
-_CHUNK_MASK = 2**_CHUNK_BITS - 1
-
+# Brute-force all-pairs — deliberately INDEPENDENT of the Spark operator's
+# pigeonhole chunk blocking, so a blocking-recall bug shows up as a
+# row-count/hash mismatch instead of being mirrored into the oracle.
 DEDUP_SIMHASH = f"""
 with docs as (
     select doc_id, string_split({_NORM}, ' ') as toks from documents
@@ -209,21 +208,11 @@ fps as (
                         t -> (({_h60('t')} >> p) & 1) * 2 - 1)) > 0
                     then (1::bigint << p) else 0::bigint end)) as bigint) as simhash
     from docs
-),
-chunks as (
-    select doc_id, simhash, c.chunk,
-           (simhash >> (c.chunk * {_CHUNK_BITS})) & {_CHUNK_MASK} as val
-    from fps, (select unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) as chunk) c
-),
-pairs as (
-    select distinct a.doc_id as doc_a, b.doc_id as doc_b,
-           a.simhash as sa, b.simhash as sb
-    from chunks a join chunks b
-      on a.chunk = b.chunk and a.val = b.val and a.doc_id < b.doc_id
 )
-select doc_a, doc_b, cast(bit_count(xor(sa, sb)) as bigint) as hamming
-from pairs
-where bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from fps a join fps b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 _EMB = "list_transform(embedding, x -> cast(x as double))"

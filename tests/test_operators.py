@@ -84,6 +84,44 @@ def test_simhash_pairs_within_radius(spark):
         assert 0 <= r.hamming <= dedup.SIMHASH_MAX_HAMMING
 
 
+def test_simhash_full_recall_at_radius(spark):
+    """Pigeonhole blocking recall: every fingerprint pair within the verify
+    radius — including distances 4–8, which 4×15-bit chunking silently
+    missed — must come out of the blocked operator.  Brute-force all-pairs
+    over the collected fingerprints is the ground truth."""
+    docs = read_table(spark, SF_SMOKE, "documents", spread=True)
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= dedup.SIMHASH_MAX_HAMMING
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.dedup_simhash(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the planted-pair guarantee is only meaningful if mid-radius distances
+    # actually occur in the corpus; the synthetic near-dups provide them
+    assert any(4 <= h <= dedup.SIMHASH_MAX_HAMMING for _, _, h in want), (
+        "corpus has no pair at hamming 4-8; recall claim untested"
+    )
+
+
+def test_simhash_chunk_layout_covers_all_bits(spark):
+    for radius in (1, 3, 8, 14):
+        layout = dedup._chunk_layout(dedup.SIMHASH_BITS, radius + 1)
+        assert len(layout) == radius + 1
+        assert sum(w for _, w in layout) == dedup.SIMHASH_BITS
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+        # contiguous, non-overlapping
+        for (o1, w1), (o2, _) in zip(layout, layout[1:]):
+            assert o1 + w1 == o2
+
+
 # --- similarity search ---
 
 def test_ann_bruteforce_rank_contract(spark):
