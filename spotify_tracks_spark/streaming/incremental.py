@@ -26,10 +26,12 @@ replay and no per-play state.  State cardinality is one row per *track*
 plus the state — at 100 TB this is the difference between touching the
 whole fact table twice a day and touching one day of increments.
 
-The state table double-buffers between two parquet dirs (read prev, write
-next) — the single-process analog of a transactional table format's
-snapshot swap; Delta/Iceberg MERGE would replace the swap on a real
-deployment without changing the dataflow.
+The state table snapshots to a per-batch parquet dir (read prev snapshot,
+write ``state_b{batch_id}``) — the single-process analog of a
+transactional table format's snapshot log, and the snapshot name doubles
+as the applied-batch marker that makes the fold replay-idempotent under
+foreachBatch's at-least-once contract.  Delta/Iceberg MERGE would replace
+both on a real deployment without changing the dataflow.
 """
 
 from __future__ import annotations
@@ -42,6 +44,14 @@ from ..plans.staging import stg_recent_tracks
 from ..sources.mapping import src_recent_tracks
 
 N_SLICES = 2
+# Files written (and drained) per micro-batch: the slice write fans out to
+# n_slices × FILES_PER_BATCH tasks instead of n_slices (a 2-task write of
+# the whole staged log was the operator's dominant cost), and
+# maxFilesPerTrigger=FILES_PER_BATCH re-groups them into the same
+# n_slices micro-batches.  Batch composition shifts with file ordering,
+# which is irrelevant: the fold is associative/commutative and the
+# contract is the drained result, not per-batch contents.
+FILES_PER_BATCH = 16
 
 _ATTRS = ("album_id", "album", "track_name", "artists")
 
@@ -77,30 +87,48 @@ def stream_dim_track_incremental(
     batch ``dim_track`` (same Q2 oracle)."""
     base = tempfile.mkdtemp(prefix="incr_dim_")
     src_path = f"{base}/src"
-    # Materialize the deduped source log sliced into n files; one file per
-    # micro-batch stands in for one ingest window's arrivals.
-    src_recent_tracks(spark, sf_dir).repartition(n_slices).write.parquet(src_path)
+    # Materialize the deduped source log sliced into files; each trigger
+    # drains FILES_PER_BATCH of them, standing in for one ingest window's
+    # arrivals, and the write parallelizes across all cores.
+    src_recent_tracks(spark, sf_dir).repartition(
+        n_slices * FILES_PER_BATCH
+    ).write.parquet(src_path)
     schema = spark.read.parquet(src_path).schema
 
-    state_dirs = [f"{base}/state0", f"{base}/state1"]
-    cur = {"i": -1}
+    # State snapshots are named by the batch id that produced them — the
+    # snapshot name IS the applied-batch marker, so a micro-batch
+    # re-delivered under foreachBatch's at-least-once contract (replayed
+    # after the state write but before the offset commit, in-process or
+    # after a restart) is detected and skipped instead of double-counted.
+    # A transactional table format (Delta/Iceberg MERGE) subsumes this on
+    # a real deployment; the recovery scan below is its snapshot log.
+    import glob as globmod
+    import re as remod
+
+    done = sorted(
+        int(m.group(1))
+        for p in globmod.glob(f"{base}/state_b*")
+        if (m := remod.search(r"state_b(\d+)$", p))
+    )
+    cur = {"batch": done[-1] if done else -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # replayed batch: already folded into the snapshot
         partial = _partials(stg_recent_tracks(batch_df))
-        if cur["i"] >= 0:
-            prev = spark.read.parquet(state_dirs[cur["i"]])
+        if cur["batch"] >= 0:
+            prev = spark.read.parquet(f"{base}/state_b{cur['batch']}")
             partial = prev.unionByName(partial)
         merged = _remerge(partial)
-        nxt = (cur["i"] + 1) % 2
-        merged.write.mode("overwrite").parquet(state_dirs[nxt])
-        cur["i"] = nxt
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        cur["batch"] = batch_id
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(FILES_PER_BATCH))
             .parquet(src_path)
             .writeStream.foreachBatch(merge)
             .option("checkpointLocation", f"{base}/ckpt")
@@ -111,7 +139,7 @@ def stream_dim_track_incremental(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
 
-    state = spark.read.parquet(state_dirs[cur["i"]])
+    state = spark.read.parquet(f"{base}/state_b{cur['batch']}")
     first_date = F.col("dttm_first_played").cast("date")
     return state.select(
         "track_id",

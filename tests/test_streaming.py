@@ -156,3 +156,42 @@ def test_ann_ivf_scores_match_bruteforce(spark):
     assert rows
     for r in rows:
         assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_incremental_dim_matches_batch(spark):
+    """Drained streaming-incremental dim_track equals the batch rebuild —
+    incremental view maintenance's correctness contract."""
+    from spotify_tracks_spark.pipeline import run_models
+    from spotify_tracks_spark.streaming.incremental import stream_dim_track_incremental
+
+    got = stream_dim_track_incremental(spark, SF_SMOKE)
+    want = run_models(spark, SF_SMOKE)["dim_track"]
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got_rows = {tuple(r[c] for c in cols) for r in got.collect()}
+    want_rows = {tuple(r[c] for c in cols) for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """unpivot(pivot(events)) equals the direct long-form count table with
+    zero-filled (day × type) combinations."""
+    from spotify_tracks_spark.operators.analytics import (
+        EVENT_TYPES,
+        events_pivot,
+        events_unpivot,
+    )
+
+    long = events_unpivot(spark, SF_SMOKE)
+    wide = events_pivot(spark, SF_SMOKE)
+    assert long.count() == wide.count() * len(EVENT_TYPES)
+    direct = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(r.day, r.event_type): r.n_events for r in long.collect()}
+    want = {(r.day, r.event_type): r.n_events for r in direct.collect()}
+    # every observed combination matches; everything else is an explicit 0
+    assert want.items() <= got.items()
+    assert all(n == 0 for k, n in got.items() if k not in want)
