@@ -19,7 +19,7 @@ from spotify_tracks_spark.operators import analytics as _an
 from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
-from spotify_tracks_spark.operators.clustering import embedding_kmeans
+from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
 from spotify_tracks_spark.operators.corpus import corpus_prep
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import similarity as _sim
@@ -47,6 +47,12 @@ def _dim_track_window_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tracks_spark.plans import dim_track_window_variant
 
     return dim_track_window_variant(run_models(spark, sf_dir)["stg_recent_tracks"])
+
+
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-width-capped ngram Jaccard dedup (operators/dedup.py): the
+    production skew guard, oracle-checked with the same cap in SQL."""
+    return _dedup.dedup_ngram_jaccard(spark, sf_dir, max_block=_dedup.NGRAM_MAX_BLOCK)
 
 
 def _idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _dedup.dedup_exact,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
+        # the scale-safe configuration (block-width cap bounds the W^2
+        # pair fan-out of boilerplate mega-blocks) with its own oracle
+        "dedup_ngram_jaccard_capped": _ngram_jaccard_capped,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_clusters": _dedup.dedup_clusters,
@@ -152,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative algorithm (Lloyd's): float means are partial-order
         # sensitive — rows-only check by design, properties in tests
         "embedding_kmeans": embedding_kmeans,
+        # the float-free slice of k-means (iteration-0 assignment counts
+        # from raw-vector init centroids) — exact integer oracle pins the
+        # assign step's distance/argmin/tie semantics
+        "embedding_kmeans_init_counts": kmeans_init_counts,
         # events / streaming / sink
         "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
@@ -204,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD,
+        "dedup_ngram_jaccard_capped": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
@@ -212,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
+        "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,

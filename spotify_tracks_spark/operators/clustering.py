@@ -114,6 +114,34 @@ def embedding_kmeans(
     return out
 
 
+def kmeans_init_counts(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> DataFrame:
+    """Iteration-0 assignment counts per cluster — the float-free slice of
+    k-means that a SQL oracle CAN check exactly.
+
+    The init centroids are raw data vectors (the k lowest vec_ids — read,
+    never averaged), so the only float work is distance scoring; the
+    argmin survives engine rounding unless two centroids are within one
+    ulp of equidistant, and the emitted (cluster, n_vectors) rows are pure
+    integers.  This pins the assign step's semantics (distance, argmin,
+    tie-to-lower-id) against the DuckDB oracle; the property tests keep
+    covering the iterative float part.
+
+    Output: (cluster, n_vectors), one row per non-empty init cluster."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, r.e) for i, r in enumerate(seeds)]
+    return (
+        _assign(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(F.col("cluster").cast("long").alias("cluster"), "n_vectors")
+    )
+
+
 def kmeans_inertia(spark: SparkSession, sf_dir: str, n_iters: int) -> float:
     """Total within-cluster squared distance after n_iters (for tests)."""
     df = embedding_kmeans(spark, sf_dir, n_iters=n_iters)

@@ -39,6 +39,10 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_K = 8
+# Production block-width cap for dedup_ngram_jaccard_capped: a shared
+# boilerplate shingle block of W docs costs W(W-1)/2 candidate pairs, so
+# bounding W bounds the worst-case fan-out of the self-join.
+NGRAM_MAX_BLOCK = 64
 SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 8
 

@@ -21,12 +21,14 @@ from .operators.dedup import (
     MINHASH_P,
     N_BANDS,
     N_HASHES,
+    NGRAM_MAX_BLOCK,
     ROWS_PER_BAND,
     SHINGLE_K,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
 from .operators.analytics import EVENT_TYPES, SAMPLE_PCT, TOPK_PER_USER
+from .operators.clustering import K_CLUSTERS
 from .operators.events import SESSION_GAP_MINUTES
 from .operators.text_analysis import BPE_RE, LANG_STOPWORDS
 
@@ -145,6 +147,34 @@ pairs as (
              / len(list_distinct(a.hs || b.hs)) as jaccard
     from blocked a
     join blocked b on a.block = b.block and a.doc_id < b.doc_id
+)
+select * from pairs where jaccard >= 0.5
+"""
+)
+
+# Capped variant: drop blocks wider than NGRAM_MAX_BLOCK before pairing —
+# the scale-safe configuration (bounded W(W-1)/2 fan-out), proven correct
+# here rather than left as an untested footnote.
+DEDUP_NGRAM_JACCARD_CAPPED = (
+    _SHINGLE_CTES
+    + f""",
+blocked as (
+    select doc_id, hs, list_min(hs) as block
+    from sh
+),
+kept as (
+    select b.doc_id, b.hs, b.block
+    from blocked b
+    join (select block from blocked group by block
+          having count(*) <= {NGRAM_MAX_BLOCK}) ok
+      on b.block = ok.block
+),
+pairs as (
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           len(list_intersect(a.hs, b.hs))
+             / len(list_distinct(a.hs || b.hs)) as jaccard
+    from kept a
+    join kept b on a.block = b.block and a.doc_id < b.doc_id
 )
 select * from pairs where jaccard >= 0.5
 """
@@ -321,6 +351,33 @@ DEDUP_EMBEDDING = f"""
 with top1 as ({_TOP1})
 select query_id, neighbor_id, cos, cos >= 0.95 as is_near_dup
 from top1
+"""
+
+# Iteration-0 k-means assignment counts (clustering.py:kmeans_init_counts):
+# init centroids are the k lowest vec_ids' raw vectors, distance is
+# elementwise (x-c)*(x-c) summed, argmin ties break to the lower cluster
+# id — all of which survives engine float rounding because the emitted
+# rows are integer counts and the centroids are data, not means.
+KMEANS_INIT_COUNTS = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+seeds as (
+    select row_number() over (order by vec_id) - 1 as cluster, e as c
+    from emb order by vec_id limit {K_CLUSTERS}
+),
+scored as (
+    select emb.vec_id, seeds.cluster,
+           list_sum(list_transform(generate_series(1, len(emb.e)),
+                    i -> (emb.e[i] - seeds.c[i]) * (emb.e[i] - seeds.c[i]))) as d
+    from emb cross join seeds
+),
+ranked as (
+    select vec_id, cluster,
+           row_number() over (partition by vec_id order by d, cluster) as rn
+    from scored
+)
+select cluster, count(*) as n_vectors
+from ranked where rn = 1
+group by cluster
 """
 
 EVENTS_SUMMARY = """

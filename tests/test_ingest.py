@@ -190,3 +190,94 @@ def test_custom_datasource_streams_pages(spark, tmp_path):
     pages_file.write_text(json.dumps(pages + [new_page]))
     drain()
     assert len(spark.read.parquet(str(out)).collect()) == n_first + 1
+
+
+# --- OAuth token lifecycle (sources/auth.py) ---
+
+class _FakeSpotify:
+    """Offline transport fixture: a token server + an API that rejects
+    expired bearers with 401, mirroring the reference's check -> refresh
+    -> store flow (flows/pull_recent_tracks.py:73-109)."""
+
+    def __init__(self, valid_token="fresh", rotate_refresh=None):
+        self.valid_token = valid_token
+        self.rotate_refresh = rotate_refresh
+        self.refresh_calls = 0
+        self.page = {"items": [], "next": None}
+
+    def __call__(self, method, url, headers, data):
+        if method == "POST" and "api/token" in url:
+            self.refresh_calls += 1
+            assert data["grant_type"] == "refresh_token"
+            body = {"access_token": self.valid_token}
+            if self.rotate_refresh:
+                body["refresh_token"] = self.rotate_refresh
+            return 200, body
+        bearer = headers.get("Authorization", "")
+        if bearer != f"Bearer {self.valid_token}":
+            return 401, {"error": "expired"}
+        return 200, self.page if "recently-played" in url else {"ok": True}
+
+
+def test_token_provider_refreshes_expired_token():
+    from spotify_tracks_spark.sources.auth import InMemoryTokenStore, TokenProvider
+
+    api = _FakeSpotify(valid_token="fresh")
+    store = InMemoryTokenStore("stale", "refresh-1")
+    provider = TokenProvider(store, api, client_id="cid", client_secret="sec")
+    assert provider.token() == "fresh"
+    assert api.refresh_calls == 1
+    # refresh token is KEPT when the endpoint doesn't rotate it
+    assert store.load() == ("fresh", "refresh-1")
+    # second call: stored token now passes the check, no second refresh
+    assert provider.token() == "fresh"
+    assert api.refresh_calls == 1
+
+
+def test_token_provider_stores_rotated_refresh_token():
+    from spotify_tracks_spark.sources.auth import InMemoryTokenStore, TokenProvider
+
+    api = _FakeSpotify(valid_token="fresh", rotate_refresh="refresh-2")
+    store = InMemoryTokenStore("stale", "refresh-1")
+    TokenProvider(store, api).token()
+    assert store.load() == ("fresh", "refresh-2")
+
+
+def test_authorized_fetcher_retries_once_on_mid_pagination_401():
+    """Token expires BETWEEN the validity check and the page fetch: the
+    fetcher must refresh once and retry, and pagination proceeds."""
+    from spotify_tracks_spark.sources.auth import (
+        InMemoryTokenStore,
+        TokenProvider,
+        authorized_fetcher,
+    )
+
+    class _ExpiringApi(_FakeSpotify):
+        def __call__(self, method, url, headers, data):
+            if method == "GET" and "recently-played" in url and self.valid_token == "t0":
+                self.valid_token = "t1"  # expire the just-checked token
+            return super().__call__(method, url, headers, data)
+
+    api = _ExpiringApi(valid_token="t0")
+    api.page = {"items": [{"x": 1}], "next": None}
+    store = InMemoryTokenStore("t0", "refresh-1")
+    fetch = authorized_fetcher(TokenProvider(store, api), api)
+    pages = fetch_pages(fetch)
+    assert pages == [{"items": [{"x": 1}], "next": None}]
+    assert api.refresh_calls == 1
+    assert store.load()[0] == "t1"
+
+
+def test_token_provider_refresh_failure_raises():
+    from spotify_tracks_spark.sources.auth import (
+        InMemoryTokenStore,
+        RefreshError,
+        TokenProvider,
+    )
+
+    def dead_transport(method, url, headers, data):
+        return (400, {}) if method == "POST" else (401, {})
+
+    provider = TokenProvider(InMemoryTokenStore("stale", "r"), dead_transport)
+    with pytest.raises(RefreshError):
+        provider.token()
