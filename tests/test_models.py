@@ -103,3 +103,39 @@ def test_scan_prunes_columns(spark):
     assert li is not None
     read_cols = {c.split(":")[0] for c in li.split(",")}
     assert read_cols == {"l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate"}, read_cols
+
+
+def test_lineage_closes_over_model_dag(spark):
+    """Lineage/exposure metadata stays true: every node resolves, the
+    graph covers exactly the built models, and reports feed the declared
+    dashboard exposure."""
+    from spotify_tracks_spark.metadata import EXPOSURES, LINEAGE, consumers
+
+    models = run_models(spark, SF_SMOKE)
+    assert set(LINEAGE) == set(models)
+    for name, deps in LINEAGE.items():
+        assert all(d in LINEAGE for d in deps), (name, deps)
+    for exp in EXPOSURES.values():
+        assert all(d in LINEAGE for d in exp["depends_on"])
+    cons = consumers()
+    # staging is read by every level-2 model; reports terminate in exposures
+    assert set(cons["stg_recent_tracks"]) == {
+        "dim_track", "dim_artist", "dim_album", "fct_played_track"
+    }
+    for rpt in ("rpt_track_counts", "rpt_artist_counts", "rpt_discovery_rate"):
+        assert "tracks_dashboard" in cons[rpt]
+
+
+def test_column_docs_match_schemas(spark):
+    """Documented columns exist in the built DataFrames; models with full
+    docs document every column — docs cannot silently rot."""
+    from spotify_tracks_spark.metadata import MODEL_DOCS
+
+    models = run_models(spark, SF_SMOKE)
+    assert set(MODEL_DOCS) == set(models)
+    for name, doc in MODEL_DOCS.items():
+        actual = set(models[name].columns)
+        documented = set(doc["columns"])
+        assert documented <= actual, (name, documented - actual)
+        if documented:  # fully-documented models: no undocumented columns
+            assert documented == actual, (name, actual - documented)
