@@ -168,17 +168,34 @@ def dedup_ngram_jaccard(
         blocked = blocked.join(F.broadcast(wide.select("block")), "block", "left_anti")
     a = blocked.alias("a")
     b = blocked.alias("b")
-    pairs = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
     # |A∪B| = |A|+|B|-|A∩B| over distinct-element sets: one hash-set build
     # per pair instead of two (array_union is as expensive as the
     # intersect); subexpression elimination reuses the intersect size.
     n_inter = F.size(F.array_intersect("a.hs", "b.hs"))
     jac = n_inter / (F.size("a.hs") + F.size("b.hs") - n_inter)
+    # Size-bound prefilter (implied by the threshold: J ≤ min(|A|,|B|) /
+    # max(|A|,|B|)) ahead of the jaccard term in the join condition — the
+    # O(1) ratio check prunes a matched pair before its O(|A|+|B|)
+    # intersect.  Written inside the ON clause so the predicate order is
+    # ours (a threshold filter applied after .select gets pushed into the
+    # condition *ahead* of the cheap checks — measured 2× slower).
+    size_ok = (
+        F.least(F.size("a.hs"), F.size("b.hs"))
+        / F.greatest(F.size("a.hs"), F.size("b.hs"))
+        >= threshold
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok
+        & (jac >= threshold),
+    )
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         jac.alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    )
 
 
 def signatures_from_hash_sets(sh: DataFrame) -> DataFrame:
