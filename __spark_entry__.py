@@ -55,6 +55,11 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_ngram_jaccard(spark, sf_dir, max_block=_dedup.NGRAM_MAX_BLOCK)
 
 
+def _dedup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup at threshold 0.35 (see queries())."""
+    return _sim.dedup_embedding_corpus(spark, sf_dir, near_dup_threshold=0.35)
+
+
 def _idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflict-ignoring append demo: overlapping halves of ``events``
     (operators/idempotent_sink.py); result = set union on event_id."""
@@ -158,6 +163,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _sim.ann_topk_lsh,
         "ann_topk_ivf": _sim.ann_topk_ivf,
         "dedup_embedding": _sim.dedup_embedding,
+        # corpus-wide near-dup pairs (sign-bucket self-join + in-bucket
+        # cosine verify) — the scale path the probe-set top-1 stops short
+        # of.  The synthetic embeddings are isotropic (max corpus cosine
+        # ≈ 0.51), so the driver entry lowers the threshold to 0.35 to
+        # exercise the verify path on real pairs; 0.95 stays the
+        # production default for actual near-dup corpora.
+        "dedup_embedding_corpus": _dedup_embedding_corpus,
         # iterative algorithm (Lloyd's): float means are partial-order
         # sensitive — rows-only check by design, properties in tests
         "embedding_kmeans": embedding_kmeans,
@@ -226,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
+        "dedup_embedding_corpus": oracles_ext.DEDUP_EMBEDDING_CORPUS,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,

@@ -198,3 +198,45 @@ def dedup_embedding(
         "cos",
         (F.col("cos") >= near_dup_threshold).alias("is_near_dup"),
     )
+
+
+def dedup_embedding_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup_threshold: float = 0.95,
+    dims: int = SIG_DIMS,
+) -> DataFrame:
+    """CORPUS-WIDE embedding near-dup pairs — the scale path
+    ``dedup_embedding`` (a probe-set top-1 scan) stops short of.
+
+    One narrow signature projection over the corpus, a self-equi-join on
+    the sign-bit bucket, exact cosine verification inside buckets: the
+    all-pairs O(N²) cross product becomes Σ_b |bucket_b|² with only one
+    shuffle on the signature key — the same blocked-verify shape as the
+    minhash/simhash text dedups, applied to the vector column.  Recall
+    < 1 by bucketing design (a near-dup pair straddling a sign boundary
+    in the leading dims is missed); the oracle applies the same bucketing
+    so the emitted set still hash-matches exactly, and high-cosine pairs
+    agree on most signs, so leading-dim buckets catch most of them.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b and cos ≥ threshold."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    sigs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        _sign_signature(F.col("embedding"), dims).alias("sig"),
+    ).persist()
+    sigs.count()  # pin one computation before the self-join (see dedup.py)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cos = cosine(F.col("a.e"), F.col("b.e"))
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (cos >= near_dup_threshold),
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos"),
+    )

@@ -353,6 +353,23 @@ select query_id, neighbor_id, cos, cos >= 0.95 as is_near_dup
 from top1
 """
 
+# Corpus-wide embedding near-dup (similarity.py:dedup_embedding_corpus):
+# mirrors the sign-bit bucketing (like ANN_TOPK_LSH — the bucketing is the
+# operator's contract), exact cosine verified inside buckets.
+DEDUP_EMBEDDING_CORPUS = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+sigs as (select vec_id, e, {_SIGN_SIG.format(e='e')} as sig from emb),
+pairs as (
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))) as cos
+    from sigs a join sigs b on a.sig = b.sig and a.vec_id < b.vec_id
+)
+select vec_a, vec_b, round(cos, 6) as cos
+from pairs where cos >= 0.35
+"""
+
 # Iteration-0 k-means assignment counts (clustering.py:kmeans_init_counts):
 # init centroids are the k lowest vec_ids' raw vectors, distance is
 # elementwise (x-c)*(x-c) summed, argmin ties break to the lower cluster

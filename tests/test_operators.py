@@ -376,3 +376,28 @@ def test_dedup_clusters_paths_agree(spark):
     fast = dedup.dedup_clusters(spark, SF_SMOKE)
     dist = dedup.dedup_clusters(spark, SF_SMOKE, small_graph_edges=0)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_dedup_embedding_corpus_contract(spark):
+    """Corpus-wide near-dup: ordered pairs, threshold respected, same
+    bucket by construction, and cosine agrees with a direct computation."""
+    from spotify_tracks_spark.operators.similarity import (
+        _sign_signature,
+        cosine,
+        dedup_embedding_corpus,
+    )
+
+    rows = dedup_embedding_corpus(spark, SF_SMOKE, near_dup_threshold=0.3).collect()
+    assert rows, "threshold 0.3 should emit pairs on the smoke corpus"
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    sig = {r.vec_id: r.s for r in emb.select("vec_id", _sign_signature(F.col("embedding")).alias("s")).collect()}
+    e = {r.vec_id: r.embedding for r in emb.collect()}
+    import math
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cos >= 0.3
+        assert sig[r.vec_a] == sig[r.vec_b]
+        dot = sum(float(x) * float(y) for x, y in zip(e[r.vec_a], e[r.vec_b]))
+        na = math.sqrt(sum(float(x) ** 2 for x in e[r.vec_a]))
+        nb = math.sqrt(sum(float(x) ** 2 for x in e[r.vec_b]))
+        assert abs(r.cos - dot / (na * nb)) < 1e-5
