@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / streaming / sink
         "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
+        # built-in session_window formulation — the batch/streaming-unified
+        # native session aggregate; same rows, same oracle
+        "events_sessionize_native": _events.events_sessionize_native,
         "events_percentiles": _events.events_percentiles,
         "events_rollup": _events.events_rollup,
         # sketch scale path: approximate by construction — no oracle entry,
@@ -189,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bands": events_value_bands,
         # analytics surface: top-k per group, pivot, deterministic sample
         "events_topk_per_user": _an.events_topk_per_user,
+        # two-phase salted top-k: the skew-proof form, byte-identical
+        # result (top-k is mergeable), same oracle
+        "events_topk_per_user_salted": _an.events_topk_per_user_salted,
         "events_pivot": _an.events_pivot,
         "events_unpivot": _an.events_unpivot,
         "events_sample": _an.events_sample,
@@ -242,11 +248,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
+        "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
+        "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_pivot": oracles_ext.EVENTS_PIVOT,
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "events_sample": oracles_ext.EVENTS_SAMPLE,

@@ -42,6 +42,45 @@ def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALTS = 8
+
+
+def events_topk_per_user_salted(
+    spark: SparkSession, sf_dir: str, n_salts: int = N_SALTS
+) -> DataFrame:
+    """Two-phase salted top-k — the skew-proof form of
+    ``events_topk_per_user``.
+
+    A hot key (one user with 10% of a 100 TB event log) serializes the
+    single-shuffle window form: every row for that user lands in ONE task.
+    Top-k is mergeable (top-k of a union = top-k of per-part top-ks), so
+    phase 1 ranks within (user_id, salt) — the hot user's rows spread over
+    ``n_salts`` tasks, each keeping k — and phase 2 re-ranks the surviving
+    ≤ k·n_salts rows per user, a shuffle of k·n_salts·|users| rows instead
+    of the full log.  The salt is a hash of the unique event_id:
+    deterministic (re-runs bucket identically — no nondeterministic
+    repartition), uniform, and engine-independent.  Result is
+    byte-identical to the unsalted form (same total order, same oracle).
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    salt = F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy("user_id", "salt").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    partial = (
+        ev.withColumn("salt", salt)
+        .withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= TOPK_PER_USER)
+        .drop("rnk", "salt")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= TOPK_PER_USER)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
 def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events per (day × event_type) as a wide table, one column per type.
 

@@ -61,6 +61,39 @@ def events_sessionize(
     )
 
 
+def events_sessionize_native(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """``events_sessionize`` via Spark's built-in ``session_window``.
+
+    The native session aggregate merges overlapping [ts, ts+gap) windows
+    per group — one hash-aggregate shuffle on (user_id, window), no window
+    functions, and the SAME operator works unchanged over a watermarked
+    stream (the batch/streaming-unified path).  Emitted result equals the
+    lag-based formulation (same oracle) — Spark closes a session when the
+    next event is ≥ gap after the last, the lag form when it is > gap; the
+    two differ only for a gap of exactly ``gap_minutes`` to the
+    microsecond, which the oracle run would surface as a hash mismatch.
+    ``session_no`` (a running index per user) needs one extra step:
+    row_number over session_start — a second shuffle the lag form avoids;
+    at scale prefer this variant when downstreams key on the window
+    itself rather than an ordinal."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    from pyspark.sql import Window as W
+
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    win = W.partitionBy("user_id").orderBy("session_start")
+    return sw.withColumn("session_no", F.row_number().over(win) - 1).select(
+        "user_id", "session_no", "session_start", "session_end", "n_events"
+    )
+
+
 def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of ``value`` per event type.
 
