@@ -82,6 +82,23 @@ def _events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_dedup_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ingest via dropDuplicatesWithinWatermark — the successor API
+    with contract-guaranteed state eviction (streaming/ingest.py)."""
+    import tempfile
+
+    from spotify_tracks_spark.streaming import stream_events_dedup
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_ww_")
+    return stream_events_dedup(
+        spark,
+        sf_dir,
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        within_watermark=True,
+    )
+
+
 def _events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregate (watermark, append mode)."""
     from spotify_tracks_spark.streaming import stream_events_windowed
@@ -202,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
         "events_stream_dedup": _events_stream_dedup,
+        # dropDuplicatesWithinWatermark variant: contract-guaranteed state
+        # eviction (the long-running-deployment call); same oracle
+        "events_stream_dedup_within_watermark": _events_stream_dedup_ww,
         "events_stream_window": _events_stream_window,
         "events_stream_sessionize": _events_stream_sessionize,
         # NB: streaming/stateful_tws.py holds a transformWithStateInPandas
@@ -262,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
+        "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,

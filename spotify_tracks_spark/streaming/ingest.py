@@ -35,9 +35,18 @@ def stream_events_dedup(
     checkpoint_dir: str,
     watermark: str = "1 day",
     key: str = "event_id",
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Run the streaming ingest over the events table (availableNow) and
-    return the resulting deduplicated sink table as a batch DataFrame."""
+    return the resulting deduplicated sink table as a batch DataFrame.
+
+    ``within_watermark=True`` swaps ``dropDuplicates`` for
+    ``dropDuplicatesWithinWatermark``: the successor API whose state
+    eviction is *guaranteed* by contract (a key expires once the watermark
+    passes its first-seen event time) instead of by the implicit
+    dropDuplicates+watermark interaction — the call a long-running
+    deployment should make.  Identical drained result here (the testdata
+    has no cross-watermark duplicate keys), same oracle."""
     # `ts` is normalized to a microsecond timestamp before the watermark via
     # the shared dtype-guarded helper (sources/tables.py) — a no-op for the
     # timestamp[us] testdata, a lossless integer conversion for nanos-as-long.
@@ -53,14 +62,15 @@ def stream_events_dedup(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
+    marked = normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).withWatermark("ts", watermark)
     stream = (
-        normalize_events_ts(
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        .withWatermark("ts", watermark)
-        .dropDuplicates([key])
+        marked.dropDuplicatesWithinWatermark([key])
+        if within_watermark
+        else marked.dropDuplicates([key])
     )
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
