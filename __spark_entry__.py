@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_native": _events.events_sessionize_native,
         "events_percentiles": _events.events_percentiles,
         "events_rollup": _events.events_rollup,
+        # CUBE: all four grouping sets in the same single Expand+Aggregate
+        "events_cube": _events.events_cube,
+        # ntile window class + per-bucket boundary stats
+        "events_value_quartiles": _events.events_value_quartiles,
         # sketch scale path: approximate by construction — no oracle entry,
         # the driver records a rows-only check (tolerance asserted in tests)
         "events_approx_stats": _events.events_approx_stats,
@@ -271,6 +275,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_rollup": oracles_ext.EVENTS_ROLLUP,
+        "events_cube": oracles_ext.EVENTS_CUBE,
+        "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,

@@ -138,6 +138,50 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, day): all four grouping sets — (type, day),
+    (type), (day), () — in ONE Expand+Aggregate pass, the
+    ``events_rollup`` shape plus the per-day-across-types slice ROLLUP
+    omits.  Same single shuffle; the Expand doubles rows vs rollup's ×3
+    (4 grouping sets vs 3), still linear in input.
+
+    Exact aggregates only (see events_rollup: float SUM would be
+    partial-order-dependent and break hash parity)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id", "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quartile assignment via ``ntile(4)`` — the ranking
+    window class (ntile) the other operators don't exercise, plus exact
+    quartile boundary stats per bucket.
+
+    One shuffle on event_type, one sort per partition feeding both the
+    ntile and the boundary aggregates.  ntile splits ties by sort order,
+    so the order-by includes the unique event_id to stay a total order —
+    deterministic buckets, oracle-checkable."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .withColumn("quartile", F.col("quartile").cast("long"))
+    )
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path for events_summary/events_percentiles:
     HLL++ distinct counts and t-digest percentiles — bounded memory at any

@@ -556,6 +556,31 @@ from events
 group by rollup(event_type, cast(ts as date))
 """
 
+EVENTS_CUBE = """
+select event_type, cast(ts as date) as day,
+       cast(grouping(event_type, cast(ts as date)) as bigint) as gid,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       min(value) as min_value,
+       max(value) as max_value
+from events
+group by cube(event_type, cast(ts as date))
+"""
+
+# ntile ties split by sort order; (value, event_id) is a total order, so
+# both engines assign identical buckets.
+EVENTS_VALUE_QUARTILES = """
+with t as (
+    select event_type, value,
+           ntile(4) over (partition by event_type order by value, event_id) as quartile
+    from events
+)
+select event_type, cast(quartile as bigint) as quartile,
+       count(*) as n_events, min(value) as lo, max(value) as hi
+from t
+group by event_type, quartile
+"""
+
 # Range join oracle: the NAIVE theta join — the binned equi-join rewrite
 # (operators/range_join.py) must reproduce it exactly.
 EVENTS_VALUE_BANDS = """
