@@ -195,3 +195,27 @@ def test_unpivot_roundtrips_pivot(spark):
     # every observed combination matches; everything else is an explicit 0
     assert want.items() <= got.items()
     assert all(n == 0 for k, n in got.items() if k not in want)
+
+
+def test_stream_dedup_restart_is_idempotent(spark, tmp_path):
+    """Draining the same source twice against one checkpoint must not
+    duplicate the sink (at-least-once micro-batches -> exactly-once table
+    effect), and a fresh-checkpoint re-run over the same out_dir must
+    anti-join away every existing key."""
+    from spotify_tracks_spark.streaming import stream_events_dedup
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    first = stream_events_dedup(spark, SF_SMOKE, out_dir=out, checkpoint_dir=ckpt)
+    n = first.count()
+    ev_ids = read_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert n == ev_ids
+    # same checkpoint: no new files -> no new batches -> sink unchanged
+    again = stream_events_dedup(spark, SF_SMOKE, out_dir=out, checkpoint_dir=ckpt)
+    assert again.count() == n
+    # NEW checkpoint, same sink: source replays fully, idempotent append
+    # must drop every already-present key
+    replay = stream_events_dedup(
+        spark, SF_SMOKE, out_dir=out, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert replay.count() == n
+    assert replay.select("event_id").distinct().count() == n
