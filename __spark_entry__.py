@@ -209,6 +209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch scale path: approximate by construction — no oracle entry,
         # the driver records a rows-only check (tolerance asserted in tests)
         "events_approx_stats": _events.events_approx_stats,
+        # VARIANT-type semi-structured extraction (parse once, typed gets)
+        "events_props_variant": _events.events_props_variant,
+        # mergeable HLL sketch rollup (daily partials union-merged per
+        # type, no rescan) — approximate ⇒ rows-only; tolerance in tests
+        "events_user_sketch_rollup": _events.events_user_sketch_rollup,
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_value_bands": events_value_bands,
         # analytics surface: top-k per group, pivot, deterministic sample
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_cube": oracles_ext.EVENTS_CUBE,
+        "events_props_variant": oracles_ext.EVENTS_PROPS_VARIANT,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,

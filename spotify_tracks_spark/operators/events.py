@@ -182,6 +182,57 @@ def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4) — the
+    modern path for the props column: ``parse_json`` once into a binary
+    variant, typed ``try_variant_get`` extractions after, instead of
+    re-parsing the JSON string per ``get_json_object`` path expression.
+    On a real table the variant column is materialized at ingest and every
+    downstream read skips string parsing entirely (shredded storage).
+
+    Integer-only aggregates ⇒ exact DuckDB oracle (json_extract)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(type, day) HLL sketches of user_id,
+    union-merged per type WITHOUT rescanning rows — the pattern that makes
+    100 TB distinct-count rollups incremental (store daily sketch partials
+    ~KB each; any coarser rollup is a sketch merge, not a scan).
+
+    Two-stage aggregate: ``hll_sketch_agg`` shuffles one sketch per
+    (type, day) group; ``hll_union_agg`` merges the handful of daily
+    sketches per type.  Approximate by construction ⇒ rows-only driver
+    check; the test suite bounds the estimate against exact
+    countDistinct (HLL++ at lgConfigK=12 is ~2% rsd)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        )
+    )
+
+
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path for events_summary/events_percentiles:
     HLL++ distinct counts and t-digest percentiles — bounded memory at any

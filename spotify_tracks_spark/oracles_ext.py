@@ -556,6 +556,16 @@ from events
 group by rollup(event_type, cast(ts as date))
 """
 
+EVENTS_PROPS_VARIANT = """
+select event_type,
+       count(json_extract_string(props, '$.k')) as n_with_k,
+       cast(sum(json_extract_string(props, '$.k')::bigint) as bigint) as sum_k,
+       min(json_extract_string(props, '$.k')::bigint) as min_k,
+       max(json_extract_string(props, '$.k')::bigint) as max_k
+from events
+group by event_type
+"""
+
 EVENTS_CUBE = """
 select event_type, cast(ts as date) as day,
        cast(grouping(event_type, cast(ts as date)) as bigint) as gid,

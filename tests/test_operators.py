@@ -418,3 +418,23 @@ def test_salted_topk_equals_unsalted(spark):
             for r in events_topk_per_user_salted(spark, SF_SMOKE, n_salts=n_salts).collect()
         }
         assert got == want, f"n_salts={n_salts}"
+
+
+def test_sketch_rollup_estimate_close_to_exact(spark):
+    """Merged daily HLL sketches estimate per-type distinct users within
+    HLL++ tolerance of the exact count (and exactly for small counts)."""
+    from spotify_tracks_spark.operators.events import events_user_sketch_rollup
+
+    got = {r.event_type: r for r in events_user_sketch_rollup(spark, SF_SMOKE).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, r in got.items():
+        assert abs(r.approx_users - exact[t]) <= max(3, 0.05 * exact[t]), (
+            t, r.approx_users, exact[t]
+        )
