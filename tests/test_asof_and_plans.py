@@ -230,3 +230,24 @@ def test_kmeans_properties(spark):
 
     again = embedding_kmeans(spark, SF_SMOKE).collect()
     assert {(r.vec_id, r.cluster) for r in out} == {(r.vec_id, r.cluster) for r in again}
+
+
+def test_scan_column_pruning_reaches_parquet(spark):
+    """The scale story rests on projections reaching the scan: operators
+    must not read columns they don't use (ReadSchema is the contract)."""
+    import re
+
+    from spotify_tracks_spark.operators.analytics import events_sample
+    from spotify_tracks_spark.operators.text_analysis import text_tokens
+
+    def read_schemas(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+    # text_tokens touches only (doc_id, text) of the 5-column documents table
+    [schema] = read_schemas(text_tokens(spark, SF_SMOKE))
+    assert sorted(c.split(":")[0] for c in schema.split(",")) == ["doc_id", "text"]
+
+    # events_sample never materializes the props JSON column
+    for schema in read_schemas(events_sample(spark, SF_SMOKE)):
+        assert "props" not in schema
