@@ -46,7 +46,12 @@ def test_write_models_fact_partition_pruning(spark, tmp_path):
 
     out = str(tmp_path / "marts")
     models = run_models(spark, SF_SMOKE)
-    write_models(models, out)
+    counts = write_models(models, out)
+    # Observation metrics ride the write job itself (no second scan) and
+    # must equal the actual written row counts
+    assert set(counts) == set(models)
+    for name in ("fct_played_track", "dim_track"):
+        assert counts[name] == spark.read.parquet(f"{out}/{name}").count()
 
     part_dirs = [d for d in os.listdir(f"{out}/fct_played_track") if d.startswith("play_date=")]
     assert len(part_dirs) > 1, "fact not date-partitioned"
