@@ -281,3 +281,26 @@ def test_token_provider_refresh_failure_raises():
     provider = TokenProvider(InMemoryTokenStore("stale", "r"), dead_transport)
     with pytest.raises(RefreshError):
         provider.token()
+
+
+def test_flatten_udtf_equals_expression_flatten(spark):
+    """The Python UDTF flatten (lateral join API class) is pinned
+    byte-equal to the expression flatten — same rows, same columns."""
+    from spotify_tracks_spark.sources.json_flatten import (
+        flatten_payload,
+        flatten_payload_udtf,
+    )
+
+    pages = [
+        {"items": [
+            _item("Song A", "Album X", ["P1", "P2"], "2024-05-01T10:00:00Z"),
+            _item("Song B", "Album Y", ["Q"], "2024-05-01T11:00:00Z", context="playlist"),
+        ], "next": "u2"},
+        {"items": [_item("Song C", "Album X", [], "2024-05-02T09:30:00Z")], "next": None},
+        {"items": [], "next": None},
+    ]
+    raw = pages_to_df(spark, pages)
+    want = flatten_payload(raw)
+    got = flatten_payload_udtf(raw)
+    assert got.columns == want.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
