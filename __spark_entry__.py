@@ -25,7 +25,11 @@ from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
-from spotify_tracks_spark.operators.multimodal import multimodal_bytes, multimodal_frames
+from spotify_tracks_spark.operators.multimodal import (
+    multimodal_bytes,
+    multimodal_bytes_arrow,
+    multimodal_frames,
+)
 from spotify_tracks_spark.sinks.publish import publish_roundtrip
 from spotify_tracks_spark.sql_api import sql_top_artists
 from spotify_tracks_spark.sources.tables import read_table
@@ -241,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join": _events_stream_join,
         # multimodal plumbing
         "multimodal_bytes": multimodal_bytes,
+        # mapInArrow sibling: zero-copy RecordBatches, no pandas
+        # materialization of the binary column; same oracle
+        "multimodal_bytes_arrow": multimodal_bytes_arrow,
         "multimodal_frames": multimodal_frames,
     }
     return q
@@ -299,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
+        "multimodal_bytes_arrow": oracles_ext.MULTIMODAL_BYTES,
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "sql_top_artists": oracles.SQL_TOP_ARTISTS,
