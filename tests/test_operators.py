@@ -212,7 +212,11 @@ def test_copy_to_sqlite_preserves_nulls(spark):
 # non-SQL-expressible / approximate ops; each is property-tested instead):
 # - embedding_kmeans: iterative Lloyd's, float means partial-order sensitive
 # - events_approx_stats: HLL++/t-digest sketches, approximate by construction
-ROWS_ONLY = {"embedding_kmeans", "events_approx_stats"}
+ROWS_ONLY = {
+    "embedding_kmeans",
+    "events_approx_stats",
+    "events_user_sketch_rollup",  # HLL estimates: tolerance-tested instead
+}
 
 
 def test_every_query_has_oracle():
