@@ -219,3 +219,27 @@ def test_stream_dedup_restart_is_idempotent(spark, tmp_path):
     )
     assert replay.count() == n
     assert replay.select("event_id").distinct().count() == n
+
+
+def test_normalize_events_ts_both_layouts(spark):
+    """normalize_events_ts yields identical TimestampType micros whether
+    the source delivers timestamp[us] (current testdata) or epoch-nanos
+    bigint (TIMESTAMP(NANOS) read with nanosAsLong)."""
+    import datetime
+
+    from spotify_tracks_spark.sources.tables import normalize_events_ts
+
+    base = datetime.datetime(2024, 3, 10, 1, 59, 59, 123456)  # near a DST edge
+    micros = int(base.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**6 + 123456
+    as_ntz = spark.createDataFrame([(1, base)], "event_id long, ts timestamp_ntz")
+    as_nanos = spark.createDataFrame([(1, micros * 1000)], "event_id long, ts long")
+
+    out_ntz = normalize_events_ts(as_ntz)
+    out_nanos = normalize_events_ts(as_nanos)
+    assert dict(out_ntz.dtypes)["ts"] == "timestamp"
+    assert dict(out_nanos.dtypes)["ts"] == "timestamp"
+    v_ntz = out_ntz.collect()[0].ts
+    v_nanos = out_nanos.collect()[0].ts
+    assert v_ntz == v_nanos == base
+    # already-normalized input passes through untouched
+    assert dict(normalize_events_ts(out_ntz).dtypes)["ts"] == "timestamp"
