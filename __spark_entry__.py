@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _an.events_pivot,
         "events_unpivot": _an.events_unpivot,
         "events_sample": _an.events_sample,
+        # per-stratum rates (class rebalancing): rare conversions kept,
+        # high-volume types downsampled; same hash-mod determinism
+        "events_sample_stratified": _an.events_sample_stratified,
         "events_set_ops": _an.events_set_ops,
         "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
@@ -297,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracles_ext.EVENTS_PIVOT,
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "events_sample": oracles_ext.EVENTS_SAMPLE,
+        "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
         "events_set_ops": oracles_ext.EVENTS_SET_OPS,
         "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,

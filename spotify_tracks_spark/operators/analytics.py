@@ -143,6 +143,35 @@ def events_sample(spark: SparkSession, sf_dir: str, pct: int = SAMPLE_PCT) -> Da
     )
 
 
+# Per-type sampling rates for the stratified sample: downsample the
+# high-volume interaction types hard, keep every rare conversion event —
+# the class-rebalancing shape a training pipeline actually runs.
+STRATA_PCT = {"view": 5, "click": 10, "error": 50, "signup": 100, "purchase": 100}
+
+
+def events_sample_stratified(
+    spark: SparkSession, sf_dir: str, strata: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each event_type gets its own
+    hash-mod rate (``df.stat.sampleBy``'s job, minus its partition-order-
+    dependent rand(seed) — this is stable under repartitioning and
+    engine-portable, so it oracle-checks).
+
+    The rate lookup compiles to a tiny CASE over event_type beside the
+    same scan-side hash filter as ``events_sample`` — no shuffle, no
+    state, and strata unlisted in the map default to 0% (dropped), which
+    is the honest contract for "keep only what you asked for"."""
+    rates = strata if strata is not None else STRATA_PCT
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.pmod(portable_hash60(F.col("event_id").cast("string")), F.lit(100))
+    rate = F.lit(None).cast("int")
+    for etype, pct in sorted(rates.items()):
+        rate = F.when(F.col("event_type") == etype, F.lit(pct)).otherwise(rate)
+    return ev.filter(bucket < F.coalesce(rate, F.lit(0))).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
 def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operator surface (SURVEY.md §2.7 marks these absent in the
     reference): one result with a row per (user_id, cohort) where cohort ∈

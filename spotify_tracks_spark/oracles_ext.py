@@ -646,6 +646,21 @@ from events
 where {_h60('event_id::varchar')} % 100 < {SAMPLE_PCT}
 """
 
+def _strata_case() -> str:
+    from .operators.analytics import STRATA_PCT
+
+    whens = " ".join(
+        f"when event_type = '{t}' then {p}" for t, p in sorted(STRATA_PCT.items())
+    )
+    return f"case {whens} else 0 end"
+
+
+EVENTS_SAMPLE_STRATIFIED = f"""
+select event_id, user_id, event_type, ts, value
+from events
+where {_h60('event_id::varchar')} % 100 < ({_strata_case()})
+"""
+
 # Transitive closure via recursive CTE = the declarative twin of the
 # engine's iterative min-label propagation; min(reachable id) is exactly
 # the converged component label.
