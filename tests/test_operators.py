@@ -329,6 +329,35 @@ def test_sample_deterministic_and_consistent(spark):
     assert a <= c
 
 
+def test_stratified_sample_nests_per_stratum(spark):
+    """Each stratum's draw is the flat hash-mod sample at its own rate —
+    so stratified and flat samples stay join-consistent per type, and a
+    100% stratum keeps every row."""
+    from spotify_tracks_spark.operators.analytics import (
+        STRATA_PCT,
+        events_sample,
+        events_sample_stratified,
+    )
+
+    strat = events_sample_stratified(spark, SF_SMOKE).persist()
+    ev = read_table(spark, SF_SMOKE, "events")
+    for etype, pct in STRATA_PCT.items():
+        got = {
+            r.event_id
+            for r in strat.filter(F.col("event_type") == etype).collect()
+        }
+        want = {
+            r.event_id
+            for r in events_sample(spark, SF_SMOKE, pct=pct)
+            .filter(F.col("event_type") == etype)
+            .collect()
+        }
+        assert got == want, etype
+        if pct == 100:
+            assert len(got) == ev.filter(F.col("event_type") == etype).count()
+    strat.unpersist()
+
+
 # --- dedup clusters (connected components) ---
 
 def test_dedup_clusters_invariants(spark):
