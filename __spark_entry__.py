@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-stratum rates (class rebalancing): rare conversions kept,
         # high-volume types downsampled; same hash-mod determinism
         "events_sample_stratified": _an.events_sample_stratified,
+        # calendar densification: zero rows for unobserved days (spine
+        # generated from aggregate bounds, broadcast join — log-size free)
+        "events_gap_fill": _an.events_gap_fill,
+        # CDC latest-wins compaction: one row per key, newest event
+        "events_dedup_latest": _an.events_dedup_latest,
         "events_set_ops": _an.events_set_ops,
         "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
@@ -301,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "events_sample": oracles_ext.EVENTS_SAMPLE,
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
+        "events_gap_fill": oracles_ext.EVENTS_GAP_FILL,
+        "events_dedup_latest": oracles_ext.EVENTS_DEDUP_LATEST,
         "events_set_ops": oracles_ext.EVENTS_SET_OPS,
         "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,

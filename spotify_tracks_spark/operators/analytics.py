@@ -42,6 +42,61 @@ def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per event_type, one row for EVERY day
+    between that type's first and last event — observed days carry their
+    count, missing days an explicit 0 (time-series models need the zeros;
+    a groupBy only yields observed days).
+
+    The day spine is generated from the aggregated (min, max) bounds via
+    ``sequence``+``explode`` — a per-type projection over the TINY
+    aggregate output (|types| rows → |types|×|days| spine), never over the
+    event log, and the spine side broadcasts into the left join against
+    the per-day counts.  At 100 TB the spine is still |types|×|days| rows
+    — gap filling costs one aggregate plus a broadcast join regardless of
+    log size."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction: one row per user keeping that user's most
+    recent event — the CDC/upsert-log compaction every mutable-table
+    ingest needs (the keep-FIRST mirror of the ingest dedup).
+
+    ``row_number`` over (ts desc, event_id desc) — the unique event_id
+    tie-break makes it a total order; WindowGroupLimit prunes to one row
+    per key during the sort, so the shuffle is the only full-data cost.
+    At scale this is the compaction step of a MERGE-on-read table."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 N_SALTS = 8
 
 

@@ -646,6 +646,29 @@ from events
 where {_h60('event_id::varchar')} % 100 < {SAMPLE_PCT}
 """
 
+EVENTS_GAP_FILL = """
+with d as (select event_type, cast(ts as date) as day from events),
+counts as (select event_type, day, count(*) as n from d group by event_type, day),
+bounds as (select event_type, min(day) as lo, max(day) as hi from d group by event_type),
+spine as (
+    select event_type, unnest(generate_series(lo, hi, interval 1 day))::date as day
+    from bounds
+)
+select s.event_type, s.day, cast(coalesce(c.n, 0) as bigint) as n_events
+from spine s left join counts c on s.event_type = c.event_type and s.day = c.day
+"""
+
+EVENTS_DEDUP_LATEST = """
+with ranked as (
+    select user_id, event_id, event_type, ts, value,
+           row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+    from events
+)
+select user_id, event_id, event_type, ts, value
+from ranked where rn = 1
+"""
+
+
 def _strata_case() -> str:
     from .operators.analytics import STRATA_PCT
 
