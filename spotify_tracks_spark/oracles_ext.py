@@ -646,6 +646,39 @@ from events
 where {_h60('event_id::varchar')} % 100 < {SAMPLE_PCT}
 """
 
+EVENTS_RETENTION = """
+with act as (
+    select distinct user_id, year(ts) * 100 + week(ts) as week from events
+),
+first as (
+    select user_id, min(week) as cohort_week from act group by user_id
+)
+select f.cohort_week, cast(a.week - f.cohort_week as bigint) as week_offset,
+       count(distinct a.user_id) as n_users
+from act a join first f on a.user_id = f.user_id
+group by f.cohort_week, a.week - f.cohort_week
+"""
+
+EVENTS_FUNNEL = """
+with per_user as (
+    select user_id,
+           min(ts) filter (event_type = 'view') as t_view,
+           min(ts) filter (event_type = 'click') as t_click,
+           min(ts) filter (event_type = 'purchase') as t_purchase
+    from events group by user_id
+),
+agg as (
+    select count(*) filter (t_view is not null) as n_view,
+           count(*) filter (t_view is not null and t_click > t_view) as n_click,
+           count(*) filter (t_view is not null and t_click > t_view
+                            and t_purchase > t_click) as n_purchase
+    from per_user
+)
+select 1 as stage, 'view' as step, n_view as n_users from agg
+union all select 2, 'click', n_click from agg
+union all select 3, 'purchase', n_purchase from agg
+"""
+
 EVENTS_GAP_FILL = """
 with d as (select event_type, cast(ts as date) as day from events),
 counts as (select event_type, day, count(*) as n from d group by event_type, day),
