@@ -23,8 +23,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark()
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # full surface: driver-checked 50 + pytest-only extras
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+    oracles = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -48,18 +48,20 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, missing days an explicit 0 (time-series models need the zeros;
     a groupBy only yields observed days).
 
-    The day spine is generated from the aggregated (min, max) bounds via
-    ``sequence``+``explode`` — a per-type projection over the TINY
-    aggregate output (|types| rows → |types|×|days| spine), never over the
-    event log, and the spine side broadcasts into the left join against
-    the per-day counts.  At 100 TB the spine is still |types|×|days| rows
-    — gap filling costs one aggregate plus a broadcast join regardless of
-    log size."""
+    The day spine is generated from per-type (min, max) bounds via
+    ``sequence``+``explode`` — a projection over the TINY per-(type, day)
+    aggregate, never over the event log.  The log shuffles ONCE (into
+    ``counts``); ``bounds`` folds counts again (a |types|×|days|-row
+    aggregate, ReuseExchange shares the first shuffle), and the outer join
+    broadcasts ``counts`` — the build side of a left-outer BHJ must be the
+    non-preserved (right) side, so the hint goes on counts, not the spine;
+    both are |types|×|days| rows, so either fits in a broadcast.  At
+    100 TB gap filling costs one fact shuffle plus small-side work."""
     ev = read_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day")
     )
     counts = ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
-    bounds = ev.groupBy("event_type").agg(
+    bounds = counts.groupBy("event_type").agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
     spine = bounds.select(
@@ -67,8 +69,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
     )
     return (
-        F.broadcast(spine)
-        .join(counts, ["event_type", "day"], "left")
+        spine.join(F.broadcast(counts), ["event_type", "day"], "left")
         .select(
             "event_type",
             "day",
@@ -110,13 +111,15 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (cohort_week, week_offset, n_users) — users from cohort W
     active in week W+offset."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", F.weekofyear("ts").alias("wk"), F.year("ts").alias("yr")
-    )
-    # absolute week index (yr, wk) → single sortable int; the testdata
-    # spans one year so yr*100+wk is a faithful total order
-    week = (F.col("yr") * 100 + F.col("wk")).alias("week")
-    activity = ev.select("user_id", week).distinct()
+    # dense epoch-week index: whole weeks since Monday 1970-01-05 — a
+    # monotone total order across year boundaries (year*100+weekofyear is
+    # not: offsets jump by ~48 at New Year, and ISO week 1 can fall in
+    # late December of the prior calendar year)
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).alias("week")
+    ev = read_table(spark, sf_dir, "events").select("user_id", week)
+    activity = ev.distinct()
     first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         activity.join(F.broadcast(first), "user_id")
@@ -322,15 +325,18 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference, §2.10): users with strictly more events than the average
     per-user event count.
 
-    Two aggregates over one scan: the per-user counts (one shuffle) and
-    the global average (a scalar reduced from the per-user frame, reused
-    via self-reference — Catalyst plans the scalar subquery as a broadcast
-    of one row, so the HAVING filter is map-side against the counts).
+    Single plan, no driver round-trip: the one-row average frame is
+    cross-joined back onto the per-user counts with a broadcast hint —
+    Catalyst's scalar-subquery shape.  Both branches share the identical
+    per-user aggregate subplan, so ReuseExchange computes the shuffle
+    once; the HAVING filter is then map-side against the counts.
     """
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     # exact average as int-sum / int-count, one IEEE division (parity rule)
-    avg_row = per_user.agg(
-        (F.sum("n_events") / F.count("*")).alias("avg_n")
-    ).collect()[0]
-    return per_user.filter(F.col("n_events") > float(avg_row.avg_n))
+    avg_df = per_user.agg((F.sum("n_events") / F.count("*")).alias("avg_n"))
+    return (
+        per_user.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("n_events") > F.col("avg_n"))
+        .select("user_id", "n_events")
+    )

@@ -133,9 +133,15 @@ def dedup_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.5,
-    max_block: int | None = None,
+    max_block: int | None = NGRAM_MAX_BLOCK,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on the min shingle hash.
+
+    The default caps candidate blocks at ``NGRAM_MAX_BLOCK`` docs — a
+    single boilerplate shingle shared by W docs otherwise fans out to
+    W·(W−1)/2 pairs, which is the scale-killer at 100 TB.  Pass
+    ``max_block=None`` for full uncapped semantics (the exhaustive
+    blocked-Jaccard oracle form, used by tests).
 
     Candidates = docs sharing the *minimum* shingle hash (single-hash
     blocking — each doc lands in exactly one block, so candidate
@@ -158,12 +164,12 @@ def dedup_ngram_jaccard(
     # projection concurrently — the count() pins one computation
     blocked.count()
     if max_block is not None:
-        # production skew cap: drop blocks wider than max_block before the
-        # self-join — a single boilerplate shingle shared by W docs creates
-        # W*(W-1)/2 candidate pairs (the dominant cost at sf0.1: one block
-        # of 315 docs = 49k pairs).  Capping trades recall inside mega-
-        # blocks for bounded fan-out; the oracle-checked default keeps full
-        # semantics (max_block=None).
+        # production skew cap (the default): drop blocks wider than
+        # max_block before the self-join — a single boilerplate shingle
+        # shared by W docs creates W*(W-1)/2 candidate pairs (the dominant
+        # cost at sf0.1: one block of 315 docs = 49k pairs).  Capping
+        # trades recall inside mega-blocks for bounded fan-out; callers
+        # wanting full semantics opt in with max_block=None.
         wide = blocked.groupBy("block").count().filter(F.col("count") > max_block)
         blocked = blocked.join(F.broadcast(wide.select("block")), "block", "left_anti")
     a = blocked.alias("a")

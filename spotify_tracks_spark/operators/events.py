@@ -70,10 +70,14 @@ def events_sessionize_native(
     per group — one hash-aggregate shuffle on (user_id, window), no window
     functions, and the SAME operator works unchanged over a watermarked
     stream (the batch/streaming-unified path).  Emitted result equals the
-    lag-based formulation (same oracle) — Spark closes a session when the
-    next event is ≥ gap after the last, the lag form when it is > gap; the
-    two differ only for a gap of exactly ``gap_minutes`` to the
-    microsecond, which the oracle run would surface as a hash mismatch.
+    lag-based formulation (same oracle) on data whose real gaps avoid the
+    boundary band: the oracle lags *floor-truncated epoch seconds* with a
+    strict ``>`` while session_window compares full-precision timestamps
+    with ``≥``, so any true gap in ``[gap, gap+1s)`` — where the
+    truncated-seconds difference still equals ``gap`` — splits here but
+    not in the lag form.  A ~1-second divergence window per boundary;
+    timestamps carry microseconds, so sub-second-spaced boundary data is a
+    latent hash mismatch (current testdata verified clear of it).
     ``session_no`` (a running index per user) needs one extra step:
     row_number over session_start — a second shuffle the lag form avoids;
     at scale prefer this variant when downstreams key on the window
@@ -190,9 +194,13 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     On a real table the variant column is materialized at ingest and every
     downstream read skips string parsing entirely (shredded storage).
 
-    Integer-only aggregates ⇒ exact DuckDB oracle (json_extract)."""
+    Integer-only aggregates ⇒ exact DuckDB oracle (json_extract).
+    ``try_parse_json`` (NULL on malformed input, matching the oracle's
+    json_extract_string) + typed ``try_variant_get``; assumes ``props.k``
+    is a JSON *number* — a string-encoded "5" nulls here but casts in
+    DuckDB (documented data-shape contract, not exercised by testdata)."""
     ev = read_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -1,0 +1,198 @@
+"""LLM training-data preparation operators — the pipeline stages between a
+cleaned corpus (operators/corpus.py) and the trainer's data loader:
+
+- ``text_pii_redact``        regex PII redaction (emails / IPv4s / intl
+                             phone numbers → typed placeholder tokens)
+- ``corpus_contamination``   benchmark-contamination check: shingle-hash
+                             overlap of every document against a held-out
+                             benchmark set
+- ``corpus_pack_sequences``  concat-then-chunk sequence packing: assign
+                             every document its (pack, offset) in the
+                             fixed-capacity token stream pretraining
+                             actually consumes
+
+All three are exact and engine-portable, with byte-exact DuckDB oracles
+(oracles_ext.py) — the regex dialects (Java / RE2) agree on every pattern
+used here (no lookaround, no backreferences), and the shingle hashing is
+the shared portable 60-bit md5 prefix (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..sources.tables import read_table
+
+# PII patterns, deliberately restricted to syntax Java regex and RE2
+# interpret identically (character classes, bounded repeats, \b):
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# international form only (+ then 7-15 digits): the general "phone-ish
+# digit run" patterns are where regex dialects start disagreeing
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+# (pattern, placeholder) in application order.  Counts are taken on the
+# PROGRESSIVELY redacted text (emails first, then IPv4 over the
+# email-redacted text, ...) so a span can only ever be counted and
+# redacted once — e.g. the "1.2.3.4" inside "1.2.3.4@host.com" is part of
+# the email match, not a second IP hit.  Both engines apply the same
+# sequence, so the contract is engine-exact.
+PII_STAGES = (
+    ("emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("ips", PII_IPV4_RE, "<IP>"),
+    ("phones", PII_PHONE_RE, "<PHONE>"),
+)
+
+# contamination verdict threshold: fraction of a doc's distinct shingle
+# hashes that also appear in the benchmark set
+CONTAMINATION_THRESHOLD = 0.2
+# benchmark membership: deterministic ~1% slice of the corpus standing in
+# for an eval set (testdata ships no benchmark table)
+BENCHMARK_MOD = 97
+
+# sequence packing capacity in whitespace tokens (a real pipeline uses the
+# tokenizer's token count — same plan, different counter column)
+PACK_CAPACITY = 512
+# docs per prefix-sum bucket (two-level scan; see corpus_pack_sequences)
+PACK_BUCKET = 1024
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII redaction with per-category counts.
+
+    Pure narrow projection (regexp_extract_all / regexp_replace column
+    expressions) — no UDFs, no shuffle; at 100 TB this runs at parquet-scan
+    speed inside whole-stage codegen, the same shape as
+    text_analysis.py's scorers.  Returns the md5 of the redacted text
+    rather than the text itself (the hash is what the oracle compares;
+    a production run would write the redacted column).
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    redacted: Column = F.col("text")
+    counts = []
+    for name, pat, token in PII_STAGES:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("n_chars_redacted"),
+    )
+
+
+def _shingle_hashes(norm: Column, k: int = 8) -> Column:
+    """Distinct portable-hashed k-char shingles of normalized text (the
+    same construction as dedup.py's blocking sets)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda g: portable_hash60(norm.substr(g, F.lit(k))),
+        )
+    )
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every document, the fraction of
+    its distinct 8-char shingle hashes that appear anywhere in the
+    benchmark slice (doc_id % BENCHMARK_MOD == 0).
+
+    Plan shape: the benchmark side reduces to one DISTINCT shingle-hash
+    column (tiny — |benchmark| ≪ |corpus|) and broadcasts; the corpus side
+    explodes its shingle sets and LEFT-SEMI-counts against the broadcast —
+    a map-side hash probe per shingle, then one groupBy(doc_id) shuffle of
+    (doc_id, matched) pairs.  At 100 TB this is the standard decontamination
+    sweep: benchmark fits in memory, corpus streams through.
+
+    Output: (doc_id, is_benchmark, n_shingles, n_matched, contamination,
+    is_contaminated)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    sh = docs.select(
+        "doc_id",
+        (F.col("doc_id") % BENCHMARK_MOD == 0).alias("is_benchmark"),
+        _shingle_hashes(norm).alias("hs"),
+    )
+    bench_hashes = (
+        sh.filter("is_benchmark").select(F.explode("hs").alias("h")).distinct()
+    )
+    exploded = sh.select(
+        "doc_id", "is_benchmark", F.size("hs").alias("n_shingles"), F.explode("hs").alias("h")
+    )
+    matched = (
+        exploded.join(F.broadcast(bench_hashes), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    out = (
+        sh.select("doc_id", "is_benchmark", F.size("hs").cast("long").alias("n_shingles"))
+        .join(matched, "doc_id", "left")
+        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)).cast("long"))
+    )
+    contamination = F.col("n_matched") / F.col("n_shingles")
+    return out.select(
+        "doc_id",
+        "is_benchmark",
+        "n_shingles",
+        "n_matched",
+        contamination.alias("contamination"),
+        (contamination >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+    )
+
+
+def corpus_pack_sequences(
+    spark: SparkSession, sf_dir: str, capacity: int = PACK_CAPACITY
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are concatenated in
+    doc_id order into one token stream and chunked every ``capacity``
+    tokens — each document is assigned the pack containing its FIRST token
+    and its offset within that pack (documents straddle pack boundaries,
+    exactly like LLM pretraining's packed-example loader; the loader
+    slices chunks from this assignment).
+
+    The global running token count is a two-level prefix sum — the
+    distributed scan shape, NOT a single-partition window:
+    level 1 partitions docs into ``PACK_BUCKET``-wide doc_id buckets and
+    cumsums within each (parallel, one shuffle on bucket); level 2 cumsums
+    the per-bucket totals (|buckets| rows — driver-scale tiny) and
+    broadcasts the bucket base offsets back.  At 100 TB the fact-side work
+    is one bounded-width window per bucket; the only global state is one
+    long per bucket.
+
+    Output: (doc_id, n_tokens, pack_id, pack_offset)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.floor(F.col("doc_id") / PACK_BUCKET)).alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = docs.withColumn(
+        "cum_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    w_b = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # |buckets| rows: single-partition window over a tiny aggregate
+    bases = totals.select(
+        "bucket", F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0)).alias("bucket_base")
+    )
+    cum = (F.col("bucket_base") + F.col("cum_local")).alias("cum_excl")
+    return (
+        with_local.join(F.broadcast(bases), "bucket")
+        .select("doc_id", "n_tokens", cum)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_excl") / capacity).cast("long").alias("pack_id"),
+            (F.col("cum_excl") % capacity).cast("long").alias("pack_offset"),
+        )
+    )

@@ -646,9 +646,13 @@ from events
 where {_h60('event_id::varchar')} % 100 < {SAMPLE_PCT}
 """
 
+# dense epoch-week (whole weeks since Monday 1970-01-05): mirrors the
+# Spark operator's monotone-across-year-boundaries week index
 EVENTS_RETENTION = """
 with act as (
-    select distinct user_id, year(ts) * 100 + week(ts) as week from events
+    select distinct user_id,
+           cast(floor((ts::date - DATE '1970-01-05') / 7.0) as bigint) as week
+    from events
 ),
 first as (
     select user_id, min(week) as cohort_week from act group by user_id
@@ -821,3 +825,89 @@ where g.doc_id = c.canonical_doc_id
 
 
 CORPUS_PREP = _corpus_prep_sql()
+
+
+# --- LLM-prep operators (operators/llm_prep.py) ---
+
+def _pii_redact_sql() -> str:
+    from .operators.llm_prep import PII_STAGES
+
+    ctes = ["s0 as (select doc_id, text as t from documents)"]
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_STAGES, start=1):
+        prev = ", ".join(carried) + (", " if carried else "")
+        ctes.append(
+            f"s{i} as (select doc_id, {prev}"
+            f"len(regexp_extract_all(t, '{pat}')) as n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') as t from s{i - 1})"
+        )
+        carried.append(f"n_{name}")
+    last = len(PII_STAGES)
+    cols = ", ".join(carried)
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select doc_id, {cols}, md5(t) as redacted_md5,
+       length(t) as n_chars_redacted
+from s{last}
+"""
+    )
+
+
+TEXT_PII_REDACT = _pii_redact_sql()
+
+
+def _contamination_sql() -> str:
+    from .operators.llm_prep import BENCHMARK_MOD, CONTAMINATION_THRESHOLD
+
+    h = _h60(f"substr(norm, g, {SHINGLE_K})")
+    return f"""
+with docs as (select doc_id, {_NORM} as norm from documents),
+sh as materialized (
+    select doc_id, doc_id % {BENCHMARK_MOD} = 0 as is_benchmark,
+           list_distinct(list_transform(
+               generate_series(1, greatest(length(norm)-{_KM1}, 1)),
+               g -> {h})) as hs
+    from docs
+),
+bench as (select distinct unnest(hs) as h from sh where is_benchmark),
+expl as (select doc_id, unnest(hs) as h from sh),
+matched as (
+    select e.doc_id, count(*) as n_matched
+    from expl e join bench b using (h) group by e.doc_id
+)
+select s.doc_id, s.is_benchmark, len(s.hs) as n_shingles,
+       coalesce(m.n_matched, 0) as n_matched,
+       coalesce(m.n_matched, 0) / len(s.hs) as contamination,
+       coalesce(m.n_matched, 0) / len(s.hs) >= {CONTAMINATION_THRESHOLD}
+           as is_contaminated
+from sh s left join matched m using (doc_id)
+"""
+
+
+CORPUS_CONTAMINATION = _contamination_sql()
+
+
+def _pack_sequences_sql() -> str:
+    from .operators.llm_prep import PACK_CAPACITY
+
+    return f"""
+with d as (
+    select doc_id, len(string_split(text, ' '))::bigint as n_tokens
+    from documents
+),
+c as (
+    select doc_id, n_tokens,
+           cast(coalesce(sum(n_tokens) over (
+               order by doc_id
+               rows between unbounded preceding and 1 preceding), 0) as bigint)
+               as cum_excl
+    from d
+)
+select doc_id, n_tokens,
+       cast(floor(cum_excl / {PACK_CAPACITY}.0) as bigint) as pack_id,
+       cum_excl % {PACK_CAPACITY} as pack_offset
+from c
+"""
+
+
+CORPUS_PACK_SEQUENCES = _pack_sequences_sql()

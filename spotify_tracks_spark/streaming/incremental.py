@@ -80,19 +80,34 @@ def _remerge(u: DataFrame) -> DataFrame:
 
 
 def stream_dim_track_incremental(
-    spark: SparkSession, sf_dir: str, n_slices: int = N_SLICES
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
 ) -> DataFrame:
     """Maintain dim_track incrementally over a micro-batched source stream
     (availableNow drain) and return the final mart — hash-equal to the
-    batch ``dim_track`` (same Q2 oracle)."""
-    base = tempfile.mkdtemp(prefix="incr_dim_")
+    batch ``dim_track`` (same Q2 oracle).
+
+    ``base`` is the state/checkpoint root.  Pass the SAME directory on a
+    restarted run to resume: the snapshot scan below picks up the last
+    applied batch and the stream resumes from its checkpoint, so already-
+    folded batches are skipped, not double-counted.  The default (None)
+    allocates a fresh tempdir — a single from-scratch drain."""
+    import os
+
+    if base is None:
+        base = tempfile.mkdtemp(prefix="incr_dim_")
     src_path = f"{base}/src"
     # Materialize the deduped source log sliced into files; each trigger
     # drains FILES_PER_BATCH of them, standing in for one ingest window's
-    # arrivals, and the write parallelizes across all cores.
-    src_recent_tracks(spark, sf_dir).repartition(
-        n_slices * FILES_PER_BATCH
-    ).write.parquet(src_path)
+    # arrivals, and the write parallelizes across all cores.  A resumed
+    # run reuses the already-written slices (same files ⇒ same offsets
+    # for the checkpointed stream).
+    if not os.path.isdir(src_path):
+        src_recent_tracks(spark, sf_dir).repartition(
+            n_slices * FILES_PER_BATCH
+        ).write.parquet(src_path)
     schema = spark.read.parquet(src_path).schema
 
     # State snapshots are named by the batch id that produced them — the
@@ -110,17 +125,29 @@ def stream_dim_track_incremental(
         for p in globmod.glob(f"{base}/state_b*")
         if (m := remod.search(r"state_b(\d+)$", p))
     )
-    cur = {"batch": done[-1] if done else -1}
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= cur["batch"]:
             return  # replayed batch: already folded into the snapshot
         partial = _partials(stg_recent_tracks(batch_df))
         if cur["batch"] >= 0:
-            prev = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            # previous state: the in-memory cache from the prior batch of
+            # THIS run, else (resumed run) the last snapshot on disk
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
             partial = prev.unionByName(partial)
-        merged = _remerge(partial)
+        # persist-then-write: the snapshot write computes the fold once and
+        # the cache serves the NEXT batch's read side without a parquet
+        # round-trip (the snapshot files stay the replay-idempotence log)
+        merged = _remerge(partial).persist()
         merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
         cur["batch"] = batch_id
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
@@ -139,7 +166,11 @@ def stream_dim_track_incremental(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
 
+    # return from the durable snapshot (not the cache) and release the
+    # cache — the result must not depend on executor memory state
     state = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    if cur["df"] is not None:
+        cur["df"].unpersist()
     first_date = F.col("dttm_first_played").cast("date")
     return state.select(
         "track_id",

@@ -28,6 +28,12 @@ package — absent in this container (no installs).  The module imports
 cleanly without it; the correctness test skips when protobuf is missing,
 and the driver-run query surface uses the applyInPandasWithState
 implementation (stateful.py) instead.
+
+Probe result (round 3): ``import google.protobuf`` raises
+ModuleNotFoundError — neither ``protobuf`` nor any ``google`` namespace
+package is present, and installs are disallowed, so the gate stands:
+verified-impossible in this container, exercised by the skip-gated test
+only.
 """
 
 from __future__ import annotations

@@ -68,9 +68,10 @@ def test_asof_null_payload_fields_survive(spark):
 def test_no_accidental_cartesian_products(spark):
     """Plan lint: no query may compile to a CartesianProduct.  Intentional
     small-side cross joins must go through broadcast (BroadcastNestedLoop)."""
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     skip = {  # streaming / sink queries execute eagerly; lint is for plans
         "events_stream_dedup",
+        "events_stream_dedup_within_watermark",
         "events_stream_window",
         "events_stream_sessionize",
         "publish_roundtrip",

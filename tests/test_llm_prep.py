@@ -1,0 +1,87 @@
+"""Semantics tests for the LLM-prep operators (operators/llm_prep.py) —
+planted-fixture checks the hash-parity gate can't express (the testdata
+corpus contains no real PII, so the oracle alone would only prove
+zero-match agreement).  Oracle parity itself runs in test_extra_parity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spotify_tracks_spark.operators.llm_prep import (
+    BENCHMARK_MOD,
+    PACK_CAPACITY,
+    corpus_contamination,
+    corpus_pack_sequences,
+    text_pii_redact,
+)
+from spotify_tracks_spark.sources.tables import read_table
+
+from .conftest import SF_SMOKE
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_pii_redact_planted(spark, tmp_path):
+    cases = {
+        0: ("contact bob@example.com or +4915112345678 now", 1, 0, 1,
+            "contact <EMAIL> or <PHONE> now"),
+        1: ("server at 10.0.0.1 and 192.168.1.255 fine", 0, 2, 0,
+            "server at <IP> and <IP> fine"),
+        # the IP-shaped local part belongs to the email match: one email,
+        # zero IPs (counts run over progressively redacted text)
+        2: ("mail 1.2.3.4@host.com please", 1, 0, 0, "mail <EMAIL> please"),
+        3: ("nothing sensitive here", 0, 0, 0, "nothing sensitive here"),
+    }
+    sf = _write_docs(spark, tmp_path, [(i, t) for i, (t, *_) in cases.items()])
+    got = {r.doc_id: r for r in text_pii_redact(spark, sf).collect()}
+    for i, (_, n_email, n_ip, n_phone, redacted) in cases.items():
+        r = got[i]
+        assert (r.n_emails, r.n_ips, r.n_phones) == (n_email, n_ip, n_phone), i
+        assert r.redacted_md5 == hashlib.md5(redacted.encode()).hexdigest(), i
+        assert r.n_chars_redacted == len(redacted), i
+
+
+def test_contamination_flags_benchmark_and_bounds(spark):
+    rows = corpus_contamination(spark, SF_SMOKE).collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_shingles
+        assert 0.0 <= r.contamination <= 1.0
+        assert r.is_benchmark == (r.doc_id % BENCHMARK_MOD == 0)
+        if r.is_benchmark:
+            # every benchmark shingle is in the benchmark set by definition
+            assert r.contamination == 1.0 and r.is_contaminated
+
+
+def test_pack_sequences_is_concat_then_chunk(spark):
+    got = sorted(
+        corpus_pack_sequences(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id
+    )
+    toks = {
+        r.doc_id: r.n
+        for r in read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    cum = 0
+    prev_pack = 0
+    for r in got:
+        assert r.n_tokens == toks[r.doc_id]
+        # exact concat-then-chunk arithmetic against a serial replay
+        assert r.pack_id == cum // PACK_CAPACITY
+        assert r.pack_offset == cum % PACK_CAPACITY
+        assert 0 <= r.pack_offset < PACK_CAPACITY
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
+        cum += r.n_tokens

@@ -208,8 +208,9 @@ def test_copy_to_sqlite_preserves_nulls(spark):
 
 # --- extension queries all have an oracle entry (closed contract) ---
 
-# Rows-only by design (per the driver contract these are the genuinely
-# non-SQL-expressible / approximate ops; each is property-tested instead):
+# Rows-only by design (the genuinely non-SQL-expressible / approximate
+# ops; each is property-tested instead).  They live in extra_queries() —
+# the capped 50-entry driver surface holds only exactly-oracled entries:
 # - embedding_kmeans: iterative Lloyd's, float means partial-order sensitive
 # - events_approx_stats: HLL++/t-digest sketches, approximate by construction
 ROWS_ONLY = {
@@ -220,9 +221,15 @@ ROWS_ONLY = {
 
 
 def test_every_query_has_oracle():
-    missing = [k for k in QUERIES if k not in ORACLES and k not in ROWS_ONLY]
-    assert not missing, f"queries without oracle_sql: {missing}"
-    stale = [k for k in ROWS_ONLY if k not in QUERIES or k in ORACLES]
+    missing = [k for k in QUERIES if k not in ORACLES]
+    assert not missing, f"driver queries without oracle_sql: {missing}"
+    extra, extra_oracles = entrymod.extra_queries(), entrymod.extra_oracle_sql()
+    assert ROWS_ONLY <= set(extra)
+    missing_extra = [
+        k for k in extra if k not in extra_oracles and k not in ROWS_ONLY
+    ]
+    assert not missing_extra, f"extra queries without oracle: {missing_extra}"
+    stale = [k for k in ROWS_ONLY if k in extra_oracles or k in ORACLES]
     assert not stale, f"ROWS_ONLY out of sync: {stale}"
 
 
@@ -284,7 +291,7 @@ def test_ngram_block_cap_bounds_candidates(spark):
     """max_block drops only pairs from mega-blocks; survivors identical."""
     full = {
         (r.doc_a, r.doc_b)
-        for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMOKE, max_block=None).collect()
     }
     capped = {
         (r.doc_a, r.doc_b)
@@ -471,3 +478,104 @@ def test_sketch_rollup_estimate_close_to_exact(spark):
         assert abs(r.approx_users - exact[t]) <= max(3, 0.05 * exact[t]), (
             t, r.approx_users, exact[t]
         )
+
+
+# --- cohort retention + ordered funnel ---
+
+def _write_events(spark, tmp_path, rows):
+    """Write a synthetic events table (full testdata schema) for operators
+    that take an sf_dir."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_retention_offset_zero_equals_cohort_size(spark):
+    from spotify_tracks_spark.operators.analytics import events_retention
+
+    rows = events_retention(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    # every user is active in their own cohort week, so the offset-0 cell
+    # IS the cohort size: distinct users whose first active week is W
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).alias("week")
+    first = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id", week)
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    want = {r.cohort_week: r.n for r in first.collect()}
+    got = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    assert got == want
+
+
+def test_retention_week_index_spans_year_boundary(spark, tmp_path):
+    """Dec→Jan cohort: epoch-week offsets stay dense across New Year
+    (year*100+weekofyear would report ~50, not 2)."""
+    import datetime as dt
+
+    from spotify_tracks_spark.operators.analytics import events_retention
+
+    t = lambda d: dt.datetime(*d, 12, 0, 0)  # noqa: E731
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, t((2024, 12, 23)), 1, "view", 1.0, "{}"),  # cohort week W
+            (2, t((2025, 1, 6)), 1, "view", 1.0, "{}"),    # W+2
+            (3, t((2024, 12, 29)), 2, "view", 1.0, "{}"),  # ISO-wk-1-in-Dec trap
+            (4, t((2025, 1, 1)), 2, "view", 1.0, "{}"),    # same epoch week
+        ],
+    )
+    rows = events_retention(spark, sf).collect()
+    w0 = (dt.date(2024, 12, 23) - dt.date(1970, 1, 5)).days // 7
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in rows}
+    # user 1: offsets 0 and 2; user 2: one epoch week (Dec 29 + Jan 1 both
+    # fall in the week starting Mon Dec 30? no — Dec 29 is a Sunday, so
+    # they straddle: Dec 29 in week w0+0? compute directly
+    w_u2a = (dt.date(2024, 12, 29) - dt.date(1970, 1, 5)).days // 7
+    w_u2b = (dt.date(2025, 1, 1) - dt.date(1970, 1, 5)).days // 7
+    assert got[(w0, 0)] >= 1 and got[(w0, 2)] == 1
+    for off in {0, w_u2b - w_u2a}:
+        assert got.get((w_u2a, off), 0) >= 1
+    assert all(0 <= off <= 2 for (_, off) in got)
+
+
+def test_funnel_orders_and_monotone(spark, tmp_path):
+    from spotify_tracks_spark.operators.analytics import events_funnel
+
+    t = lambda h: ("2024-03-01 %02d:00:00" % h)  # noqa: E731
+    import datetime as dt
+
+    ts = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: fully ordered view→click→purchase
+            (1, ts(1), 1, "view", 1.0, "{}"),
+            (2, ts(2), 1, "click", 1.0, "{}"),
+            (3, ts(3), 1, "purchase", 1.0, "{}"),
+            # user 2: out of order (click before view) — counts only as view
+            (4, ts(1), 2, "click", 1.0, "{}"),
+            (5, ts(2), 2, "view", 1.0, "{}"),
+            # user 3: view only
+            (6, ts(1), 3, "view", 1.0, "{}"),
+            # user 4: purchase with no view — reaches nothing
+            (7, ts(1), 4, "purchase", 1.0, "{}"),
+        ],
+    )
+    got = {r.step: r.n_users for r in events_funnel(spark, sf).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+    # monotone on real data too
+    real = {r.step: r.n_users for r in events_funnel(spark, SF_SMOKE).collect()}
+    assert real["view"] >= real["click"] >= real["purchase"]

@@ -173,6 +173,23 @@ def test_incremental_dim_matches_batch(spark):
     assert got_rows == want_rows
 
 
+def test_incremental_dim_restart_recovers_state(spark, tmp_path):
+    """A re-run against the SAME base dir resumes from the snapshot log +
+    checkpoint instead of re-folding: the recovery scan picks up the last
+    applied batch, the drained stream finds no new offsets, and the result
+    is unchanged (restart-idempotence across processes, not just within
+    one foreachBatch replay)."""
+    from spotify_tracks_spark.streaming.incremental import stream_dim_track_incremental
+
+    base = str(tmp_path / "incr")
+    first = stream_dim_track_incremental(spark, SF_SMOKE, base=base)
+    cols = sorted(first.columns)
+    want = {tuple(r[c] for c in cols) for r in first.collect()}
+    resumed = stream_dim_track_incremental(spark, SF_SMOKE, base=base)
+    got = {tuple(r[c] for c in cols) for r in resumed.collect()}
+    assert got == want
+
+
 def test_unpivot_roundtrips_pivot(spark):
     """unpivot(pivot(events)) equals the direct long-form count table with
     zero-filled (day × type) combinations."""
