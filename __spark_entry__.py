@@ -287,6 +287,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-prep stage (operators/llm_prep.py): PII redaction,
         # benchmark-contamination sweep, concat-then-chunk sequence packing
         "text_pii_redact": _llm.text_pii_redact,
+        # corpus-statistics join: per-doc term counts × broadcast document
+        # frequencies, top-k window per doc
+        "text_tfidf_top_terms": _text.text_tfidf_top_terms,
         "corpus_contamination": _llm.corpus_contamination,
         "corpus_pack_sequences": _llm.corpus_pack_sequences,
         # approximate by construction — rows-only + tolerance unit tests
@@ -365,6 +368,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_cube": oracles_ext.EVENTS_CUBE,
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "text_pii_redact": oracles_ext.TEXT_PII_REDACT,
+        "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
         "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
         "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
     }

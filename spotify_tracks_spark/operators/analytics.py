@@ -325,16 +325,20 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference, §2.10): users with strictly more events than the average
     per-user event count.
 
-    Single plan, no driver round-trip: the one-row average frame is
-    cross-joined back onto the per-user counts with a broadcast hint —
-    Catalyst's scalar-subquery shape.  Both branches share the identical
-    per-user aggregate subplan, so ReuseExchange computes the shuffle
-    once; the HAVING filter is then map-side against the counts.
+    Single computation, no value round-trip: the per-user frame is
+    persisted and pinned (the dedup.py pattern — AQE plans the broadcast
+    side as its own query stage, which defeats ReuseExchange across the
+    two branches; measured in the round-3 plan audit), then the one-row
+    average frame is cross-joined back with a broadcast hint — Catalyst's
+    scalar-subquery shape.  The fact scans and shuffles ONCE; the HAVING
+    filter is map-side against the cached counts.  At 100 TB the cache is
+    |users| rows of two longs (entity-grain, ≪ fact).
     """
     ev = read_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events")).persist()
+    per_user.count()
     # exact average as int-sum / int-count, one IEEE division (parity rule)
-    avg_df = per_user.agg((F.sum("n_events") / F.count("*")).alias("avg_n"))
+    avg_df = per_user.agg((F.sum("n_events") / F.count("user_id")).alias("avg_n"))
     return (
         per_user.crossJoin(F.broadcast(avg_df))
         .filter(F.col("n_events") > F.col("avg_n"))

@@ -15,7 +15,7 @@ aggregation anywhere).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import portable_hash60
 from ..sources.tables import read_table
@@ -123,4 +123,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp_exact"),
         F.array_min(shingle_hashes).alias("fp_min_shingle"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic corpus-statistics
+    join: a per-(doc, term) frequency table joined against the corpus-wide
+    document-frequency table.
+
+    Plan shape: one explode of whitespace tokens → groupBy (doc_id, term)
+    [the only fact-scale shuffle], persisted so the document-frequency
+    aggregate (|vocab| rows — tiny) and the scoring join read one
+    materialization → df broadcast back → per-doc top-k window with a
+    total-order tie-break (tfidf desc, term asc).  At 100 TB the df table is still vocab-sized,
+    so the enrich step is a map-side hash probe; only the initial
+    tokenize/count touches the log at scale.
+
+    Floats: idf = ln((N+1)/(df+1)) + 1 and tf = n/len are each a single
+    IEEE expression over exact integers — libm ln agrees with DuckDB well
+    inside the harness's 6-dp float canonicalization."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    n_docs = docs.count()  # one scalar; the corpus size is a plan constant
+    toks = docs.select(
+        "doc_id",
+        F.size(_tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        F.explode(_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    # persist-and-pin (the dedup.py pattern): both consumers — the df
+    # aggregate and the scored join — read one materialization instead of
+    # re-running the explode+count lineage (column pruning otherwise
+    # specializes the two subplans past ReuseExchange's reach; at 100 TB
+    # this intermediate would be a written table)
+    per_doc_term = (
+        toks.groupBy("doc_id", "n_tokens", "term")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    per_doc_term.count()
+    df_tbl = per_doc_term.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = per_doc_term.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        (F.col("n") / F.col("n_tokens")).alias("tf"),
+        idf.alias("idf"),
+        ((F.col("n") / F.col("n_tokens")) * idf).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "idf", "tfidf", "rnk")
     )

@@ -911,3 +911,40 @@ from c
 
 
 CORPUS_PACK_SEQUENCES = _pack_sequences_sql()
+
+
+def _tfidf_sql() -> str:
+    from .operators.text_analysis import TFIDF_TOP_K
+
+    return f"""
+with d as (
+    select doc_id, string_split(lower(text), ' ') as toks from documents
+),
+n as (select count(*) as n_docs from d),
+expl as (
+    select doc_id, len(toks) as n_tokens, unnest(toks) as term from d
+),
+pdt as (
+    select doc_id, n_tokens, term, count(*) as n
+    from expl group by doc_id, n_tokens, term
+),
+dftbl as (select term, count(*) as df from pdt group by term),
+scored as (
+    select p.doc_id, p.term,
+           p.n / p.n_tokens as tf,
+           ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0 as idf,
+           (p.n / p.n_tokens) * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0)
+               as tfidf
+    from pdt p join dftbl f using (term) cross join n
+),
+ranked as (
+    select *, row_number() over (
+        partition by doc_id order by tfidf desc, term asc) as rnk
+    from scored
+)
+select doc_id, term, tf, idf, tfidf, rnk
+from ranked where rnk <= {TFIDF_TOP_K}
+"""
+
+
+TEXT_TFIDF_TOP_TERMS = _tfidf_sql()

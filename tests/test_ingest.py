@@ -304,3 +304,45 @@ def test_flatten_udtf_equals_expression_flatten(spark):
     got = flatten_payload_udtf(raw)
     assert got.columns == want.columns
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --- OAuth authorization-code capture (sources/login.py) ---
+
+def test_auth_code_capture_loopback():
+    """Full loopback round-trip: consent URL carries the issued state and
+    redirect URI; a simulated provider redirect delivers the code."""
+    import threading
+    import urllib.request
+    from urllib.parse import parse_qs, urlparse
+
+    from spotify_tracks_spark.sources.login import capture_auth_code
+
+    def fake_provider(url: str) -> None:
+        q = {k: v[0] for k, v in parse_qs(urlparse(url).query).items()}
+        assert q["response_type"] == "code"
+        assert q["client_id"] == "cid"
+        assert q["scope"] == "user-read-recently-played"
+        cb = f"{q['redirect_uri']}?code=authcode-xyz&state={q['state']}"
+        threading.Thread(
+            target=lambda: urllib.request.urlopen(cb, timeout=5).read(),
+            daemon=True,
+        ).start()
+
+    code = capture_auth_code("cid", fake_provider, timeout=10)
+    assert code == "authcode-xyz"
+
+
+def test_auth_code_capture_rejects_bad_state_and_errors():
+    from spotify_tracks_spark.sources.login import (
+        AuthorizationDenied,
+        StateMismatch,
+        parse_callback,
+    )
+
+    with pytest.raises(StateMismatch):
+        parse_callback("code=x&state=wrong", "right")
+    with pytest.raises(AuthorizationDenied):
+        parse_callback("error=access_denied&state=s", "s")
+    with pytest.raises(AuthorizationDenied):
+        parse_callback("state=s", "s")
+    assert parse_callback("code=ok&state=s", "s") == "ok"

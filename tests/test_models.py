@@ -144,3 +144,22 @@ def test_column_docs_match_schemas(spark):
         assert documented <= actual, (name, documented - actual)
         if documented:  # fully-documented models: no undocumented columns
             assert documented == actual, (name, actual - documented)
+
+
+def test_docs_site_renders_every_model_and_column():
+    """scripts/render_docs.py (the dbt-docs-build equivalent) must emit a
+    card per model + exposure and a row per documented column."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("render_docs", "scripts/render_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    html_out = mod.render()
+
+    from spotify_tracks_spark.metadata import EXPOSURES, LINEAGE, MODEL_DOCS
+
+    for name in list(LINEAGE) + list(EXPOSURES):
+        assert f'id="{name}"' in html_out, name
+    for doc in MODEL_DOCS.values():
+        for col in doc.get("columns", {}):
+            assert f"<code>{col}</code>" in html_out, col

@@ -579,3 +579,26 @@ def test_funnel_orders_and_monotone(spark, tmp_path):
     # monotone on real data too
     real = {r.step: r.n_users for r in events_funnel(spark, SF_SMOKE).collect()}
     assert real["view"] >= real["click"] >= real["purchase"]
+
+
+def test_tfidf_top_terms_contract(spark):
+    from spotify_tracks_spark.operators.text_analysis import (
+        TFIDF_TOP_K,
+        text_tfidf_top_terms,
+    )
+
+    rows = text_tfidf_top_terms(spark, SF_SMOKE).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0.0 < r.tf <= 1.0
+        assert r.idf >= 1.0  # smoothed: ln((N+1)/(df+1)) + 1, df <= N
+        assert abs(r.tfidf - r.tf * r.idf) < 1e-12
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert per_doc
+    for rs in per_doc.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP_K
+        # ordered by tfidf desc with term-asc tie-break
+        for a, b in zip(rs, rs[1:]):
+            assert a.tfidf > b.tfidf or (a.tfidf == b.tfidf and a.term < b.term)
