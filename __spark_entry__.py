@@ -292,6 +292,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": _text.text_tfidf_top_terms,
         "corpus_contamination": _llm.corpus_contamination,
         "corpus_pack_sequences": _llm.corpus_pack_sequences,
+        # Gopher-style repetition gate (dup-line / dup-bigram fractions)
+        "text_repetition": _llm.text_repetition,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -371,4 +373,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
         "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
         "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
+        "text_repetition": oracles_ext.TEXT_REPETITION,
     }

@@ -948,3 +948,40 @@ from ranked where rnk <= {TFIDF_TOP_K}
 
 
 TEXT_TFIDF_TOP_TERMS = _tfidf_sql()
+
+
+def _repetition_sql() -> str:
+    from .operators.llm_prep import DUP_BIGRAM_MAX, DUP_LINE_MAX
+
+    return f"""
+with t as (
+    select doc_id,
+           string_split(text, chr(10)) as lines_raw,
+           string_split(lower(text), ' ') as toks
+    from documents
+),
+u as (
+    select doc_id,
+           case when len(lines_raw) > 1 then lines_raw
+                else list_transform(
+                    generate_series(0, cast(floor((len(toks)-1) / 12.0) as int)),
+                    i -> array_to_string(toks[i*12+1 : i*12+12], ' '))
+           end as lines,
+           list_transform(
+               generate_series(1, greatest(len(toks)-1, 1)),
+               i -> concat(toks[i], ' ', coalesce(toks[i+1], ''))) as bigrams
+    from t
+)
+select doc_id,
+       len(lines) as n_lines,
+       1 - len(list_distinct(lines)) / len(lines) as dup_line_frac,
+       len(bigrams) as n_bigrams,
+       1 - len(list_distinct(bigrams)) / len(bigrams) as dup_bigram_frac,
+       (1 - len(list_distinct(lines)) / len(lines)) > {DUP_LINE_MAX}
+         or (1 - len(list_distinct(bigrams)) / len(bigrams)) > {DUP_BIGRAM_MAX}
+           as is_repetitive
+from u
+"""
+
+
+TEXT_REPETITION = _repetition_sql()

@@ -85,3 +85,28 @@ def test_pack_sequences_is_concat_then_chunk(spark):
         assert r.pack_id >= prev_pack
         prev_pack = r.pack_id
         cum += r.n_tokens
+
+
+def test_repetition_planted(spark, tmp_path):
+    from spotify_tracks_spark.operators.llm_prep import text_repetition
+
+    boiler = "\n".join(["all work and no play"] * 10)          # 1 distinct line of 10
+    # every token unique → every line AND every bigram distinct
+    varied = "\n".join(f"a{i} b{i} c{i} d{i} e{i}" for i in range(10))
+    looped = " ".join(["spam ham"] * 40)                        # bigram loop, one line
+    sf = _write_docs(spark, tmp_path, [(0, boiler), (1, varied), (2, looped)])
+    got = {r.doc_id: r for r in text_repetition(spark, sf).collect()}
+    assert got[0].dup_line_frac == 0.9 and got[0].is_repetitive
+    assert got[1].dup_line_frac == 0.0
+    assert not got[1].is_repetitive
+    # "spam ham spam ham ..." has only 2 distinct bigrams
+    assert got[2].dup_bigram_frac > 0.9 and got[2].is_repetitive
+
+
+def test_repetition_bounds_on_corpus(spark):
+    from spotify_tracks_spark.operators.llm_prep import text_repetition
+
+    for r in text_repetition(spark, SF_SMOKE).collect():
+        assert 0.0 <= r.dup_line_frac < 1.0
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+        assert r.n_lines >= 1 and r.n_bigrams >= 1
