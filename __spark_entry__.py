@@ -294,6 +294,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": _llm.corpus_pack_sequences,
         # Gopher-style repetition gate (dup-line / dup-bigram fractions)
         "text_repetition": _llm.text_repetition,
+        # SCD Type-2 state history (gaps-and-islands, one shuffle)
+        "events_scd2_user_state": _an.events_scd2_user_state,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -374,4 +376,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
         "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
         "text_repetition": oracles_ext.TEXT_REPETITION,
+        "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
     }

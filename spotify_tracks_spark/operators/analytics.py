@@ -344,3 +344,44 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > F.col("avg_n"))
         .select("user_id", "n_events")
     )
+
+
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 state history: treat each user's event stream as a
+    state-observation log (state = event_type) and emit one validity
+    interval per *run* of consecutive identical states — the
+    gaps-and-islands compaction behind every slowly-changing-dimension
+    table and session-state warehouse.
+
+    Three window passes over ONE partitioning (user_id, ordered by ts with
+    the unique event_id tie-break), so the whole operator is a single
+    shuffle + a single per-key sort: flag state changes with lag, running-
+    sum the flags into island ids, aggregate each island to its span, then
+    lead() the next island's start as this interval's ``valid_to``
+    (NULL = current).  At 100 TB this is the canonical one-shuffle
+    compaction; a MERGE-based SCD2 maintenance job applies the same frame
+    incrementally."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    order = [F.asc("ts"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    changed = (
+        F.lag("state").over(w).isNull() | (F.col("state") != F.lag("state").over(w))
+    ).cast("long")
+    islands = ev.withColumn(
+        "island", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("user_id", "island", "state").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_observations"),
+    )
+    w_isl = Window.partitionBy("user_id").orderBy("island")
+    return spans.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_isl).alias("valid_to"),
+        F.lead("valid_from").over(w_isl).isNull().alias("is_current"),
+        "n_observations",
+    )

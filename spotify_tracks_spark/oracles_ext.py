@@ -985,3 +985,38 @@ from u
 
 
 TEXT_REPETITION = _repetition_sql()
+
+
+EVENTS_SCD2_USER_STATE = """
+with ev as (
+    select user_id, event_type as state, ts, event_id from events
+),
+flagged as (
+    select *,
+           case when lag(state) over w is null
+                  or state != lag(state) over w
+                then 1 else 0 end as changed
+    from ev
+    window w as (partition by user_id order by ts asc, event_id asc)
+),
+islands as (
+    select *,
+           sum(changed) over (partition by user_id
+                              order by ts asc, event_id asc
+                              rows between unbounded preceding and current row)
+               as island
+    from flagged
+),
+spans as (
+    select user_id, island, state,
+           min(ts) as valid_from,
+           count(*) as n_observations
+    from islands group by user_id, island, state
+)
+select user_id, state, valid_from,
+       lead(valid_from) over w2 as valid_to,
+       lead(valid_from) over w2 is null as is_current,
+       n_observations
+from spans
+window w2 as (partition by user_id order by island)
+"""

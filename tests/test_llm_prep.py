@@ -110,3 +110,55 @@ def test_repetition_bounds_on_corpus(spark):
         assert 0.0 <= r.dup_line_frac < 1.0
         assert 0.0 <= r.dup_bigram_frac < 1.0
         assert r.n_lines >= 1 and r.n_bigrams >= 1
+
+
+def test_scd2_planted_islands(spark, tmp_path):
+    import datetime as dt
+
+    from spotify_tracks_spark.operators.analytics import events_scd2_user_state
+
+    ts = lambda h: dt.datetime(2024, 3, 1, h)  # noqa: E731
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # user 1: view,view,click,view -> 3 islands
+            (1, ts(1), 1, "view", 1.0, "{}"),
+            (2, ts(2), 1, "view", 1.0, "{}"),
+            (3, ts(3), 1, "click", 1.0, "{}"),
+            (4, ts(4), 1, "view", 1.0, "{}"),
+            # user 2: single state -> 1 current island
+            (5, ts(1), 2, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    rows = sorted(
+        events_scd2_user_state(spark, sf).collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [(r.state, r.n_observations, r.is_current) for r in u1] == [
+        ("view", 2, False), ("click", 1, False), ("view", 1, True),
+    ]
+    # intervals tile: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to == b.valid_from
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_scd2_intervals_tile_on_corpus(spark):
+    from spotify_tracks_spark.operators.analytics import events_scd2_user_state
+
+    rows = events_scd2_user_state(spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.n_observations >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state  # islands are maximal runs

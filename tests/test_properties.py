@@ -100,3 +100,29 @@ def test_idempotent_append_property(spark, keys, overlap):
     after = idempotent_union(existing, incoming, ["k"])
     assert after.count() == len(set(keys) | set(overlap))
     assert append_if_absent(after, incoming, ["k"]).count() == 0
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    capacity=st.integers(min_value=4, max_value=64),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_serial_replay(spark, tmp_path_factory, counts, capacity):
+    """Distributed two-level prefix-sum packing == a serial Python replay
+    of concat-then-chunk, for arbitrary doc sizes and capacities."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_pack_sequences
+
+    tmp = tmp_path_factory.mktemp("pack")
+    rows = [(i, " ".join(["w"] * n), "en", "syn", n) for i, n in enumerate(counts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in corpus_pack_sequences(spark, str(tmp), capacity=capacity).collect()
+    }
+    cum = 0
+    for i, n in enumerate(counts):
+        assert got[i] == (cum // capacity, cum % capacity), (i, n, capacity)
+        cum += n
