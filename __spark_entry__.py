@@ -296,6 +296,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _llm.text_repetition,
         # SCD Type-2 state history (gaps-and-islands, one shuffle)
         "events_scd2_user_state": _an.events_scd2_user_state,
+        # attribution-window funnel (each step within N days of previous)
+        "events_window_funnel": _an.events_window_funnel,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -377,4 +379,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
         "text_repetition": oracles_ext.TEXT_REPETITION,
         "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
+        "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
     }

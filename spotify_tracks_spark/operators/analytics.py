@@ -385,3 +385,66 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_isl).isNull().alias("is_current"),
         "n_observations",
     )
+
+
+ATTRIBUTION_DAYS = 7
+
+
+def events_window_funnel(
+    spark: SparkSession, sf_dir: str, window_days: int = ATTRIBUTION_DAYS
+) -> DataFrame:
+    """Attribution-window funnel: view → click → purchase where each step
+    must land strictly after the previous one AND within ``window_days``
+    of it — conversion analysis with a bounded attribution window, the
+    form ad/product analytics actually bills on (the unbounded
+    ``events_funnel`` overcounts a purchase made months later).
+
+    All three step timestamps are per-user window minima over the SAME
+    unbounded partitioning (user_id), so Catalyst chains them through one
+    exchange with no sort (unbounded frames); each later step's predicate
+    references the previous step's window value, which Spark evaluates as
+    stacked Window operators over the same partitioning — one fact
+    shuffle total, same as the unbounded funnel.  NULL propagation does
+    the gating: no view ⇒ t_view NULL ⇒ every click comparison NULL ⇒
+    t_click NULL, and so on down the funnel."""
+    iv = F.expr(f"INTERVAL {int(window_days)} DAYS")
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    with_view = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & (F.col("ts") > F.col("t_view"))
+        & (F.col("ts") <= F.col("t_view") + iv)
+    )
+    with_click = with_view.withColumn(
+        "t_click", F.min(F.when(click_ok, F.col("ts"))).over(w)
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.col("t_click"))
+        & (F.col("ts") <= F.col("t_click") + iv)
+    )
+    per_user = (
+        with_click.withColumn(
+            "t_purchase", F.min(F.when(purchase_ok, F.col("ts"))).over(w)
+        )
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .distinct()
+    )
+    agg = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("view").alias("step"), F.col("n_view").alias("n_users")),
+                F.struct(F.lit(2).alias("stage"), F.lit("click").alias("step"), F.col("n_click").alias("n_users")),
+                F.struct(F.lit(3).alias("stage"), F.lit("purchase").alias("step"), F.col("n_purchase").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.step", "s.n_users")

@@ -1020,3 +1020,43 @@ select user_id, state, valid_from,
 from spans
 window w2 as (partition by user_id order by island)
 """
+
+
+def _window_funnel_sql() -> str:
+    from .operators.analytics import ATTRIBUTION_DAYS
+
+    iv = f"INTERVAL {ATTRIBUTION_DAYS} DAY"
+    return f"""
+with ev as (select user_id, event_type, ts from events),
+v as (
+    select *, min(case when event_type = 'view' then ts end)
+                  over (partition by user_id) as t_view
+    from ev
+),
+c as (
+    select *, min(case when event_type = 'click'
+                        and ts > t_view and ts <= t_view + {iv}
+                       then ts end) over (partition by user_id) as t_click
+    from v
+),
+p as (
+    select *, min(case when event_type = 'purchase'
+                        and ts > t_click and ts <= t_click + {iv}
+                       then ts end) over (partition by user_id) as t_purchase
+    from c
+),
+per_user as (
+    select distinct user_id, t_view, t_click, t_purchase from p
+),
+agg as (
+    select count(t_view) as n_view, count(t_click) as n_click,
+           count(t_purchase) as n_purchase
+    from per_user
+)
+select 1 as stage, 'view' as step, n_view as n_users from agg
+union all select 2, 'click', n_click from agg
+union all select 3, 'purchase', n_purchase from agg
+"""
+
+
+EVENTS_WINDOW_FUNNEL = _window_funnel_sql()

@@ -162,3 +162,49 @@ def test_scd2_intervals_tile_on_corpus(spark):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from
             assert a.state != b.state  # islands are maximal runs
+
+
+def test_window_funnel_gates_on_attribution_window(spark, tmp_path):
+    import datetime as dt
+
+    from spotify_tracks_spark.operators.analytics import events_window_funnel
+
+    d = lambda day, h=0: dt.datetime(2024, 3, day, h)  # noqa: E731
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # user 1: click 2 days after view, purchase 3 days after click
+            (1, d(1), 1, "view", 1.0, "{}"),
+            (2, d(3), 1, "click", 1.0, "{}"),
+            (3, d(6), 1, "purchase", 1.0, "{}"),
+            # user 2: click 10 days after view -> outside the 7-day window
+            (4, d(1), 2, "view", 1.0, "{}"),
+            (5, d(11), 2, "click", 1.0, "{}"),
+            # user 3: purchase BEFORE click -> ordered gate fails
+            (6, d(1), 3, "view", 1.0, "{}"),
+            (7, d(2), 3, "purchase", 1.0, "{}"),
+            (8, d(3), 3, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {r.step: r.n_users for r in events_window_funnel(spark, sf).collect()}
+    # user 3's purchase precedes its click; its click IS within window -> counted
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_window_funnel_is_subset_of_unbounded(spark):
+    from spotify_tracks_spark.operators.analytics import (
+        events_funnel,
+        events_window_funnel,
+    )
+
+    unbounded = {r.step: r.n_users for r in events_funnel(spark, SF_SMOKE).collect()}
+    windowed = {r.step: r.n_users for r in events_window_funnel(spark, SF_SMOKE).collect()}
+    assert windowed["view"] == unbounded["view"]  # step 1 has no window gate
+    # NB: later steps are NOT a subset of the unbounded funnel's — the
+    # unbounded form anchors on the first click EVER (a pre-view click
+    # disqualifies), while the windowed form re-anchors on the first
+    # in-window click after the view.  Only monotonicity is an invariant.
+    assert windowed["view"] >= windowed["click"] >= windowed["purchase"] >= 0
