@@ -40,6 +40,7 @@ from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
+from spotify_tracks_spark.operators import timeseries as _ts
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
 from spotify_tracks_spark.operators.multimodal import (
     multimodal_bytes,
@@ -298,6 +299,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_user_state": _an.events_scd2_user_state,
         # attribution-window funnel (each step within N days of previous)
         "events_window_funnel": _an.events_window_funnel,
+        # time-series surface (operators/timeseries.py): RANGE-frame
+        # rolling aggregates, integer-exact z-score anomaly flags, and
+        # ignore-nulls-window linear interpolation over a calendar spine
+        "events_rolling_7d": _ts.events_rolling_7d,
+        "events_anomaly": _ts.events_anomaly,
+        "events_interpolate": _ts.events_interpolate,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -380,4 +387,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_repetition": oracles_ext.TEXT_REPETITION,
         "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
+        "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
+        "events_anomaly": oracles_ext.EVENTS_ANOMALY,
+        "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
     }

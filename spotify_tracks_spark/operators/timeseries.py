@@ -1,0 +1,190 @@
+"""Time-series operators over the ``events`` log — rolling windows,
+statistical anomaly flagging, and gap interpolation.
+
+The reference has no time-series surface at all (SURVEY.md §2.8/§2.10:
+no OVER clauses, no calendar logic beyond ISO-week bucketing), but a
+metrics warehouse built on this engine needs exactly these three shapes,
+and each has an exact DuckDB oracle:
+
+- ``events_rolling_7d``   per-(type, day) trailing-7-day event count and
+                          distinct-user count
+- ``events_anomaly``      per-(type, day) z-score of the daily count
+                          against that type's full-history distribution
+- ``events_interpolate``  linear interpolation of the daily value series
+                          over a gap-filled calendar spine
+
+All three aggregate the fact log down to (type, day) grain FIRST — at
+100 TB the windows/joins below run over |types|×|days| rows (thousands),
+never over the log, so the single fact shuffle into the daily aggregate
+is the entire at-scale cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import read_table
+
+ROLLING_DAYS = 7
+ANOMALY_Z = 2.0
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n) — the one fact-log shuffle shared by all
+    three operators (map-side partial count, then a tiny aggregate)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    return ev.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregates per (event_type, day): total
+    events and distinct active users.
+
+    Two different window mechanics on purpose:
+
+    - the COUNT rolls with a RANGE frame over a dense day index
+      (``datediff`` from epoch), so calendar gaps are handled by the
+      frame bound, not by row position — a ROWS frame would silently
+      widen across missing days;
+    - DISTINCT users can't roll as a window (count(distinct) over a
+      moving frame isn't decomposable), so each (type, day, user)
+      activity row is fanned out to the ≤7 observed days it contributes
+      to (``sequence`` + ``explode``) and inner-joined to the observed-day
+      spine, then counted distinct per (type, day).  Fan-out is bounded
+      by the window length — at 100 TB the cost is 7× the *per-day
+      distinct* activity set (entity grain), not 7× the log.
+
+    Output: (event_type, day, n_events, n_events_7d, n_users_7d)."""
+    daily = _daily_counts(spark, sf_dir)
+    day_idx = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_idx)
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        F.sum("n").over(w).alias("n_events_7d"),
+    )
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select("event_type", F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), ROLLING_DAYS - 1))
+        ).alias("day"),
+    )
+    spine = daily.select("event_type", "day")
+    users_7d = (
+        contrib.join(F.broadcast(spine), ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+    return rolled.join(users_7d, ["event_type", "day"])
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags: z-score of each (type, day) count
+    against that type's whole-history daily-count distribution.
+
+    Parity discipline: mean and variance are derived from EXACT integer
+    sums (n_days, Σn, Σn²) so both engines perform the identical two or
+    three IEEE divisions — never ``stddev_pop``, whose Welford-style
+    accumulation orders float ops differently per engine/partitioning.
+    The stats frame is |types| rows and broadcasts back onto the daily
+    aggregate; nothing beyond the shared daily shuffle touches the log.
+
+    Output: (event_type, day, n_events, mean_n, z, is_anomaly); z is NULL
+    for a zero-variance type (nullif guard), is_anomaly then false."""
+    daily = _daily_counts(spark, sf_dir)
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    joined = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("sum_n") / F.col("n_days")
+    var = F.col("sum_n2") / F.col("n_days") - mean * mean
+    z = (F.col("n") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return joined.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        mean.alias("mean_n"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the daily mean ``value`` per event_type
+    over a gap-filled calendar spine: observed days keep their mean,
+    missing days get the straight line between the nearest observed
+    neighbours (edge gaps extend the nearest value flat).
+
+    Mechanics: the daily aggregate left-joins onto the per-type day spine
+    (``sequence``-exploded from min/max bounds, the events_gap_fill
+    shape), then TWO ignore-nulls window passes over one (type, day)
+    ordering — ``last(..., ignorenulls)`` looking back and ``first(...,
+    ignorenulls)`` looking forward — carry the neighbouring observed
+    values and their day indexes to every gap row; the interpolation
+    itself is arithmetic on those four columns.  The windows run over the
+    |types|×|days| spine, not the log, so at 100 TB this costs the one
+    daily-aggregate fact shuffle plus small-frame work, same as gap_fill.
+
+    Output: (event_type, day, observed, value_interp)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        (F.sum("value") / F.count("*")).alias("v")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    grid = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    idx = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    grid = grid.withColumn("idx", idx)
+    obs_idx = F.when(F.col("v").isNotNull(), F.col("idx"))
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    g = (
+        grid.withColumn("pv", F.last("v", ignorenulls=True).over(w_back))
+        .withColumn("pi", F.last(obs_idx, ignorenulls=True).over(w_back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_fwd))
+        .withColumn("ni", F.first(obs_idx, ignorenulls=True).over(w_fwd))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("idx") - F.col("pi"))
+            / (F.col("ni") - F.col("pi")),
+        )
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        interp.alias("value_interp"),
+    )

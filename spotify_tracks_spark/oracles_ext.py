@@ -1060,3 +1060,98 @@ union all select 3, 'purchase', n_purchase from agg
 
 
 EVENTS_WINDOW_FUNNEL = _window_funnel_sql()
+
+
+# --- time-series operators (operators/timeseries.py) -----------------------
+# Rolling frames / interpolation arithmetic mirrored expression-for-
+# expression: the RANGE frame runs over the same dense epoch-day index,
+# the rolling-distinct fan-out uses the same sequence-explode + observed-
+# day join, and every float op is the identical IEEE expression on exact
+# integer inputs (parity rule: no stddev/avg builtins).
+
+EVENTS_ROLLING_7D = """
+with d as (select event_type, cast(ts as date) as day, user_id from events),
+daily as (select event_type, day, count(*) as n from d group by event_type, day),
+rolled as (
+    select event_type, day, n as n_events,
+           cast(sum(n) over (
+               partition by event_type
+               order by datediff('day', date '1970-01-01', day)
+               range between 6 preceding and current row
+           ) as bigint) as n_events_7d
+    from daily
+),
+du as (select distinct event_type, day, user_id from d),
+contrib as (
+    select event_type, user_id,
+           unnest(generate_series(day, day + interval 6 day, interval 1 day))::date as day
+    from du
+),
+users7 as (
+    select c.event_type, c.day, count(distinct c.user_id) as n_users_7d
+    from contrib c
+    join (select distinct event_type, day from daily) s
+      on c.event_type = s.event_type and c.day = s.day
+    group by c.event_type, c.day
+)
+select r.event_type, r.day, r.n_events, r.n_events_7d, u.n_users_7d
+from rolled r join users7 u on r.event_type = u.event_type and r.day = u.day
+"""
+
+EVENTS_ANOMALY = """
+with d as (select event_type, cast(ts as date) as day from events),
+daily as (select event_type, day, count(*) as n from d group by event_type, day),
+stats as (
+    select event_type, count(*) as n_days, sum(n) as sum_n, sum(n * n) as sum_n2
+    from daily group by event_type
+)
+select daily.event_type, daily.day, daily.n as n_events,
+       sum_n / n_days as mean_n,
+       (daily.n - sum_n / n_days)
+           / nullif(sqrt(sum_n2 / n_days - (sum_n / n_days) * (sum_n / n_days)), 0.0)
+           as z,
+       coalesce(abs((daily.n - sum_n / n_days)
+           / nullif(sqrt(sum_n2 / n_days - (sum_n / n_days) * (sum_n / n_days)), 0.0))
+           > 2.0, false) as is_anomaly
+from daily join stats on daily.event_type = stats.event_type
+"""
+
+EVENTS_INTERPOLATE = """
+with e as (select event_type, cast(ts as date) as day, value from events),
+daily as (
+    select event_type, day, sum(value) / count(*) as v
+    from e group by event_type, day
+),
+bounds as (select event_type, min(day) as lo, max(day) as hi from daily group by event_type),
+spine as (
+    select event_type, unnest(generate_series(lo, hi, interval 1 day))::date as day
+    from bounds
+),
+grid as (
+    select s.event_type, s.day,
+           datediff('day', date '1970-01-01', s.day) as idx, d.v
+    from spine s left join daily d on s.event_type = d.event_type and s.day = d.day
+),
+g as (
+    select *,
+        last_value(v ignore nulls) over (
+            partition by event_type order by idx
+            rows between unbounded preceding and current row) as pv,
+        last_value(case when v is not null then idx end ignore nulls) over (
+            partition by event_type order by idx
+            rows between unbounded preceding and current row) as pi,
+        first_value(v ignore nulls) over (
+            partition by event_type order by idx
+            rows between current row and unbounded following) as nv,
+        first_value(case when v is not null then idx end ignore nulls) over (
+            partition by event_type order by idx
+            rows between current row and unbounded following) as ni
+    from grid
+)
+select event_type, day, v is not null as observed,
+       case when v is not null then v
+            when pv is not null and nv is not null
+                then pv + (nv - pv) * (idx - pi) / (ni - pi)
+            else coalesce(pv, nv) end as value_interp
+from g
+"""

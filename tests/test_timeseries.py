@@ -1,0 +1,100 @@
+"""Semantics tests for the time-series operators (operators/timeseries.py)
+on planted fixtures — year-boundary rolling windows, hand-computed
+z-scores, and interior-gap interpolation that the corpus oracle parity
+(test_extra_parity.py) exercises only on one-month single-year data.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from spotify_tracks_spark.operators.timeseries import (
+    events_anomaly,
+    events_interpolate,
+    events_rolling_7d,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_rolling_7d_spans_year_boundary_and_resets_after_gap(spark, tmp_path):
+    d = datetime
+    rows = [
+        # two days in late Dec 2024, one in early Jan 2025: the Jan 2
+        # trailing-7d frame [Dec 27 .. Jan 2] must count all three days
+        (0, d(2024, 12, 28, 10), 1, "view", 1.0),
+        (1, d(2024, 12, 29, 10), 1, "view", 1.0),
+        (2, d(2024, 12, 29, 11), 2, "view", 1.0),
+        (3, d(2025, 1, 2, 10), 3, "view", 1.0),
+        # then a >7-day silence: Jan 15's frame [Jan 9 .. 15] sees only itself
+        (4, d(2025, 1, 15, 10), 1, "view", 1.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        str(r.day): r for r in events_rolling_7d(spark, sf).collect()
+    }
+    jan2 = got["2025-01-02"]
+    assert jan2.n_events == 1
+    assert jan2.n_events_7d == 4  # RANGE frame crosses the year boundary
+    assert jan2.n_users_7d == 3  # users 1,2,3; user 1's two events count once
+    jan15 = got["2025-01-15"]
+    assert (jan15.n_events_7d, jan15.n_users_7d) == (1, 1)  # gap reset
+    dec29 = got["2024-12-29"]
+    assert (dec29.n_events_7d, dec29.n_users_7d) == (3, 2)
+
+
+def test_anomaly_z_is_integer_exact_and_zero_variance_is_null(spark, tmp_path):
+    d = datetime
+    rows = []
+    eid = 0
+    # 'view': ten 1-event days then one 30-event day
+    for day in range(1, 11):
+        rows.append((eid, d(2024, 3, day, 12), 1, "view", 1.0))
+        eid += 1
+    for k in range(30):
+        rows.append((eid, d(2024, 3, 11, 1 + (k % 20)), 1, "view", 1.0))
+        eid += 1
+    # 'click': constant series — variance 0, z must be NULL, never ±inf
+    for day in range(1, 4):
+        rows.append((eid, d(2024, 3, day, 12), 2, "click", 1.0))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = events_anomaly(spark, sf).collect()
+    view = {str(r.day): r for r in out if r.event_type == "view"}
+    spike = view["2024-03-11"]
+    mean = 40 / 11  # exact integer inputs: Σn=40 over 11 days
+    var = (10 + 900) / 11 - mean * mean
+    assert abs(spike.mean_n - mean) < 1e-12
+    assert abs(spike.z - (30 - mean) / var**0.5) < 1e-12
+    assert spike.is_anomaly
+    assert all(not r.is_anomaly for day, r in view.items() if day != "2024-03-11")
+    for r in (r for r in out if r.event_type == "click"):
+        assert r.z is None and not r.is_anomaly
+
+
+def test_interpolate_fills_interior_gap_linearly(spark, tmp_path):
+    d = datetime
+    rows = [
+        # day 1 mean = (2+4)/2 = 3.0; day 5 observed 11.0; days 2-4 missing
+        (0, d(2024, 5, 1, 9), 1, "view", 2.0),
+        (1, d(2024, 5, 1, 10), 1, "view", 4.0),
+        (2, d(2024, 5, 5, 9), 1, "view", 11.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {str(r.day): r for r in events_interpolate(spark, sf).collect()}
+    assert len(got) == 5  # dense spine over [May 1, May 5]
+    expect = {"2024-05-01": (True, 3.0), "2024-05-02": (False, 5.0),
+              "2024-05-03": (False, 7.0), "2024-05-04": (False, 9.0),
+              "2024-05-05": (True, 11.0)}
+    for day, (observed, v) in expect.items():
+        assert got[day].observed is observed, day
+        assert abs(got[day].value_interp - v) < 1e-12, day
