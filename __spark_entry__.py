@@ -41,6 +41,7 @@ from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators import timeseries as _ts
+from spotify_tracks_spark.operators import profile as _profile
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
 from spotify_tracks_spark.operators.multimodal import (
     multimodal_bytes,
@@ -305,6 +306,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_7d": _ts.events_rolling_7d,
         "events_anomaly": _ts.events_anomaly,
         "events_interpolate": _ts.events_interpolate,
+        # sub-document dedup: paragraph-grain first-wins over chunk hashes
+        "dedup_paragraph": _dedup.dedup_paragraph,
+        # ANN index evaluation: recall@k of the LSH index vs exact top-k
+        "ann_recall_eval": _sim.ann_recall_eval,
+        # one-scan per-column profile (multi-distinct Expand plan)
+        "events_profile": _profile.events_profile,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -390,4 +397,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
+        "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
+        "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
+        "events_profile": oracles_ext.EVENTS_PROFILE,
     }

@@ -30,7 +30,7 @@ also cap bucket width (documented in each function).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import portable_hash60
 from ..sources.tables import read_table
@@ -515,3 +515,54 @@ def dedup_clusters(
     edges.unpersist()
     pairs.unpersist()
     return out
+
+
+PARA_TOKENS = 12
+PARA_DUP_FRAC = 0.5
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup: chunk each document into fixed
+    ``PARA_TOKENS``-token "paragraphs" (the corpus ships single-line docs,
+    so fixed token windows stand in for real newline paragraphs — the
+    text_repetition convention), md5 each chunk, and mark every occurrence
+    after the globally FIRST (doc_id, position) as a duplicate.  This is
+    the sub-document dedup pass (boilerplate headers, license blocks,
+    quoted reposts) that document-grain dedup_exact can't see.
+
+    Plan: one narrow chunking projection, ``posexplode``, then a single
+    shuffle on the chunk hash — ``row_number`` over (hash → doc_id, pos)
+    makes first-wins deterministic — and a groupBy(doc_id) fold back to
+    document grain.  At 100 TB both exchanges carry (hash, doc_id, pos)
+    triples, never text; skew is bounded because a degenerate mega-chunk
+    ("the the the…") concentrates ONE hash partition, and the per-doc
+    fold is entity-grain.
+
+    Output: (doc_id, n_paras, n_dup_paras, dup_para_frac, is_mostly_dup).
+    """
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_toks = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n_toks - 1) / PARA_TOKENS).cast("int")),
+        lambda i: F.array_join(
+            F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS), " "
+        ),
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("pos", "chunk")).select(
+        "doc_id", "pos", F.md5("chunk").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = ex.withColumn("is_dup", F.row_number().over(w) > 1)
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_paras"),
+    )
+    frac = F.col("n_dup_paras") / F.col("n_paras")
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        frac.alias("dup_para_frac"),
+        (frac > PARA_DUP_FRAC).alias("is_mostly_dup"),
+    )

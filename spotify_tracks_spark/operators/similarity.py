@@ -240,3 +240,43 @@ def dedup_embedding_corpus(
         F.col("b.vec_id").alias("vec_b"),
         F.round(cos, 6).alias("cos"),
     )
+
+
+def ann_recall_eval(
+    spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100, dims: int = SIG_DIMS
+) -> DataFrame:
+    """Recall@k of the LSH index against the exact baseline, per probe —
+    the evaluation loop an ANN deployment runs before trusting an index
+    (tune ``dims`` until measured recall clears the product bar).
+
+    Composes the two existing operators and LEFT-SEMI-joins the exact
+    top-k against the LSH top-k on (query_id, neighbor_id); recall is
+    hits/k.  Probes with NO surviving LSH candidate (empty bucket) still
+    appear, with recall 0 — silently dropping them would inflate the
+    metric.  Cost is the two underlying plans plus an entity-grain join;
+    at 100 TB one evaluates on a probe SAMPLE, which is exactly the
+    probe_mod parameter.
+
+    Output: (query_id, n_exact, n_hits, recall)."""
+    exact = ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_topk_lsh(
+        spark, sf_dir, k=k, probe_mod=probe_mod, dims=dims
+    ).select("query_id", "neighbor_id")
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -1155,3 +1155,120 @@ select event_type, day, v is not null as observed,
             else coalesce(pv, nv) end as value_interp
 from g
 """
+
+
+# --- paragraph-grain dedup (operators/dedup.py:dedup_paragraph) ------------
+# Parallel unnest pairs each chunk with its 1-based position; ordering by
+# (doc_id, pos) matches Spark's 0-based posexplode order exactly.
+
+def _dedup_paragraph_sql() -> str:
+    from .operators.dedup import PARA_DUP_FRAC, PARA_TOKENS
+
+    n = PARA_TOKENS
+    return f"""
+with t as (select doc_id, string_split(lower(text), ' ') as toks from documents),
+c as (
+    select doc_id,
+           list_transform(
+               generate_series(0, cast(floor((len(toks)-1) / {n}.0) as int)),
+               i -> array_to_string(toks[i*{n}+1 : i*{n}+{n}], ' ')) as chunks
+    from t
+),
+e as (
+    select doc_id,
+           unnest(generate_series(1, len(chunks))) as pos,
+           unnest(list_transform(chunks, ch -> md5(ch))) as h
+    from c
+),
+r as (select doc_id, pos, row_number() over (partition by h order by doc_id, pos) as rn from e),
+per_doc as (
+    select doc_id, count(*) as n_paras,
+           cast(sum(case when rn > 1 then 1 else 0 end) as bigint) as n_dup_paras
+    from r group by doc_id
+)
+select doc_id, n_paras, n_dup_paras,
+       n_dup_paras / n_paras as dup_para_frac,
+       (n_dup_paras / n_paras) > {PARA_DUP_FRAC} as is_mostly_dup
+from per_doc
+"""
+
+
+DEDUP_PARAGRAPH = _dedup_paragraph_sql()
+
+
+# --- ANN recall evaluation (operators/similarity.py:ann_recall_eval) -------
+# Inlines the bruteforce and LSH pipelines as CTEs (same fragments as
+# ANN_TOPK_BRUTEFORCE / ANN_TOPK_LSH) and joins their top-k sets.
+
+ANN_RECALL_EVAL = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % 100 = 0),
+scored_x as (
+    select p.query_id, emb.vec_id as neighbor_id,
+           list_sum(list_transform(generate_series(1, len(emb.e)), i -> p.qe[i] * emb.e[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+                * sqrt(list_sum(list_transform(emb.e, x -> x*x)))) as cos
+    from emb cross join probes p
+    where emb.vec_id != p.query_id
+),
+exact as (
+    select query_id, neighbor_id from (
+        select query_id, neighbor_id,
+               row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+        from scored_x) where rank <= 5
+),
+sigs as (select vec_id, e, {_SIGN_SIG.format(e='e')} as sig from emb),
+probes_l as (select vec_id as query_id, e as qe, sig from sigs where vec_id % 100 = 0),
+scored_l as (
+    select p.query_id, s.vec_id as neighbor_id,
+           list_sum(list_transform(generate_series(1, len(s.e)), i -> p.qe[i] * s.e[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+                * sqrt(list_sum(list_transform(s.e, x -> x*x)))) as cos
+    from sigs s join probes_l p on s.sig = p.sig
+    where s.vec_id != p.query_id
+),
+approx as (
+    select query_id, neighbor_id from (
+        select query_id, neighbor_id,
+               row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+        from scored_l) where rank <= 5
+),
+hits as (
+    select e.query_id, count(*) as n_hits
+    from exact e join approx a
+      on e.query_id = a.query_id and e.neighbor_id = a.neighbor_id
+    group by e.query_id
+),
+base as (select query_id, count(*) as n_exact from exact group by query_id)
+select b.query_id, b.n_exact,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       coalesce(h.n_hits, 0) / 5.0 as recall
+from base b left join hits h on b.query_id = h.query_id
+"""
+
+
+# --- one-scan column profile (operators/profile.py:events_profile) ---------
+
+def _events_profile_sql() -> str:
+    from .operators.profile import PROFILE_COLS
+
+    aggs, rows = ["count(*) as n_rows"], []
+    for c, kind in PROFILE_COLS:
+        aggs.append(f"count({c}) as nn_{c}")
+        aggs.append(f"count(distinct {c}) as nd_{c}")
+        if kind == "num":
+            src = f"cast({c} as double)"
+        elif kind == "ts":
+            src = f"cast(epoch_us({c}) as double)"
+        else:
+            src = "cast(null as double)"
+        aggs.append(f"min({src}) as min_{c}")
+        aggs.append(f"max({src}) as max_{c}")
+        rows.append(
+            f"select '{c}' as column_name, n_rows, n_rows - nn_{c} as n_nulls,"
+            f" nd_{c} as n_distinct, min_{c} as min_num, max_{c} as max_num from a"
+        )
+    return "with a as (select " + ", ".join(aggs) + " from events)\n" + "\nunion all ".join(rows)
+
+
+EVENTS_PROFILE = _events_profile_sql()

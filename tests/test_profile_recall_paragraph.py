@@ -1,0 +1,68 @@
+"""Semantics tests for events_profile, ann_recall_eval, and
+dedup_paragraph on planted fixtures (oracle parity runs separately in
+test_extra_parity.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from spotify_tracks_spark.operators.dedup import PARA_TOKENS, dedup_paragraph
+from spotify_tracks_spark.operators.profile import events_profile
+from spotify_tracks_spark.operators.similarity import ann_recall_eval
+
+from .conftest import SF_SMOKE
+
+
+def test_profile_counts_planted(spark, tmp_path):
+    d = datetime
+    rows = [
+        (0, d(2024, 1, 1), 1, "view", 1.5, "{}"),
+        (1, d(2024, 1, 2), 1, "click", None, "{}"),
+        (2, d(2024, 1, 2), None, "view", 3.5, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    prof = {r.column_name: r for r in events_profile(spark, str(tmp_path)).collect()}
+    assert set(prof) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert all(r.n_rows == 3 for r in prof.values())
+    assert (prof["user_id"].n_nulls, prof["user_id"].n_distinct) == (1, 1)
+    assert (prof["value"].n_nulls, prof["value"].n_distinct) == (1, 2)
+    assert (prof["event_type"].n_nulls, prof["event_type"].n_distinct) == (0, 2)
+    assert prof["ts"].n_distinct == 2
+    assert (prof["value"].min_num, prof["value"].max_num) == (1.5, 3.5)
+    # string columns profile counts only — no numeric range
+    assert prof["props"].min_num is None and prof["props"].max_num is None
+
+
+def test_recall_bounds_and_degenerate_bucket_is_perfect(spark):
+    out = ann_recall_eval(spark, SF_SMOKE).collect()
+    assert out, "no probes evaluated"
+    for r in out:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits <= r.n_exact
+    # dims=0 puts every vector in one bucket: LSH degenerates to exact
+    # brute force, so measured recall must be exactly 1 for every probe
+    perfect = ann_recall_eval(spark, SF_SMOKE, dims=0).collect()
+    assert perfect and all(r.recall == 1.0 for r in perfect)
+
+
+def test_paragraph_dedup_first_wins(spark, tmp_path):
+    chunk_a = " ".join(f"w{i}" for i in range(PARA_TOKENS))
+    chunk_b = " ".join(f"x{i}" for i in range(PARA_TOKENS))
+    chunk_c = " ".join(f"y{i}" for i in range(PARA_TOKENS))
+    rows = [
+        (0, f"{chunk_a} {chunk_b}"),      # original: 2 chunks, 0 dups
+        (1, f"{chunk_c} {chunk_a}"),      # repeats chunk_a → 1 of 2 dup
+        (2, f"{chunk_a} {chunk_b}"),      # full copy of doc 0 → all dup
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in dedup_paragraph(spark, str(tmp_path)).collect()}
+    assert (got[0].n_paras, got[0].n_dup_paras, got[0].is_mostly_dup) == (2, 0, False)
+    assert (got[1].n_paras, got[1].n_dup_paras, got[1].is_mostly_dup) == (2, 1, False)
+    assert (got[2].n_paras, got[2].n_dup_paras, got[2].is_mostly_dup) == (2, 2, True)
