@@ -128,6 +128,13 @@ def _events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_windowed(spark, sf_dir)
 
 
+def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate (window 1 d, slide 12 h)."""
+    from spotify_tracks_spark.streaming import stream_events_sliding
+
+    return stream_events_sliding(spark, sf_dir)
+
+
 def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization."""
     import tempfile
@@ -312,6 +319,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _sim.ann_recall_eval,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
+        # weekly new/retained/resurrected/churned ledger (one shuffle)
+        "events_growth_accounting": _an.events_growth_accounting,
+        # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
+        "events_grouping_sets": _events.events_grouping_sets,
+        # sliding-window streaming aggregate (window 1d, slide 12h)
+        "events_stream_sliding": _events_stream_sliding,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -400,4 +413,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "events_profile": oracles_ext.EVENTS_PROFILE,
+        "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
+        "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
+        "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
     }

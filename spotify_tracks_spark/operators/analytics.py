@@ -448,3 +448,59 @@ def events_window_funnel(
             )
         ).alias("s")
     ).select("s.stage", "s.step", "s.n_users")
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) is classified
+    as new / retained / resurrected, and users who go silent are counted
+    as churned in the week AFTER their last activity — the
+    new+retained+resurrected−churned ledger growth teams reconcile MAU
+    against.
+
+    One shuffle total: the distinct (user, week) activity set partitions
+    by user_id, and lag/lead over that single per-user ordering drive
+    both the classification (lag: gap to previous active week) and churn
+    attribution (lead: next active week, NULL = churned after this one).
+    The weekly ledger is a |weeks|-row aggregate; churn rows cap at the
+    corpus max week (broadcast scalar) so the final silence after the
+    observation window doesn't invent a churn week nobody observed.
+
+    Output: (week, n_new, n_retained, n_resurrected, n_churned), dense
+    over the weeks where anything happened."""
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).alias("week")
+    act = read_table(spark, sf_dir, "events").select("user_id", week).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    base = act.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+    )
+    cat_new = F.col("prev_w").isNull()
+    cat_ret = F.col("prev_w") == F.col("week") - 1
+    weekly = base.groupBy("week").agg(
+        F.sum(cat_new.cast("long")).alias("n_new"),
+        F.sum(cat_ret.cast("long")).alias("n_retained"),
+        F.sum((~cat_new & ~cat_ret).cast("long")).alias("n_resurrected"),
+    )
+    max_w = act.agg(F.max("week").alias("max_week"))
+    churn = (
+        base.filter(F.col("next_w").isNull() | (F.col("next_w") > F.col("week") + 1))
+        .select((F.col("week") + 1).alias("week"))
+        .join(F.broadcast(max_w))
+        .filter(F.col("week") <= F.col("max_week"))
+        .groupBy("week")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        weekly.join(churn, "week", "full")
+        .select(
+            "week",
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n_new", "n_retained", "n_resurrected", "n_churned")
+            ],
+        )
+    )

@@ -255,3 +255,33 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
         F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
     )
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the third grouping-set shape beside
+    ``events_rollup`` and ``events_cube``: exactly ((event_type, day),
+    (day)), a set combination neither ROLLUP nor CUBE produces (no
+    (event_type) slice, no grand total).  Expressed through the SQL
+    surface because the DataFrame API only exposes the rollup/cube
+    sugar; the plan is the same single Expand+Aggregate, with the
+    Expand factor 2 (one replica per grouping set) — still one shuffle,
+    linear in input, exactly like cube/rollup at 100 TB.
+
+    Exact aggregates only (count / countDistinct / min / max — float SUM
+    would be partial-order-dependent, the events_rollup parity rule)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id", "value"
+    )
+    ev.createOrReplaceTempView("_events_gs_src")
+    return spark.sql(
+        """
+        select event_type, day,
+               cast(grouping_id(event_type, day) as bigint) as gid,
+               count(*) as n_events,
+               count(distinct user_id) as n_users,
+               min(value) as min_value,
+               max(value) as max_value
+        from _events_gs_src
+        group by grouping sets ((event_type, day), (day))
+        """
+    )

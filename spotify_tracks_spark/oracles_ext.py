@@ -1272,3 +1272,80 @@ def _events_profile_sql() -> str:
 
 
 EVENTS_PROFILE = _events_profile_sql()
+
+
+# --- weekly growth accounting (operators/analytics.py) ---------------------
+
+EVENTS_GROWTH_ACCOUNTING = """
+with act as (
+    select distinct user_id,
+           cast(floor(datediff('day', date '1970-01-05', cast(ts as date)) / 7.0) as bigint) as week
+    from events
+),
+base as (
+    select user_id, week,
+           lag(week)  over (partition by user_id order by week) as prev_w,
+           lead(week) over (partition by user_id order by week) as next_w
+    from act
+),
+weekly as (
+    select week,
+           cast(sum(case when prev_w is null then 1 else 0 end) as bigint) as n_new,
+           cast(sum(case when prev_w = week - 1 then 1 else 0 end) as bigint) as n_retained,
+           cast(sum(case when prev_w is not null and prev_w != week - 1 then 1 else 0 end) as bigint)
+               as n_resurrected
+    from base group by week
+),
+mx as (select max(week) as max_week from act),
+churn as (
+    select b.week + 1 as week, count(*) as n_churned
+    from base b, mx
+    where (b.next_w is null or b.next_w > b.week + 1) and b.week + 1 <= mx.max_week
+    group by b.week + 1
+)
+select coalesce(w.week, c.week) as week,
+       coalesce(w.n_new, 0) as n_new,
+       coalesce(w.n_retained, 0) as n_retained,
+       coalesce(w.n_resurrected, 0) as n_resurrected,
+       cast(coalesce(c.n_churned, 0) as bigint) as n_churned
+from weekly w full outer join churn c on w.week = c.week
+"""
+
+
+# --- GROUPING SETS (operators/events.py:events_grouping_sets) --------------
+# grouping_id bit order: Spark numbers the FIRST listed column as the most
+# significant bit; DuckDB's GROUPING() does the same, so the ids agree.
+
+EVENTS_GROUPING_SETS = """
+select event_type, cast(ts as date) as day,
+       cast(grouping(event_type, day) as bigint) as gid,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       min(value) as min_value,
+       max(value) as max_value
+from events
+group by grouping sets ((event_type, day), (day))
+"""
+
+
+# --- sliding-window streaming (streaming/windowed.py) ----------------------
+# Two-bucket expansion: window 1 day sliding 12 h puts each event in
+# exactly window/slide = 2 windows; 12 h buckets epoch-align identically
+# in both engines (DuckDB's 2000-01-03 origin is a multiple of 12 h from
+# the Unix epoch), and the watermark finalization rule matches the
+# tumbling oracle.
+
+EVENTS_STREAM_SLIDING = """
+with wm as (select max(ts) - interval 1 day as w from events),
+b as (select time_bucket(interval 12 hours, ts) as b0, event_type from events),
+x as (
+    select b0 as window_start, event_type from b
+    union all
+    select b0 - interval 12 hours as window_start, event_type from b
+)
+select window_start, window_start + interval 1 day as window_end,
+       event_type, count(*) as n_events
+from x, wm
+group by 1, 2, 3, wm.w
+having window_end <= wm.w
+"""

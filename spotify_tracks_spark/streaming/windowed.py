@@ -72,3 +72,61 @@ def stream_events_windowed(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
+
+SLIDE = "12 hours"
+
+
+def stream_events_sliding(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = WINDOW,
+    slide: str = SLIDE,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Sliding-window event counts per type (window 1 day, slide 12 h):
+    each event lands in window/slide = 2 overlapping windows — the
+    smoothing form dashboards use when tumbling edges are too jumpy.
+
+    Same append-mode/availableNow contract as the tumbling operator: a
+    window emits once the watermark passes its end, so the drained
+    result equals the batch two-bucket expansion the oracle computes.
+    State doubles vs tumbling (2 open windows per key instead of 1) but
+    stays bounded by (#open windows × #types); the watermark still
+    expires every window it passes.  Spark implements the multi-window
+    assignment as an Expand (×2) BEFORE the partial aggregate, so the
+    shuffle carries partial counts, not duplicated events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"slide_{next(_COUNTER)}"
+    try:
+        agg = (
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+        (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="streamslide_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)

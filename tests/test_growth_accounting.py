@@ -1,0 +1,41 @@
+"""Semantics test for events_growth_accounting on a planted fixture:
+classification (new/retained/resurrected) and churn attribution to the
+week AFTER last activity, capped at the corpus max week."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from spotify_tracks_spark.operators.analytics import events_growth_accounting
+
+W0 = datetime(2024, 1, 1, 12)  # Monday — week boundary-safe anchor
+
+
+def _at_week(k: int) -> datetime:
+    return W0 + timedelta(weeks=k)
+
+
+def test_growth_ledger_planted(spark, tmp_path):
+    rows = [
+        # u1: weeks 0, 1, 3  (new, retained, resurrected; gap-churn in wk2)
+        (0, _at_week(0), 1, "view", 1.0, "{}"),
+        (1, _at_week(1), 1, "view", 1.0, "{}"),
+        (2, _at_week(3), 1, "view", 1.0, "{}"),
+        # u2: week 1 only (new; churned in wk2)
+        (3, _at_week(1), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.week: r for r in events_growth_accounting(spark, str(tmp_path)).collect()}
+    weeks = sorted(out)
+    assert len(weeks) == 4 and weeks == list(range(weeks[0], weeks[0] + 4))
+    w0, w1, w2, w3 = (out[w] for w in weeks)
+    assert (w0.n_new, w0.n_retained, w0.n_resurrected, w0.n_churned) == (1, 0, 0, 0)
+    assert (w1.n_new, w1.n_retained, w1.n_resurrected, w1.n_churned) == (1, 1, 0, 0)
+    # week 2: nobody active; u1 (gap) and u2 (gone) both churn here
+    assert (w2.n_new, w2.n_retained, w2.n_resurrected, w2.n_churned) == (0, 0, 0, 2)
+    # week 3: u1 comes back; u1's post-wk3 silence is past max week → no row 4
+    assert (w3.n_new, w3.n_retained, w3.n_resurrected, w3.n_churned) == (0, 0, 1, 0)
