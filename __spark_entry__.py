@@ -325,6 +325,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": _events.events_grouping_sets,
         # sliding-window streaming aggregate (window 1d, slide 12h)
         "events_stream_sliding": _events_stream_sliding,
+        # int8-style scalar quantization + reconstruction-error report
+        "embedding_quantize": _sim.embedding_quantize,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -416,4 +418,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
+        "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
     }

@@ -1349,3 +1349,40 @@ from x, wm
 group by 1, 2, 3, wm.w
 having window_end <= wm.w
 """
+
+
+# --- scalar quantization (operators/similarity.py:embedding_quantize) ------
+# Per-dim stats via a lateral index cross join; the encode arithmetic is
+# the identical IEEE expression sequence (sub, div, mul, floor, clamp).
+
+EMBEDDING_QUANTIZE = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+dims as (select unnest(generate_series(1, (select len(e) from emb limit 1))) as i),
+stats as (
+    select i, min(e[i]) as mn, max(e[i]) as mx
+    from emb cross join dims group by i
+),
+s as (select list(mn order by i) as mns, list(mx order by i) as mxs from stats),
+coded as (
+    select vec_id, e, mns, mxs,
+           list_transform(generate_series(1, len(e)),
+               i -> cast(least(255, greatest(0, coalesce(
+                        floor((e[i] - mns[i]) / nullif(mxs[i] - mns[i], 0.0) * 256),
+                        0))) as bigint)) as codes
+    from emb cross join s
+),
+r as (
+    select vec_id, e, codes,
+           list_transform(generate_series(1, len(e)),
+               i -> mns[i] + (codes[i] + 0.5) / 256 * (mxs[i] - mns[i])) as recon
+    from coded
+)
+select vec_id,
+       len(e) as n_dims,
+       cast(list_sum(codes) as bigint) as code_sum,
+       cast(list_min(codes) as bigint) as code_min,
+       cast(list_max(codes) as bigint) as code_max,
+       list_sum(list_transform(generate_series(1, len(e)),
+                i -> (e[i] - recon[i]) * (e[i] - recon[i]))) / len(e) as mse
+from r
+"""

@@ -66,3 +66,21 @@ def test_paragraph_dedup_first_wins(spark, tmp_path):
     assert (got[0].n_paras, got[0].n_dup_paras, got[0].is_mostly_dup) == (2, 0, False)
     assert (got[1].n_paras, got[1].n_dup_paras, got[1].is_mostly_dup) == (2, 1, False)
     assert (got[2].n_paras, got[2].n_dup_paras, got[2].is_mostly_dup) == (2, 2, True)
+
+
+def test_quantize_planted_codes_and_clamps(spark, tmp_path):
+    from spotify_tracks_spark.operators.similarity import embedding_quantize
+
+    spark.createDataFrame(
+        [(0, [0.0, 10.0], 0), (1, [10.0, 10.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.vec_id: r for r in embedding_quantize(spark, str(tmp_path)).collect()}
+    # dim 1 range [0, 10]: x=0 → code 0; x=10 → floor(256) clamps to 255
+    # dim 2 constant: zero range codes to 0 with zero reconstruction error
+    assert (got[0].code_min, got[0].code_max, got[0].code_sum) == (0, 0, 0)
+    assert (got[1].code_min, got[1].code_max, got[1].code_sum) == (0, 255, 255)
+    step = 10.0 / 256
+    assert abs(got[0].mse - (step / 2) ** 2 / 2) < 1e-9  # dim2 contributes 0
+    assert abs(got[1].mse - (step / 2) ** 2 / 2) < 1e-9  # clamp hits midpoint too
+    assert all(r.n_dims == 2 for r in got.values())
