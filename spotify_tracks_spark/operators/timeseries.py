@@ -85,7 +85,9 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.countDistinct("user_id").alias("n_users_7d"))
     )
-    return rolled.join(users_7d, ["event_type", "day"])
+    # both sides are |types|×|days| aggregates; broadcasting one skips the
+    # sort-merge exchange pair a same-size join would otherwise plan
+    return rolled.join(F.broadcast(users_7d), ["event_type", "day"])
 
 
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
