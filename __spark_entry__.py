@@ -327,6 +327,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sliding": _events_stream_sliding,
         # int8-style scalar quantization + reconstruction-error report
         "embedding_quantize": _sim.embedding_quantize,
+        # MERGE INTO semantics: last-day batch upserts/deletes the snapshot
+        "events_merge_upsert": _an.events_merge_upsert,
+        # canonical-doc selection inside near-dup clusters (keep longest)
+        "dedup_keep_list": _dedup.dedup_keep_list,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -419,4 +423,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
         "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
+        "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
+        "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
     }

@@ -504,3 +504,64 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+MERGE_DELETE_TYPE = "error"
+
+
+def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over a keyed state table — the
+    update/insert/delete maintenance step (Delta/Iceberg ``MERGE INTO``)
+    expressed as pure DataFrame algebra: the events of the LAST observed
+    day are a change batch applied to the snapshot built from every
+    earlier day.  Per user: the batch's latest event updates (matched) or
+    inserts (not matched) the state row, except a ``MERGE_DELETE_TYPE``
+    latest event, which deletes it; untouched snapshot rows carry over.
+
+    One fact shuffle builds BOTH sides: a single row_number window over
+    (user_id, is_batch) picks each user's latest snapshot event and
+    latest batch event in the same per-key sort, and the sides then
+    full-outer join at entity grain (user rows, ≪ fact).  The batch-day
+    cutoff is a broadcast one-row scalar, not a driver round-trip.  At
+    100 TB the snapshot side would be the stored table (no rebuild scan)
+    and the join becomes the standard keyed MERGE shuffle; the algebra —
+    full outer + CASE on match/null — is exactly what a lakehouse MERGE
+    compiles to.
+
+    Output: (user_id, event_id, event_type, ts, value, action) with
+    action ∈ {carry, update, insert}; deleted users emit no row."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value", F.to_date("ts").alias("day")
+    )
+    cutoff = ev.agg(F.max("day").alias("batch_day"))
+    flagged = ev.join(F.broadcast(cutoff)).withColumn(
+        "is_batch", F.col("day") == F.col("batch_day")
+    )
+    w = Window.partitionBy("user_id", "is_batch").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = flagged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cols = ["user_id", "event_id", "event_type", "ts", "value"]
+    snap = latest.filter(~F.col("is_batch")).select(*cols)
+    chg = latest.filter(F.col("is_batch")).select(
+        *[F.col(c).alias(f"c_{c}") for c in cols]
+    )
+    merged = snap.join(chg, snap.user_id == chg.c_user_id, "full")
+    action = (
+        F.when(F.col("c_user_id").isNull(), F.lit("carry"))
+        .when(F.col("user_id").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        merged.filter(
+            F.col("c_user_id").isNull() | (F.col("c_event_type") != MERGE_DELETE_TYPE)
+        )
+        .select(
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+            *[
+                F.when(F.col("c_user_id").isNull(), F.col(c))
+                .otherwise(F.col(f"c_{c}"))
+                .alias(c)
+                for c in cols[1:]
+            ],
+            action.alias("action"),
+        )
+    )

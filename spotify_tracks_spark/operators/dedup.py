@@ -566,3 +566,26 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_para_frac"),
         (frac > PARA_DUP_FRAC).alias("is_mostly_dup"),
     )
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: inside every near-dup cluster
+    (minhash-LSH verified pairs → connected components), keep exactly one
+    document — the longest text, ties to the lowest doc_id — and mark the
+    rest for dropping.  This is the decision step that turns the dedup
+    family's PAIR/CLUSTER reports into an actionable corpus filter
+    (singletons never reach a cluster, so absence from this list means
+    "keep" by definition).
+
+    Cost is ``dedup_clusters`` plus entity-grain work: clustered docs are
+    a small fraction of the corpus, so the n_chars join broadcasts the
+    cluster side and the per-cluster window sorts tiny groups.  Output:
+    (doc_id, cluster_id, n_chars, keep)."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = docs.join(F.broadcast(clusters.select("doc_id", "cluster_id")), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
+    )

@@ -1386,3 +1386,55 @@ select vec_id,
                 i -> (e[i] - recon[i]) * (e[i] - recon[i]))) / len(e) as mse
 from r
 """
+
+
+# --- MERGE upsert/delete (operators/analytics.py:events_merge_upsert) ------
+
+def _merge_upsert_sql() -> str:
+    from .operators.analytics import MERGE_DELETE_TYPE
+
+    return f"""
+with ev as (
+    select user_id, event_id, event_type, ts, value, cast(ts as date) as day
+    from events
+),
+cutoff as (select max(day) as batch_day from ev),
+flagged as (
+    select ev.*, ev.day = cutoff.batch_day as is_batch from ev, cutoff
+),
+latest as (
+    select * from (
+        select *, row_number() over (
+                     partition by user_id, is_batch
+                     order by ts desc, event_id desc) as rn
+        from flagged) where rn = 1
+),
+snap as (select user_id, event_id, event_type, ts, value from latest where not is_batch),
+chg as (select user_id as c_user_id, event_id as c_event_id, event_type as c_event_type,
+               ts as c_ts, value as c_value
+        from latest where is_batch)
+select coalesce(s.user_id, c.c_user_id) as user_id,
+       case when c.c_user_id is null then s.event_id else c.c_event_id end as event_id,
+       case when c.c_user_id is null then s.event_type else c.c_event_type end as event_type,
+       case when c.c_user_id is null then s.ts else c.c_ts end as ts,
+       case when c.c_user_id is null then s.value else c.c_value end as value,
+       case when c.c_user_id is null then 'carry'
+            when s.user_id is null then 'insert'
+            else 'update' end as action
+from snap s full outer join chg c on s.user_id = c.c_user_id
+where c.c_user_id is null or c.c_event_type != '{MERGE_DELETE_TYPE}'
+"""
+
+
+EVENTS_MERGE_UPSERT = _merge_upsert_sql()
+
+
+# --- canonical selection (operators/dedup.py:dedup_keep_list) --------------
+
+DEDUP_KEEP_LIST = f"""
+select d.doc_id, c.cluster_id, d.n_chars,
+       row_number() over (partition by c.cluster_id
+                          order by d.n_chars desc, d.doc_id asc) = 1 as keep
+from documents d
+join ({DEDUP_CLUSTERS}) c on d.doc_id = c.doc_id
+"""

@@ -39,3 +39,32 @@ def test_growth_ledger_planted(spark, tmp_path):
     assert (w2.n_new, w2.n_retained, w2.n_resurrected, w2.n_churned) == (0, 0, 0, 2)
     # week 3: u1 comes back; u1's post-wk3 silence is past max week → no row 4
     assert (w3.n_new, w3.n_retained, w3.n_resurrected, w3.n_churned) == (0, 0, 1, 0)
+
+
+def test_merge_upsert_planted_actions(spark, tmp_path):
+    from spotify_tracks_spark.operators.analytics import events_merge_upsert
+
+    d0, d1 = datetime(2024, 6, 1, 10), datetime(2024, 6, 2, 10)
+    rows = [
+        # u1: snapshot only → carry
+        (0, d0, 1, "view", 1.0, "{}"),
+        # u2: snapshot + batch update (latest batch event wins)
+        (1, d0, 2, "view", 2.0, "{}"),
+        (2, d1, 2, "click", 3.0, "{}"),
+        (3, d1.replace(hour=12), 2, "view", 4.0, "{}"),
+        # u3: batch only → insert
+        (4, d1, 3, "signup", 5.0, "{}"),
+        # u4: snapshot + batch delete-marker → no row
+        (5, d0, 4, "view", 6.0, "{}"),
+        (6, d1, 4, "error", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.user_id: r for r in events_merge_upsert(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}  # u4 deleted
+    assert (got[1].action, got[1].event_id) == ("carry", 0)
+    assert (got[2].action, got[2].event_id, got[2].value) == ("update", 3, 4.0)
+    assert (got[3].action, got[3].event_id) == ("insert", 4)
