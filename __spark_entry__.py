@@ -331,6 +331,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_merge_upsert": _an.events_merge_upsert,
         # canonical-doc selection inside near-dup clusters (keep longest)
         "dedup_keep_list": _dedup.dedup_keep_list,
+        # corpus-fit character-bigram LM, per-doc mean log-likelihood
+        "text_bigram_lm_score": _text.text_bigram_lm_score,
+        # heavy-hitter key report (the input to every skew-handling knob)
+        "events_key_skew": _an.events_key_skew,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -425,4 +429,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
         "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
         "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
+        "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
+        "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
     }

@@ -565,3 +565,34 @@ def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             action.alias("action"),
         )
     )
+
+
+SKEW_TOP_N = 10
+
+
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the ``SKEW_TOP_N`` heaviest user_id keys with
+    their share of total events — the report you run BEFORE picking a
+    partition key, salting factor, or AQE skew threshold (every
+    skew-handling knob in this repo is sized from exactly this shape).
+
+    One fact shuffle into the per-key aggregate; the ranking window runs
+    over that entity-grain frame in a single partition — |users| rows,
+    the documented tiny-frame exception, same as the dims — and the
+    grand total broadcasts as a one-row scalar.  Output: (rank, user_id,
+    n_events, share), rank by (count desc, user_id) total order."""
+    ev = read_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = per_key.agg(F.sum("n_events").alias("n_total"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKEW_TOP_N)
+        .join(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "user_id",
+            "n_events",
+            (F.col("n_events") / F.col("n_total")).alias("share"),
+        )
+    )

@@ -180,3 +180,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K)
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "idf", "tfidf", "rnk")
     )
+
+
+LM_ALPHA = 1.0  # add-one smoothing
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model scoring: fit bigram frequencies on
+    the whole corpus, then score every document's mean log-likelihood
+    under that model — the statistical fluency gate (cheap perplexity)
+    corpus-cleaning pipelines run where a neural LM would be overkill.
+
+    Broadcast-model pattern: the corpus-wide (prev_char, char) count
+    table — at most |alphabet|² rows after lowercasing, a few thousand —
+    aggregates in one explode+groupBy pass, broadcasts, and the scoring
+    pass re-joins each document's bigrams against it map-side; the only
+    full-data shuffles carry (bigram, count) pairs and per-doc partial
+    sums.  Add-one smoothing keeps unseen bigrams finite.  Both engines
+    evaluate the identical ln() sum over identical integer counts, so
+    the score is oracle-comparable at 6 dp.
+
+    Output: (doc_id, n_bigrams, mean_loglik)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.lower(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(2)),
+    )
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    counts = ex.groupBy("g").agg(F.count("*").alias("n_g")).persist()
+    counts.count()
+    total = counts.agg(F.sum("n_g").alias("n_total"))
+    vocab = counts.agg(F.count("*").alias("n_vocab"))
+    scored = (
+        ex.join(F.broadcast(counts), "g", "left")
+        .join(F.broadcast(total))
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce("n_g", F.lit(0)) + F.lit(LM_ALPHA))
+                / (F.col("n_total") + F.lit(LM_ALPHA) * F.col("n_vocab"))
+            ).alias("ll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("ll") / F.count("*")).alias("mean_loglik"),
+    )

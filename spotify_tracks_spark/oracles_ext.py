@@ -1438,3 +1438,55 @@ select d.doc_id, c.cluster_id, d.n_chars,
 from documents d
 join ({DEDUP_CLUSTERS}) c on d.doc_id = c.doc_id
 """
+
+
+# --- bigram LM scoring (operators/text_analysis.py:text_bigram_lm_score) ---
+# Identical smoothing arithmetic over identical integer counts; ln() may
+# differ by an ulp between engines but the per-doc MEAN stays well inside
+# the 6 dp compare.
+
+def _bigram_lm_sql() -> str:
+    from .operators.text_analysis import LM_ALPHA
+
+    return f"""
+with t as (select doc_id, lower(text) as norm from documents),
+ex as (
+    select doc_id,
+           unnest(list_transform(generate_series(1, greatest(length(norm) - 1, 1)),
+                                 i -> substr(norm, i, 2))) as g
+    from t
+),
+counts as (select g, count(*) as n_g from ex group by g),
+tot as (select cast(sum(n_g) as bigint) as n_total, count(*) as n_vocab from counts)
+select ex.doc_id,
+       count(*) as n_bigrams,
+       sum(ln((coalesce(c.n_g, 0) + {LM_ALPHA}) / (t.n_total + {LM_ALPHA} * t.n_vocab)))
+           / count(*) as mean_loglik
+from ex left join counts c on ex.g = c.g, tot t
+group by ex.doc_id
+"""
+
+
+TEXT_BIGRAM_LM_SCORE = _bigram_lm_sql()
+
+
+# --- key-skew diagnostic (operators/analytics.py:events_key_skew) ----------
+
+def _key_skew_sql() -> str:
+    from .operators.analytics import SKEW_TOP_N
+
+    return f"""
+with per_key as (select user_id, count(*) as n_events from events group by user_id),
+tot as (select cast(sum(n_events) as bigint) as n_total from per_key),
+ranked as (
+    select user_id, n_events,
+           row_number() over (order by n_events desc, user_id asc) as rank
+    from per_key
+)
+select cast(rank as bigint) as rank, user_id, n_events,
+       n_events / t.n_total as share
+from ranked, tot t where rank <= {SKEW_TOP_N}
+"""
+
+
+EVENTS_KEY_SKEW = _key_skew_sql()

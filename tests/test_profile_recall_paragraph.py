@@ -84,3 +84,31 @@ def test_quantize_planted_codes_and_clamps(spark, tmp_path):
     assert abs(got[0].mse - (step / 2) ** 2 / 2) < 1e-9  # dim2 contributes 0
     assert abs(got[1].mse - (step / 2) ** 2 / 2) < 1e-9  # clamp hits midpoint too
     assert all(r.n_dims == 2 for r in got.values())
+
+
+def test_bigram_lm_separates_fluent_from_garbage(spark, tmp_path):
+    from spotify_tracks_spark.operators.text_analysis import text_bigram_lm_score
+
+    fluent = "the cat sat on the mat and the hat " * 5
+    rows = [(i, fluent) for i in range(9)] + [(9, "zq xj qv kz jx vq zq xj qv kz")]
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in text_bigram_lm_score(spark, str(tmp_path)).collect()}
+    garbage, typical = got[9].mean_loglik, got[0].mean_loglik
+    assert garbage < typical  # rare bigrams → lower likelihood
+    assert all(r.mean_loglik < 0 for r in got.values())  # log of probs < 1
+    assert got[0].n_bigrams == len(fluent) - 1
+
+
+def test_key_skew_ranks_and_shares(spark):
+    from spotify_tracks_spark.operators.analytics import SKEW_TOP_N, events_key_skew
+
+    rows = events_key_skew(spark, SF_SMOKE).collect()
+    assert len(rows) == SKEW_TOP_N
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, SKEW_TOP_N + 1))
+    counts = [r.n_events for r in by_rank]
+    assert counts == sorted(counts, reverse=True)
+    assert 0 < sum(r.share for r in rows) <= 1.0
