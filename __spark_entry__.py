@@ -128,6 +128,13 @@ def _events_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_windowed(spark, sf_dir)
 
 
+def _events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join (no state, no watermark)."""
+    from spotify_tracks_spark.streaming import stream_events_enrich
+
+    return stream_events_enrich(spark, sf_dir)
+
+
 def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window streaming aggregate (window 1 d, slide 12 h)."""
     from spotify_tracks_spark.streaming import stream_events_sliding
@@ -335,6 +342,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_score": _text.text_bigram_lm_score,
         # heavy-hitter key report (the input to every skew-handling knob)
         "events_key_skew": _an.events_key_skew,
+        # stream-static broadcast enrichment join (complete-mode drain)
+        "events_stream_enrich": _events_stream_enrich,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -431,4 +440,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
         "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
+        "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
     }

@@ -1490,3 +1490,24 @@ from ranked, tot t where rank <= {SKEW_TOP_N}
 
 
 EVENTS_KEY_SKEW = _key_skew_sql()
+
+
+# --- stream-static enrichment join (streaming/joins.py) --------------------
+# The drained complete-mode aggregate equals the batch broadcast join; the
+# dim rows are inlined as VALUES from the same Python literal.
+
+def _stream_enrich_sql() -> str:
+    from .streaming.joins import ENRICH_DIM
+
+    values = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in ENRICH_DIM)
+    return f"""
+with dim(event_type, category, weight) as (values {values})
+select coalesce(d.category, 'unknown') as category,
+       count(*) as n_events,
+       sum(e.value * coalesce(d.weight, 0.0)) as weighted_value
+from events e left join dim d on e.event_type = d.event_type
+group by 1
+"""
+
+
+EVENTS_STREAM_ENRICH = _stream_enrich_sql()

@@ -96,3 +96,72 @@ def stream_click_purchase_join(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
+
+
+# static enrichment dimension: event_type -> (category, weight).  A real
+# deployment reads this from a dimension table; the literal rows keep the
+# operator self-contained and the oracle exact.
+ENRICH_DIM = (
+    ("view", "browse", 1.0),
+    ("click", "browse", 2.0),
+    ("purchase", "convert", 10.0),
+    ("signup", "convert", 5.0),
+    ("error", "ops", 0.0),
+)
+
+
+def stream_events_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    dimension — the remaining Structured Streaming join shape beside the
+    stream-stream interval join (stream-static needs NO watermark and NO
+    join state: the static side broadcasts to every micro-batch task and
+    each streaming row joins map-side, exactly like a batch broadcast
+    join).  Left join keeps unmatched stream rows with NULL enrichment —
+    dropping events because the dim is stale is never the right default.
+
+    Aggregated per (category) after the join to keep the emitted result
+    small and deterministic; the per-row enriched stream is the
+    intermediate a production pipeline would sink.  At 100 TB/day the
+    static side refreshes per micro-batch pick-up, costing one broadcast
+    per trigger — the standard slowly-refreshing-dim pattern.
+
+    Output: (category, n_events, weighted_value) where weighted_value =
+    Σ value·weight (exact: weights are small literals, one multiply per
+    row — same IEEE sequence in the oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dim = spark.createDataFrame(
+        list(ENRICH_DIM), "event_type string, category string, weight double"
+    )
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"enrich_{next(_COUNTER)}"
+    try:
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        enriched = stream.join(F.broadcast(dim), "event_type", "left").select(
+            F.coalesce("category", F.lit("unknown")).alias("category"),
+            (F.col("value") * F.coalesce("weight", F.lit(0.0))).alias("wv"),
+        )
+        agg = enriched.groupBy("category").agg(
+            F.count("*").alias("n_events"),
+            F.sum("wv").alias("weighted_value"),
+        )
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)
