@@ -344,6 +344,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew": _an.events_key_skew,
         # stream-static broadcast enrichment join (complete-mode drain)
         "events_stream_enrich": _events_stream_enrich,
+        # per-user OLS trend: built-in closed form (the driver-checkable
+        # one); the applyInPandas twin is pytest-pinned equal to it
+        "events_user_trend": _an.events_user_trend,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -441,4 +444,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
+        "events_user_trend": oracles_ext.EVENTS_USER_TREND,
     }

@@ -596,3 +596,95 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") / F.col("n_total")).alias("share"),
         )
     )
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time: slope/intercept of
+    value ~ days-since-corpus-start — the per-entity regression feature
+    (spend trajectory, engagement drift) feature stores batch-compute.
+
+    Built-in closed form, one shuffle: x is an exact small integer (day
+    offset from the broadcast corpus min day — regressing on raw epoch
+    seconds would square 1e9s into catastrophic float cancellation), the
+    five sufficient statistics (n, Σx, Σx², Σy, Σxy) come from a single
+    groupBy, and slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is the same IEEE
+    expression in the oracle.  Degenerate users (all events one day) get
+    NULL slope/intercept via the nullif guard.  See
+    ``events_user_trend_pandas`` for the applyInPandas twin.
+
+    Output: (user_id, n_events, slope, intercept)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    origin = ev.agg(F.min("day").alias("day0"))
+    with_x = ev.join(F.broadcast(origin)).select(
+        "user_id",
+        F.datediff("day", "day0").cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    stats = with_x.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    denom = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return stats.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def events_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` twin of ``events_user_trend`` — the grouped-map
+    Pandas UDF surface (Arrow batch per key group), for per-key logic
+    that genuinely can't be written with built-ins (here it CAN, which is
+    why the built-in form is the driver-checked one and this twin is
+    pinned equal to it by pytest, not an oracle).
+
+    Same one-shuffle shape: Spark groups by user_id and hands each
+    group to the UDF as a pandas DataFrame; the UDF computes the same
+    five sufficient statistics with numpy.  At 100 TB this is the
+    pattern's cost model: one shuffle + Arrow (de)serialization per
+    group batch — ~10× the built-in form, which is the point of keeping
+    the built-in as the default."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    origin = ev.agg(F.min("day").alias("day0"))
+    with_x = ev.join(F.broadcast(origin)).select(
+        "user_id",
+        F.datediff("day", "day0").cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy("float64")
+        y = pdf["y"].to_numpy("float64")
+        n = len(pdf)
+        sx, sxx, sy, sxy = x.sum(), (x * x).sum(), y.sum(), (x * y).sum()
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den != 0 else None
+        intercept = (sy - slope * sx) / n if slope is not None else None
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n],
+                "slope": [slope],
+                "intercept": [intercept],
+            }
+        )
+
+    return with_x.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_events long, slope double, intercept double"
+    )

@@ -1511,3 +1511,32 @@ group by 1
 
 
 EVENTS_STREAM_ENRICH = _stream_enrich_sql()
+
+
+# --- per-user OLS trend (operators/analytics.py:events_user_trend) ---------
+# x is an exact integer day offset; slope/intercept are the identical
+# IEEE expressions over the five sufficient statistics.
+
+EVENTS_USER_TREND = """
+with ev as (
+    select user_id, cast(ts as date) as day, value from events
+),
+origin as (select min(day) as day0 from ev),
+wx as (
+    select user_id,
+           cast(datediff('day', o.day0, ev.day) as bigint) as x,
+           value as y
+    from ev, origin o
+),
+stats as (
+    select user_id, count(*) as n,
+           cast(sum(x) as bigint) as sx, cast(sum(x * x) as bigint) as sxx,
+           sum(y) as sy, sum(x * y) as sxy
+    from wx group by user_id
+)
+select user_id, n as n_events,
+       (n * sxy - sx * sy) / nullif(cast(n * sxx - sx * sx as double), 0.0) as slope,
+       (sy - ((n * sxy - sx * sy) / nullif(cast(n * sxx - sx * sx as double), 0.0)) * sx) / n
+           as intercept
+from stats
+"""

@@ -68,3 +68,46 @@ def test_merge_upsert_planted_actions(spark, tmp_path):
     assert (got[1].action, got[1].event_id) == ("carry", 0)
     assert (got[2].action, got[2].event_id, got[2].value) == ("update", 3, 4.0)
     assert (got[3].action, got[3].event_id) == ("insert", 4)
+
+
+def test_user_trend_pandas_twin_matches_builtin(spark):
+    from spotify_tracks_spark.operators.analytics import (
+        events_user_trend,
+        events_user_trend_pandas,
+    )
+
+    from .conftest import SF_SMOKE
+
+    a = {r.user_id: r for r in events_user_trend(spark, SF_SMOKE).collect()}
+    b = {r.user_id: r for r in events_user_trend_pandas(spark, SF_SMOKE).collect()}
+    assert set(a) == set(b) and a
+    for uid in a:
+        assert a[uid].n_events == b[uid].n_events
+        for f in ("slope", "intercept"):
+            va, vb = getattr(a[uid], f), getattr(b[uid], f)
+            if va is None:
+                assert vb is None
+            else:
+                # numpy sums in a different order — equal to float tolerance
+                assert abs(va - vb) <= 1e-9 * max(1.0, abs(va)), (uid, f)
+
+
+def test_user_trend_planted_line(spark, tmp_path):
+    from spotify_tracks_spark.operators.analytics import events_user_trend
+
+    rows = [  # u1: y = 2x + 3 exactly over days 0..3; u2: single day
+        (0, datetime(2024, 7, 1, 9), 1, "view", 3.0, "{}"),
+        (1, datetime(2024, 7, 2, 9), 1, "view", 5.0, "{}"),
+        (2, datetime(2024, 7, 3, 9), 1, "view", 7.0, "{}"),
+        (3, datetime(2024, 7, 4, 9), 1, "view", 9.0, "{}"),
+        (4, datetime(2024, 7, 2, 9), 2, "view", 42.0, "{}"),
+        (5, datetime(2024, 7, 2, 11), 2, "view", 41.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.user_id: r for r in events_user_trend(spark, str(tmp_path)).collect()}
+    assert abs(got[1].slope - 2.0) < 1e-12 and abs(got[1].intercept - 3.0) < 1e-12
+    assert got[2].slope is None and got[2].intercept is None  # zero x-variance
