@@ -347,6 +347,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user OLS trend: built-in closed form (the driver-checkable
         # one); the applyInPandas twin is pytest-pinned equal to it
         "events_user_trend": _an.events_user_trend,
+        # salted-pseudonym + k-anonymity release report (privacy gate)
+        "events_k_anonymity": _an.events_k_anonymity,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -445,4 +447,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
+        "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
     }

@@ -688,3 +688,43 @@ def events_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_x.groupBy("user_id").applyInPandas(
         fit, "user_id long, n_events long, slope double, intercept double"
     )
+
+
+K_ANON = 5
+ANON_SALT = "spark-graft-r3"
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release report: pseudonymize the direct identifier and
+    measure k-anonymity over the quasi-identifier tuple (event_type,
+    day, value decade) — the pre-publication check a training-data or
+    analytics-release pipeline runs before sharing event-level data.
+
+    Pseudonymization is salted-hash (md5 over salt‖user_id) —, a keyed
+    deterministic mapping, so joins across released tables still work
+    but raw ids never leave the engine.  The k-anonymity pass is ONE
+    aggregate over the quasi-identifier tuple: a group smaller than
+    ``K_ANON`` re-identifies its members and is flagged for suppression.
+    Both passes ride the same scan; the report is group-grain (tiny).
+
+    Output: (event_type, day, value_decade, group_size, suppress,
+    n_pseudonyms) — n_pseudonyms counts distinct salted ids per group,
+    proving the mapping kept distinctness (no accidental merges)."""
+    ev = read_table(spark, sf_dir, "events")
+    pseud = F.md5(F.concat(F.lit(ANON_SALT), F.lit("|"), F.col("user_id").cast("string")))
+    qi_day = F.to_date("ts")
+    decade = (F.floor(F.col("value") / 10) * 10).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            qi_day.alias("day"),
+            decade.alias("value_decade"),
+            pseud.alias("pid"),
+        )
+        .groupBy("event_type", "day", "value_decade")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("pid").alias("n_pseudonyms"),
+        )
+        .withColumn("suppress", F.col("group_size") < K_ANON)
+    )

@@ -1540,3 +1540,22 @@ select user_id, n as n_events,
            as intercept
 from stats
 """
+
+
+# --- k-anonymity release report (operators/analytics.py) -------------------
+
+def _k_anonymity_sql() -> str:
+    from .operators.analytics import ANON_SALT, K_ANON
+
+    return f"""
+select event_type, cast(ts as date) as day,
+       cast(floor(value / 10) * 10 as bigint) as value_decade,
+       count(*) as group_size,
+       count(distinct md5('{ANON_SALT}' || '|' || cast(user_id as varchar))) as n_pseudonyms,
+       count(*) < {K_ANON} as suppress
+from events
+group by 1, 2, 3
+"""
+
+
+EVENTS_K_ANONYMITY = _k_anonymity_sql()

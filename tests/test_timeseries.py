@@ -98,3 +98,51 @@ def test_interpolate_fills_interior_gap_linearly(spark, tmp_path):
     for day, (observed, v) in expect.items():
         assert got[day].observed is observed, day
         assert abs(got[day].value_interp - v) < 1e-12, day
+
+
+from collections import defaultdict
+from datetime import date, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=20),  # day offset
+    st.integers(min_value=0, max_value=4),   # user
+    st.sampled_from(["view", "click"]),
+)
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=60))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rolling_7d_matches_bruteforce(spark, tmp_path_factory, events):
+    base = date(2024, 3, 1)
+    rows = [
+        (i, datetime(2024, 3, 1 + 0, 12) + timedelta(days=off), u, t, 1.0, "{}")
+        for i, (off, u, t) in enumerate(events)
+    ]
+    sf = str(tmp_path_factory.mktemp("roll"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r.event_type, str(r.day)): (r.n_events, r.n_events_7d, r.n_users_7d)
+        for r in events_rolling_7d(spark, sf).collect()
+    }
+    # brute force: for every observed (type, day), walk the trailing window
+    per_day = defaultdict(list)
+    for off, u, t in events:
+        per_day[(t, base + timedelta(days=off))].append(u)
+    want = {}
+    for (t, d), users in per_day.items():
+        win = [
+            u
+            for (t2, d2), us in per_day.items()
+            if t2 == t and 0 <= (d - d2).days <= 6
+            for u in us
+        ]
+        want[(t, str(d))] = (len(users), len(win), len(set(win)))
+    assert got == want
