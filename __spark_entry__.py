@@ -349,6 +349,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_trend": _an.events_user_trend,
         # salted-pseudonym + k-anonymity release report (privacy gate)
         "events_k_anonymity": _an.events_k_anonymity,
+        # interval×interval overlap join (completes asof/range family)
+        "events_session_overlap": _events.events_session_overlap,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -448,4 +450,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
         "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
+        "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
     }

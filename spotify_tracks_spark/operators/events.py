@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.time_utils import epoch_seconds
+from ..functions.time_utils import epoch_micros, epoch_seconds
 from ..sources.tables import read_table
 
 SESSION_GAP_MINUTES = 30
@@ -284,4 +284,59 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         from _events_gs_src
         group by grouping sets ((event_type, day), (day))
         """
+    )
+
+
+def events_session_overlap(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Interval-overlap join: per user, browse sessions (view/click
+    events) overlapped against converting sessions (purchase events) —
+    the interval×interval join shape (asof = point×point, range_join =
+    point×interval; this completes the family), answering "which browse
+    activity was concurrent with a purchase run".
+
+    Each side sessionizes independently with the shared lag/cumsum frame
+    (one shuffle each, same user_id key) down to session grain — per-user
+    session counts are small, so the overlap join is an equi-join on
+    user_id with the interval predicate (a.start ≤ b.end ∧ b.start ≤
+    a.end) applied as a join-ON residual: Spark plans SortMergeJoin on
+    user_id with the band filter inline, never a cartesian.  Overlap
+    length is exact integer epoch-micros arithmetic (hash-stable).
+
+    Output: (user_id, b_start, b_end, c_start, c_end, overlap_us)."""
+    def sessions(types: tuple[str, ...], prefix: str) -> DataFrame:
+        ev = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin(*types))
+            .select("event_id", "ts", "user_id")
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sec = epoch_seconds(F.col("ts"))
+        gap_flag = (sec - F.lag(sec).over(w) > gap_minutes * 60).cast("int")
+        return (
+            ev.withColumn("new_sess", F.coalesce(gap_flag, F.lit(0)))
+            .withColumn(
+                "sno",
+                F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .groupBy("user_id", "sno")
+            .agg(
+                F.min("ts").alias(f"{prefix}_start"),
+                F.max("ts").alias(f"{prefix}_end"),
+            )
+            .drop("sno")
+        )
+
+    browse = sessions(("view", "click"), "b")
+    convert = sessions(("purchase",), "c")
+    joined = browse.join(convert, "user_id").filter(
+        (F.col("b_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("b_end"))
+    )
+    overlap = epoch_micros(F.least("b_end", "c_end")) - epoch_micros(
+        F.greatest("b_start", "c_start")
+    )
+    return joined.select(
+        "user_id", "b_start", "b_end", "c_start", "c_end",
+        overlap.alias("overlap_us"),
     )

@@ -1559,3 +1559,45 @@ group by 1, 2, 3
 
 
 EVENTS_K_ANONYMITY = _k_anonymity_sql()
+
+
+# --- interval-overlap session join (operators/events.py) -------------------
+
+def _session_overlap_sql() -> str:
+    from .operators.events import SESSION_GAP_MINUTES
+
+    gap = SESSION_GAP_MINUTES * 60
+
+    def sess(types: str, prefix: str) -> str:
+        return f"""
+{prefix}_g as (
+    select user_id, ts, event_id,
+           case when floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                       over (partition by user_id order by ts, event_id)
+                     > {gap}
+                then 1 else 0 end as new_sess
+    from events where event_type in ({types})
+),
+{prefix}_s as (
+    select *, sum(new_sess) over (partition by user_id order by ts, event_id
+                                  rows between unbounded preceding and current row) as sno
+    from {prefix}_g
+),
+{prefix}_sessions as (
+    select user_id, min(ts) as {prefix}_start, max(ts) as {prefix}_end
+    from {prefix}_s group by user_id, sno
+)"""
+
+    return f"""
+with {sess("'view', 'click'", "b")},
+{sess("'purchase'", "c")}
+select b.user_id, b.b_start, b.b_end, c.c_start, c.c_end,
+       epoch_us(least(b.b_end, c.c_end)) - epoch_us(greatest(b.b_start, c.c_start))
+           as overlap_us
+from b_sessions b join c_sessions c on b.user_id = c.user_id
+where b.b_start <= c.c_end and c.c_start <= b.b_end
+"""
+
+
+EVENTS_SESSION_OVERLAP = _session_overlap_sql()

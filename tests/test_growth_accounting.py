@@ -111,3 +111,33 @@ def test_user_trend_planted_line(spark, tmp_path):
     got = {r.user_id: r for r in events_user_trend(spark, str(tmp_path)).collect()}
     assert abs(got[1].slope - 2.0) < 1e-12 and abs(got[1].intercept - 3.0) < 1e-12
     assert got[2].slope is None and got[2].intercept is None  # zero x-variance
+
+
+def test_session_overlap_planted(spark, tmp_path):
+    from spotify_tracks_spark.operators.events import events_session_overlap
+
+    t = lambda m: datetime(2024, 8, 1, 10, m)  # noqa: E731
+    rows = [
+        # u1: browse session 10:00-10:10 overlaps purchase session 10:05-10:06
+        (0, t(0), 1, "view", 1.0, "{}"),
+        (1, t(10), 1, "click", 1.0, "{}"),
+        (2, t(5), 1, "purchase", 1.0, "{}"),
+        (3, t(6), 1, "purchase", 1.0, "{}"),
+        # u2: browse 10:00-10:01, purchase at 10:01 exactly → touch, overlap 0
+        (4, t(0), 2, "view", 1.0, "{}"),
+        (5, t(1), 2, "view", 1.0, "{}"),
+        (6, t(1), 2, "purchase", 1.0, "{}"),
+        # u3: browse 10:00 only, purchase 10:50 (> 30 min gap-separated,
+        # and intervals disjoint) → no pair
+        (7, t(0), 3, "view", 1.0, "{}"),
+        (8, t(50), 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.user_id: r for r in events_session_overlap(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].overlap_us == 60_000_000  # 10:05-10:06 inside browse
+    assert got[2].overlap_us == 0  # touching endpoints still join
