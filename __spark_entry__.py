@@ -351,6 +351,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": _an.events_k_anonymity,
         # interval×interval overlap join (completes asof/range family)
         "events_session_overlap": _events.events_session_overlap,
+        # product quantization (codebook compression, d floats → n bytes)
+        "embedding_pq": _sim.embedding_pq,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -451,4 +453,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
         "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
         "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
+        "embedding_pq": oracles_ext.EMBEDDING_PQ,
     }

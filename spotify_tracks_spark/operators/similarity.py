@@ -343,3 +343,85 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(codes).alias("code_max"),
         mse.alias("mse"),
     )
+
+
+PQ_SUBSPACES = 8
+PQ_CODEBOOK = 16
+
+
+def embedding_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int = PQ_SUBSPACES,
+    n_cent: int = PQ_CODEBOOK,
+) -> DataFrame:
+    """Product quantization: split each d-dim vector into ``n_sub``
+    subvectors and code each against a per-subspace codebook of
+    ``n_cent`` centroids — the codebook compression (d floats → n_sub
+    bytes) behind every billion-scale ANN index, one level beyond
+    ``embedding_quantize``'s scalar per-dimension codes.
+
+    Codebooks are deterministic (subvectors of the ``n_cent`` lowest
+    vec_ids — the ann_topk_ivf trick that keeps a clustering-dependent
+    operator oracle-checkable; production would k-means each subspace)
+    and ship as ONE nested literal, so encoding is a ZERO-shuffle
+    scan-side projection: per subspace, argmin of squared L2 distance
+    over the n_cent candidates, ties to the lower code.  Reconstruction
+    distortion per vector is the sum of subspace residuals — exact IEEE
+    arithmetic, same sequence in the oracle.
+
+    Output: (vec_id, code_sum, code_min, code_max, distortion) — scalar
+    code summaries (hash-portable), distortion = Σ‖subvec − centroid‖²."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
+    dim = len(cent_rows[0].embedding)
+    sub_len = dim // n_sub
+    # codebook[s][c] = centroid c of subspace s (n_sub × n_cent × sub_len)
+    codebook = F.lit(
+        [
+            [
+                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
+                for r in cent_rows
+            ]
+            for s in range(n_sub)
+        ]
+    )
+
+    def sub(col: Column, s: Column) -> Column:
+        return F.slice(col, s * sub_len + 1, sub_len)
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # per subspace: argmin over centroids as array_min of (dist, code)
+    # structs — min by distance, ties to the LOWER code; carries the
+    # winning distance out for the distortion sum.  All plan-compile-time
+    # literals; runtime is pure columnar arithmetic.
+    def best(col: Column, s: Column) -> Column:
+        cands = F.transform(
+            F.element_at(codebook, s + 1),
+            lambda c, i: F.struct(
+                sqdist(sub(col, s), c).alias("d"), i.alias("code")
+            ),
+        )
+        return F.array_min(cands)
+
+    per_sub = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: best(F.col("embedding"), s),
+    )
+    codes = F.transform(per_sub, lambda b: b["code"].cast("long"))
+    distortion = F.aggregate(
+        F.transform(per_sub, lambda b: b["d"]), F.lit(0.0), lambda a, v: a + v
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, v: a + v).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        distortion.alias("distortion"),
+    )

@@ -1601,3 +1601,48 @@ where b.b_start <= c.c_end and c.c_start <= b.b_end
 
 
 EVENTS_SESSION_OVERLAP = _session_overlap_sql()
+
+
+# --- product quantization (operators/similarity.py:embedding_pq) -----------
+# Same deterministic codebook (subvectors of the 16 lowest vec_ids); the
+# per-vector distortion sums subspace residuals in subspace order
+# (list(d order by s) -> list_sum) to match Spark's sequential fold.
+
+def _embedding_pq_sql() -> str:
+    from .operators.similarity import PQ_CODEBOOK, PQ_SUBSPACES
+
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+cents as (
+    select row_number() over (order by vec_id) - 1 as cid, e
+    from (select * from emb order by vec_id limit {PQ_CODEBOOK})
+),
+sublen as (select (select len(e) from emb limit 1) // {PQ_SUBSPACES} as m),
+dists as (
+    select v.vec_id, s.s, c.cid,
+           list_sum(list_transform(generate_series(1, l.m),
+               i -> (v.e[s.s * l.m + i] - c.e[s.s * l.m + i])
+                    * (v.e[s.s * l.m + i] - c.e[s.s * l.m + i]))) as d
+    from emb v
+    cross join (select unnest(generate_series(0, {PQ_SUBSPACES - 1})) as s) s
+    cross join cents c
+    cross join sublen l
+),
+best as (
+    select vec_id, s, cid as code, d from (
+        select *, row_number() over (partition by vec_id, s order by d, cid) as rn
+        from dists) where rn = 1
+),
+agg as (
+    select vec_id,
+           cast(sum(code) as bigint) as code_sum,
+           cast(min(code) as bigint) as code_min,
+           cast(max(code) as bigint) as code_max,
+           list_sum(list(d order by s)) as distortion
+    from best group by vec_id
+)
+select * from agg
+"""
+
+
+EMBEDDING_PQ = _embedding_pq_sql()

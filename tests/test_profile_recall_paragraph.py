@@ -112,3 +112,27 @@ def test_key_skew_ranks_and_shares(spark):
     counts = [r.n_events for r in by_rank]
     assert counts == sorted(counts, reverse=True)
     assert 0 < sum(r.share for r in rows) <= 1.0
+
+
+def test_pq_codebook_vectors_code_to_themselves(spark):
+    from spotify_tracks_spark.operators.similarity import (
+        PQ_CODEBOOK,
+        embedding_pq,
+    )
+    from spotify_tracks_spark.sources.tables import read_table
+
+    cent_ids = [
+        r.vec_id
+        for r in read_table(spark, SF_SMOKE, "embeddings")
+        .orderBy("vec_id")
+        .limit(PQ_CODEBOOK)
+        .collect()
+    ]
+    got = {r.vec_id: r for r in embedding_pq(spark, SF_SMOKE).collect()}
+    for rank, vid in enumerate(cent_ids):
+        r = got[vid]
+        # a codebook member's own subvectors are centroids: zero residual,
+        # and every subspace picks the same code (its own rank)
+        assert r.distortion == 0.0, vid
+        assert r.code_min == r.code_max == rank, vid
+    assert all(r.distortion >= 0 for r in got.values())
