@@ -353,6 +353,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_overlap": _events.events_session_overlap,
         # product quantization (codebook compression, d floats → n bytes)
         "embedding_pq": _sim.embedding_pq,
+        # PQ asymmetric-distance search over codes (memory-bound ANN)
+        "ann_topk_pq": _sim.ann_topk_pq,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -454,4 +456,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
         "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
         "embedding_pq": oracles_ext.EMBEDDING_PQ,
+        "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
     }

@@ -425,3 +425,97 @@ def embedding_pq(
         F.array_max(codes).alias("code_max"),
         distortion.alias("distortion"),
     )
+
+
+def ann_topk_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    probe_mod: int = 100,
+    n_sub: int = PQ_SUBSPACES,
+    n_cent: int = PQ_CODEBOOK,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are represented
+    ONLY by their product-quantization codes; each probe ranks candidates
+    by Σ_s ‖probe_sub_s − centroid[s][code_s]‖² — the memory-bound search
+    mode of a PQ index (the corpus never rereads its floats at query
+    time; at 100 TB that is the difference between scanning codes at
+    n_sub bytes/vector and scanning raw vectors at 4d bytes/vector).
+
+    Same deterministic codebooks as ``embedding_pq``; probes broadcast;
+    the per-(probe, vector) ADC distance folds over the vector's code
+    array against the probe's inline subspace-distance expression — a
+    scan-side projection over the broadcast-joined corpus, then the
+    standard per-query top-k window.  Approximate BY DESIGN (distance to
+    a centroid, not to the true vector) but deterministic, so the oracle
+    hash-matches exactly.  Ties break (distance asc, neighbor_id asc).
+
+    Output: (query_id, neighbor_id, rank, adc) — adc rounded 6 dp."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
+    dim = len(cent_rows[0].embedding)
+    sub_len = dim // n_sub
+    codebook = F.lit(
+        [
+            [
+                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
+                for r in cent_rows
+            ]
+            for s in range(n_sub)
+        ]
+    )
+
+    def sub(col: Column, s: Column) -> Column:
+        return F.slice(col, s * sub_len + 1, sub_len)
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_of(col: Column, s: Column) -> Column:
+        cands = F.transform(
+            F.element_at(codebook, s + 1),
+            lambda c, i: F.struct(sqdist(sub(col, s), c).alias("d"), i.alias("code")),
+        )
+        return F.array_min(cands)["code"]
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: code_of(F.col("embedding"), s),
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
+    probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # ADC: fold the candidate's code array with (code, subspace-index) —
+    # each term is the probe subvector's distance to the CODED centroid
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda c, s: sqdist(
+                sub(F.col("q_emb"), s),
+                F.element_at(F.element_at(codebook, s + 1), c.cast("int") + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc"),
+        )
+    )

@@ -1646,3 +1646,59 @@ select * from agg
 
 
 EMBEDDING_PQ = _embedding_pq_sql()
+
+
+# --- PQ asymmetric-distance search (operators/similarity.py:ann_topk_pq) ---
+
+def _ann_topk_pq_sql(k: int = 5, probe_mod: int = 100) -> str:
+    from .operators.similarity import PQ_CODEBOOK, PQ_SUBSPACES
+
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+cents as (
+    select row_number() over (order by vec_id) - 1 as cid, e
+    from (select * from emb order by vec_id limit {PQ_CODEBOOK})
+),
+sublen as (select (select len(e) from emb limit 1) // {PQ_SUBSPACES} as m),
+dists as (
+    select v.vec_id, s.s, c.cid,
+           list_sum(list_transform(generate_series(1, l.m),
+               i -> (v.e[s.s * l.m + i] - c.e[s.s * l.m + i])
+                    * (v.e[s.s * l.m + i] - c.e[s.s * l.m + i]))) as d
+    from emb v
+    cross join (select unnest(generate_series(0, {PQ_SUBSPACES - 1})) as s) s
+    cross join cents c
+    cross join sublen l
+),
+best as (
+    select vec_id, s, cid as code from (
+        select *, row_number() over (partition by vec_id, s order by d, cid) as rn
+        from dists) where rn = 1
+),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0),
+terms as (
+    select p.query_id, b.vec_id as neighbor_id, b.s,
+           list_sum(list_transform(generate_series(1, l.m),
+               i -> (p.qe[b.s * l.m + i] - c.e[b.s * l.m + i])
+                    * (p.qe[b.s * l.m + i] - c.e[b.s * l.m + i]))) as d
+    from best b
+    join cents c on b.code = c.cid
+    cross join probes p
+    cross join sublen l
+    where b.vec_id != p.query_id
+),
+adcs as (
+    select query_id, neighbor_id, list_sum(list(d order by s)) as adc
+    from terms group by query_id, neighbor_id
+),
+ranked as (
+    select query_id, neighbor_id, adc,
+           row_number() over (partition by query_id order by adc asc, neighbor_id asc) as rank
+    from adcs
+)
+select query_id, neighbor_id, cast(rank as bigint) as rank, round(adc, 6) as adc
+from ranked where rank <= {k}
+"""
+
+
+ANN_TOPK_PQ = _ann_topk_pq_sql()

@@ -136,3 +136,19 @@ def test_pq_codebook_vectors_code_to_themselves(spark):
         assert r.distortion == 0.0, vid
         assert r.code_min == r.code_max == rank, vid
     assert all(r.distortion >= 0 for r in got.values())
+
+
+def test_pq_adc_search_is_ranked_and_nonnegative(spark):
+    from spotify_tracks_spark.operators.similarity import ann_topk_pq
+
+    rows = ann_topk_pq(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        adcs = [r.adc for r in rs]
+        assert all(a >= 0 for a in adcs) and adcs == sorted(adcs), q
+        assert all(r.neighbor_id != q for r in rs)
