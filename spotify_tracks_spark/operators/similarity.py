@@ -349,6 +349,53 @@ PQ_SUBSPACES = 8
 PQ_CODEBOOK = 16
 
 
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left fold — the same sequential IEEE add
+    order as the oracle's list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebook(emb: DataFrame, n_sub: int, n_cent: int):
+    """Deterministic PQ codebook (subvectors of the n_cent lowest vec_ids
+    — the ann_topk_ivf trick that keeps a clustering-dependent operator
+    oracle-checkable; production would k-means each subspace).  Returns
+    (codebook literal with codebook[s][c] = centroid c of subspace s,
+    sub_len); the n_cent-row collect is the documented bounded one."""
+    cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
+    sub_len = len(cent_rows[0].embedding) // n_sub
+    codebook = F.lit(
+        [
+            [
+                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
+                for r in cent_rows
+            ]
+            for s in range(n_sub)
+        ]
+    )
+    return codebook, sub_len
+
+
+def _pq_sub(col: Column, s: Column, sub_len: int) -> Column:
+    return F.slice(col, s * sub_len + 1, sub_len)
+
+
+def _pq_best(codebook: Column, sub_len: int, col: Column, s: Column) -> Column:
+    """Per-subspace argmin over centroids as array_min of (dist, code)
+    structs — min by distance, ties to the LOWER code; the struct carries
+    the winning distance out for distortion sums."""
+    cands = F.transform(
+        F.element_at(codebook, s + 1),
+        lambda c, i: F.struct(
+            _sq_l2(_pq_sub(col, s, sub_len), c).alias("d"), i.alias("code")
+        ),
+    )
+    return F.array_min(cands)
+
+
 def embedding_pq(
     spark: SparkSession,
     sf_dir: str,
@@ -373,46 +420,10 @@ def embedding_pq(
     Output: (vec_id, code_sum, code_min, code_max, distortion) — scalar
     code summaries (hash-portable), distortion = Σ‖subvec − centroid‖²."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
-    dim = len(cent_rows[0].embedding)
-    sub_len = dim // n_sub
-    # codebook[s][c] = centroid c of subspace s (n_sub × n_cent × sub_len)
-    codebook = F.lit(
-        [
-            [
-                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
-                for r in cent_rows
-            ]
-            for s in range(n_sub)
-        ]
-    )
-
-    def sub(col: Column, s: Column) -> Column:
-        return F.slice(col, s * sub_len + 1, sub_len)
-
-    def sqdist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # per subspace: argmin over centroids as array_min of (dist, code)
-    # structs — min by distance, ties to the LOWER code; carries the
-    # winning distance out for the distortion sum.  All plan-compile-time
-    # literals; runtime is pure columnar arithmetic.
-    def best(col: Column, s: Column) -> Column:
-        cands = F.transform(
-            F.element_at(codebook, s + 1),
-            lambda c, i: F.struct(
-                sqdist(sub(col, s), c).alias("d"), i.alias("code")
-            ),
-        )
-        return F.array_min(cands)
-
+    codebook, sub_len = _pq_codebook(emb, n_sub, n_cent)
     per_sub = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: best(F.col("embedding"), s),
+        lambda s: _pq_best(codebook, sub_len, F.col("embedding"), s),
     )
     codes = F.transform(per_sub, lambda b: b["code"].cast("long"))
     distortion = F.aggregate(
@@ -452,39 +463,10 @@ def ann_topk_pq(
 
     Output: (query_id, neighbor_id, rank, adc) — adc rounded 6 dp."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
-    dim = len(cent_rows[0].embedding)
-    sub_len = dim // n_sub
-    codebook = F.lit(
-        [
-            [
-                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
-                for r in cent_rows
-            ]
-            for s in range(n_sub)
-        ]
-    )
-
-    def sub(col: Column, s: Column) -> Column:
-        return F.slice(col, s * sub_len + 1, sub_len)
-
-    def sqdist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def code_of(col: Column, s: Column) -> Column:
-        cands = F.transform(
-            F.element_at(codebook, s + 1),
-            lambda c, i: F.struct(sqdist(sub(col, s), c).alias("d"), i.alias("code")),
-        )
-        return F.array_min(cands)["code"]
-
+    codebook, sub_len = _pq_codebook(emb, n_sub, n_cent)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: code_of(F.col("embedding"), s),
+        lambda s: _pq_best(codebook, sub_len, F.col("embedding"), s)["code"],
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
     probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
@@ -496,8 +478,8 @@ def ann_topk_pq(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(n_sub - 1)),
-            lambda c, s: sqdist(
-                sub(F.col("q_emb"), s),
+            lambda c, s: _sq_l2(
+                _pq_sub(F.col("q_emb"), s, sub_len),
                 F.element_at(F.element_at(codebook, s + 1), c.cast("int") + 1),
             ),
         ),
