@@ -355,6 +355,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq": _sim.embedding_pq,
         # PQ asymmetric-distance search over codes (memory-bound ANN)
         "ann_topk_pq": _sim.ann_topk_pq,
+        # langid confusion matrix + per-label recall (classifier eval)
+        "text_langid_eval": _text.text_langid_eval,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -457,4 +459,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
         "embedding_pq": oracles_ext.EMBEDDING_PQ,
         "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
+        "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
     }

@@ -228,3 +228,34 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         (F.sum("ll") / F.count("*")).alias("mean_loglik"),
     )
+
+
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language with
+    per-cell counts and per-label recall — the evaluation report that
+    decides whether the n-gram classifier's quality clears the corpus
+    gate (the langid operator alone says WHAT it predicts; this says how
+    often it's right, per language).
+
+    Composes ``text_langid`` and folds to (lang, lang_pred) grain — one
+    tiny aggregate on top of the zero-shuffle scorer, plus a broadcast
+    per-label total for recall.  Output: (lang, lang_pred, n, recall) —
+    recall is the label's diagonal share, repeated on each of its rows
+    (diagonal row: n/total for that label)."""
+    pred = text_langid(spark, sf_dir).select("doc_id", "lang", "lang_pred")
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("n_label"))
+    diag = (
+        cells.filter(F.col("lang") == F.col("lang_pred"))
+        .select("lang", F.col("n").alias("n_correct"))
+    )
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .join(F.broadcast(diag), "lang", "left")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            (F.coalesce("n_correct", F.lit(0)) / F.col("n_label")).alias("recall"),
+        )
+    )

@@ -1702,3 +1702,19 @@ from ranked where rank <= {k}
 
 
 ANN_TOPK_PQ = _ann_topk_pq_sql()
+
+
+# --- langid evaluation (operators/text_analysis.py:text_langid_eval) -------
+# Wraps the TEXT_LANGID oracle as the prediction source.
+
+TEXT_LANGID_EVAL = f"""
+with pred as (select doc_id, lang, lang_pred from ({TEXT_LANGID}) q),
+cells as (select lang, lang_pred, count(*) as n from pred group by 1, 2),
+totals as (select lang, cast(sum(n) as bigint) as n_label from cells group by lang),
+diag as (select lang, n as n_correct from cells where lang = lang_pred)
+select c.lang, c.lang_pred, c.n,
+       coalesce(d.n_correct, 0) / t.n_label as recall
+from cells c
+join totals t on c.lang = t.lang
+left join diag d on c.lang = d.lang
+"""
