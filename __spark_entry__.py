@@ -357,6 +357,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": _sim.ann_topk_pq,
         # langid confusion matrix + per-label recall (classifier eval)
         "text_langid_eval": _text.text_langid_eval,
+        # frozen hash-mod train/val/test assignment (disjoint, exhaustive)
+        "corpus_split": _llm.corpus_split,
+        # dangling-reference audit between documents and embeddings
+        "corpus_integrity": _llm.corpus_integrity,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -460,4 +464,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_pq": oracles_ext.EMBEDDING_PQ,
         "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
         "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
+        "corpus_split": oracles_ext.CORPUS_SPLIT,
+        "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
     }

@@ -728,3 +728,45 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("suppress", F.col("group_size") < K_ANON)
     )
+
+
+def events_user_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` twin of ``events_user_trend`` — the zero-copy
+    grouped-map surface (pyarrow.Table in, pyarrow.Table out; no pandas
+    materialization between Arrow buffers and numpy).  Same contract as
+    the pandas twin: pytest-pinned equal to the built-in closed form;
+    the built-in stays the production default (grouped-map pays one
+    shuffle + Arrow serialization per key group either way — the Arrow
+    form just removes the pandas copy on top)."""
+    import pyarrow as pa
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    origin = ev.agg(F.min("day").alias("day0"))
+    with_x = ev.join(F.broadcast(origin)).select(
+        "user_id",
+        F.datediff("day", "day0").cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("x").to_numpy().astype("float64")
+        y = tbl.column("y").to_numpy().astype("float64")
+        n = len(x)
+        sx, sxx, sy, sxy = x.sum(), (x * x).sum(), y.sum(), (x * y).sum()
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den if den != 0 else None
+        intercept = (sy - slope * sx) / n if slope is not None else None
+        return pa.table(
+            {
+                "user_id": pa.array([tbl.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+                "intercept": pa.array([intercept], pa.float64()),
+            }
+        )
+
+    return with_x.groupBy("user_id").applyInArrow(
+        fit, "user_id long, n_events long, slope double, intercept double"
+    )

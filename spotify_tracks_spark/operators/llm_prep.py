@@ -254,3 +254,60 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_repetitive"
         ),
     )
+
+
+# train/val/test split: hash-mod buckets out of 100
+SPLIT_BOUNDS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: every document lands in
+    exactly one split by hash-mod bucket — the reproducible partition an
+    LLM data pipeline freezes before training (re-runs, new shards, and
+    other engines must all agree, which rand()-based splits and
+    ``randomSplit`` cannot guarantee).
+
+    Same portable-hash scan-side projection as events_sample — zero
+    shuffle for the assignment itself; the per-split count summary is
+    one tiny aggregate.  Salting the hash input with a split-version tag
+    would rotate membership deterministically.  The splits are disjoint
+    and exhaustive BY CONSTRUCTION (bucket ranges tile [0, 100)), which
+    the planted test pins.
+
+    Output: (doc_id, bucket, split)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.lit(None).cast("string")
+    for name, lo, hi in SPLIT_BOUNDS:
+        split = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(split)
+    return docs.select(
+        "doc_id", bucket.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
+def corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report between ``documents`` and
+    ``embeddings`` — the dangling-reference audit run before training
+    joins text to vectors: rows per check with violation counts.
+
+    Two anti-join counts (docs without a vector, vectors without a doc)
+    plus the matched count — each a left-anti/semi join on the id, which
+    Spark executes as broadcast-anti against the smaller side's id
+    column (entity-grain; the text/embedding payloads are pruned from
+    the scan).  Output: (check, n) with three fixed rows, so the report
+    is stable for alerting thresholds."""
+    doc_ids = read_table(spark, sf_dir, "documents").select("doc_id")
+    vec_ids = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    orphan_docs = doc_ids.join(vec_ids, "doc_id", "left_anti").count()
+    orphan_vecs = vec_ids.join(doc_ids, "doc_id", "left_anti").count()
+    matched = doc_ids.join(vec_ids, "doc_id", "left_semi").count()
+    return spark.createDataFrame(
+        [
+            ("docs_without_embedding", orphan_docs),
+            ("embeddings_without_doc", orphan_vecs),
+            ("matched", matched),
+        ],
+        "check string, n long",
+    )

@@ -1718,3 +1718,37 @@ from cells c
 join totals t on c.lang = t.lang
 left join diag d on c.lang = d.lang
 """
+
+
+# --- train/val/test split + integrity audit (operators/llm_prep.py) --------
+
+def _corpus_split_sql() -> str:
+    from .operators.llm_prep import SPLIT_BOUNDS
+
+    whens = " ".join(
+        f"when bucket >= {lo} and bucket < {hi} then '{name}'"
+        for name, lo, hi in SPLIT_BOUNDS
+    )
+    h = _h60("cast(doc_id as varchar)")
+    return f"""
+with b as (
+    select doc_id, ((({h}) % 100) + 100) % 100 as bucket from documents
+)
+select doc_id, cast(bucket as bigint) as bucket,
+       case {whens} end as split
+from b
+"""
+
+
+CORPUS_SPLIT = _corpus_split_sql()
+
+CORPUS_INTEGRITY = """
+select 'docs_without_embedding' as "check", count(*) as n
+from documents d where not exists (select 1 from embeddings e where e.vec_id = d.doc_id)
+union all
+select 'embeddings_without_doc', count(*)
+from embeddings e where not exists (select 1 from documents d where d.doc_id = e.vec_id)
+union all
+select 'matched', count(*)
+from documents d where exists (select 1 from embeddings e where e.vec_id = d.doc_id)
+"""

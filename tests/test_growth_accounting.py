@@ -141,3 +141,41 @@ def test_session_overlap_planted(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1].overlap_us == 60_000_000  # 10:05-10:06 inside browse
     assert got[2].overlap_us == 0  # touching endpoints still join
+
+
+def test_user_trend_arrow_twin_matches_builtin(spark):
+    from spotify_tracks_spark.operators.analytics import (
+        events_user_trend,
+        events_user_trend_arrow,
+    )
+
+    from .conftest import SF_SMOKE
+
+    a = {r.user_id: r for r in events_user_trend(spark, SF_SMOKE).collect()}
+    b = {r.user_id: r for r in events_user_trend_arrow(spark, SF_SMOKE).collect()}
+    assert set(a) == set(b) and a
+    for uid in a:
+        assert a[uid].n_events == b[uid].n_events
+        for f in ("slope", "intercept"):
+            va, vb = getattr(a[uid], f), getattr(b[uid], f)
+            if va is None:
+                assert vb is None
+            else:
+                assert abs(va - vb) <= 1e-9 * max(1.0, abs(va)), (uid, f)
+
+
+def test_corpus_split_is_disjoint_and_exhaustive(spark):
+    from spotify_tracks_spark.operators.llm_prep import SPLIT_BOUNDS, corpus_split
+    from spotify_tracks_spark.sources.tables import read_table
+
+    from .conftest import SF_SMOKE
+
+    out = corpus_split(spark, SF_SMOKE).collect()
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert len(out) == n_docs  # one row per doc: disjoint + exhaustive
+    names = {name for name, _, _ in SPLIT_BOUNDS}
+    assert {r.split for r in out} <= names
+    assert all(r.split is not None and 0 <= r.bucket < 100 for r in out)
+    # ~90/5/5 by construction; allow generous hash variance on 500 docs
+    frac_train = sum(r.split == "train" for r in out) / len(out)
+    assert 0.8 < frac_train < 0.97
