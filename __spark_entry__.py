@@ -361,6 +361,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _llm.corpus_split,
         # dangling-reference audit between documents and embeddings
         "corpus_integrity": _llm.corpus_integrity,
+        # end-of-pipeline manifest: per (split, lang) docs + token budget
+        "corpus_train_manifest": _llm.corpus_train_manifest,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -466,4 +468,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
         "corpus_split": oracles_ext.CORPUS_SPLIT,
         "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
+        "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
     }

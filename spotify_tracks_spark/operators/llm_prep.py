@@ -311,3 +311,37 @@ def corpus_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "check string, n long",
     )
+
+
+def corpus_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-manifest assembly: the END of the data pipeline — per
+    (split, lang): how many documents and how many BPE-ish tokens
+    actually reach the trainer after exact dedup (canonical survivors
+    only) under the frozen train/val/test assignment.  This is the
+    number a pretraining run budgets against, and the composition proves
+    the pieces (split, dedup, token counting) join on consistent keys.
+
+    All three inputs are entity-grain single-scan operators; the
+    manifest joins them on doc_id (AQE broadcasts the slimmer sides) and
+    folds to the tiny (split, lang) grain.  At 100 TB each input would
+    be a materialized table and this is one co-partitioned join + a
+    summary aggregate.
+
+    Output: (split, lang, n_docs, n_tokens)."""
+    from .dedup import dedup_exact
+    from .text_analysis import text_tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = dedup_exact(spark, sf_dir).filter(~F.col("is_duplicate")).select("doc_id")
+    split = corpus_split(spark, sf_dir).select("doc_id", "split")
+    tokens = text_tokens(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .join(split, "doc_id")
+        .join(tokens, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_tokens"),
+        )
+    )

@@ -1752,3 +1752,26 @@ union all
 select 'matched', count(*)
 from documents d where exists (select 1 from embeddings e where e.vec_id = d.doc_id)
 """
+
+
+# --- training-manifest assembly (operators/llm_prep.py) --------------------
+# Composes the dedup-exact, split, and token-count oracles on doc_id.
+
+def _train_manifest_sql() -> str:
+    return f"""
+with kept as (
+    select doc_id from ({DEDUP_EXACT}) q where not is_duplicate
+),
+split as (select doc_id, split from ({CORPUS_SPLIT}) s),
+tok as (select doc_id, n_bpe_tokens from ({TEXT_TOKENS}) t)
+select s.split, d.lang, count(*) as n_docs,
+       cast(sum(tok.n_bpe_tokens) as bigint) as n_tokens
+from documents d
+join kept k on d.doc_id = k.doc_id
+join split s on d.doc_id = s.doc_id
+join tok on d.doc_id = tok.doc_id
+group by s.split, d.lang
+"""
+
+
+CORPUS_TRAIN_MANIFEST = _train_manifest_sql()

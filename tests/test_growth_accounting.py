@@ -179,3 +179,60 @@ def test_corpus_split_is_disjoint_and_exhaustive(spark):
     # ~90/5/5 by construction; allow generous hash variance on 500 docs
     frac_train = sum(r.split == "train" for r in out) / len(out)
     assert 0.8 < frac_train < 0.97
+
+
+from collections import defaultdict
+from datetime import timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ACTIVITY = st.sets(
+    st.tuples(st.integers(min_value=0, max_value=4),   # user
+              st.integers(min_value=0, max_value=6)),  # week offset
+    min_size=1, max_size=25,
+)
+
+
+@given(activity=ACTIVITY)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_growth_accounting_matches_bruteforce(spark, tmp_path_factory, activity):
+    base = datetime(2024, 1, 1, 12)  # Monday noon: week-boundary safe
+    rows = [
+        (i, base + timedelta(weeks=w), u, "view", 1.0, "{}")
+        for i, (u, w) in enumerate(sorted(activity))
+    ]
+    sf = str(tmp_path_factory.mktemp("growth"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.week: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in events_growth_accounting(spark, sf).collect()
+    }
+    # brute force on relative week indexes, then shift to the engine's
+    # epoch-week numbering via the observed minimum
+    per_user = defaultdict(set)
+    for u, w in activity:
+        per_user[u].add(w)
+    max_w = max(w for _, w in activity)
+    ledger = defaultdict(lambda: [0, 0, 0, 0])
+    for u, weeks in per_user.items():
+        first = min(weeks)
+        for w in sorted(weeks):
+            prev = max((p for p in weeks if p < w), default=None)
+            if w == first:
+                ledger[w][0] += 1
+            elif prev == w - 1:
+                ledger[w][1] += 1
+            else:
+                ledger[w][2] += 1
+            nxt = min((n for n in weeks if n > w), default=None)
+            if (nxt is None or nxt > w + 1) and w + 1 <= max_w:
+                ledger[w + 1][3] += 1
+    shift = min(got) - min(ledger)
+    want = {w + shift: tuple(v) for w, v in ledger.items()}
+    assert got == want
