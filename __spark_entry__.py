@@ -363,6 +363,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_integrity": _llm.corpus_integrity,
         # end-of-pipeline manifest: per (split, lang) docs + token budget
         "corpus_train_manifest": _llm.corpus_train_manifest,
+        # ROWS-frame moving average (count-based window sibling of 7d)
+        "events_moving_avg": _ts.events_moving_avg,
+        # exact lower median per type (order-statistic aggregate);
+        # the GROUPED_AGG pandas-UDAF twin is pytest-pinned equal
+        "events_median": _events.events_median,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -469,4 +474,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_split": oracles_ext.CORPUS_SPLIT,
         "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
         "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
+        "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
+        "events_median": oracles_ext.EVENTS_MEDIAN,
     }

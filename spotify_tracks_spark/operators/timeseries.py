@@ -190,3 +190,37 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         interp.alias("value_interp"),
     )
+
+
+MOVING_N = 5
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average over the last ``MOVING_N`` events — the
+    ROWS-frame window class (events_rolling_7d covers RANGE frames; this
+    is the count-based sibling streams of irregular ticks need, where a
+    time frame would hold wildly varying row counts).
+
+    One shuffle on user_id; the frame sum is evaluated over the same
+    per-key sort as the ordering (ts, event_id — a total order, so the
+    frame contents and their fold order are identical in both engines;
+    the mean is that exact fold divided by the frame row count).
+
+    Output: (event_id, user_id, ts, value, n_window, moving_avg)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MOVING_N - 1), 0)
+    )
+    n_win = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n_win.cast("long").alias("n_window"),
+        (F.sum("value").over(w) / n_win).alias("moving_avg"),
+    )

@@ -1775,3 +1775,35 @@ group by s.split, d.lang
 
 
 CORPUS_TRAIN_MANIFEST = _train_manifest_sql()
+
+
+# --- ROWS-frame moving average (operators/timeseries.py) -------------------
+
+def _moving_avg_sql() -> str:
+    from .operators.timeseries import MOVING_N
+
+    return f"""
+select event_id, user_id, ts, value,
+       cast(count(*) over w as bigint) as n_window,
+       sum(value) over w / count(*) over w as moving_avg
+from events
+window w as (partition by user_id order by ts, event_id
+             rows between {MOVING_N - 1} preceding and current row)
+"""
+
+
+EVENTS_MOVING_AVG = _moving_avg_sql()
+
+
+# --- exact lower median (operators/events.py:events_median) ----------------
+
+EVENTS_MEDIAN = """
+with ranked as (
+    select event_type, value,
+           row_number() over (partition by event_type order by value, event_id) as rn,
+           count(*) over (partition by event_type) as n
+    from events
+)
+select event_type, cast(n as bigint) as n, value as median_value
+from ranked where rn = cast(floor((n + 1) / 2.0) as bigint)
+"""
