@@ -135,6 +135,13 @@ def _events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_enrich(spark, sf_dir)
 
 
+def _events_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode running counts (single-batch availableNow drain)."""
+    from spotify_tracks_spark.streaming import stream_events_update_counts
+
+    return stream_events_update_counts(spark, sf_dir)
+
+
 def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window streaming aggregate (window 1 d, slide 12 h)."""
     from spotify_tracks_spark.streaming import stream_events_sliding
@@ -368,6 +375,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact lower median per type (order-statistic aggregate);
         # the GROUPED_AGG pandas-UDAF twin is pytest-pinned equal
         "events_median": _events.events_median,
+        # update-mode streaming counts (third output mode; 1-batch drain)
+        "events_stream_update_counts": _events_stream_update_counts,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -476,4 +485,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
         "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
         "events_median": oracles_ext.EVENTS_MEDIAN,
+        "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
     }

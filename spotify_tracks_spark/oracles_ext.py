@@ -1807,3 +1807,11 @@ with ranked as (
 select event_type, cast(n as bigint) as n, value as median_value
 from ranked where rn = cast(floor((n + 1) / 2.0) as bigint)
 """
+
+
+# --- update-mode streaming counts (streaming/windowed.py) ------------------
+# Single-batch availableNow drain: the update set equals the batch agg.
+
+EVENTS_STREAM_UPDATE_COUNTS = """
+select event_type, count(*) as n_events from events group by event_type
+"""

@@ -3,11 +3,16 @@ from .ingest import stream_events_dedup
 from .joins import stream_click_purchase_join, stream_events_enrich
 from .stateful import stream_sessionize
 from .stateful_tws import stream_sessionize_tws
-from .windowed import stream_events_sliding, stream_events_windowed
+from .windowed import (
+    stream_events_sliding,
+    stream_events_update_counts,
+    stream_events_windowed,
+)
 
 __all__ = [
     "stream_events_dedup",
     "stream_events_sliding",
+    "stream_events_update_counts",
     "stream_events_windowed",
     "stream_sessionize",
     "stream_sessionize_tws",

@@ -130,3 +130,48 @@ def stream_events_sliding(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
+
+
+def stream_events_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode streaming aggregate — the third output mode (append
+    and complete are covered by the window/enrich operators): per-type
+    running counts where each trigger emits only the keys whose state
+    CHANGED in that batch.
+
+    Drained with availableNow over the single-file events source, the
+    whole input lands in one micro-batch, so the emitted update set is
+    every key exactly once and equals the batch aggregate — which is
+    what the oracle checks.  (On a multi-batch source the memory sink
+    would hold one row per (batch, updated key); the operator contract
+    is the update STREAM, and the single-batch drain is the
+    deterministic slice of it the harness can hash.)  No watermark: an
+    unwindowed running aggregate keeps |keys| state rows forever, which
+    is the documented cost of update-mode dashboards at 100 TB — bounded
+    here by |event types|."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"upd_{next(_COUNTER)}"
+    try:
+        agg = (
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="streamupd_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)
