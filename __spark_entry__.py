@@ -377,6 +377,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_median": _events.events_median,
         # update-mode streaming counts (third output mode; 1-batch drain)
         "events_stream_update_counts": _events_stream_update_counts,
+        # the generalized profiler applied to a second table
+        "documents_profile": _profile.documents_profile,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -486,4 +488,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
+        "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
     }

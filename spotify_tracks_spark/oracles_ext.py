@@ -1815,3 +1815,25 @@ from ranked where rn = cast(floor((n + 1) / 2.0) as bigint)
 EVENTS_STREAM_UPDATE_COUNTS = """
 select event_type, count(*) as n_events from events group by event_type
 """
+
+
+# --- documents profile (operators/profile.py:documents_profile) ------------
+
+def _documents_profile_sql() -> str:
+    from .operators.profile import DOCS_PROFILE_COLS
+
+    aggs, rows = ["count(*) as n_rows"], []
+    for c, kind in DOCS_PROFILE_COLS:
+        aggs.append(f"count({c}) as nn_{c}")
+        aggs.append(f"count(distinct {c}) as nd_{c}")
+        src = f"cast({c} as double)" if kind == "num" else "cast(null as double)"
+        aggs.append(f"min({src}) as min_{c}")
+        aggs.append(f"max({src}) as max_{c}")
+        rows.append(
+            f"select '{c}' as column_name, n_rows, n_rows - nn_{c} as n_nulls,"
+            f" nd_{c} as n_distinct, min_{c} as min_num, max_{c} as max_num from a"
+        )
+    return "with a as (select " + ", ".join(aggs) + " from documents)\n" + "\nunion all ".join(rows)
+
+
+DOCUMENTS_PROFILE = _documents_profile_sql()

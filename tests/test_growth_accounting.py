@@ -236,3 +236,52 @@ def test_growth_accounting_matches_bruteforce(spark, tmp_path_factory, activity)
     shift = min(got) - min(ledger)
     want = {w + shift: tuple(v) for w, v in ledger.items()}
     assert got == want
+
+
+MERGE_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user
+    st.integers(min_value=0, max_value=2),  # day offset (max day = batch)
+    st.sampled_from(["view", "click", "error"]),
+)
+
+
+@given(events=st.lists(MERGE_EVENT, min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_bruteforce(spark, tmp_path_factory, events):
+    from spotify_tracks_spark.operators.analytics import (
+        MERGE_DELETE_TYPE,
+        events_merge_upsert,
+    )
+
+    base = datetime(2024, 9, 1, 6)
+    rows = [
+        (i, base + timedelta(days=d, minutes=i), u, t, float(i), "{}")
+        for i, (u, d, t) in enumerate(events)
+    ]
+    sf = str(tmp_path_factory.mktemp("merge"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.user_id: (r.event_id, r.action) for r in events_merge_upsert(spark, sf).collect()}
+    # brute force
+    batch_day = max(d for _, d, _ in events)
+    latest_snap, latest_chg = {}, {}
+    best = {}  # (user, side) -> (d, i) — ts order is (day, then minute=i)
+    for i, (u, d, t) in enumerate(events):
+        side = d == batch_day
+        if best.get((u, side), (-1, -1)) < (d, i):
+            best[(u, side)] = (d, i)
+            (latest_chg if side else latest_snap)[u] = (i, t)
+    want = {}
+    for u in set(latest_snap) | set(latest_chg):
+        if u in latest_chg:
+            eid, t = latest_chg[u]
+            if t == MERGE_DELETE_TYPE:
+                continue
+            want[u] = (eid, "update" if u in latest_snap else "insert")
+        else:
+            want[u] = (latest_snap[u][0], "carry")
+    assert got == want
