@@ -42,6 +42,7 @@ from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
 from spotify_tracks_spark.operators import timeseries as _ts
 from spotify_tracks_spark.operators import profile as _profile
+from spotify_tracks_spark.operators import layout as _layout
 from spotify_tracks_spark.operators.idempotent_sink import idempotent_union
 from spotify_tracks_spark.operators.multimodal import (
     multimodal_bytes,
@@ -147,6 +148,14 @@ def _events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tracks_spark.streaming import stream_events_sliding
 
     return stream_events_sliding(spark, sf_dir)
+
+
+def _events_stream_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregation: 10-min tumbling counts re-windowed
+    into per-day peak rate (two stateful operators, one query)."""
+    from spotify_tracks_spark.streaming import stream_events_peak_rate
+
+    return stream_events_peak_rate(spark, sf_dir)
 
 
 def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +388,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_update_counts": _events_stream_update_counts,
         # the generalized profiler applied to a second table
         "documents_profile": _profile.documents_profile,
+        # first-order Markov transition matrix over per-user sequences
+        "events_markov": _an.events_markov_transitions,
+        # RFM quartile segmentation (entity-grain ntile scoring)
+        "events_rfm": _an.events_rfm,
+        # vocabulary fit + broadcast-join encode (tokenize-to-ids)
+        "corpus_vocab_encode": _llm.corpus_vocab_encode,
+        # length-bucketed batch assembly + padding-efficiency report
+        "corpus_length_batches": _llm.corpus_length_batches,
+        # chained stateful aggregation (window-over-window, Spark 4)
+        "events_stream_peak_rate": _events_stream_peak_rate,
+        # Z-order (Morton) clustering key for the write path
+        "events_zorder_key": _layout.events_zorder_key,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -489,4 +510,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
         "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
+        "events_markov": oracles_ext.EVENTS_MARKOV,
+        "events_rfm": oracles_ext.EVENTS_RFM,
+        "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
+        "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
+        "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
+        "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
     }

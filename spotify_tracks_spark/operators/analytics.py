@@ -770,3 +770,97 @@ def events_user_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_x.groupBy("user_id").applyInArrow(
         fit, "user_id long, n_events long, slope double, intercept double"
     )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every ordered pair of consecutive events of one user, count the
+    (from_type -> to_type) transition and normalize rows to probabilities
+    — the behavioral model behind next-action prediction and funnel
+    simulation (no counterpart in the reference; SURVEY.md §2.10 has no
+    sequence analytics at all).
+
+    Plan: ONE shuffle of the log (hash by user_id for the ``lead``
+    window, ordered by (ts, event_id) — the deterministic total order all
+    sequence operators here share), then a map-side-combined aggregate
+    into at most |types|² rows.  The row normalization is a window over
+    that tiny matrix, not the log.  Nothing about this plan changes at
+    100 TB: the exchange carries (user, ts, type) triples only.
+
+    Output: (from_type, to_type, n_transitions, p) where p sums to 1 per
+    from_type (exact bigint counts; one IEEE division each — byte-exact
+    across engines)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions") / F.sum("n_transitions").over(row_total)).alias("p"),
+    )
+
+
+# RFM quartile segment rules (applied in order, first match wins)
+RFM_SEGMENTS = (
+    ("champion", "r_q = 1 and f_q = 1"),
+    ("loyal", "r_q <= 2 and f_q <= 2"),
+    ("at_risk", "r_q >= 3 and f_q <= 2"),
+    ("recent", "r_q <= 2"),
+    ("hibernating", "true"),
+)
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value scoring: per user, days since last activity,
+    total events, and total spend, each cut into quartiles, then mapped
+    to a named segment.
+
+    Plan: the log collapses to entity grain (one row per user: max ts,
+    count, sum) in a single shuffle; the three ``ntile(4)`` windows then
+    run over |users| rows.  The global NTILE is a single-partition sort
+    of the *aggregate* — fine into the hundreds of millions of users; at
+    the extreme, swap in quantile-threshold bucketing (approx_percentile
+    boundaries broadcast back), same output contract.
+
+    Determinism: every NTILE ordering tie-breaks on user_id, so bucket
+    assignment is total-ordered in both engines.  ``monetary`` is one
+    per-user double sum; engines may differ in the last ulp, but ordering
+    flips would need two users within ~1e-10 of each other — the
+    tie-break handles exact equality, the output hash rounds to 1e-6."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"), "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum("value").alias("monetary"),
+    )
+    anchor = ev.agg(F.max("day").alias("max_day"))
+    base = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.col("user_id"))).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.col("user_id"))).alias("m_q"),
+    )
+    expr = None
+    for name, cond in RFM_SEGMENTS:
+        expr = F.when(F.expr(cond), name) if expr is None else expr.when(F.expr(cond), name)
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q",
+        expr.alias("segment"),
+    )

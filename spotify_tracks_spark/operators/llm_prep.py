@@ -345,3 +345,109 @@ def corpus_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe_tokens").alias("n_tokens"),
         )
     )
+
+
+# vocabulary encoding: top-K terms by document frequency; id 0 = <unk>
+VOCAB_K = 256
+
+
+def corpus_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary fit + encode — the tokenize-to-ids step between corpus
+    cleaning and sequence packing: build a corpus vocabulary (the
+    ``VOCAB_K`` terms with the highest document frequency; ids assigned
+    by (df desc, term asc) so the mapping is total-ordered), then encode
+    every document as its id sequence (0 = out-of-vocabulary).
+
+    Plan, scale-first: term extraction is a narrow posexplode projection;
+    the DF count is one shuffle at (term) grain; the vocabulary is K rows
+    — it BROADCASTS onto the token stream (the canonical broadcast-join
+    encode: no shuffle of the corpus to look up ids); re-assembly groups
+    by doc_id (one corpus shuffle, sorted structs → ordered ids).  At
+    100 TB: two corpus-wide shuffles total (DF count, reassembly), both
+    at natural grain; the vocab never leaves broadcast size.
+
+    Output: (doc_id, n_tokens, ids_str) — the id sequence space-joined
+    into a string so the value-hash compare is list-order exact."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term")
+    )
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dfreq"))
+    vocab = (
+        dfreq.withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("dfreq"), F.col("term"))),
+        )
+        .filter(F.col("token_id") <= VOCAB_K)
+        .select("term", "token_id")
+    )
+    encoded = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids_str"),
+        )
+    )
+
+
+# length-bucketed batching: bucket width in tokens, cap, and batch size
+BUCKET_WIDTH = 64
+BUCKET_MAX = 7
+BATCH_SIZE = 32
+
+
+def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly — the dynamic-batching layout step
+    of a training data loader: group documents of similar token length so
+    each batch pads to its own max, not the corpus max.
+
+    Buckets are fixed ``BUCKET_WIDTH``-token bands (capped at
+    ``BUCKET_MAX`` so the tail is one bucket); within a bucket documents
+    sort by (n_tokens, doc_id) and chunk into ``BATCH_SIZE``-doc batches.
+    The report row per batch carries the padding-efficiency numbers a
+    loader needs (padded = Σ(batch_max − n_tokens)).
+
+    Plan: entity-grain projection → per-bucket ROW_NUMBER (8 partitions;
+    at extreme corpus sizes this window is the same two-level prefix-sum
+    shape corpus_pack_sequences demonstrates) → one aggregate at batch
+    grain.  The corpus is scanned exactly once.
+
+    Output: (bucket, batch_id, n_docs, min_tokens, max_tokens,
+    padded_tokens, pad_frac)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    bucketed = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.floor(F.col("n_tokens") / BUCKET_WIDTH), F.lit(BUCKET_MAX))
+        .cast("long")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    batched = bucketed.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / BATCH_SIZE).cast("long")
+    )
+    agg = batched.groupBy("bucket", "batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.max("n_tokens") * F.count("*") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("padded_tokens"),
+    )
+    return agg.select(
+        "*",
+        (F.col("padded_tokens") / (F.col("max_tokens") * F.col("n_docs"))).alias(
+            "pad_frac"
+        ),
+    )

@@ -1837,3 +1837,149 @@ def _documents_profile_sql() -> str:
 
 
 DOCUMENTS_PROFILE = _documents_profile_sql()
+
+
+# --- round-3 continuation: sequence / segmentation / loader-layout ops ---
+
+EVENTS_MARKOV = """
+with seq as (
+    select event_type as from_type,
+           lead(event_type) over (partition by user_id order by ts, event_id) as to_type
+    from events
+),
+pairs as (
+    select from_type, to_type, count(*) as n_transitions
+    from seq
+    where to_type is not null
+    group by 1, 2
+)
+select from_type, to_type, n_transitions,
+       n_transitions / cast(sum(n_transitions) over (partition by from_type) as bigint) as p
+from pairs
+"""
+
+
+def _rfm_sql() -> str:
+    from .operators.analytics import RFM_SEGMENTS
+
+    case = "case " + " ".join(
+        f"when {cond} then '{name}'" for name, cond in RFM_SEGMENTS
+    ) + " end"
+    return f"""
+with per_user as (
+    select user_id, max(ts::date) as last_day, count(*) as frequency,
+           sum(value) as monetary
+    from events group by 1
+),
+anchor as (select max(ts::date) as max_day from events),
+base as (
+    select user_id,
+           datediff('day', last_day, max_day) as recency_days,
+           frequency, monetary
+    from per_user, anchor
+),
+scored as (
+    select *,
+        ntile(4) over (order by recency_days, user_id) as r_q,
+        ntile(4) over (order by frequency desc, user_id) as f_q,
+        ntile(4) over (order by monetary desc, user_id) as m_q
+    from base
+)
+select user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+       {case} as segment
+from scored
+"""
+
+
+EVENTS_RFM = _rfm_sql()
+
+
+def _vocab_encode_sql() -> str:
+    from .operators.llm_prep import VOCAB_K
+
+    return f"""
+with toks as (
+    select doc_id,
+           unnest(string_split(lower(text), ' ')) as term,
+           unnest(range(1, len(string_split(lower(text), ' ')) + 1)) as pos
+    from documents
+),
+vocab as (
+    select term, row_number() over (order by dfreq desc, term) as token_id
+    from (select term, count(distinct doc_id) as dfreq from toks group by 1)
+    qualify token_id <= {VOCAB_K}
+),
+enc as (
+    select t.doc_id, t.pos, coalesce(v.token_id, 0) as token_id
+    from toks t left join vocab v using (term)
+)
+select doc_id, count(*) as n_tokens,
+       string_agg(token_id::varchar, ' ' order by pos) as ids_str
+from enc
+group by doc_id
+"""
+
+
+CORPUS_VOCAB_ENCODE = _vocab_encode_sql()
+
+
+def _length_batches_sql() -> str:
+    from .operators.llm_prep import BATCH_SIZE, BUCKET_MAX, BUCKET_WIDTH
+
+    return f"""
+with d as (
+    select doc_id, len(string_split(text, ' ')) as n_tokens,
+           least(len(string_split(text, ' ')) // {BUCKET_WIDTH}, {BUCKET_MAX}) as bucket
+    from documents
+),
+b as (
+    select bucket, n_tokens,
+           cast(floor((row_number() over (partition by bucket order by n_tokens, doc_id) - 1)
+                      / {BATCH_SIZE}) as bigint) as batch_id
+    from d
+)
+select bucket, batch_id, count(*) as n_docs,
+       min(n_tokens) as min_tokens, max(n_tokens) as max_tokens,
+       max(n_tokens) * count(*) - cast(sum(n_tokens) as bigint) as padded_tokens,
+       (max(n_tokens) * count(*) - cast(sum(n_tokens) as bigint))
+         / (max(n_tokens) * count(*)) as pad_frac
+from b
+group by 1, 2
+"""
+
+
+CORPUS_LENGTH_BATCHES = _length_batches_sql()
+
+EVENTS_STREAM_PEAK_RATE = """
+with wm as (select max(ts) - interval 1 day as w from events),
+c10 as (
+    select time_bucket(interval 10 minute, ts) as w10, event_type,
+           count(*) as n_events
+    from events group by 1, 2
+)
+select time_bucket(interval 1 day, w10) as day_start,
+       time_bucket(interval 1 day, w10) + interval 1 day as day_end,
+       event_type,
+       max(n_events) as peak_10min_events
+from c10, wm
+group by 1, 2, 3, wm.w
+having day_end <= wm.w
+"""
+
+
+def _zorder_sql() -> str:
+    from .operators.layout import ZORDER_BITS, interleave_bits_sql
+
+    mask = (1 << ZORDER_BITS) - 1
+    expr = interleave_bits_sql(
+        f"(user_id & {mask})",
+        f"(datediff('day', DATE '1970-01-01', ts::date) & {mask})",
+    )
+    return f"""
+select event_id, user_id, ts::date as day,
+       ({expr}) as zkey
+from events
+"""
+
+
+EVENTS_ZORDER_KEY = _zorder_sql()

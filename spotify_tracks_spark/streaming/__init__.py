@@ -4,6 +4,7 @@ from .joins import stream_click_purchase_join, stream_events_enrich
 from .stateful import stream_sessionize
 from .stateful_tws import stream_sessionize_tws
 from .windowed import (
+    stream_events_peak_rate,
     stream_events_sliding,
     stream_events_update_counts,
     stream_events_windowed,
@@ -11,6 +12,7 @@ from .windowed import (
 
 __all__ = [
     "stream_events_dedup",
+    "stream_events_peak_rate",
     "stream_events_sliding",
     "stream_events_update_counts",
     "stream_events_windowed",

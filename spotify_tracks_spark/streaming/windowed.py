@@ -175,3 +175,75 @@ def stream_events_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
+
+
+INNER_WINDOW = "10 minutes"
+
+
+def stream_events_peak_rate(
+    spark: SparkSession,
+    sf_dir: str,
+    inner: str = INNER_WINDOW,
+    outer: str = WINDOW,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """CHAINED stateful aggregation — window-over-window: 10-minute
+    tumbling counts per type, re-aggregated into the per-day PEAK
+    10-minute rate.  Two stateful operators in one streaming query, the
+    Spark-4 multi-stateful-operator capability (unsupported before 3.5:
+    SPARK-40925); the outer ``F.window`` re-windows the inner window
+    struct directly.
+
+    Emission contract (append mode, availableNow): the inner aggregate
+    forwards a 10-min window downstream once the watermark passes its
+    end; the outer day window emits once the watermark passes the DAY
+    end — so the drained result is exactly the day windows with
+    ``day_end <= max(ts) − delay``, every one built from fully-final
+    inner windows (their ends are ≤ the day end).  That is what the
+    DuckDB oracle computes, making this hash-checkable like the
+    single-stage windows.
+
+    Scale shape: state = (#open 10-min windows + #open day windows) ×
+    #types per shard, watermark-bounded; the second stage's input is the
+    inner AGGREGATE stream (144 rows/day/type), never the log."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"peak_{next(_COUNTER)}"
+    try:
+        inner_agg = (
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", inner).alias("win10"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        outer_agg = (
+            inner_agg.groupBy(
+                F.window(F.col("win10"), outer).alias("day_win"), "event_type"
+            )
+            .agg(F.max("n_events").alias("peak_10min_events"))
+            .select(
+                F.col("day_win.start").alias("day_start"),
+                F.col("day_win.end").alias("day_end"),
+                "event_type",
+                "peak_10min_events",
+            )
+        )
+        (
+            outer_agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="streampeak_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)

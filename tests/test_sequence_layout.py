@@ -1,0 +1,153 @@
+"""Semantic tests for the sequence / segmentation / layout operators
+(events_markov, events_rfm, corpus_vocab_encode, corpus_length_batches,
+events_zorder_key, stream_events_peak_rate).  Hash-parity vs DuckDB is
+covered for all of these by test_extra_parity; these tests pin the
+properties a hash can't express (probabilities sum to 1, Morton locality,
+padding optimality, emission monotonicity).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from spotify_tracks_spark.operators.analytics import (
+    events_markov_transitions,
+    events_rfm,
+)
+from spotify_tracks_spark.operators.layout import (
+    events_zorder_key,
+    interleave_bits,
+    interleave_bits_sql,
+)
+from spotify_tracks_spark.operators.llm_prep import (
+    BATCH_SIZE,
+    corpus_length_batches,
+    corpus_vocab_encode,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    m = events_markov_transitions(spark, SF_SMOKE)
+    rows = m.groupBy("from_type").agg(
+        F.sum("p").alias("total"), F.sum("n_transitions").alias("n")
+    ).collect()
+    assert rows, "transition matrix is empty"
+    for r in rows:
+        assert abs(r["total"] - 1.0) < 1e-9, f"{r['from_type']} sums to {r['total']}"
+        assert r["n"] > 0
+    # sequence conservation: total transitions = total events - one per
+    # user (the last event of each user has no successor)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    expected = ev.count() - ev.select("user_id").distinct().count()
+    assert m.agg(F.sum("n_transitions")).collect()[0][0] == expected
+
+
+def test_rfm_quartiles_cover_and_segments_exhaust(spark):
+    r = events_rfm(spark, SF_SMOKE)
+    users = r.count()
+    # every quartile column uses the full 1..4 range (ntile is balanced)
+    for c in ("r_q", "f_q", "m_q"):
+        vals = {row[0] for row in r.select(c).distinct().collect()}
+        assert vals == {1, 2, 3, 4}, f"{c}: {vals}"
+        # balanced buckets: sizes differ by at most 1
+        sizes = [row[1] for row in r.groupBy(c).count().collect()]
+        assert max(sizes) - min(sizes) <= 1
+    assert r.filter(F.col("segment").isNull()).count() == 0
+    assert r.select("user_id").distinct().count() == users
+
+
+def test_vocab_encode_roundtrip_token_counts(spark):
+    enc = corpus_vocab_encode(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert enc.count() == docs.count()
+    # id sequence length == token count for every doc
+    bad = enc.filter(
+        F.size(F.split("ids_str", " ")) != F.col("n_tokens")
+    ).count()
+    assert bad == 0
+    # the id space is bounded: 0 (unk) .. VOCAB_K
+    from spotify_tracks_spark.operators.llm_prep import VOCAB_K
+
+    ids = enc.select(
+        F.explode(F.split("ids_str", " ")).alias("id_s")
+    ).select(F.col("id_s").cast("int").alias("id"))
+    mn, mx = ids.agg(F.min("id"), F.max("id")).collect()[0]
+    assert 0 <= mn and mx <= VOCAB_K
+
+
+def test_length_batches_padding_is_bucket_bounded(spark):
+    b = corpus_length_batches(spark, SF_SMOKE)
+    rows = b.collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs
+    for r in rows:
+        assert 1 <= r["n_docs"] <= BATCH_SIZE
+        assert r["min_tokens"] <= r["max_tokens"]
+        # length-sorted batching ⇒ within-batch spread can't exceed the
+        # batch's own min→max, and padding is (max−len) summed
+        assert r["padded_tokens"] <= (r["max_tokens"] - r["min_tokens"]) * r["n_docs"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+
+
+def test_interleave_bits_known_values(spark):
+    # 0b11 ⨉ 0b00 → a-bits land at odd positions: 0b1010 = 10
+    df = spark.range(1).select(
+        interleave_bits(F.lit(3), F.lit(0)).alias("a_only"),
+        interleave_bits(F.lit(0), F.lit(3)).alias("b_only"),
+        interleave_bits(F.lit(3), F.lit(3)).alias("both"),
+        interleave_bits(F.lit(0xFFFF), F.lit(0)).alias("a_max"),
+    )
+    r = df.collect()[0]
+    assert r["a_only"] == 0b1010
+    assert r["b_only"] == 0b0101
+    assert r["both"] == 0b1111
+    # 16 a-bits fill the odd positions of a 32-bit key
+    assert r["a_max"] == sum(1 << (2 * i + 1) for i in range(16))
+    # the SQL twin is generated from the same loop — spot-check via duckdb
+    import duckdb
+
+    sql = interleave_bits_sql("5", "3", bits=4)
+    assert duckdb.sql(f"select {sql} as z").fetchone()[0] == (
+        (1 << 1) + (1 << 5)  # a=0b0101 → odd slots 1,5... plus b bits
+        + (1 << 0) + (1 << 2)  # b=0b0011 → even slots 0,2
+    )
+
+
+def test_zorder_improves_two_dimensional_pruning(spark):
+    """The layout claim, measured as parquet min/max pruning would see it:
+    for a point filter on dimension X, a file must be read iff its
+    [min_X, max_X] range contains the value — so the expected fraction of
+    files scanned under a uniform point filter is Σ_files range_X / |X|.
+    A single-column sort makes one dimension perfect (score → 1 file) and
+    the other unprunable (score → ALL files); Z-order bounds BOTH.  On a
+    square grid the z-layout must beat each single-column sort on the
+    SUM of the two scores — that's the whole reason the operator exists."""
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("a"),
+        (F.col("id") % n).alias("b"),
+    )
+    keyed = grid.withColumn("zkey", interleave_bits(F.col("a"), F.col("b"), bits=6))
+
+    def scan_score(df, col):
+        parts = df.repartitionByRange(8, F.col(col)).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        boxes = parts.groupBy("pid").agg(
+            ((F.max("a") - F.min("a") + 1) / n).alias("fa"),
+            ((F.max("b") - F.min("b") + 1) / n).alias("fb"),
+        )
+        r = boxes.agg(F.sum("fa").alias("sa"), F.sum("fb").alias("sb")).collect()[0]
+        return r["sa"], r["sb"]
+
+    za, zb = scan_score(keyed, "zkey")
+    aa, ab = scan_score(keyed, "a")
+    ba, bb = scan_score(keyed, "b")
+    # a-sorted: filters on b scan every file; symmetric for b-sorted
+    assert ab == 8.0 and ba == 8.0
+    # z-order strictly beats both single-column sorts on combined
+    # prunability, and neither dimension degenerates to all-files
+    assert za + zb < min(aa + ab, ba + bb), (za, zb, aa, ab, ba, bb)
+    assert za < 8.0 and zb < 8.0
