@@ -400,6 +400,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_peak_rate": _events_stream_peak_rate,
         # Z-order (Morton) clustering key for the write path
         "events_zorder_key": _layout.events_zorder_key,
+        # point-in-time feature lookup against the SCD2 history
+        "events_pit_join": _an.events_pit_join,
+        # pairwise Pearson correlation of daily series (exact sums)
+        "events_type_correlation": _ts.events_type_correlation,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -516,4 +520,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
+        "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
+        "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
     }

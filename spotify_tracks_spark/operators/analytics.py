@@ -864,3 +864,46 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "recency_days", "frequency", "monetary", "r_q", "f_q", "m_q",
         expr.alias("segment"),
     )
+
+
+def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store lookup: for every
+    purchase event, fetch the SCD2 state interval in effect immediately
+    BEFORE the event (``valid_from < ts <= coalesce(valid_to, ∞)``), so a
+    model scored at event time sees exactly the features that existed
+    then, never the future (no label leakage).  A purchase that is its
+    user's first event has no prior state → NULL (left join).
+
+    Plan: both sides hash-partition on user_id, so the interval predicate
+    is a post-join filter inside a SortMergeJoin on the equi-key — the
+    per-user interval count is session-scale, never log-scale, and SCD2
+    intervals are disjoint per user, so at most ONE interval survives the
+    filter per probe row (row counts are purchase-grain in and out).  At
+    100 TB the dimension side (SCD2 history) is entity-grain; the fact
+    side streams through the join.
+
+    Output: (event_id, user_id, ts, prior_state, prior_state_from)."""
+    intervals = events_scd2_user_state(spark, sf_dir).select(
+        "user_id",
+        F.col("state").alias("prior_state"),
+        F.col("valid_from").alias("prior_state_from"),
+        "valid_to",
+    )
+    purchases = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    cond = (
+        (purchases["user_id"] == intervals["user_id"])
+        & (intervals["prior_state_from"] < purchases["ts"])
+        & (
+            intervals["valid_to"].isNull()
+            | (intervals["valid_to"] >= purchases["ts"])
+        )
+    )
+    return purchases.join(intervals, cond, "left").select(
+        purchases["event_id"],
+        purchases["user_id"],
+        purchases["ts"],
+        intervals["prior_state"],
+        intervals["prior_state_from"],
+    )

@@ -224,3 +224,60 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_win.cast("long").alias("n_window"),
         (F.sum("value").over(w) / n_win).alias("moving_avg"),
     )
+
+
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the daily-count series between
+    event types — the co-movement matrix behind metric clustering and
+    anomaly root-causing ("errors spike with signups?").
+
+    Parity discipline (the same rule as events_anomaly): the correlation
+    is assembled from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy²) over
+    the zero-filled day×type spine, so both engines perform the identical
+    handful of IEEE ops — never ``corr()``, whose streaming accumulation
+    is order-dependent.  Zero-filling matters: a type absent on a day is
+    a 0 observation, not a missing row, or the pair's day sets diverge.
+
+    Plan: one log shuffle into the (type, day) aggregate; the spine fill,
+    the |types|²/2 pair join, and the sum aggregate all run at
+    |types|×|days| grain (thousands of rows at any corpus size).
+
+    Output: (type_a, type_b, n_days, corr), one row per unordered pair
+    a < b."""
+    daily = _daily_counts(spark, sf_dir)
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("x")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "day", F.col("n").alias("y")
+    )
+    sums = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n_days")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        (cov / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))).alias("corr"),
+    )

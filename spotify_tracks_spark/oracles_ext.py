@@ -1983,3 +1983,48 @@ from events
 
 
 EVENTS_ZORDER_KEY = _zorder_sql()
+
+
+EVENTS_PIT_JOIN = f"""
+with scd2 as ({EVENTS_SCD2_USER_STATE}),
+p as (
+    select event_id, user_id, ts from events where event_type = 'purchase'
+)
+select p.event_id, p.user_id, p.ts,
+       s.state as prior_state,
+       s.valid_from as prior_state_from
+from p
+left join scd2 s
+  on s.user_id = p.user_id
+ and s.valid_from < p.ts
+ and (s.valid_to is null or s.valid_to >= p.ts)
+"""
+
+EVENTS_TYPE_CORRELATION = """
+with daily as (
+    select event_type, ts::date as day, count(*) as n
+    from events group by 1, 2
+),
+dense as (
+    select t.event_type, d.day, coalesce(c.n, 0) as n
+    from (select distinct day from daily) d
+    cross join (select distinct event_type from daily) t
+    left join daily c on c.event_type = t.event_type and c.day = d.day
+),
+sums as (
+    select a.event_type as type_a, b.event_type as type_b,
+           count(*) as n_days,
+           cast(sum(a.n) as bigint) as sx,
+           cast(sum(b.n) as bigint) as sy,
+           cast(sum(a.n * b.n) as bigint) as sxy,
+           cast(sum(a.n * a.n) as bigint) as sxx,
+           cast(sum(b.n * b.n) as bigint) as syy
+    from dense a join dense b on a.day = b.day and a.event_type < b.event_type
+    group by 1, 2
+)
+select type_a, type_b, n_days,
+       (n_days * sxy - sx * sy)
+         / nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0.0)
+         as corr
+from sums
+"""

@@ -151,3 +151,38 @@ def test_zorder_improves_two_dimensional_pruning(spark):
     # prunability, and neither dimension degenerates to all-files
     assert za + zb < min(aa + ab, ba + bb), (za, zb, aa, ab, ba, bb)
     assert za < 8.0 and zb < 8.0
+
+
+def test_pit_join_never_leaks_the_future(spark):
+    from spotify_tracks_spark.operators.analytics import events_pit_join
+
+    pit = events_pit_join(spark, SF_SMOKE)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    # row preservation: exactly one output row per purchase (disjoint
+    # SCD2 intervals ⇒ the interval filter can't fan out)
+    assert pit.count() == purchases.count()
+    # the feature-store contract: the looked-up state began strictly
+    # before the event — nothing from the future
+    assert pit.filter(F.col("prior_state_from") >= F.col("ts")).count() == 0
+    # NULL prior state iff the purchase is its user's first event
+    firsts = (
+        ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    null_rows = pit.filter(F.col("prior_state").isNull())
+    joined = null_rows.join(firsts, "user_id")
+    assert joined.filter(F.col("ts") != F.col("t0")).count() == 0
+
+
+def test_type_correlation_matrix_shape_and_bounds(spark):
+    from spotify_tracks_spark.operators.timeseries import events_type_correlation
+
+    c = events_type_correlation(spark, SF_SMOKE)
+    rows = c.collect()
+    # 5 event types → C(5,2) unordered pairs
+    assert len(rows) == 10
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        if r["corr"] is not None:
+            assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+        assert r["n_days"] > 0
