@@ -158,6 +158,14 @@ def _events_stream_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_peak_rate(spark, sf_dir)
 
 
+def _events_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: null-click purchases emit
+    once the watermark proves no future click can match."""
+    from spotify_tracks_spark.streaming import stream_click_purchase_join_outer
+
+    return stream_click_purchase_join_outer(spark, sf_dir)
+
+
 def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization."""
     import tempfile
@@ -404,6 +412,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pit_join": _an.events_pit_join,
         # pairwise Pearson correlation of daily series (exact sums)
         "events_type_correlation": _ts.events_type_correlation,
+        # left-outer stream-stream interval join (watermark null-emits)
+        "events_stream_join_outer": _events_stream_join_outer,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -522,4 +532,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
         "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
+        "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
     }

@@ -2028,3 +2028,29 @@ select type_a, type_b, n_days,
          as corr
 from sums
 """
+
+
+EVENTS_STREAM_JOIN_OUTER = """
+with p as (
+    select event_id as purchase_id, user_id, ts as purchase_ts
+    from events where event_type = 'purchase'
+),
+c as (
+    select event_id as click_id, user_id as c_user, ts as click_ts
+    from events where event_type = 'click'
+),
+wm as (
+    select least((select max(purchase_ts) from p),
+                 (select max(click_ts) from c)) - interval 1 day as w
+),
+j as (
+    select p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts
+    from p left join c
+      on p.user_id = c.c_user
+     and c.click_ts >= p.purchase_ts - interval 1 hour
+     and c.click_ts <= p.purchase_ts
+)
+select purchase_id, click_id, user_id, purchase_ts, click_ts
+from j, wm
+where click_id is not null or purchase_ts < wm.w
+"""

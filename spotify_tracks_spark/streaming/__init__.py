@@ -1,6 +1,10 @@
 from .incremental import stream_dim_track_incremental
 from .ingest import stream_events_dedup
-from .joins import stream_click_purchase_join, stream_events_enrich
+from .joins import (
+    stream_click_purchase_join,
+    stream_click_purchase_join_outer,
+    stream_events_enrich,
+)
 from .stateful import stream_sessionize
 from .stateful_tws import stream_sessionize_tws
 from .windowed import (
@@ -19,6 +23,7 @@ __all__ = [
     "stream_sessionize",
     "stream_sessionize_tws",
     "stream_click_purchase_join",
+    "stream_click_purchase_join_outer",
     "stream_events_enrich",
     "stream_dim_track_incremental",
 ]

@@ -165,3 +165,84 @@ def stream_events_enrich(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
+
+
+def stream_click_purchase_join_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution join that
+    also emits purchases WITHOUT a qualifying click (null click columns),
+    the hard case of streaming joins: an unmatched left row can only be
+    emitted once the watermark proves no future right row can match it.
+
+    Emission contract under an availableNow drain (global watermark =
+    min over both sides' max event time − delay, advanced by the final
+    no-data batch): every matching pair emits exactly once (same as the
+    inner join); an unmatched purchase emits with nulls iff
+    ``purchase_ts < global_watermark`` — a new click must carry
+    ``click_ts ≥ watermark``, and the join bound ``click_ts ≤
+    purchase_ts`` then rules out any purchase older than the watermark,
+    so those rows are provably final.  Purchases inside the final
+    watermark horizon stay buffered (correctly — their outcome is still
+    open); the DuckDB oracle encodes exactly this rule.
+
+    Scale shape: identical state bound to the inner join — both sides
+    expire by watermark + interval bound; the outer semantics add no
+    state, only the null-emit on eviction."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"ssjo_{next(_COUNTER)}"
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            normalize_events_ts(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    try:
+        joined = (
+            side("purchase", "purchase")
+            .join(
+                side("click", "click"),
+                F.expr(
+                    "purchase_user = click_user"
+                    " AND click_ts >= purchase_ts - interval 1 hour"
+                    " AND click_ts <= purchase_ts"
+                ),
+                "left_outer",
+            )
+            .select(
+                "purchase_id",
+                "click_id",
+                F.col("purchase_user").alias("user_id"),
+                "purchase_ts",
+                "click_ts",
+            )
+        )
+        (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ssjo_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name)
