@@ -414,6 +414,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_correlation": _ts.events_type_correlation,
         # left-outer stream-stream interval join (watermark null-emits)
         "events_stream_join_outer": _events_stream_join_outer,
+        # market-basket co-occurrence + lift over sessions
+        "events_session_cooccurrence": _events.events_session_cooccurrence,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -533,4 +535,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
+        "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
     }

@@ -393,3 +393,74 @@ def events_median_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         group_size("value").alias("n"), lower_median("value").alias("median_value")
     )
+
+
+def events_session_cooccurrence(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of event types, in how many sessions do BOTH occur, with
+    support (share of all sessions) and lift (observed co-occurrence vs
+    independence) — association mining, the remaining classic analytics
+    family (sequence analytics is events_markov, funnels are ordered;
+    this is unordered co-presence).
+
+    Plan: the same single-shuffle sessionization as events_sessionize,
+    reduced to the distinct (user, session, type) item set — session
+    grain, ≤ |types| rows per session — then a self-join on the session
+    key whose fan-out is bounded by |types|²/2 per session, never by
+    session length.  The per-type counts and the session total are
+    |types|+1 rows, broadcast back.  Lift is computed in double
+    multiplication order identical to the oracle (products can exceed
+    int64 at corpus scale, so both engines cast first).
+
+    Output: (type_a, type_b, n_both, support, lift)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = epoch_seconds(F.col("ts"))
+    gap_flag = (sec - F.lag(sec).over(w) > gap_minutes * 60).cast("int")
+    items = (
+        ev.withColumn("new_sess", F.coalesce(gap_flag, F.lit(0)))
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_no", "event_type")
+        .distinct()
+    )
+    sessions = items.select("user_id", "session_no").distinct()
+    total = sessions.agg(F.count("*").alias("n_sessions"))
+    per_type = items.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a = items.select(
+        "user_id", "session_no", F.col("event_type").alias("type_a")
+    )
+    b = items.select(
+        "user_id", "session_no", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_no"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    enriched = (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(total))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return enriched.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        (d("n_both") / d("n_sessions")).alias("support"),
+        ((d("n_both") * d("n_sessions")) / (d("n_a") * d("n_b"))).alias("lift"),
+    )

@@ -2054,3 +2054,44 @@ select purchase_id, click_id, user_id, purchase_ts, click_ts
 from j, wm
 where click_id is not null or purchase_ts < wm.w
 """
+
+
+EVENTS_SESSION_COOCCURRENCE = f"""
+with e as (select event_id, ts, user_id, event_type from events),
+g as (
+    select *,
+           case when floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                       over (partition by user_id order by ts, event_id)
+                     > {SESSION_GAP_MINUTES * 60}
+                then 1 else 0 end as new_sess
+    from e
+),
+s as (
+    select *,
+           sum(new_sess) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_no
+    from g
+),
+items as (select distinct user_id, session_no, event_type from s),
+tot as (
+    select count(*) as n_sessions
+    from (select distinct user_id, session_no from items)
+),
+per_type as (select event_type, count(*) as n_type from items group by 1),
+pairs as (
+    select a.event_type as type_a, b.event_type as type_b, count(*) as n_both
+    from items a
+    join items b
+      on a.user_id = b.user_id and a.session_no = b.session_no
+     and a.event_type < b.event_type
+    group by 1, 2
+)
+select type_a, type_b, n_both,
+       cast(n_both as double) / cast(tot.n_sessions as double) as support,
+       (cast(n_both as double) * cast(tot.n_sessions as double))
+         / (cast(pa.n_type as double) * cast(pb.n_type as double)) as lift
+from pairs, tot
+join per_type pa on pa.event_type = type_a
+join per_type pb on pb.event_type = type_b
+"""

@@ -186,3 +186,18 @@ def test_type_correlation_matrix_shape_and_bounds(spark):
         if r["corr"] is not None:
             assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
         assert r["n_days"] > 0
+
+
+def test_session_cooccurrence_support_and_lift_bounds(spark):
+    from spotify_tracks_spark.operators.events import events_session_cooccurrence
+
+    co = events_session_cooccurrence(spark, SF_SMOKE).collect()
+    assert co, "no co-occurring pairs"
+    for r in co:
+        assert r["type_a"] < r["type_b"]
+        assert 0.0 < r["support"] <= 1.0
+        assert r["lift"] > 0.0
+        # lift ≤ S / max(n_a, n_b) ≤ S / n_both... loose sanity: the
+        # observed pair can't exceed either item's session count, so
+        # support(pair) ≤ support(item) ⇒ lift ≤ 1/max(support_a, support_b)
+        assert r["n_both"] > 0
