@@ -416,6 +416,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join_outer": _events_stream_join_outer,
         # market-basket co-occurrence + lift over sessions
         "events_session_cooccurrence": _events.events_session_cooccurrence,
+        # WITH RECURSIVE (Spark 4) twin of the dup-cluster operator
+        "dedup_clusters_sql": _dedup.dedup_clusters_sql,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -536,4 +538,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
+        "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
     }

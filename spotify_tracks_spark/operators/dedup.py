@@ -589,3 +589,69 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.withColumn("rn", F.row_number().over(w))
         .select("doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("keep"))
     )
+
+
+# recursion bound for the SQL-surface clustering twin: must be ≥ the dup
+# graph's component diameter (near-dup clusters are near-cliques, so the
+# practical diameter is 2-3; the pytest pins equality with the exact
+# union-find operator, which would fail loudly if a deeper chain appeared).
+# Keep this TIGHT: UNION ALL recursion enumerates WALKS, whose count grows
+# ~(avg degree)^hops inside a clique — 8 hops measured 27× slower than 4.
+CLUSTER_MAX_HOPS = 4
+
+
+def dedup_clusters_sql(
+    spark: SparkSession, sf_dir: str, max_hops: int = CLUSTER_MAX_HOPS
+) -> DataFrame:
+    """Duplicate clusters via a Spark 4 RECURSIVE CTE — the SQL-surface
+    twin of ``dedup_clusters`` (same verified minhash-LSH edge set, same
+    (doc_id, cluster_id, cluster_size) contract), exercising the
+    ``WITH RECURSIVE`` capability Catalyst gained in 4.0 (SPARK-24497).
+
+    Spark's recursion only supports UNION ALL (no distinct-union
+    fixpoint), which diverges on the cyclic bidirected dup graph — so the
+    recursion carries a DECREASING MEASURE instead: only labels smaller
+    than the target node propagate (``r.lbl < e.b``), and depth caps at
+    ``max_hops``.  With max_hops ≥ component diameter this computes exact
+    connected components: the component's min label m reaches every
+    member along any simple path (every hop satisfies m < node), and
+    min() per node discards the rest.  The DuckDB oracle runs the
+    IDENTICAL bounded recursion, so parity covers the semantics, and
+    tests pin equality with the exact union-find path.
+
+    Scale: the recursion's working set is the near-dup EDGE list (≪
+    corpus) times the few hops a shallow dup cluster needs — the same
+    "shuffle edges, never the corpus" bound as the iterative operator.
+    The edge list is materialized (localCheckpoint) BEFORE the recursion:
+    a lazy temp view would re-run the whole minhash pipeline on every
+    recursion step (measured 141 s → 3 s at sf0.01)."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    pairs.createOrReplaceTempView("dup_pairs")
+    return spark.sql(f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+        ),
+        reach(node, lbl, depth) AS (
+            SELECT a, a, 0 FROM edges
+            UNION ALL
+            SELECT e.b, r.lbl, r.depth + 1
+            FROM reach r JOIN edges e ON e.a = r.node
+            WHERE r.depth < {max_hops} AND r.lbl < e.b
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size
+        FROM comp c
+        JOIN (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        ) s USING (cluster_id)
+    """)

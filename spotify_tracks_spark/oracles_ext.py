@@ -2095,3 +2095,11 @@ from pairs, tot
 join per_type pa on pa.event_type = type_a
 join per_type pb on pb.event_type = type_b
 """
+
+
+# The WITH RECURSIVE twin (dedup_clusters_sql) is checked against the SAME
+# ground-truth oracle as the exact operator: the oracle computes connected
+# components by distinct-union fixpoint, the Spark side by bounded-walk
+# UNION ALL recursion — different algorithms, identical contract, which
+# makes the hash compare an independent check rather than a mirror.
+DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS
