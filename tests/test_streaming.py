@@ -260,3 +260,29 @@ def test_normalize_events_ts_both_layouts(spark):
     assert v_ntz == v_nanos == base
     # already-normalized input passes through untouched
     assert dict(normalize_events_ts(out_ntz).dtypes)["ts"] == "timestamp"
+
+
+def test_rocksdb_state_store_provider_is_result_invariant(spark):
+    """The state-at-scale path: RocksDBStateStoreProvider keeps streaming
+    state off-heap / on local SSD instead of in executor memory — the
+    provider a 100 TB deployment runs with (state no longer bounded by
+    heap, plus changelog checkpointing).  The provider is a pure
+    execution-engine swap, so a drained windowed aggregate must produce
+    byte-identical results under either store."""
+    from spotify_tracks_spark.streaming import stream_events_windowed
+
+    from .conftest import SF_SMOKE
+
+    default_rows = {tuple(r) for r in stream_events_windowed(spark, SF_SMOKE).collect()}
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = {
+            tuple(r) for r in stream_events_windowed(spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks_rows == default_rows
+    assert rocks_rows, "drained stream produced no windows"
