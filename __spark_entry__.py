@@ -418,6 +418,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_cooccurrence": _events.events_session_cooccurrence,
         # WITH RECURSIVE (Spark 4) twin of the dup-cluster operator
         "dedup_clusters_sql": _dedup.dedup_clusters_sql,
+        # two-pass equi-width histogram (bounds broadcast back)
+        "events_value_histogram": _profile.events_value_histogram,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -539,4 +541,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
+        "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
     }

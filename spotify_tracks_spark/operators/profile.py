@@ -89,3 +89,52 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, which a profiler must not do; text-shape metrics live in
     text_analysis.py's scan-speed operators instead)."""
     return profile(read_table(spark, sf_dir, "documents"), DOCS_PROFILE_COLS)
+
+
+HIST_BINS = 10
+
+
+def events_value_histogram(
+    spark: SparkSession, sf_dir: str, n_bins: int = HIST_BINS
+) -> DataFrame:
+    """Equi-width histogram of ``value`` per event type — the
+    distribution view a profile's min/max can't give (skew, modality,
+    tail mass), computed in the classic two-pass shape:
+
+    pass 1: per-type (min, max) — a |types|-row aggregate;
+    pass 2: bounds BROADCAST back onto the scan, bucket assignment is a
+    stateless projection, and the histogram is one map-side-combined
+    aggregate into |types|×n_bins rows.  Two scans, one tiny shuffle —
+    the at-scale histogram plan (a single-pass streaming histogram needs
+    a sketch; this is the exact form).
+
+    Float parity: bucket width, assignment, and bucket edges use the
+    identical IEEE expressions in both engines ((hi−lo)/n_bins, floor,
+    lo + bucket·w), so the hash compare is byte-exact.  The top edge
+    clamps into the last bucket (least(·, n_bins−1)); a degenerate type
+    (hi = lo) collapses to bucket 0.
+
+    Output: (event_type, bucket, bucket_lo, bucket_hi, n_events)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "w", (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    )
+    bucket = F.when(F.col("w") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("w")),
+            F.lit(n_bins - 1),
+        ).cast("long")
+    )
+    grouped = j.groupBy(
+        "event_type", bucket.alias("bucket"), F.col("lo"), F.col("w")
+    ).agg(F.count("*").alias("n_events"))
+    return grouped.select(
+        "event_type",
+        "bucket",
+        (F.col("lo") + F.col("bucket") * F.col("w")).alias("bucket_lo"),
+        (F.col("lo") + (F.col("bucket") + 1) * F.col("w")).alias("bucket_hi"),
+        "n_events",
+    )

@@ -2103,3 +2103,35 @@ join per_type pb on pb.event_type = type_b
 # UNION ALL recursion — different algorithms, identical contract, which
 # makes the hash compare an independent check rather than a mirror.
 DEDUP_CLUSTERS_SQL = DEDUP_CLUSTERS
+
+
+def _histogram_sql() -> str:
+    from .operators.profile import HIST_BINS
+
+    nb = HIST_BINS
+    return f"""
+with bounds as (
+    select event_type, min(value) as lo, max(value) as hi
+    from events group by 1
+),
+j as (
+    select e.event_type, e.value, b.lo, (b.hi - b.lo) / {float(nb)} as w
+    from events e join bounds b using (event_type)
+),
+grouped as (
+    select event_type, lo, w,
+           cast(case when w = 0 then 0
+                     else least(floor((value - lo) / w), {nb - 1})
+                end as bigint) as bucket,
+           count(*) as n_events
+    from j group by 1, 2, 3, 4
+)
+select event_type, bucket,
+       lo + bucket * w as bucket_lo,
+       lo + (bucket + 1) * w as bucket_hi,
+       n_events
+from grouped
+"""
+
+
+EVENTS_VALUE_HISTOGRAM = _histogram_sql()
