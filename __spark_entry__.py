@@ -420,6 +420,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_sql": _dedup.dedup_clusters_sql,
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
+        # top-k session opening paths (multi-step sequence mining)
+        "events_session_paths": _events.events_session_paths,
+        # per-user type entropy (fixed-order IEEE expression, byte-exact)
+        "events_user_entropy": _an.events_user_entropy,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -542,4 +546,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
+        "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
+        "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
     }

@@ -907,3 +907,49 @@ def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         intervals["prior_state"],
         intervals["prior_state_from"],
     )
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy — the behavioral-diversity
+    feature (0 = a user does one thing; ln|types| = perfectly even usage)
+    feature stores derive next to counts and trends.
+
+    Parity discipline: a groupBy SUM of per-row float terms would
+    accumulate in partition order (engine-divergent).  Instead the per-
+    user type counts land in FIXED columns (conditional sums over the
+    pinned EVENT_TYPES tuple — same trick as events_pivot), and entropy
+    is one explicit expression whose additions run in tuple order, so
+    both engines execute the identical IEEE sequence.  One shuffle at
+    user grain; the entropy math is a projection over the aggregate.
+
+    Output: (user_id, n_events, n_types, entropy, evenness) where
+    evenness = entropy / ln(|types|)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    per_user = ev.groupBy("user_id").agg(*aggs)
+    total = None
+    for t in EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    per_user = per_user.withColumn("n_events", total)
+    ent = None
+    n_types = None
+    for t in EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        p = c / F.col("n_events")
+        term = F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        flag = (c > 0).cast("long")
+        ent = term if ent is None else ent + term
+        n_types = flag if n_types is None else n_types + flag
+    import math
+
+    return per_user.select(
+        "user_id",
+        "n_events",
+        n_types.alias("n_types"),
+        ent.alias("entropy"),
+        (ent / F.lit(math.log(len(EVENT_TYPES)))).alias("evenness"),
+    )

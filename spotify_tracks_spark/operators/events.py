@@ -464,3 +464,67 @@ def events_session_cooccurrence(
         (d("n_both") / d("n_sessions")).alias("support"),
         ((d("n_both") * d("n_sessions")) / (d("n_a") * d("n_b"))).alias("lift"),
     )
+
+
+PATH_LEN = 3
+PATH_TOP_K = 10
+
+
+def events_session_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    path_len: int = PATH_LEN,
+    k: int = PATH_TOP_K,
+) -> DataFrame:
+    """Top-k session PATHS — the first ``path_len`` event types of each
+    session joined into a path string, ranked by how many sessions open
+    that way: sequence mining one level up from the pairwise Markov
+    matrix (events_markov models one step; this surfaces the common
+    multi-step openings product teams read as user intents).
+
+    Plan: the shared single-shuffle sessionization, then one groupBy
+    (user, session) whose aggregate carries ordered (ts, event_id, type)
+    structs ONLY until the path string is cut — the collect_list is
+    bounded by session length, and the path table that reaches the
+    ranking window is |distinct paths| rows (≤ |types|^path_len), tiny
+    at any corpus size.  Total-order tie-breaks everywhere make top-k
+    deterministic.
+
+    Output: (rank, path, n_sessions)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = epoch_seconds(F.col("ts"))
+    gap_flag = (sec - F.lag(sec).over(w) > gap_minutes * 60).cast("int")
+    sessions = (
+        ev.withColumn("new_sess", F.coalesce(gap_flag, F.lit(0)))
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        1,
+                        path_len,
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = sessions.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    rank = F.row_number().over(Window.orderBy(F.desc("n_sessions"), F.col("path")))
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select("rank", "path", "n_sessions")
+    )

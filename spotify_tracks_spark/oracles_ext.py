@@ -2135,3 +2135,79 @@ from grouped
 
 
 EVENTS_VALUE_HISTOGRAM = _histogram_sql()
+
+
+def _session_paths_sql() -> str:
+    from .operators.events import PATH_LEN, PATH_TOP_K
+
+    return f"""
+with e as (select event_id, ts, user_id, event_type from events),
+g as (
+    select *,
+           case when floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                       over (partition by user_id order by ts, event_id)
+                     > {SESSION_GAP_MINUTES * 60}
+                then 1 else 0 end as new_sess
+    from e
+),
+s as (
+    select *,
+           sum(new_sess) over (partition by user_id order by ts, event_id
+                               rows unbounded preceding) as session_no
+    from g
+),
+paths as (
+    select user_id, session_no,
+           array_to_string(
+               list_slice(list(event_type order by ts, event_id), 1, {PATH_LEN}),
+               '>') as path
+    from s group by user_id, session_no
+),
+counts as (select path, count(*) as n_sessions from paths group by path)
+select rank, path, n_sessions
+from (
+    select path, n_sessions,
+           row_number() over (order by n_sessions desc, path) as rank
+    from counts
+)
+where rank <= {PATH_TOP_K}
+"""
+
+
+EVENTS_SESSION_PATHS = _session_paths_sql()
+
+
+def _user_entropy_sql() -> str:
+    import math
+
+    n_cols = ", ".join(
+        f"cast(sum(case when event_type = '{t}' then 1 else 0 end) as bigint) as n_{t}"
+        for t in EVENT_TYPES
+    )
+    total = " + ".join(f"n_{t}" for t in EVENT_TYPES)
+    ent = " + ".join(
+        f"(case when n_{t} > 0 then -(n_{t} / n_events) * ln(n_{t} / n_events)"
+        f" else 0.0 end)"
+        for t in EVENT_TYPES
+    )
+    n_types = " + ".join(
+        f"(case when n_{t} > 0 then 1 else 0 end)" for t in EVENT_TYPES
+    )
+    return f"""
+with per_user as (
+    select user_id, {n_cols}
+    from events group by user_id
+),
+with_total as (
+    select *, {total} as n_events from per_user
+)
+select user_id, n_events,
+       cast({n_types} as bigint) as n_types,
+       {ent} as entropy,
+       ({ent}) / {math.log(len(EVENT_TYPES))!r} as evenness
+from with_total
+"""
+
+
+EVENTS_USER_ENTROPY = _user_entropy_sql()

@@ -215,3 +215,37 @@ def test_recursive_cte_clusters_equal_exact_operator(spark):
     exact = {tuple(r) for r in dedup_clusters(spark, SF_SMOKE).collect()}
     sql = {tuple(r) for r in dedup_clusters_sql(spark, SF_SMOKE).collect()}
     assert exact == sql
+
+
+def test_session_paths_ranked_and_bounded(spark):
+    from spotify_tracks_spark.operators.events import (
+        PATH_LEN,
+        PATH_TOP_K,
+        events_session_paths,
+    )
+
+    rows = events_session_paths(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= PATH_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= PATH_LEN
+
+
+def test_user_entropy_bounds(spark):
+    import math
+
+    from spotify_tracks_spark.operators.analytics import events_user_entropy
+
+    rows = events_user_entropy(spark, SF_SMOKE).collect()
+    assert rows
+    hmax = math.log(5)
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= hmax + 1e-12
+        assert 0.0 <= r["evenness"] <= 1.0 + 1e-12
+        # single-type users have zero entropy; multi-type strictly positive
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0
+        else:
+            assert r["entropy"] > 0.0
