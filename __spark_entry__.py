@@ -424,6 +424,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": _events.events_session_paths,
         # per-user type entropy (fixed-order IEEE expression, byte-exact)
         "events_user_entropy": _an.events_user_entropy,
+        # deterministic weighted sampling (Efraimidis-Spirakis top-k)
+        "events_weighted_sample": _an.events_weighted_sample,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -548,4 +550,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
+        "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,
     }

@@ -953,3 +953,42 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy"),
         (ent / F.lit(math.log(len(EVENT_TYPES)))).alias("evenness"),
     )
+
+
+# Efraimidis–Spirakis weighted sampling: sample size and the resolution
+# of the hash-derived uniform (2^20 buckets, offset half a bucket so
+# u ∈ (0,1) exclusive — ln(0) would be -inf)
+WSAMPLE_K = 500
+WSAMPLE_RES = 1 << 20
+
+
+def events_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WSAMPLE_K
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic uniform u from the portable hash of
+    its key and scores ``ln(u) / w`` (w = ``value``); the k highest
+    scores ARE a weighted sample — heavier rows win proportionally more
+    often.  Deterministic end to end (same hash, same sample, any run /
+    any partitioning), which is what makes a *reproducible* weighted
+    sample possible at all — ``rand()``-based sampling changes with the
+    partition layout.
+
+    Plan: the score is a narrow projection; the global top-k compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged on the
+    driver, NO global sort, NO single-partition window — the only
+    scale-safe way to take a global ordered prefix of a 100 TB log.
+
+    Output: (event_id, user_id, event_type, value, sample_key)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    u = (
+        portable_hash60(F.col("event_id")) % WSAMPLE_RES + F.lit(0.5)
+    ) / F.lit(float(WSAMPLE_RES))
+    key = F.log(u) / F.col("value")
+    return (
+        ev.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc("event_id"))
+        .limit(k)
+    )

@@ -2211,3 +2211,24 @@ from with_total
 
 
 EVENTS_USER_ENTROPY = _user_entropy_sql()
+
+
+def _weighted_sample_sql() -> str:
+    from .operators.analytics import WSAMPLE_K, WSAMPLE_RES
+
+    h = _h60("cast(event_id as varchar)")
+    return f"""
+with scored as (
+    select event_id, user_id, event_type, value,
+           ln((({h}) % {WSAMPLE_RES} + 0.5) / {float(WSAMPLE_RES)}) / value
+               as sample_key
+    from events
+)
+select event_id, user_id, event_type, value, sample_key
+from scored
+order by sample_key desc, event_id asc
+limit {WSAMPLE_K}
+"""
+
+
+EVENTS_WEIGHTED_SAMPLE = _weighted_sample_sql()

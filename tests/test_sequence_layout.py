@@ -249,3 +249,30 @@ def test_user_entropy_bounds(spark):
             assert r["entropy"] == 0.0
         else:
             assert r["entropy"] > 0.0
+
+
+def test_weighted_sample_is_take_ordered_and_biased(spark):
+    from spotify_tracks_spark.operators.analytics import (
+        WSAMPLE_K,
+        events_weighted_sample,
+    )
+
+    samp = events_weighted_sample(spark, SF_SMOKE)
+    # the scale claim: global top-k must compile to TakeOrderedAndProject
+    # (per-partition heaps), never a global Sort or single-partition window
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    rows = samp.collect()
+    assert len(rows) == min(WSAMPLE_K, 1000)
+    # weighting works: the sample's mean weight must exceed the
+    # population mean (heavier rows win proportionally more often)
+    pop_mean = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    samp_mean = sum(r["value"] for r in rows) / len(rows)
+    assert samp_mean > pop_mean * 1.2, (samp_mean, pop_mean)
+    # deterministic: a second evaluation returns the identical set
+    again = {r["event_id"] for r in events_weighted_sample(spark, SF_SMOKE).collect()}
+    assert again == {r["event_id"] for r in rows}
