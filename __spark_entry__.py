@@ -426,6 +426,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_entropy": _an.events_user_entropy,
         # deterministic weighted sampling (Efraimidis-Spirakis top-k)
         "events_weighted_sample": _an.events_weighted_sample,
+        # chi-square type x weekday independence diagnostic
+        "events_chi2_independence": _ts.events_chi2_independence,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -551,4 +553,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,
+        "events_chi2_independence": oracles_ext.EVENTS_CHI2_INDEPENDENCE,
     }

@@ -979,9 +979,15 @@ def events_weighted_sample(
     driver, NO global sort, NO single-partition window — the only
     scale-safe way to take a global ordered prefix of a 100 TB log.
 
+    Rows with non-positive weight are excluded up front: they can never
+    be drawn (weight 0 ⇒ score −∞), and ANSI mode would reject the
+    division.
+
     Output: (event_id, user_id, event_type, value, sample_key)."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .filter(F.col("value") > 0)
     )
     u = (
         portable_hash60(F.col("event_id")) % WSAMPLE_RES + F.lit(0.5)

@@ -281,3 +281,61 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (cov / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))).alias("corr"),
     )
+
+
+DOW_LABELS = ("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+
+
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence diagnostic between event type and day of
+    week: per type, the χ² contribution of that type's weekday profile
+    against the all-types profile — the "is this metric's weekly shape
+    different from everything else's" test behind seasonality alerts.
+
+    Engine-neutral weekday: ``datediff(day, epoch-Monday) % 7`` — both
+    engines' native dayofweek() disagree on numbering (Spark 1=Sun,
+    DuckDB 0=Sun), epoch arithmetic doesn't.  Parity discipline: weekday
+    counts land in FIXED columns (the events_user_entropy trick), the
+    expected counts and χ² terms evaluate in tuple order, so the float
+    path is the identical IEEE sequence in both engines; a weekday with
+    zero global mass contributes 0 (guard, not NaN).
+
+    Plan: one shuffle into the |types|-row contingency aggregate; the
+    1-row global profile cross-broadcasts back; everything after is a
+    projection over ≤ |types| rows.
+
+    Output: (event_type, n_row, chi2_component, dof) with dof = 6."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) % 7
+        ).alias("dow"),
+    )
+    row_aggs = [
+        F.sum((F.col("dow") == d).cast("long")).alias(f"n_{lbl}")
+        for d, lbl in enumerate(DOW_LABELS)
+    ]
+    per_type = ev.groupBy("event_type").agg(*row_aggs)
+    tot_aggs = [
+        F.sum((F.col("dow") == d).cast("long")).alias(f"t_{lbl}")
+        for d, lbl in enumerate(DOW_LABELS)
+    ] + [F.count("*").alias("n_total")]
+    totals = ev.agg(*tot_aggs)
+    j = per_type.join(F.broadcast(totals))
+    row_total = None
+    for lbl in DOW_LABELS:
+        c = F.col(f"n_{lbl}")
+        row_total = c if row_total is None else row_total + c
+    chi2 = None
+    for lbl in DOW_LABELS:
+        n = F.col(f"n_{lbl}")
+        t = F.col(f"t_{lbl}")
+        e = row_total * t / F.col("n_total")
+        term = F.when(t > 0, (n - e) * (n - e) / e).otherwise(F.lit(0.0))
+        chi2 = term if chi2 is None else chi2 + term
+    return j.select(
+        "event_type",
+        row_total.alias("n_row"),
+        chi2.alias("chi2_component"),
+        F.lit(len(DOW_LABELS) - 1).cast("long").alias("dof"),
+    )

@@ -2223,6 +2223,7 @@ with scored as (
            ln((({h}) % {WSAMPLE_RES} + 0.5) / {float(WSAMPLE_RES)}) / value
                as sample_key
     from events
+    where value > 0
 )
 select event_id, user_id, event_type, value, sample_key
 from scored
@@ -2232,3 +2233,42 @@ limit {WSAMPLE_K}
 
 
 EVENTS_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+
+def _chi2_sql() -> str:
+    from .operators.timeseries import DOW_LABELS
+
+    dow = "(datediff('day', DATE '1970-01-05', ts::date) % 7)"
+    row_cols = ", ".join(
+        f"cast(sum(case when {dow} = {d} then 1 else 0 end) as bigint) as n_{lbl}"
+        for d, lbl in enumerate(DOW_LABELS)
+    )
+    tot_cols = ", ".join(
+        f"cast(sum(case when {dow} = {d} then 1 else 0 end) as bigint) as t_{lbl}"
+        for d, lbl in enumerate(DOW_LABELS)
+    )
+    row_total = " + ".join(f"n_{lbl}" for lbl in DOW_LABELS)
+    chi2 = " + ".join(
+        f"(case when t_{lbl} > 0 then"
+        f" (n_{lbl} - (({row_total}) * t_{lbl} / n_total))"
+        f" * (n_{lbl} - (({row_total}) * t_{lbl} / n_total))"
+        f" / (({row_total}) * t_{lbl} / n_total)"
+        f" else 0.0 end)"
+        for lbl in DOW_LABELS
+    )
+    return f"""
+with per_type as (
+    select event_type, {row_cols} from events group by event_type
+),
+totals as (
+    select {tot_cols}, count(*) as n_total from events
+)
+select event_type,
+       cast({row_total} as bigint) as n_row,
+       {chi2} as chi2_component,
+       cast({len(DOW_LABELS) - 1} as bigint) as dof
+from per_type, totals
+"""
+
+
+EVENTS_CHI2_INDEPENDENCE = _chi2_sql()

@@ -276,3 +276,15 @@ def test_weighted_sample_is_take_ordered_and_biased(spark):
     # deterministic: a second evaluation returns the identical set
     again = {r["event_id"] for r in events_weighted_sample(spark, SF_SMOKE).collect()}
     assert again == {r["event_id"] for r in rows}
+
+
+def test_chi2_components_nonnegative_and_additive(spark):
+    from spotify_tracks_spark.operators.timeseries import events_chi2_independence
+
+    rows = events_chi2_independence(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert sum(r["n_row"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["chi2_component"] >= 0.0
+        assert r["dof"] == 6
