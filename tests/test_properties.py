@@ -126,3 +126,131 @@ def test_pack_sequences_matches_serial_replay(spark, tmp_path_factory, counts, c
     for i, n in enumerate(counts):
         assert got[i] == (cum // capacity, cum % capacity), (i, n, capacity)
         cum += n
+
+
+_EVENT_TYPES3 = ("click", "purchase", "view")
+
+
+def _events_dir(spark, tmp_path_factory, events):
+    """Write a synthetic events table shaped like a testdata sf_dir.
+    ``events`` = [(user_id, ts_offset_s, event_type, value)]."""
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("ev")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=off), u, t, v, "{}")
+        for i, (u, off, t, v) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp}/events.parquet")
+    return str(tmp), rows
+
+
+EV = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=10_000),
+        st.sampled_from(_EVENT_TYPES3),
+        st.floats(min_value=0.01, max_value=100, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(events=EV)
+@settings(**_SETTINGS)
+def test_markov_matches_brute_force(spark, tmp_path_factory, events):
+    """Distributed lead-window transition counts == a serial per-user
+    replay, for arbitrary interleavings and duplicate timestamps."""
+    from collections import Counter, defaultdict
+
+    from spotify_tracks_spark.operators.analytics import events_markov_transitions
+
+    sf, rows = _events_dir(spark, tmp_path_factory, events)
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in events_markov_transitions(spark, sf).collect()
+    }
+    seqs = defaultdict(list)
+    for eid, ts, u, t, v, _ in rows:
+        seqs[u].append((ts, eid, t))
+    pairs = Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    assert set(got) == set(pairs)
+    for k, n in pairs.items():
+        gn, gp = got[k]
+        assert gn == n
+        assert abs(gp - n / row_tot[k[0]]) < 1e-12
+
+
+@given(events=EV)
+@settings(**_SETTINGS)
+def test_pit_join_matches_brute_force(spark, tmp_path_factory, events):
+    """PIT lookup == serial replay: for each purchase, the state of the
+    run in effect immediately before it (NULL for a user's first event)."""
+    from collections import defaultdict
+
+    from spotify_tracks_spark.operators.analytics import events_pit_join
+
+    sf, rows = _events_dir(spark, tmp_path_factory, events)
+    got = {
+        r.event_id: (r.prior_state, r.prior_state_from)
+        for r in events_pit_join(spark, sf).collect()
+    }
+    seqs = defaultdict(list)
+    for eid, ts, u, t, v, _ in rows:
+        seqs[u].append((ts, eid, t))
+    want = {}
+    for u, evs in seqs.items():
+        evs.sort()
+        # SCD2 runs: (state, valid_from, valid_to)
+        runs = []
+        for ts, eid, t in evs:
+            if not runs or runs[-1][0] != t:
+                runs.append([t, ts, None])
+        for prev, nxt in zip(runs, runs[1:]):
+            prev[2] = nxt[1]
+        for ts, eid, t in evs:
+            if t != "purchase":
+                continue
+            hit = None
+            for state, vf, vt in runs:
+                if vf < ts and (vt is None or vt >= ts):
+                    hit = (state, vf)
+            want[eid] = hit if hit else (None, None)
+    assert got == want
+
+
+@given(events=EV)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_brute_force(spark, tmp_path_factory, events):
+    """A-ES top-k == serial scoring with the same portable hash."""
+    import hashlib
+    import math
+
+    from spotify_tracks_spark.operators.analytics import (
+        WSAMPLE_RES,
+        events_weighted_sample,
+    )
+
+    sf, rows = _events_dir(spark, tmp_path_factory, events)
+    k = 10
+    got = [r.event_id for r in events_weighted_sample(spark, sf, k=k).collect()]
+    scored = []
+    for eid, ts, u, t, v, _ in rows:
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16)
+        key = math.log((h % WSAMPLE_RES + 0.5) / WSAMPLE_RES) / v
+        scored.append((-key, eid))
+    want = [eid for _, eid in sorted(scored)[:k]]
+    assert got == want
