@@ -428,6 +428,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weighted_sample": _an.events_weighted_sample,
         # chi-square type x weekday independence diagnostic
         "events_chi2_independence": _ts.events_chi2_independence,
+        # robust MEDIAN/MAD outlier flags (order-statistic twin of z)
+        "events_mad_outliers": _ts.events_mad_outliers,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -554,4 +556,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,
         "events_chi2_independence": oracles_ext.EVENTS_CHI2_INDEPENDENCE,
+        "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
     }

@@ -339,3 +339,56 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_component"),
         F.lit(len(DOW_LABELS) - 1).cast("long").alias("dof"),
     )
+
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant for MAD→σ
+MAD_Z = 3.0
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags via MEDIAN/MAD — the heavy-tail-safe
+    sibling of ``events_anomaly``'s mean/σ z-score (one extreme value
+    drags a mean arbitrarily; the median absolute deviation shrugs it
+    off — the standard robust-statistics gate for metric streams).
+
+    Two exact order-statistic passes, both the one-shuffle-one-sort
+    shape of ``events_median`` (deterministic lower-median rule,
+    event_id tie-break): pass 1 the per-type median of ``value``, pass 2
+    the per-type median of |value − median|.  Both per-type frames are
+    |types| rows and broadcast back onto the scan.  robust_z divides in
+    the identical IEEE order as the oracle; a zero-MAD type yields NULL
+    z (nullif guard) and false flags.
+
+    Output: (event_id, event_type, value, med, mad, robust_z,
+    is_outlier) at log grain."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n1 = Window.partitionBy("event_type")
+    med = (
+        ev.withColumn("rn", F.row_number().over(w1))
+        .withColumn("n", F.count("*").over(n1))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count("*").over(n1))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / F.nullif(
+        F.lit(MAD_CONSISTENCY) * F.col("mad"), F.lit(0.0)
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        z.alias("robust_z"),
+        F.coalesce(F.abs(z) > MAD_Z, F.lit(False)).alias("is_outlier"),
+    )

@@ -2272,3 +2272,36 @@ from per_type, totals
 
 
 EVENTS_CHI2_INDEPENDENCE = _chi2_sql()
+
+
+def _mad_sql() -> str:
+    from .operators.timeseries import MAD_CONSISTENCY, MAD_Z
+
+    z = f"(value - med) / nullif({MAD_CONSISTENCY} * mad, 0.0)"
+    return f"""
+with e as (select event_id, event_type, value from events),
+r1 as (
+    select *, row_number() over (partition by event_type order by value, event_id) as rn,
+           count(*) over (partition by event_type) as n
+    from e
+),
+med as (select event_type, value as med from r1 where rn = (n + 1) // 2),
+d as (
+    select e.event_id, e.event_type, e.value, m.med,
+           abs(e.value - m.med) as adev
+    from e join med m using (event_type)
+),
+r2 as (
+    select *, row_number() over (partition by event_type order by adev, event_id) as rn,
+           count(*) over (partition by event_type) as n
+    from d
+),
+mad as (select event_type, adev as mad from r2 where rn = (n + 1) // 2)
+select d.event_id, d.event_type, d.value, d.med, mad.mad,
+       {z} as robust_z,
+       coalesce(abs({z}) > {MAD_Z}, false) as is_outlier
+from d join mad using (event_type)
+"""
+
+
+EVENTS_MAD_OUTLIERS = _mad_sql()
