@@ -75,3 +75,53 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             day_idx.bitwiseAND(F.lit((1 << ZORDER_BITS) - 1)),
         ).alias("zkey"),
     )
+
+
+TARGET_ROWS_PER_FILE = 1_000_000
+
+
+def compact_table(
+    df: DataFrame,
+    out_dir: str,
+    target_rows_per_file: int = TARGET_ROWS_PER_FILE,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction — rewrite a table into ⌈rows/target⌉ files,
+    optionally range-clustered on ``sort_col`` (e.g. the Z-order key):
+    the operational fix for the small-file problem, where a streaming or
+    per-batch writer leaves thousands of KB-sized files and every
+    downstream scan pays per-file open/footer/task overhead.
+
+    The file count derives from an exact count (one cheap aggregate —
+    at 100 TB you'd use table statistics instead; same contract).
+    ``repartitionByRange`` + in-partition sort keeps min/max pruning
+    effective in the compacted layout; plain ``repartition`` (round
+    robin) would destroy it.  Returns the number of files written."""
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_dir)
+    return n_files
+
+
+def write_partitioned_dynamic(
+    df: DataFrame, out_dir: str, partition_col: str
+) -> None:
+    """Dynamic partition overwrite — rewrite ONLY the partitions present
+    in ``df``, leaving all other partitions of the target untouched: the
+    idempotent daily-backfill write (static overwrite mode would drop
+    the whole table; append would duplicate the reprocessed day).
+
+    Uses ``partitionOverwriteMode=dynamic`` scoped to this write via the
+    DataFrameWriter option (no session-level config leak)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )

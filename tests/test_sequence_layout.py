@@ -288,3 +288,59 @@ def test_chi2_components_nonnegative_and_additive(spark):
     for r in rows:
         assert r["chi2_component"] >= 0.0
         assert r["dof"] == 6
+
+
+def test_compact_table_file_count_and_pruning_order(spark, tmp_path_factory):
+    import glob
+
+    from spotify_tracks_spark.operators.layout import compact_table
+
+    tmp = tmp_path_factory.mktemp("compact")
+    # simulate the small-file problem: 64 files for 10k rows
+    src = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    src.repartition(64).write.parquet(f"{tmp}/small")
+    assert len(glob.glob(f"{tmp}/small/part-*")) == 64
+    n = compact_table(
+        spark.read.parquet(f"{tmp}/small"),
+        f"{tmp}/compact",
+        target_rows_per_file=4_000,
+        sort_col="id",
+    )
+    files = glob.glob(f"{tmp}/compact/part-*")
+    assert len(files) == n == 3  # ceil(10000/4000)
+    back = spark.read.parquet(f"{tmp}/compact")
+    assert back.count() == 10_000
+    # range-clustered: per-file id ranges must not overlap (min/max
+    # pruning works after compaction)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(files):
+        t = pq.read_table(f, columns=["id"])
+        ids = t.column("id").to_pylist()
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, ranges
+
+
+def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path_factory):
+    from spotify_tracks_spark.operators.layout import write_partitioned_dynamic
+
+    tmp = tmp_path_factory.mktemp("dyn")
+    out = f"{tmp}/fact"
+    full = spark.createDataFrame(
+        [(i, f"d{i % 3}", i * 1.0) for i in range(30)], "id long, day string, v double"
+    )
+    write_partitioned_dynamic(full, out, "day")
+    assert spark.read.parquet(out).count() == 30
+    # backfill ONLY day d1 with corrected values
+    fixed = spark.createDataFrame(
+        [(100 + i, "d1", -1.0) for i in range(5)], "id long, day string, v double"
+    )
+    write_partitioned_dynamic(fixed, out, "day")
+    back = spark.read.parquet(out)
+    # d0/d2 untouched (10 rows each), d1 replaced by the 5 fixed rows
+    assert back.filter(F.col("day") != "d1").count() == 20
+    d1 = back.filter(F.col("day") == "d1").collect()
+    assert len(d1) == 5 and all(r["v"] == -1.0 for r in d1)
