@@ -344,3 +344,26 @@ def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path_f
     assert back.filter(F.col("day") != "d1").count() == 20
     d1 = back.filter(F.col("day") == "d1").collect()
     assert len(d1) == 5 and all(r["v"] == -1.0 for r in d1)
+
+
+def test_new_operator_plans_broadcast_their_small_sides(spark):
+    """Plan audit: every operator whose docstring claims a broadcast of a
+    tiny frame must actually compile to a BroadcastHashJoin (or BNLJ for
+    the single-row cross joins) — a silent fallback to SortMergeJoin on
+    these would shuffle the big side twice at scale."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_vocab_encode
+    from spotify_tracks_spark.operators.profile import events_value_histogram
+    from spotify_tracks_spark.operators.timeseries import (
+        events_mad_outliers,
+        events_type_correlation,
+    )
+
+    for name, fn in (
+        ("vocab_encode", corpus_vocab_encode),
+        ("histogram", events_value_histogram),
+        ("mad_outliers", events_mad_outliers),
+        ("type_correlation", events_type_correlation),
+    ):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, f"{name}: no broadcast in plan"
+        assert "CartesianProduct" not in plan, name
