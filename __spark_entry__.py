@@ -430,6 +430,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2_independence": _ts.events_chi2_independence,
         # robust MEDIAN/MAD outlier flags (order-statistic twin of z)
         "events_mad_outliers": _ts.events_mad_outliers,
+        # batch inference: logistic head over embeddings, top-k by score
+        "embedding_score_topk": _sim.embedding_score_topk,
+        # dense_rank / percent_rank / cume_dist (set-deterministic ties)
+        "events_rank_functions": _events.events_rank_functions,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -557,4 +561,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,
         "events_chi2_independence": oracles_ext.EVENTS_CHI2_INDEPENDENCE,
         "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
+        "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
+        "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
     }

@@ -528,3 +528,30 @@ def events_session_paths(
         .filter(F.col("rank") <= k)
         .select("rank", "path", "n_sessions")
     )
+
+
+def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window classes in one pass: per event type
+    ordered by value DESC — ``dense_rank`` (leaderboard position without
+    gaps), ``percent_rank`` ((rank−1)/(n−1)), and ``cume_dist``
+    (fraction ≤ this row) — row_number, rank-with-tie-break, and ntile
+    are exercised by top-k/quartiles; these three complete the family.
+
+    Ties are deliberately NOT broken: all three functions are
+    SET-deterministic (they depend only on the value multiset, not on
+    row order within a tie), which is exactly the semantics under test —
+    and why the oracle hash matches without a tie-break column.  One
+    shuffle, one per-key sort, all three functions ride the same frame.
+
+    Output: (event_id, event_type, value, d_rank, pct_rank, cume) at
+    log grain."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dense_rank().over(w).cast("long").alias("d_rank"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

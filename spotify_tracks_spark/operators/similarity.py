@@ -501,3 +501,45 @@ def ann_topk_pq(
             F.round("adc", 6).alias("adc"),
         )
     )
+
+
+# batch-inference demo head: deterministic pseudo-weights (Knuth
+# multiplicative hash of the dimension index), fixed bias.  A real
+# deployment loads trained weights; the plan is identical.
+SCORE_TOP_K = 100
+SCORE_BIAS = -0.1
+EMB_DIM = 64
+
+
+def score_weights(d: int = EMB_DIM) -> list[float]:
+    return [round(((i * 2654435761) % 1000) / 1000 - 0.5, 3) for i in range(d)]
+
+
+def embedding_score_topk(
+    spark: SparkSession, sf_dir: str, k: int = SCORE_TOP_K
+) -> DataFrame:
+    """Batch model inference over the embedding corpus — the scoring
+    pass every trained model needs at corpus scale: logistic head
+    ``sigmoid(w·x + b)`` with the weight vector as a broadcast LITERAL
+    array (no join, no UDF — the dot product folds inside whole-stage
+    codegen exactly like the ANN distance kernels), then the global
+    top-k by score via TakeOrderedAndProject.
+
+    Float parity: the dot folds left-to-right over the dimension index
+    in both engines (same contract the green ANN family relies on);
+    exp/division are single IEEE ops.
+
+    Output: (vec_id, label, logit, score) — the k highest-scoring."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    w = F.array(*[F.lit(x) for x in score_weights()])
+    logit = _dot(F.col("embedding"), w) + F.lit(SCORE_BIAS)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            logit.alias("logit"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -2305,3 +2305,39 @@ from d join mad using (event_type)
 
 
 EVENTS_MAD_OUTLIERS = _mad_sql()
+
+
+def _score_topk_sql() -> str:
+    from .operators.similarity import SCORE_BIAS, SCORE_TOP_K, score_weights
+
+    w = "[" + ", ".join(repr(x) for x in score_weights()) + "]"
+    dot = f"list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * w[i]))"
+    return f"""
+with emb as (
+    select vec_id, label, {_EMB} as e,
+           ({w})::double[] as w
+    from embeddings
+),
+scored as (
+    select vec_id, label,
+           {dot} + {SCORE_BIAS} as logit
+    from emb
+)
+select vec_id, label, logit,
+       1.0 / (1.0 + exp(-logit)) as score
+from scored
+order by score desc, vec_id asc
+limit {SCORE_TOP_K}
+"""
+
+
+EMBEDDING_SCORE_TOPK = _score_topk_sql()
+
+EVENTS_RANK_FUNCTIONS = """
+select event_id, event_type, value,
+       cast(dense_rank() over w as bigint) as d_rank,
+       percent_rank() over w as pct_rank,
+       cume_dist() over w as cume
+from events
+window w as (partition by event_type order by value desc)
+"""
