@@ -434,6 +434,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_score_topk": _sim.embedding_score_topk,
         # dense_rank / percent_rank / cume_dist (set-deterministic ties)
         "events_rank_functions": _events.events_rank_functions,
+        # calendar date-spine dimension (ISO week/year handled explicitly)
+        "dim_calendar": _ts.dim_calendar,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -563,4 +565,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
         "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
+        "dim_calendar": oracles_ext.DIM_CALENDAR,
     }

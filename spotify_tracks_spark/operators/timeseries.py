@@ -392,3 +392,45 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("robust_z"),
         F.coalesce(F.abs(z) > MAD_Z, F.lit(False)).alias("is_outlier"),
     )
+
+
+def dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generated from the fact log's own date bounds —
+    the date-spine dimension every warehouse joins to (the dbt
+    ``date_spine`` utility as a first-class operator): one row per day
+    from min to max event date with the standard attribute set.
+
+    Engine-parity choices: ``iso_week`` uses each engine's ISO
+    weekofyear (their agreement is load-bearing for the reference's Q8
+    and proven by that green row); ``dow`` is epoch-Monday arithmetic
+    (native dayofweek numbering disagrees across engines); ``iso_year``
+    is the year the ISO week belongs to (Dec 29+ can belong to week 1
+    of the NEXT year, Jan 1-3 to week 52/53 of the PREVIOUS — the
+    year(ts) pairing bug events_retention's dense week index avoids is
+    handled here explicitly).
+
+    Plan: the spine explodes from a 1-row (min, max) aggregate —
+    |days| rows of pure projection; the fact log is touched once for
+    its bounds.  Output: (day, year, iso_year, quarter, month,
+    day_of_month, iso_week, dow, is_weekend)."""
+    ev = read_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    dow = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-05"))) % 7
+    iso_week = F.weekofyear("day")
+    # ISO year: the calendar year of the Thursday in this day's ISO week
+    # (engine-neutral arithmetic: Thursday = day - dow + 3)
+    iso_year = F.year(F.date_add(F.col("day"), 3 - dow))
+    return spine.select(
+        "day",
+        F.year("day").cast("long").alias("year"),
+        iso_year.cast("long").alias("iso_year"),
+        F.quarter("day").cast("long").alias("quarter"),
+        F.month("day").cast("long").alias("month"),
+        F.dayofmonth("day").cast("long").alias("day_of_month"),
+        iso_week.cast("long").alias("iso_week"),
+        dow.cast("long").alias("dow"),
+        (dow >= 5).alias("is_weekend"),
+    )

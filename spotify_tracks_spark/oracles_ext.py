@@ -2341,3 +2341,25 @@ select event_id, event_type, value,
 from events
 window w as (partition by event_type order by value desc)
 """
+
+
+DIM_CALENDAR = """
+with bounds as (
+    select min(ts::date) as lo, max(ts::date) as hi from events
+),
+spine as (
+    select unnest(generate_series(lo, hi, interval 1 day))::date as day
+    from bounds
+)
+select day,
+       cast(year(day) as bigint) as year,
+       cast(year(day + cast(3 - (datediff('day', DATE '1970-01-05', day) % 7) as integer)) as bigint)
+           as iso_year,
+       cast(quarter(day) as bigint) as quarter,
+       cast(month(day) as bigint) as month,
+       cast(dayofmonth(day) as bigint) as day_of_month,
+       cast(weekofyear(day) as bigint) as iso_week,
+       cast(datediff('day', DATE '1970-01-05', day) % 7 as bigint) as dow,
+       (datediff('day', DATE '1970-01-05', day) % 7) >= 5 as is_weekend
+from spine
+"""

@@ -367,3 +367,37 @@ def test_new_operator_plans_broadcast_their_small_sides(spark):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan, f"{name}: no broadcast in plan"
         assert "CartesianProduct" not in plan, name
+
+
+def test_dim_calendar_iso_year_handles_year_boundary(spark, tmp_path_factory):
+    """Dec 29+ can belong to ISO week 1 of the NEXT year and Jan 1-3 to
+    week 52/53 of the PREVIOUS — the pairing bug the reference's Q8
+    exhibits with year(ts).  Build a spine across 2025→2026 (Jan 1 2026
+    is a Thursday in ISO week 1) and assert the iso_year re-pairing."""
+    import datetime
+
+    from spotify_tracks_spark.operators.timeseries import dim_calendar
+
+    tmp = tmp_path_factory.mktemp("cal")
+    days = [datetime.datetime(2025, 12, 28) + datetime.timedelta(days=i) for i in range(10)]
+    rows = [(i, d, 1, "view", 1.0, "{}") for i, d in enumerate(days)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp}/events.parquet")
+
+    cal = {r["day"].isoformat(): r for r in dim_calendar(spark, str(tmp)).collect()}
+    assert len(cal) == 10
+    # Mon Dec 29 2025 .. Sun Jan 4 2026 are ISO week 1 of 2026
+    for iso, want_week, want_iso_year in (
+        ("2025-12-28", 52, 2025),  # Sunday, last day of ISO week 52/2025
+        ("2025-12-29", 1, 2026),   # Monday: ISO week 1 of 2026 begins
+        ("2025-12-31", 1, 2026),
+        ("2026-01-01", 1, 2026),
+        ("2026-01-04", 1, 2026),   # Sunday, ISO week 1 ends
+        ("2026-01-05", 2, 2026),
+    ):
+        r = cal[iso]
+        assert (r["iso_week"], r["iso_year"]) == (want_week, want_iso_year), (iso, r)
+        assert r["year"] == int(iso[:4])
