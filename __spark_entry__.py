@@ -436,6 +436,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rank_functions": _events.events_rank_functions,
         # calendar date-spine dimension (ISO week/year handled explicitly)
         "dim_calendar": _ts.dim_calendar,
+        # fifth dedup family: Levenshtein verify over LSH candidates
+        "dedup_edit_distance": _dedup.dedup_edit_distance,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -566,4 +568,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
         "dim_calendar": oracles_ext.DIM_CALENDAR,
+        "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
     }

@@ -655,3 +655,46 @@ def dedup_clusters_sql(
             FROM comp GROUP BY cluster_id
         ) s USING (cluster_id)
     """)
+
+
+# edit-distance verify: prefix length and acceptance threshold
+EDIT_PREFIX = 64
+EDIT_MAX = 8
+
+
+def dedup_edit_distance(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_len: int = EDIT_PREFIX,
+    max_edits: int = EDIT_MAX,
+) -> DataFrame:
+    """Edit-distance near-dup pairs — the fifth dedup family (exact /
+    Jaccard / MinHash / SimHash / embedding measure SET overlap; edit
+    distance measures ORDER-preserving character drift: OCR noise, typo
+    clusters, template fills).  Candidates come from the shared
+    minhash-LSH generation (recall inherited from it — documented, not
+    hidden); the NEW contract is the verify: Levenshtein distance over
+    the first ``prefix_len`` normalized chars must be ≤ ``max_edits``.
+
+    The prefix bound is the scale decision: full-text Levenshtein is
+    O(|a|·|b|) per pair — unbounded on document bodies — while the
+    prefix caps verify cost at prefix_len² per candidate, the standard
+    production compromise (rank by prefix distance, full distance only
+    on the short tail if exactness matters).  ``levenshtein`` is
+    JVM-side in Spark and built-in in DuckDB with identical unit-cost
+    semantics, so the oracle is byte-exact.
+
+    Output: (doc_a, doc_b, edit_distance), candidates that pass."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.substring(_norm(F.col("text")), 1, prefix_len).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("edit_distance", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("edit_distance") <= max_edits)
+        .select("doc_a", "doc_b", "edit_distance")
+    )

@@ -2363,3 +2363,26 @@ select day,
        (datediff('day', DATE '1970-01-05', day) % 7) >= 5 as is_weekend
 from spine
 """
+
+
+def _edit_distance_sql() -> str:
+    from .operators.dedup import EDIT_MAX, EDIT_PREFIX
+
+    norm = _NORM
+    return f"""
+with pairs as (
+    select doc_a, doc_b from ({DEDUP_MINHASH_LSH}) q
+),
+pref as (
+    select doc_id, substr({norm}, 1, {EDIT_PREFIX}) as prefix from documents
+)
+select p.doc_a, p.doc_b,
+       cast(levenshtein(a.prefix, b.prefix) as bigint) as edit_distance
+from pairs p
+join pref a on a.doc_id = p.doc_a
+join pref b on b.doc_id = p.doc_b
+where levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
+"""
+
+
+DEDUP_EDIT_DISTANCE = _edit_distance_sql()
