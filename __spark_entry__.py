@@ -438,6 +438,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_calendar": _ts.dim_calendar,
         # fifth dedup family: Levenshtein verify over LSH candidates
         "dedup_edit_distance": _dedup.dedup_edit_distance,
+        # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
+        "events_dau_wau_mau": _ts.events_dau_wau_mau,
+        # Pareto concentration curve (cumulative share, head flag)
+        "events_pareto": _ts.events_pareto,
+        # daily bounce rate over the shared sessionization
+        "events_bounce_rate": _events.events_bounce_rate,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -569,4 +575,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
         "dim_calendar": oracles_ext.DIM_CALENDAR,
         "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
+        "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
+        "events_pareto": oracles_ext.EVENTS_PARETO,
+        "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
     }

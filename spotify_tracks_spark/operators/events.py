@@ -555,3 +555,32 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+def events_bounce_rate(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Daily bounce rate: share of sessions STARTING each day that
+    contain exactly one event — the engagement-quality companion to
+    session counts (a spike in sessions with a bounce-rate spike is bot
+    traffic, not growth).
+
+    Built on the shared one-shuffle sessionization at session grain:
+    sessions aggregate to (start day, n_events), then one tiny daily
+    aggregate.  Exact integer counts, one IEEE division.
+
+    Output: (day, n_sessions, n_bounces, bounce_rate)."""
+    sess = events_sessionize(spark, sf_dir, gap_minutes=gap_minutes)
+    daily = sess.select(
+        F.to_date("session_start").alias("day"),
+        (F.col("n_events") == 1).cast("long").alias("is_bounce"),
+    )
+    agg = daily.groupBy("day").agg(
+        F.count("*").alias("n_sessions"), F.sum("is_bounce").alias("n_bounces")
+    )
+    return agg.select(
+        "day",
+        "n_sessions",
+        F.col("n_bounces").cast("long").alias("n_bounces"),
+        (F.col("n_bounces") / F.col("n_sessions")).alias("bounce_rate"),
+    )

@@ -434,3 +434,89 @@ def dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.cast("long").alias("dow"),
         (dow >= 5).alias("is_weekend"),
     )
+
+
+MAU_DAYS = 28
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness per day — the engagement headline
+    metrics: distinct users active that day, in the trailing 7 days, and
+    in the trailing 28 days, plus DAU/MAU.
+
+    One expansion serves all three windows: the distinct (user, day)
+    activity set (entity grain — the single fact shuffle) explodes each
+    activity day to the ≤28 target days it can contribute to, and each
+    window is a CONDITIONAL distinct over the same exploded frame
+    (offset 0 / <7 / <28) — one shuffle, one aggregate, three windows,
+    instead of three separate self-joins.  Clipped at the corpus max day
+    (trailing windows past it are unobserved).
+
+    Output: (day, dau, wau, mau, stickiness)."""
+    ud = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    mx = ud.agg(F.max("day").alias("max_day"))
+    ex = ud.select(
+        "user_id",
+        F.col("day").alias("src_day"),
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", MAU_DAYS - 1))
+        ).alias("day"),
+    ).withColumn("offset", F.datediff("day", "src_day"))
+    agg = (
+        ex.join(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(
+            F.count_distinct(F.when(F.col("offset") == 0, F.col("user_id"))).alias("dau"),
+            F.count_distinct(F.when(F.col("offset") < 7, F.col("user_id"))).alias("wau"),
+            F.count_distinct(F.col("user_id")).alias("mau"),
+        )
+    )
+    return agg.select(
+        "day", "dau", "wau", "mau", (F.col("dau") / F.col("mau")).alias("stickiness")
+    )
+
+
+PARETO_SHARE = 0.8
+
+
+def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: users ordered by activity desc, with
+    each user's cumulative share of all events and a flag for the head
+    segment that generates the first ``PARETO_SHARE`` of volume — the
+    "does 20% of the base drive 80% of the load" answer, which is also
+    the key-skew exposure in entity terms.
+
+    Entity-grain aggregate first (one fact shuffle); the ordered
+    cumulative window then runs over |users| rows (the same
+    single-partition-over-aggregate trade documented on events_rfm —
+    swap in the two-level prefix sum at extreme user counts).
+
+    Output: (user_id, n_events, user_rank, cum_share, in_head)."""
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    total = per_user.agg(F.sum("n_events").alias("n_total"))
+    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
+    ranked = (
+        per_user.join(F.broadcast(total))
+        .withColumn("user_rank", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return ranked.select(
+        "user_id",
+        "n_events",
+        F.col("user_rank").cast("long").alias("user_rank"),
+        (F.col("cum") / F.col("n_total")).alias("cum_share"),
+        (F.col("cum") - F.col("n_events") < F.col("n_total") * PARETO_SHARE).alias(
+            "in_head"
+        ),
+    )

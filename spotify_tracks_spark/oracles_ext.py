@@ -2386,3 +2386,74 @@ where levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
 
 
 DEDUP_EDIT_DISTANCE = _edit_distance_sql()
+
+
+def _dau_sql() -> str:
+    from .operators.timeseries import MAU_DAYS
+
+    return f"""
+with ud as (select distinct user_id, ts::date as day from events),
+mx as (select max(day) as max_day from ud),
+ex as (
+    select user_id, day as src_day,
+           unnest(generate_series(day, day + {MAU_DAYS - 1}, interval 1 day))::date as day
+    from ud
+),
+agg as (
+    select ex.day,
+           count(distinct case when datediff('day', src_day, ex.day) = 0
+                               then user_id end) as dau,
+           count(distinct case when datediff('day', src_day, ex.day) < 7
+                               then user_id end) as wau,
+           count(distinct user_id) as mau
+    from ex, mx
+    where ex.day <= mx.max_day
+    group by ex.day
+)
+select day, dau, wau, mau, dau / mau as stickiness from agg
+"""
+
+
+EVENTS_DAU_WAU_MAU = _dau_sql()
+
+
+def _pareto_sql() -> str:
+    from .operators.timeseries import PARETO_SHARE
+
+    return f"""
+with per_user as (
+    select user_id, count(*) as n_events from events group by 1
+),
+total as (select cast(sum(n_events) as bigint) as n_total from per_user),
+ranked as (
+    select user_id, n_events, n_total,
+           cast(row_number() over w as bigint) as user_rank,
+           cast(sum(n_events) over (order by n_events desc, user_id
+                                    rows unbounded preceding) as bigint) as cum
+    from per_user, total
+    window w as (order by n_events desc, user_id)
+)
+select user_id, n_events, user_rank,
+       cum / n_total as cum_share,
+       (cum - n_events) < n_total * {PARETO_SHARE} as in_head
+from ranked
+"""
+
+
+EVENTS_PARETO = _pareto_sql()
+
+EVENTS_BOUNCE_RATE = f"""
+with s as ({EVENTS_SESSIONIZE}),
+daily as (
+    select session_start::date as day,
+           case when n_events = 1 then 1 else 0 end as is_bounce
+    from s
+),
+agg as (
+    select day, count(*) as n_sessions,
+           cast(sum(is_bounce) as bigint) as n_bounces
+    from daily group by day
+)
+select day, n_sessions, n_bounces, n_bounces / n_sessions as bounce_rate
+from agg
+"""
