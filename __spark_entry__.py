@@ -35,7 +35,7 @@ from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
 from spotify_tracks_spark.operators.asof import events_asof_purchase_click
 from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
-from spotify_tracks_spark.operators.corpus import corpus_prep
+from spotify_tracks_spark.operators.corpus import corpus_prep, corpus_survival
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
@@ -444,6 +444,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pareto": _ts.events_pareto,
         # daily bounce rate over the shared sessionization
         "events_bounce_rate": _events.events_bounce_rate,
+        # per-gate attrition funnel of the corpus-cleaning pipeline
+        "corpus_survival": corpus_survival,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -578,4 +580,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
         "events_pareto": oracles_ext.EVENTS_PARETO,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
+        "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
     }

@@ -21,7 +21,7 @@ Oracle: oracles_ext.CORPUS_PREP mirrors every stage in DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import portable_hash60
 from ..sources.tables import read_table
@@ -31,6 +31,37 @@ CORPUS_LANG = "en"
 CORPUS_MIN_TOKENS = 10
 CORPUS_MIN_QUALITY = 0.5
 CORPUS_SAMPLE_PCT = 80
+
+
+def _signals(docs: DataFrame) -> DataFrame:
+    """The shared per-doc signal projection (language argmax with the
+    text_langid declaration-order tie-break, quality ratios, content
+    fingerprint) — one narrow scan-side projection used identically by
+    corpus_prep and corpus_survival, so the two stay expression-equal."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    n_uniq = F.size(F.array_distinct(toks))
+    quality = (n_stop / n_tok) * 2.0 + (n_uniq / n_tok)
+
+    def _score(ws: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = {lg: _score(ws) for lg, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in scores:
+        pred = pred.when(scores[lg] == best, F.lit(lg))
+
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality_score"),
+        fp.alias("fp"),
+    )
 
 
 def corpus_prep(
@@ -47,35 +78,7 @@ def corpus_prep(
     kept document (predicted ``lang``, ≥ ``min_tokens`` tokens, quality ≥
     ``min_quality``, canonical member of its exact-dup group, in the
     ``sample_pct``% deterministic sample keyed on doc_id)."""
-    docs = read_table(spark, sf_dir, "documents", spread=True)
-
-    toks = F.split(F.lower(F.col("text")), " ")
-    n_tok = F.size(toks)
-    all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
-    n_uniq = F.size(F.array_distinct(toks))
-    quality = (n_stop / n_tok) * 2.0 + (n_uniq / n_tok)
-
-    # language gate — same argmax + declaration-order tie-break as
-    # text_langid (operators/text_analysis.py)
-    def _score(ws: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
-
-    scores = {lg: _score(ws) for lg, ws in LANG_STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    pred = F.when(best <= 0, F.lit("und"))
-    for lg in scores:
-        pred = pred.when(scores[lg] == best, F.lit(lg))
-
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
-
-    gated = docs.select(
-        "doc_id",
-        pred.alias("lang_pred"),
-        n_tok.cast("long").alias("n_tokens"),
-        quality.alias("quality_score"),
-        fp.alias("fp"),
-    ).filter(
+    gated = _signals(read_table(spark, sf_dir, "documents", spread=True)).filter(
         (F.col("lang_pred") == lang)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("quality_score") >= min_quality)
@@ -96,4 +99,73 @@ def corpus_prep(
     bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
     return kept.filter(bucket < sample_pct).select(
         "doc_id", "lang_pred", "n_tokens", "quality_score", "fp"
+    )
+
+
+SURVIVAL_STAGES = ("lang", "min_tokens", "quality", "exact_dup", "sample")
+
+
+def corpus_survival(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str = CORPUS_LANG,
+    min_tokens: int = CORPUS_MIN_TOKENS,
+    min_quality: float = CORPUS_MIN_QUALITY,
+    sample_pct: int = CORPUS_SAMPLE_PCT,
+) -> DataFrame:
+    """Corpus-cleaning SURVIVAL FUNNEL — the per-gate attrition report
+    for the exact pipeline ``corpus_prep`` materializes: every document
+    is attributed to the FIRST gate that drops it (gate order is the
+    pipeline order, so the numbers are the funnel a data-quality
+    dashboard shows beside the cleaned corpus), then one tiny cumulative
+    pass turns per-gate drop counts into in/out chains.
+
+    Shares ``_signals`` with corpus_prep (expression-equal by
+    construction) and the same dedup-after-gates contract: the canonical
+    member per fingerprint is chosen among gate-survivors only.  Cost:
+    the corpus_prep scan + shuffle, plus a 5-row window.
+
+    Output: (stage_no, stage, n_in, n_dropped, n_out), 5 rows chained
+    (n_out of the last stage = the kept-corpus size)."""
+    labeled = _signals(read_table(spark, sf_dir, "documents", spread=True))
+    lang_ok = F.col("lang_pred") == lang
+    tok_ok = F.col("n_tokens") >= min_tokens
+    q_ok = F.col("quality_score") >= min_quality
+    pass3 = labeled.filter(lang_ok & tok_ok & q_ok)
+    canon = pass3.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    with_canon = labeled.join(F.broadcast(canon), "fp", "left")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    stage = (
+        F.when(~lang_ok, "lang")
+        .when(~tok_ok, "min_tokens")
+        .when(~q_ok, "quality")
+        .when(F.col("doc_id") != F.col("canonical_doc_id"), "exact_dup")
+        .when(bucket >= sample_pct, "sample")
+        .otherwise("kept")
+    )
+    counts = with_canon.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count("*").alias("n")
+    )
+    stages = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(SURVIVAL_STAGES)],
+        "stage_no long, stage string",
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    w = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
+    funnel = (
+        stages.join(counts, "stage", "left")
+        .withColumn("n_dropped", F.coalesce("n", F.lit(0)).cast("long"))
+        .join(F.broadcast(total))
+        .withColumn(
+            "n_in",
+            (F.col("n_total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)))
+            .cast("long"),
+        )
+    )
+    return funnel.select(
+        "stage_no",
+        "stage",
+        "n_in",
+        "n_dropped",
+        (F.col("n_in") - F.col("n_dropped")).cast("long").alias("n_out"),
     )

@@ -2457,3 +2457,83 @@ agg as (
 select day, n_sessions, n_bounces, n_bounces / n_sessions as bounce_rate
 from agg
 """
+
+
+def _corpus_survival_sql() -> str:
+    from .operators.corpus import (
+        CORPUS_LANG,
+        CORPUS_MIN_QUALITY,
+        CORPUS_MIN_TOKENS,
+        CORPUS_SAMPLE_PCT,
+        SURVIVAL_STAGES,
+    )
+
+    langs = list(LANG_STOPWORDS)
+    score_exprs = ",\n       ".join(
+        f"len(list_filter(toks, t -> t in ({', '.join(repr(w) for w in ws)}))) as score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    best = f"greatest({', '.join('score_' + lg for lg in langs)})"
+    whens = "\n            ".join(
+        f"when score_{lg} = {best} then '{lg}'" for lg in langs
+    )
+    stage_rows = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(SURVIVAL_STAGES)
+    )
+    return f"""
+with t as (
+    select doc_id, string_split(lower(text), ' ') as toks, md5({_NORM}) as fp
+    from documents
+),
+scored as (
+    select doc_id, fp, len(toks) as n_tokens,
+       (len(list_filter(toks, t -> t in ({_ALL_STOP}))) / len(toks)) * 2.0
+         + (len(list_distinct(toks)) / len(toks)) as quality_score,
+       {score_exprs}
+    from t
+),
+labeled as (
+    select doc_id, fp, n_tokens, quality_score,
+       case when {best} <= 0 then 'und'
+            {whens}
+       end as lang_pred
+    from scored
+),
+pass3 as (
+    select * from labeled
+    where lang_pred = '{CORPUS_LANG}'
+      and n_tokens >= {CORPUS_MIN_TOKENS}
+      and quality_score >= {CORPUS_MIN_QUALITY}
+),
+canon as (select fp, min(doc_id) as canonical_doc_id from pass3 group by fp),
+attributed as (
+    select case
+        when l.lang_pred != '{CORPUS_LANG}' then 'lang'
+        when l.n_tokens < {CORPUS_MIN_TOKENS} then 'min_tokens'
+        when l.quality_score < {CORPUS_MIN_QUALITY} then 'quality'
+        when l.doc_id != c.canonical_doc_id then 'exact_dup'
+        when {_h60('l.doc_id::varchar')} % 100 >= {CORPUS_SAMPLE_PCT} then 'sample'
+        else 'kept' end as stage
+    from labeled l left join canon c using (fp)
+),
+counts as (select stage, count(*) as n from attributed group by stage),
+stages(stage_no, stage) as (values {stage_rows}),
+total as (select cast(sum(n) as bigint) as n_total from counts),
+funnel as (
+    select s.stage_no, s.stage,
+           cast(coalesce(c.n, 0) as bigint) as n_dropped,
+           t.n_total
+    from stages s left join counts c using (stage), total t
+)
+select stage_no, stage,
+       cast(n_total - coalesce(sum(n_dropped) over (order by stage_no
+            rows between unbounded preceding and 1 preceding), 0) as bigint) as n_in,
+       n_dropped,
+       cast(n_total - coalesce(sum(n_dropped) over (order by stage_no
+            rows between unbounded preceding and 1 preceding), 0) - n_dropped
+            as bigint) as n_out
+from funnel
+"""
+
+
+CORPUS_SURVIVAL = _corpus_survival_sql()

@@ -401,3 +401,18 @@ def test_dim_calendar_iso_year_handles_year_boundary(spark, tmp_path_factory):
         r = cal[iso]
         assert (r["iso_week"], r["iso_year"]) == (want_week, want_iso_year), (iso, r)
         assert r["year"] == int(iso[:4])
+
+
+def test_corpus_survival_chains_and_matches_prep(spark):
+    from spotify_tracks_spark.operators.corpus import corpus_prep, corpus_survival
+
+    rows = sorted(
+        corpus_survival(spark, SF_SMOKE).collect(), key=lambda r: r["stage_no"]
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert rows[0]["n_in"] == docs
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["n_out"] == nxt["n_in"]
+        assert prev["n_in"] - prev["n_dropped"] == prev["n_out"]
+    # the funnel's survivors ARE the corpus_prep output
+    assert rows[-1]["n_out"] == corpus_prep(spark, SF_SMOKE).count()
