@@ -33,7 +33,10 @@ from spotify_tracks_spark.pipeline import run_models
 from spotify_tracks_spark.operators import analytics as _an
 from spotify_tracks_spark.operators import dedup as _dedup
 from spotify_tracks_spark.operators import events as _events
-from spotify_tracks_spark.operators.asof import events_asof_purchase_click
+from spotify_tracks_spark.operators.asof import (
+    events_asof_purchase_click,
+    events_time_to_convert,
+)
 from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
 from spotify_tracks_spark.operators.corpus import corpus_prep, corpus_survival
 from spotify_tracks_spark.operators.range_join import events_value_bands
@@ -446,6 +449,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bounce_rate": _events.events_bounce_rate,
         # per-gate attrition funnel of the corpus-cleaning pipeline
         "corpus_survival": corpus_survival,
+        # conversion-latency percentiles by weekday (as-of composition)
+        "events_time_to_convert": events_time_to_convert,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -581,4 +586,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_pareto": oracles_ext.EVENTS_PARETO,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
+        "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
     }

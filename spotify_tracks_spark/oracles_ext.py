@@ -2537,3 +2537,21 @@ from funnel
 
 
 CORPUS_SURVIVAL = _corpus_survival_sql()
+
+
+EVENTS_TIME_TO_CONVERT = f"""
+with m as ({EVENTS_ASOF_PURCHASE_CLICK}),
+base as (
+    select (datediff('day', DATE '1970-01-05', ts::date) % 7) as dow,
+           gap_us / 1000000.0 as gap_s,
+           gap_us
+    from m where asof_click_id is not null
+)
+select dow,
+       count(*) as n_conversions,
+       quantile_cont(gap_s, 0.5) as p50_s,
+       quantile_cont(gap_s, 0.9) as p90_s,
+       cast(sum(gap_us) as bigint) / count(*) / 1000000.0 as mean_s
+from base
+group by dow
+"""
