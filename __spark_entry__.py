@@ -53,7 +53,7 @@ from spotify_tracks_spark.operators.multimodal import (
     multimodal_frames,
 )
 from spotify_tracks_spark.sinks.publish import publish_roundtrip
-from spotify_tracks_spark.sql_api import sql_top_artists
+from spotify_tracks_spark.sql_api import sql_top_artists, sql_udf_user_buckets
 from spotify_tracks_spark.sources.tables import read_table
 
 
@@ -451,6 +451,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_survival": corpus_survival,
         # conversion-latency percentiles by weekday (as-of composition)
         "events_time_to_convert": events_time_to_convert,
+        # declarative SQL UDF (CREATE FUNCTION ... RETURN expr) + use
+        "sql_udf_user_buckets": sql_udf_user_buckets,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -587,4 +589,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
+        "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
     }

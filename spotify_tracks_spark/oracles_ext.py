@@ -2555,3 +2555,19 @@ select dow,
 from base
 group by dow
 """
+
+
+def _sql_udf_buckets_sql() -> str:
+    from .sql_api import N_HASH_BUCKETS
+
+    h = _h60("cast(user_id as varchar)")
+    return f"""
+select ({h}) % {N_HASH_BUCKETS} as bucket,
+       count(*) as n_events,
+       count(distinct user_id) as n_users
+from events
+group by 1
+"""
+
+
+SQL_UDF_USER_BUCKETS = _sql_udf_buckets_sql()

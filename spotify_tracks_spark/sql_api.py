@@ -44,3 +44,42 @@ def sql_top_artists(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by dt.artists
         """
     )
+
+
+N_HASH_BUCKETS = 16
+
+
+def sql_udf_user_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF registration — the API class the reference's SQL surface
+    lacks entirely (SURVEY.md §2.10: no UDF registration): a scalar
+    function declared with ``CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>`` (declarative SQL UDF) and used from plain
+    ``spark.sql``.  The body is the engine-portable 60-bit hash, so the
+    whole query stays JVM-side and codegen'd — a SQL UDF is a named
+    expression, NOT a Python round-trip, which is why it's the right
+    way to share logic on the SQL surface at scale.
+
+    The query itself is the hash-bucketing every salting/sharding knob
+    builds on: events bucketed by h60(user_id) mod N, with per-bucket
+    event and user counts (near-uniform buckets = the hash is usable as
+    a shard key).
+
+    Output: (bucket, n_events, n_users)."""
+    from .sources.tables import read_table
+
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION h60(s STRING) RETURNS BIGINT
+        RETURN cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)
+        """
+    )
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        f"""
+        select pmod(h60(cast(user_id as string)), {N_HASH_BUCKETS}) as bucket,
+               count(*) as n_events,
+               count(distinct user_id) as n_users
+        from events_v
+        group by 1
+        """
+    )
