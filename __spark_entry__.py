@@ -453,6 +453,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": events_time_to_convert,
         # declarative SQL UDF (CREATE FUNCTION ... RETURN expr) + use
         "sql_udf_user_buckets": sql_udf_user_buckets,
+        # cohort retention normalized to rates (offset 0 == 1.0)
+        "events_retention_rate": _an.events_retention_rate,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -590,4 +592,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
+        "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
     }

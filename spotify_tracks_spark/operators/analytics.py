@@ -998,3 +998,26 @@ def events_weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc("event_id"))
         .limit(k)
     )
+
+
+def events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix normalized to rates: each (cohort, offset)
+    cell divided by its cohort's size (the offset-0 cell) — the form
+    retention curves actually plot, and the contract that offset 0 is
+    exactly 1.0 for every cohort.
+
+    One broadcast of the |cohorts|-row offset-0 slice onto the matrix;
+    exact integer counts, one IEEE division per cell.
+
+    Output: (cohort_week, week_offset, n_users, cohort_size, rate)."""
+    matrix = events_retention(spark, sf_dir)
+    base = matrix.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return matrix.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        (F.col("n_users") / F.col("cohort_size")).alias("rate"),
+    )

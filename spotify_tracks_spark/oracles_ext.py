@@ -2571,3 +2571,14 @@ group by 1
 
 
 SQL_UDF_USER_BUCKETS = _sql_udf_buckets_sql()
+
+
+EVENTS_RETENTION_RATE = f"""
+with m as ({EVENTS_RETENTION}),
+base as (
+    select cohort_week, n_users as cohort_size from m where week_offset = 0
+)
+select m.cohort_week, m.week_offset, m.n_users, b.cohort_size,
+       m.n_users / b.cohort_size as rate
+from m join base b using (cohort_week)
+"""

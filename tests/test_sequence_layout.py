@@ -416,3 +416,15 @@ def test_corpus_survival_chains_and_matches_prep(spark):
         assert prev["n_in"] - prev["n_dropped"] == prev["n_out"]
     # the funnel's survivors ARE the corpus_prep output
     assert rows[-1]["n_out"] == corpus_prep(spark, SF_SMOKE).count()
+
+
+def test_retention_rate_offset_zero_is_one(spark):
+    from spotify_tracks_spark.operators.analytics import events_retention_rate
+
+    rows = events_retention_rate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["rate"] == 1.0
+        assert r["n_users"] <= r["cohort_size"]
