@@ -455,6 +455,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_user_buckets": sql_udf_user_buckets,
         # cohort retention normalized to rates (offset 0 == 1.0)
         "events_retention_rate": _an.events_retention_rate,
+        # corpus composition by (source, lang) with per-source shares
+        "documents_source_mix": _text.documents_source_mix,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -593,4 +595,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
+        "documents_source_mix": oracles_ext.DOCUMENTS_SOURCE_MIX,
     }

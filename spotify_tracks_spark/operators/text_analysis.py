@@ -259,3 +259,29 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_correct", F.lit(0)) / F.col("n_label")).alias("recall"),
         )
     )
+
+
+def documents_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (source, lang): document counts, token
+    volume, and each cell's share of its source — the mixture report a
+    training-data curator reads before setting sampling weights (and the
+    input to the per-source up/down-weighting step).
+
+    One scan, one tiny aggregate; shares computed from exact integer
+    counts against a broadcast per-source total.
+
+    Output: (source, lang, n_docs, n_tokens, doc_share)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "source", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    cell = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    per_source = cell.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return cell.join(F.broadcast(per_source), "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_docs") / F.col("src_docs")).alias("doc_share"),
+    )

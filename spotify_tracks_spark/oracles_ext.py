@@ -2582,3 +2582,18 @@ select m.cohort_week, m.week_offset, m.n_users, b.cohort_size,
        m.n_users / b.cohort_size as rate
 from m join base b using (cohort_week)
 """
+
+
+DOCUMENTS_SOURCE_MIX = """
+with cell as (
+    select source, lang, count(*) as n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+    from documents group by 1, 2
+),
+per_source as (
+    select source, cast(sum(n_docs) as bigint) as src_docs from cell group by 1
+)
+select c.source, c.lang, c.n_docs, c.n_tokens,
+       c.n_docs / p.src_docs as doc_share
+from cell c join per_source p using (source)
+"""
