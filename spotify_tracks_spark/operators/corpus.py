@@ -133,7 +133,12 @@ def corpus_survival(
     q_ok = F.col("quality_score") >= min_quality
     pass3 = labeled.filter(lang_ok & tok_ok & q_ok)
     canon = pass3.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
-    with_canon = labeled.join(F.broadcast(canon), "fp", "left")
+    # canon is one row per surviving FINGERPRINT — corpus-scale, the same
+    # cardinality corpus_prep joins as a plain shuffle join.  No broadcast
+    # hint: at 100 TB a forced broadcast of a corpus-sized side would blow
+    # the broadcast limit / OOM the driver; a shuffle join on fp is the
+    # correct shape (AQE still downgrades it to broadcast when tiny).
+    with_canon = labeled.join(canon, "fp", "left")
     bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
     stage = (
         F.when(~lang_ok, "lang")

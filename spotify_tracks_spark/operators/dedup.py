@@ -599,6 +599,9 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~(avg degree)^hops inside a clique — 8 hops measured 27× slower than 4.
 CLUSTER_MAX_HOPS = 4
 
+# unique temp-view suffixes (same pattern as the streaming operators)
+_CLUSTERS_SQL_COUNTER = iter(range(1_000_000))
+
 
 def dedup_clusters_sql(
     spark: SparkSession, sf_dir: str, max_hops: int = CLUSTER_MAX_HOPS
@@ -615,9 +618,22 @@ def dedup_clusters_sql(
     ``max_hops``.  With max_hops ≥ component diameter this computes exact
     connected components: the component's min label m reaches every
     member along any simple path (every hop satisfies m < node), and
-    min() per node discards the rest.  The DuckDB oracle runs the
-    IDENTICAL bounded recursion, so parity covers the semantics, and
-    tests pin equality with the exact union-find path.
+    min() per node discards the rest.  The DuckDB oracle is the
+    INDEPENDENT distinct-union fixpoint (DEDUP_CLUSTERS's ground truth,
+    no hop bound) — the stronger check: parity fails if the bounded
+    recursion ever splits a component — and tests additionally pin
+    equality with the exact union-find path.
+
+    Sufficiency of ``max_hops`` is ASSERTED, not assumed: after the
+    recursion, every dup edge is checked for label agreement — a
+    component split by a too-small bound necessarily leaves an edge
+    whose endpoints carry different labels (and conversely, if every
+    edge is label-consistent, labels are constant per component and
+    equal to the component min, i.e. the assignment is exact).  The
+    check is one edge-list-sized join, far cheaper than an extra
+    recursion hop (walk count grows ~avg-degree× per hop), and raises
+    ValueError instead of silently returning split clusters on
+    production data with longer near-dup chains.
 
     Scale: the recursion's working set is the near-dup EDGE list (≪
     corpus) times the few hops a shallow dup cluster needs — the same
@@ -630,7 +646,11 @@ def dedup_clusters_sql(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    pairs.createOrReplaceTempView("dup_pairs")
+    # counter-suffixed view name (the streaming operators' discipline):
+    # a fixed name collides under concurrent callers and leaks into the
+    # session; this one is unique per call and dropped after the query.
+    view = f"dup_pairs_{next(_CLUSTERS_SQL_COUNTER)}"
+    pairs.createOrReplaceTempView(view)
     # the recursion's per-iteration frames are edge-list-sized; 32
     # shuffle partitions is pure task overhead × iterations (measured
     # 3.4 s -> 2.8 s at sf0.1 with 8).  Scoped + restored, the same
@@ -640,9 +660,9 @@ def dedup_clusters_sql(
     try:
         out = spark.sql(f"""
         WITH RECURSIVE edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+            SELECT doc_a AS a, doc_b AS b FROM {view}
             UNION
-            SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+            SELECT doc_b AS a, doc_a AS b FROM {view}
         ),
         reach(node, lbl, depth) AS (
             SELECT a, a, 0 FROM edges
@@ -663,8 +683,35 @@ def dedup_clusters_sql(
         ) s USING (cluster_id)
     """)
         out = out.localCheckpoint(eager=True)
+        # convergence assertion (see docstring): a split component leaves
+        # a dup edge whose endpoints disagree on cluster_id.  One
+        # edge-list-scale join over the checkpointed inputs.
+        lab = out.select("doc_id", "cluster_id")
+        n_split = (
+            pairs.join(
+                lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "cluster_id", "cid_a"
+                ),
+                "doc_a",
+            )
+            .join(
+                lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "cluster_id", "cid_b"
+                ),
+                "doc_b",
+            )
+            .filter(F.col("cid_a") != F.col("cid_b"))
+            .count()
+        )
+        if n_split:
+            raise ValueError(
+                f"dedup_clusters_sql: max_hops={max_hops} is below the dup "
+                f"graph's component diameter ({n_split} edges cross cluster "
+                "labels) — raise max_hops or use dedup_clusters (union-find)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+        spark.catalog.dropTempView(view)
     return out
 
 
