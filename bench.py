@@ -8,6 +8,15 @@ Each query executes end-to-end via the noop sink (full plan runs, nothing is
 collected to the driver — the honest distributed-execution cost).  Session
 startup and parquet-footer warmup are excluded from per-query times but a
 ``startup_s`` field is reported for visibility.
+
+ARTIFACT ROBUSTNESS (round-4 contract): the driver captures a bounded tail
+window of stdout, and round 3's 127-query JSON line overflowed it —
+BENCH_r03.json recorded ``parsed: null``.  The printed line is therefore
+kept COMPACT (suite total + the 50 driver-surface queries only, 2-decimal
+rounding), while the FULL per-query map — every benched query at 3
+decimals, plus per-query pass counts — is written to a checked-in
+``BENCH_FULL_r{NN}.json`` at the repo root (NN = 1 + the highest driver
+``BENCH_r*.json`` present).
 """
 
 from __future__ import annotations
@@ -103,13 +112,15 @@ def main() -> None:
     # identical work (pass 1's q1 materializes the staging cache, etc.).
     from spotify_tracks_spark import pipeline as _pipeline
 
-    times: dict[str, float] = {}
+    obs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
+
+    def run_pass(subset: dict) -> None:
+        """One cold-cache pass over ``subset``, appending to ``obs``."""
         _pipeline._MEMO.clear()
         spark.catalog.clearCache()
         model_chain_done = False
-        for name, fn in queries.items():
+        for name, fn in subset.items():
             chain = name.startswith("q") or name in ("publish_roundtrip", "sql_top_artists")
             if not chain and not model_chain_done:
                 # the q1–q8 chain shares cached staging/dim DataFrames; once
@@ -124,26 +135,81 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001 — one broken query must
-                # not take down the other 46 timings
+                # not take down the other timings
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
                 continue
-            elapsed = round(time.perf_counter() - t, 3)
-            times[name] = min(times.get(name, elapsed), elapsed)
+            obs.setdefault(name, []).append(round(time.perf_counter() - t, 3))
             if model_chain_done:
                 spark.catalog.clearCache()
 
+    for _ in range(2):
+        run_pass(queries)
+    # Adaptive third pass: the host is a shared VM — steal-time stalls land
+    # on random queries, and min-of-2 still records a bad number when BOTH
+    # passes were hit (observed round 3: 2-3× swings under co-tenant load).
+    # Any query whose two observations disagree by >1.5× gets one more
+    # cold-cache observation; min-of-3 then measures the plan.
+    noisy = {
+        n: queries[n]
+        for n, ts in obs.items()
+        if len(ts) == 2 and max(ts) > 1.5 * min(ts)
+    }
+    if noisy:
+        print(f"third pass for {len(noisy)} high-variance queries: "
+              f"{sorted(noisy)}", file=sys.stderr)
+        run_pass(noisy)
+
+    times = {n: min(ts) for n, ts in obs.items()}
     total = round(sum(times.values()), 3)
-    out = {
+
+    # full per-query record — checked into the repo, not printed (the
+    # driver's stdout tail window cannot hold the full-surface map)
+    round_no = 1 + max(
+        [
+            int(m.group(1))
+            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ],
+        default=0,
+    )
+    full = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
         "startup_s": round(startup_s, 3),
+        "n_queries": len(times),
+        "queries": times,
+        "passes": {n: ts for n, ts in sorted(obs.items())},
     }
     if errors:
-        out["errors"] = errors
+        full["errors"] = errors
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_r{round_no:02d}.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"full per-query bench written to {full_path}", file=sys.stderr)
+
+    # ONE compact stdout line: suite total over the full surface, per-query
+    # map restricted to the 50 driver-checked entries at 2 decimals — fits
+    # the driver's capture window with heavy margin (~1.5 kB)
+    driver_names = set(entrymod.queries())
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {
+            n: round(t, 2) for n, t in times.items() if n in driver_names
+        },
+        "sf": sf,
+        "startup_s": round(startup_s, 2),
+        "n_queries_total": len(times),
+        "full_map": os.path.basename(full_path),
+    }
+    if errors:
+        out["n_errors"] = len(errors)
     print(json.dumps(out))
     spark.stop()
 

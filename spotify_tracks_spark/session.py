@@ -65,6 +65,9 @@ def get_spark(app_name: str = "spotify-tracks-spark", cpus: int | None = None) -
         # room so bench times measure the plan, not the collector.
         .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
+        # stage-progress bars interleave with stdout; the bench contract is
+        # ONE machine-parseable JSON line, so keep the console clean
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
     )
