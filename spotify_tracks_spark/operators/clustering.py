@@ -1,10 +1,13 @@
 """Iterative k-means over the embeddings table — the engine's
 iterative-algorithm shape, pure DataFrame ops per Lloyd iteration:
 
-1. assign: centroids (k×d, already driver-side) are inlined as a literal
-   array-of-structs; argmin squared distance is ``array_min`` over struct
-   (sq_dist, cluster) — a map-only scan-side projection.  ZERO corpus
-   shuffle and zero row multiplication: no join, no window.
+1. assign: centroids (k×d, already driver-side) ride a ONE-ROW broadcast
+   DataFrame cross-joined onto the corpus as a spine; argmin squared
+   distance is ``array_min`` over struct (sq_dist, cluster) — a map-only
+   scan-side projection.  ZERO corpus shuffle and zero row
+   multiplication: the single-row BroadcastNestedLoopJoin attaches the
+   matrix column without multiplying rows, and no corpus-side window or
+   re-aggregation is needed.
 2. update: groupBy(cluster) with one ``avg(e[i])`` aggregate per
    dimension — partial aggregation combines map-side, so the shuffle
    carries k×d partial (sum, count) pairs per input partition and ZERO
@@ -13,8 +16,20 @@ iterative-algorithm shape, pure DataFrame ops per Lloyd iteration:
 
 Each iteration materializes only the k×d centroid table to the driver
 (tiny); the corpus is never collected.  At 100 TB this is exactly
-distributed Lloyd's: broadcast centroids out (as literals in the plan),
-reduce k×d sums back.
+distributed Lloyd's: broadcast centroids out (as a torrent-broadcast
+relation, NOT plan literals), reduce k×d sums back.
+
+Why a broadcast relation and not a literal (round-4 change): the k×d
+literal-matrix plan was correct and fast at k=8·d=64 but is O(k·d) in
+PLAN SIZE — at production scale (k=65k, d=1024) the serialized plan /
+codegen constant stops compiling long before the data is a problem.
+The one-row broadcast spine keeps the plan O(1): the matrix ships once
+per executor through the block manager exactly like any broadcast hash
+table, and the assign step stays the zero-shuffle scan-side argmin.
+(The textbook alternative — explode centroids to k rows, broadcast-join
+every (vector, centroid) pair, re-aggregate ``min_by(struct(dist,
+cluster))`` per vec_id — re-introduces a corpus-wide aggregation whose
+partial-agg shuffle this formulation never pays.)
 
 Deterministic: fixed init (lowest-k vec_ids), fixed iteration count, and
 argmin ties break to the lower cluster id.  Float means make the
@@ -43,25 +58,31 @@ def _sq_dist(a, b):
 
 
 def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """(vec_id, e, cluster, sq_dist) — map-only argmin over literal centroids.
+    """(vec_id, e, cluster, sq_dist) — map-only argmin over broadcast centroids.
 
-    The centroid matrix ships as ONE nested-array literal (not k×d literal
-    nodes — a single constant keeps the codegen'd method small and the task
-    binary tiny).  ``transform`` with index scores each centroid; struct
-    comparison orders by (sq_dist, index), so ``array_min`` breaks distance
-    ties to the lower cluster id deterministically.  Centroid ids are the
-    positions 0..k-1 (update() preserves this invariant)."""
+    The centroid matrix rides a ONE-ROW DataFrame cross-joined with a
+    broadcast hint: a single-row BroadcastNestedLoopJoin attaches the
+    ``cents`` column to every corpus row without multiplying rows or
+    shuffling, and the plan stays O(1) regardless of k×d (the matrix
+    ships via the block manager, not as a plan literal — see module
+    docstring).  ``transform`` with index scores each centroid; struct
+    comparison orders by (sq_dist, index), so ``array_min`` breaks
+    distance ties to the lower cluster id deterministically.  Centroid
+    ids are the positions 0..k-1 (update() preserves this invariant)."""
     cents = sorted(centroids)
     assert [c for c, _ in cents] == list(range(len(cents)))
-    cent_lit = F.lit([[float(v) for v in vec] for _, vec in cents])
+    cent_df = emb.sparkSession.createDataFrame(
+        [([[float(v) for v in vec] for _, vec in cents],)],
+        "cents: array<array<double>>",
+    )
     scored = F.transform(
-        cent_lit,
+        F.col("cents"),
         lambda c, i: F.struct(
             _sq_dist(F.col("e"), c).alias("sq_dist"), i.alias("cluster")
         ),
     )
     best = F.array_min(scored)
-    return emb.select(
+    return emb.crossJoin(F.broadcast(cent_df)).select(
         "vec_id", "e", best["cluster"].alias("cluster"), best["sq_dist"].alias("sq_dist")
     )
 
@@ -96,7 +117,7 @@ def embedding_kmeans(
 
     # fixed deterministic init: the k lowest vec_ids, numbered in order.
     # k×d is tiny, so centroids live driver-side between iterations and are
-    # re-broadcast each round as plan literals.
+    # re-broadcast each round as a one-row relation (never plan literals).
     seeds = emb.orderBy("vec_id").limit(k).collect()
     centroids = [(i, r.e) for i, r in enumerate(seeds)]
 

@@ -134,39 +134,47 @@ def ann_topk_ivf(
     Deterministic centroid choice (the ``n_centroids`` lowest vec_ids) keeps
     the operator oracle-checkable; a production run would fit k-means on a
     sample and broadcast the fitted centroids.  Cell assignment is a
-    map-only scan-side projection: the k×d centroid matrix ships as ONE
-    nested-array literal in the plan (same shape as clustering.py's
-    ``_assign``) and the argmax over centroid cosines is ``array_max`` over
-    struct (c_cos, -cent_id) — ZERO corpus shuffle and zero row
-    multiplication for assignment (the join+window formulation would
-    shuffle corpus×k rows twice).  Then an equi-join on cell id replaces
-    the corpus-wide cross product, then exact rerank within the cell.
-    Ties on cosine break to the lower centroid id in both engines."""
+    map-only scan-side projection: the k×d centroid matrix rides a ONE-ROW
+    broadcast DataFrame cross-joined onto each side (same round-4 shape as
+    clustering.py's ``_assign`` — the plan stays O(1) in k×d, the matrix
+    ships via the block manager instead of as a plan literal that stops
+    compiling at production k=65k·d=1024), and the argmax over centroid
+    cosines is ``array_max`` over struct (c_cos, -cent_id) — ZERO corpus
+    shuffle and zero row multiplication for assignment (the join+window
+    formulation would shuffle corpus×k rows twice).  Then an equi-join on
+    cell id replaces the corpus-wide cross product, then exact rerank
+    within the cell.  Ties on cosine break to the lower centroid id in
+    both engines."""
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
     cent_rows = (
         emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
     )
-    cent_mat = F.lit([[float(x) for x in r.embedding] for r in cent_rows])
-    cent_ids = F.lit([int(r.vec_id) for r in cent_rows])  # ascending vec_id
+    cent_df = spark.createDataFrame(
+        [(
+            [[float(x) for x in r.embedding] for r in cent_rows],
+            [int(r.vec_id) for r in cent_rows],  # ascending vec_id
+        )],
+        "cents: array<array<double>>, cent_ids: array<bigint>",
+    )
 
     def cell(emb_col: Column) -> Column:
         # binary HOF lambda receives (element, index); index i is 0-based.
         scored = F.transform(
-            cent_mat,
+            F.col("cents"),
             lambda c, i: F.struct(
                 cosine(emb_col, c).alias("c_cos"),
-                (-F.element_at(cent_ids, i + 1)).alias("neg_id"),
+                (-F.element_at(F.col("cent_ids"), i + 1)).alias("neg_id"),
             ),
         )
         # max by (c_cos, -cent_id): highest cosine, ties to the LOWER cent_id
         return -F.array_max(scored)["neg_id"]
 
-    corpus = emb.select(
+    corpus = emb.crossJoin(F.broadcast(cent_df)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         cell(F.col("embedding")).alias("cell"),
     )
-    probe_cells = probes.select(
+    probe_cells = probes.crossJoin(F.broadcast(cent_df)).select(
         "query_id", "q_emb", cell(F.col("q_emb")).alias("cell")
     )
     scored = (
@@ -363,20 +371,29 @@ def _pq_codebook(emb: DataFrame, n_sub: int, n_cent: int):
     """Deterministic PQ codebook (subvectors of the n_cent lowest vec_ids
     — the ann_topk_ivf trick that keeps a clustering-dependent operator
     oracle-checkable; production would k-means each subspace).  Returns
-    (codebook literal with codebook[s][c] = centroid c of subspace s,
-    sub_len); the n_cent-row collect is the documented bounded one."""
+    (one-row DataFrame with codebook[s][c] = centroid c of subspace s,
+    sub_len); the n_cent-row collect is the documented bounded one.
+
+    The codebook is a broadcast RELATION, not a plan literal (round 4):
+    consumers cross-join the single row so the plan stays O(1) in
+    n_sub×n_cent×sub_len — a literal codebook stops compiling at
+    production codebook sizes, the same plan-size bomb the kmeans/IVF
+    centroid matrices had."""
     cent_rows = emb.orderBy("vec_id").limit(n_cent).select("embedding").collect()
     sub_len = len(cent_rows[0].embedding) // n_sub
-    codebook = F.lit(
-        [
+    cb_df = emb.sparkSession.createDataFrame(
+        [(
             [
-                [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
-                for r in cent_rows
-            ]
-            for s in range(n_sub)
-        ]
+                [
+                    [float(x) for x in r.embedding[s * sub_len : (s + 1) * sub_len]]
+                    for r in cent_rows
+                ]
+                for s in range(n_sub)
+            ],
+        )],
+        "codebook: array<array<array<double>>>",
     )
-    return codebook, sub_len
+    return cb_df, sub_len
 
 
 def _pq_sub(col: Column, s: Column, sub_len: int) -> Column:
@@ -411,16 +428,18 @@ def embedding_pq(
     Codebooks are deterministic (subvectors of the ``n_cent`` lowest
     vec_ids — the ann_topk_ivf trick that keeps a clustering-dependent
     operator oracle-checkable; production would k-means each subspace)
-    and ship as ONE nested literal, so encoding is a ZERO-shuffle
-    scan-side projection: per subspace, argmin of squared L2 distance
-    over the n_cent candidates, ties to the lower code.  Reconstruction
+    and ride a one-row broadcast relation (plan O(1) in codebook size —
+    see ``_pq_codebook``), so encoding is a ZERO-shuffle scan-side
+    projection: per subspace, argmin of squared L2 distance over the
+    n_cent candidates, ties to the lower code.  Reconstruction
     distortion per vector is the sum of subspace residuals — exact IEEE
     arithmetic, same sequence in the oracle.
 
     Output: (vec_id, code_sum, code_min, code_max, distortion) — scalar
     code summaries (hash-portable), distortion = Σ‖subvec − centroid‖²."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    codebook, sub_len = _pq_codebook(emb, n_sub, n_cent)
+    cb_df, sub_len = _pq_codebook(emb, n_sub, n_cent)
+    codebook = F.col("codebook")
     per_sub = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda s: _pq_best(codebook, sub_len, F.col("embedding"), s),
@@ -429,7 +448,7 @@ def embedding_pq(
     distortion = F.aggregate(
         F.transform(per_sub, lambda b: b["d"]), F.lit(0.0), lambda a, v: a + v
     )
-    return emb.select(
+    return emb.crossJoin(F.broadcast(cb_df)).select(
         "vec_id",
         F.aggregate(codes, F.lit(0).cast("long"), lambda a, v: a + v).alias("code_sum"),
         F.array_min(codes).alias("code_min"),
@@ -463,14 +482,23 @@ def ann_topk_pq(
 
     Output: (query_id, neighbor_id, rank, adc) — adc rounded 6 dp."""
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
-    codebook, sub_len = _pq_codebook(emb, n_sub, n_cent)
+    cb_df, sub_len = _pq_codebook(emb, n_sub, n_cent)
+    codebook = F.col("codebook")
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(n_sub - 1)),
         lambda s: _pq_best(codebook, sub_len, F.col("embedding"), s)["code"],
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), codes.alias("codes"))
-    probes = emb.filter(F.col("vec_id") % probe_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # encode side: attach the codebook spine, emit codes, DROP the spine —
+    # corpus rows never carry the codebook column past the scan
+    corpus = emb.crossJoin(F.broadcast(cb_df)).select(
+        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
+    )
+    # ADC side: the codebook rides the (tiny) probe set into the broadcast
+    # — |probes| copies of the codebook, still a few MB at any real nprobe
+    probes = (
+        emb.filter(F.col("vec_id") % probe_mod == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cb_df))
     )
     # ADC: fold the candidate's code array with (code, subspace-index) —
     # each term is the probe subvector's distance to the CODED centroid

@@ -233,6 +233,31 @@ def test_kmeans_properties(spark):
     assert {(r.vec_id, r.cluster) for r in out} == {(r.vec_id, r.cluster) for r in again}
 
 
+def test_centroid_plans_are_constant_size_in_k(spark):
+    """Round-4 contract: centroid/codebook matrices ride one-row broadcast
+    relations, NOT plan literals — the plan must not grow with k×d (a
+    literal-matrix plan stops compiling at production k=65k·d=1024).
+    Pin it by planning at two k and asserting near-identical plan size,
+    plus the BroadcastNestedLoopJoin single-row spine."""
+    from spotify_tracks_spark.operators.clustering import kmeans_init_counts
+    from spotify_tracks_spark.operators.similarity import ann_topk_ivf, embedding_pq
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p4 = plan_of(kmeans_init_counts(spark, SF_SMOKE, k=4))
+    p8 = plan_of(kmeans_init_counts(spark, SF_SMOKE, k=8))
+    assert "BroadcastNestedLoopJoin" in p8
+    # doubling k must not grow the plan (allow trivial jitter, not 4×64
+    # extra doubles ≈ 2+ kB of literal text)
+    assert abs(len(p8) - len(p4)) < 200, (len(p4), len(p8))
+
+    for df in (ann_topk_ivf(spark, SF_SMOKE), embedding_pq(spark, SF_SMOKE)):
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" in p
+        assert len(p) < 20_000, len(p)
+
+
 def test_scan_column_pruning_reaches_parquet(spark):
     """The scale story rests on projections reaching the scan: operators
     must not read columns they don't use (ReadSchema is the contract)."""
