@@ -351,6 +351,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": _dedup.dedup_paragraph,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
+        # all-family index evaluation: recall@k for lsh/ivf/pq in one
+        # report against the shared exact baseline
+        "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # weekly new/retained/resurrected/churned ledger (one shuffle)
@@ -544,6 +547,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
+        "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,

@@ -263,7 +263,8 @@ def ann_recall_eval(
     appear, with recall 0 — silently dropping them would inflate the
     metric.  Cost is the two underlying plans plus an entity-grain join;
     at 100 TB one evaluates on a probe SAMPLE, which is exactly the
-    probe_mod parameter.
+    probe_mod parameter.  LSH-only by construction; the one-report
+    all-family evaluation is ``ann_recall_eval_all``.
 
     Output: (query_id, n_exact, n_hits, recall)."""
     exact = ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod).select(
@@ -288,6 +289,64 @@ def ann_recall_eval(
             (F.col("n_hits") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def ann_recall_eval_all(
+    spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100, dims: int = SIG_DIMS
+) -> DataFrame:
+    """Recall@k of EVERY approximate index family (lsh / ivf / pq)
+    against the shared exact cosine baseline, one report — the number an
+    ANN user tunes an index against, now measured for all three shipped
+    indexes instead of LSH alone (``ann_recall_eval``).
+
+    The exact top-k is computed ONCE, persisted (probes×k rows — a
+    bounded, entity-grain set), and left-semi-joined against each
+    family's top-k; per (family, probe), recall = hits/k.  Probes a
+    family returns nothing for (empty LSH bucket, lone IVF cell) still
+    appear with recall 0.  Note PQ ranks by asymmetric distance to coded
+    centroids — its hits are membership in the exact COSINE top-k, the
+    deployment-relevant question (would the index have surfaced the true
+    neighbors), not ADC self-consistency.
+
+    Output: (index_family, query_id, n_exact, n_hits, recall)."""
+    exact = (
+        ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()  # materialize before fan-out (lazy persist races)
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    fams = {
+        "lsh": ann_topk_lsh(spark, sf_dir, k=k, probe_mod=probe_mod, dims=dims),
+        "ivf": ann_topk_ivf(spark, sf_dir, k=k, probe_mod=probe_mod),
+        "pq": ann_topk_pq(spark, sf_dir, k=k, probe_mod=probe_mod),
+    }
+    parts = []
+    for fam, approx in fams.items():
+        hits = (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        parts.append(
+            base.join(hits, "query_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+            .select(
+                F.lit(fam).alias("index_family"),
+                "query_id",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 QUANT_LEVELS = 256

@@ -1704,6 +1704,42 @@ from ranked where rank <= {k}
 ANN_TOPK_PQ = _ann_topk_pq_sql()
 
 
+# --- all-family ANN recall (operators/similarity.py:ann_recall_eval_all) ---
+# Reuses each index family's full top-k statement as a nested-CTE derived
+# table (DuckDB supports WITH inside a subquery) so the per-family
+# semantics stay definitionally identical to the individually-checked
+# ANN_TOPK_* oracles; hits = membership of the family's top-k in the
+# shared exact cosine top-k.
+
+ANN_RECALL_EVAL_ALL = f"""
+with exact as (
+    select query_id, neighbor_id from ({ANN_TOPK_BRUTEFORCE})
+),
+base as (select query_id, count(*) as n_exact from exact group by query_id),
+fam as (
+    select 'lsh' as index_family, query_id, neighbor_id from ({ANN_TOPK_LSH})
+    union all
+    select 'ivf' as index_family, query_id, neighbor_id from ({ANN_TOPK_IVF})
+    union all
+    select 'pq' as index_family, query_id, neighbor_id from ({ANN_TOPK_PQ})
+),
+hits as (
+    select f.index_family, e.query_id, count(*) as n_hits
+    from exact e
+    join fam f on e.query_id = f.query_id and e.neighbor_id = f.neighbor_id
+    group by f.index_family, e.query_id
+),
+fams as (select unnest(['lsh', 'ivf', 'pq']) as index_family)
+select fams.index_family, b.query_id, b.n_exact,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       coalesce(h.n_hits, 0) / 5.0 as recall
+from fams
+cross join base b
+left join hits h
+  on h.index_family = fams.index_family and h.query_id = b.query_id
+"""
+
+
 # --- langid evaluation (operators/text_analysis.py:text_langid_eval) -------
 # Wraps the TEXT_LANGID oracle as the prediction source.
 
