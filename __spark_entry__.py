@@ -199,17 +199,47 @@ def _events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-checked surface: exactly 50 entries (see module docstring
-    for the harness-cap evidence); every entry here has an exact oracle."""
+    for the harness-cap evidence); every entry here has an exact oracle.
+
+    ROUND-4 ROTATION: the driver oracle is the hard correctness signal,
+    so ~10 long-stable entries (q3/q4/q5/q7, events_summary/pivot/
+    percentiles/gap_fill/dedup_latest, text_langid — green in every round
+    they were recorded) rotated OUT to the pytest-parity tier, and 10
+    high-value operators that never had a driver row rotated IN
+    (scd2, pit_join, merge_upsert, growth_accounting, dedup_paragraph,
+    dedup_keep_list, tfidf, contamination, corpus_split, markov).  This
+    broadens the driver's lifetime coverage of the full query surface at
+    zero cap cost; swapped-out entries keep the identical hash-compare in
+    tests/test_extra_parity.py."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # reference model chain (SURVEY.md §2.1)
+        # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
+        # the extras tier (run_models builds every mart anyway — q1/q2/q6/
+        # q8 still drive the full DAG through the driver oracle).
         "q1_stg_recent_tracks": _model("stg_recent_tracks"),
         "q2_dim_track": _model("dim_track"),
-        "q3_dim_artist": _model("dim_artist"),
-        "q4_dim_album": _model("dim_album"),
-        "q5_fct_played_track": _model("fct_played_track"),
         "q6_rpt_track_counts": _model("rpt_track_counts"),
-        "q7_rpt_artist_counts": _model("rpt_artist_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
+        # --- rotated IN round 4: first-ever driver rows, fronted ---
+        # SCD Type-2 user-state history (gaps-and-islands, one shuffle)
+        "events_scd2_user_state": _an.events_scd2_user_state,
+        # point-in-time feature lookup over the SCD2 history
+        "events_pit_join": _an.events_pit_join,
+        # MERGE INTO semantics (last-day batch upserts/deletes snapshot)
+        "events_merge_upsert": _an.events_merge_upsert,
+        # weekly new/retained/resurrected/churned ledger
+        "events_growth_accounting": _an.events_growth_accounting,
+        # sub-document dedup (paragraph-grain first-wins)
+        "dedup_paragraph": _dedup.dedup_paragraph,
+        # canonical-doc selection inside near-dup clusters
+        "dedup_keep_list": _dedup.dedup_keep_list,
+        # corpus-statistics join: per-doc term counts x broadcast DF table
+        "text_tfidf_top_terms": _text.text_tfidf_top_terms,
+        # benchmark-contamination sweep (broadcast benchmark shingles)
+        "corpus_contamination": _llm.corpus_contamination,
+        # frozen hash-mod train/val/test split (disjoint, exhaustive)
+        "corpus_split": _llm.corpus_split,
+        # first-order Markov transition matrix over per-user sequences
+        "events_markov": _an.events_markov_transitions,
         # --- entries the round-2 harness never recorded, fronted ---
         # weekly cohort retention matrix (one fact shuffle + broadcast
         # cohort map; dense epoch-week index, monotone across years)
@@ -244,7 +274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (training-data pipeline)
         "text_tokens": _text.text_tokens,
         "text_quality": _text.text_quality,
-        "text_langid": _text.text_langid,
         "text_fingerprint": _text.text_fingerprint,
         # dedup family.  dedup_ngram_jaccard runs the scale-safe capped
         # default (block-width ≤ NGRAM_MAX_BLOCK) against a same-cap
@@ -273,9 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lloyd's is extra_queries() (float means ⇒ rows-only by design)
         "embedding_kmeans_init_counts": kmeans_init_counts,
         # events analytics surface
-        "events_summary": _events.events_summary,
         "events_sessionize": _events.events_sessionize,
-        "events_percentiles": _events.events_percentiles,
         "events_rollup": _events.events_rollup,
         # ntile window class + per-bucket boundary stats
         "events_value_quartiles": _events.events_value_quartiles,
@@ -284,14 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_value_bands": events_value_bands,
         "events_topk_per_user": _an.events_topk_per_user,
-        "events_pivot": _an.events_pivot,
         # per-stratum rates (class rebalancing): rare conversions kept,
         # high-volume types downsampled; same hash-mod determinism
         "events_sample_stratified": _an.events_sample_stratified,
-        # calendar densification: zero rows for unobserved days
-        "events_gap_fill": _an.events_gap_fill,
-        # CDC latest-wins compaction: one row per key, newest event
-        "events_dedup_latest": _an.events_dedup_latest,
     }
     assert len(q) == 50, f"driver surface must stay at 50 entries, got {len(q)}"
     return q
@@ -307,6 +329,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tolerance-tested in their own unit tests.
     """
     return {
+        # --- rotated OUT of the driver surface in round 4 (long-stable
+        # green; identical hash-compare continues here every pytest run)
+        "q3_dim_artist": _model("dim_artist"),
+        "q4_dim_album": _model("dim_album"),
+        "q5_fct_played_track": _model("fct_played_track"),
+        "q7_rpt_artist_counts": _model("rpt_artist_counts"),
+        "events_summary": _events.events_summary,
+        "events_percentiles": _events.events_percentiles,
+        "events_pivot": _an.events_pivot,
+        "events_gap_fill": _an.events_gap_fill,
+        "events_dedup_latest": _an.events_dedup_latest,
+        "text_langid": _text.text_langid,
         # OVER-window re-expression of Q2 (same rows, same oracle)
         "q2_dim_track_window_variant": _dim_track_window_variant,
         # built-in session_window formulation of events_sessionize
@@ -327,18 +361,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _events.events_cube,
         # UNPIVOT/melt inverse of events_pivot
         "events_unpivot": _an.events_unpivot,
-        # LLM-prep stage (operators/llm_prep.py): PII redaction,
-        # benchmark-contamination sweep, concat-then-chunk sequence packing
         "text_pii_redact": _llm.text_pii_redact,
-        # corpus-statistics join: per-doc term counts × broadcast document
-        # frequencies, top-k window per doc
-        "text_tfidf_top_terms": _text.text_tfidf_top_terms,
-        "corpus_contamination": _llm.corpus_contamination,
         "corpus_pack_sequences": _llm.corpus_pack_sequences,
         # Gopher-style repetition gate (dup-line / dup-bigram fractions)
         "text_repetition": _llm.text_repetition,
-        # SCD Type-2 state history (gaps-and-islands, one shuffle)
-        "events_scd2_user_state": _an.events_scd2_user_state,
         # attribution-window funnel (each step within N days of previous)
         "events_window_funnel": _an.events_window_funnel,
         # time-series surface (operators/timeseries.py): RANGE-frame
@@ -347,8 +373,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_7d": _ts.events_rolling_7d,
         "events_anomaly": _ts.events_anomaly,
         "events_interpolate": _ts.events_interpolate,
-        # sub-document dedup: paragraph-grain first-wins over chunk hashes
-        "dedup_paragraph": _dedup.dedup_paragraph,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
         # all-family index evaluation: recall@k for lsh/ivf/pq in one
@@ -356,18 +380,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
-        # weekly new/retained/resurrected/churned ledger (one shuffle)
-        "events_growth_accounting": _an.events_growth_accounting,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
         "events_grouping_sets": _events.events_grouping_sets,
         # sliding-window streaming aggregate (window 1d, slide 12h)
         "events_stream_sliding": _events_stream_sliding,
         # int8-style scalar quantization + reconstruction-error report
         "embedding_quantize": _sim.embedding_quantize,
-        # MERGE INTO semantics: last-day batch upserts/deletes the snapshot
-        "events_merge_upsert": _an.events_merge_upsert,
-        # canonical-doc selection inside near-dup clusters (keep longest)
-        "dedup_keep_list": _dedup.dedup_keep_list,
         # corpus-fit character-bigram LM, per-doc mean log-likelihood
         "text_bigram_lm_score": _text.text_bigram_lm_score,
         # heavy-hitter key report (the input to every skew-handling knob)
@@ -387,8 +405,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": _sim.ann_topk_pq,
         # langid confusion matrix + per-label recall (classifier eval)
         "text_langid_eval": _text.text_langid_eval,
-        # frozen hash-mod train/val/test assignment (disjoint, exhaustive)
-        "corpus_split": _llm.corpus_split,
         # dangling-reference audit between documents and embeddings
         "corpus_integrity": _llm.corpus_integrity,
         # end-of-pipeline manifest: per (split, lang) docs + token budget
@@ -402,8 +418,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_update_counts": _events_stream_update_counts,
         # the generalized profiler applied to a second table
         "documents_profile": _profile.documents_profile,
-        # first-order Markov transition matrix over per-user sequences
-        "events_markov": _an.events_markov_transitions,
         # RFM quartile segmentation (entity-grain ntile scoring)
         "events_rfm": _an.events_rfm,
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
@@ -414,8 +428,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_peak_rate": _events_stream_peak_rate,
         # Z-order (Morton) clustering key for the write path
         "events_zorder_key": _layout.events_zorder_key,
-        # point-in-time feature lookup against the SCD2 history
-        "events_pit_join": _an.events_pit_join,
         # pairwise Pearson correlation of daily series (exact sums)
         "events_type_correlation": _ts.events_type_correlation,
         # left-outer stream-stream interval join (watermark null-emits)
@@ -472,12 +484,18 @@ def oracle_sql() -> dict[str, str]:
         "q1_stg_recent_tracks": oracles.Q1_STG,
         "q2_dim_track": oracles.Q2_DIM_TRACK,
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
-        "q3_dim_artist": oracles.Q3_DIM_ARTIST,
-        "q4_dim_album": oracles.Q4_DIM_ALBUM,
-        "q5_fct_played_track": oracles.Q5_FCT,
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
-        "q7_rpt_artist_counts": oracles.Q7_RPT_ARTIST_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
+        "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
+        "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
+        "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
+        "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
+        "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
+        "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
+        "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
+        "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
+        "corpus_split": oracles_ext.CORPUS_SPLIT,
+        "events_markov": oracles_ext.EVENTS_MARKOV,
         "events_retention": oracles_ext.EVENTS_RETENTION,
         "events_funnel": oracles_ext.EVENTS_FUNNEL,
         "events_set_ops": oracles_ext.EVENTS_SET_OPS,
@@ -493,7 +511,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_top_artists": oracles.SQL_TOP_ARTISTS,
         "text_tokens": oracles_ext.TEXT_TOKENS,
         "text_quality": oracles_ext.TEXT_QUALITY,
-        "text_langid": oracles_ext.TEXT_LANGID,
         "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
@@ -506,25 +523,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "dedup_embedding_corpus": oracles_ext.DEDUP_EMBEDDING_CORPUS,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
-        "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
-        "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_props_variant": oracles_ext.EVENTS_PROPS_VARIANT,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
         "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
-        "events_pivot": oracles_ext.EVENTS_PIVOT,
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
-        "events_gap_fill": oracles_ext.EVENTS_GAP_FILL,
-        "events_dedup_latest": oracles_ext.EVENTS_DEDUP_LATEST,
     }
 
 
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for the pytest-only surface (omits the 3 approximate ops)."""
     return {
+        "q3_dim_artist": oracles.Q3_DIM_ARTIST,
+        "q4_dim_album": oracles.Q4_DIM_ALBUM,
+        "q5_fct_played_track": oracles.Q5_FCT,
+        "q7_rpt_artist_counts": oracles.Q7_RPT_ARTIST_COUNTS,
+        "events_summary": oracles_ext.EVENTS_SUMMARY,
+        "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
+        "events_pivot": oracles_ext.EVENTS_PIVOT,
+        "events_gap_fill": oracles_ext.EVENTS_GAP_FILL,
+        "events_dedup_latest": oracles_ext.EVENTS_DEDUP_LATEST,
+        "text_langid": oracles_ext.TEXT_LANGID,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
@@ -536,25 +558,18 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_cube": oracles_ext.EVENTS_CUBE,
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "text_pii_redact": oracles_ext.TEXT_PII_REDACT,
-        "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
-        "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
         "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
         "text_repetition": oracles_ext.TEXT_REPETITION,
-        "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
-        "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "events_profile": oracles_ext.EVENTS_PROFILE,
-        "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
         "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
-        "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
-        "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
         "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
@@ -564,20 +579,17 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_pq": oracles_ext.EMBEDDING_PQ,
         "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
         "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
-        "corpus_split": oracles_ext.CORPUS_SPLIT,
         "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
         "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
         "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
         "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
-        "events_markov": oracles_ext.EVENTS_MARKOV,
         "events_rfm": oracles_ext.EVENTS_RFM,
         "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
-        "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
