@@ -718,6 +718,9 @@ def dedup_clusters_sql(
 # edit-distance verify: prefix length and acceptance threshold
 EDIT_PREFIX = 64
 EDIT_MAX = 8
+# prefix-bucket blocking for the independent candidate source
+EDIT_BLOCK = 24
+EDIT_MAX_BLOCK = 64
 
 
 def dedup_edit_distance(
@@ -725,32 +728,70 @@ def dedup_edit_distance(
     sf_dir: str,
     prefix_len: int = EDIT_PREFIX,
     max_edits: int = EDIT_MAX,
+    block_len: int = EDIT_BLOCK,
+    max_block: int = EDIT_MAX_BLOCK,
 ) -> DataFrame:
     """Edit-distance near-dup pairs — the fifth dedup family (exact /
     Jaccard / MinHash / SimHash / embedding measure SET overlap; edit
     distance measures ORDER-preserving character drift: OCR noise, typo
-    clusters, template fills).  Candidates come from the shared
-    minhash-LSH generation (recall inherited from it — documented, not
-    hidden); the NEW contract is the verify: Levenshtein distance over
-    the first ``prefix_len`` normalized chars must be ≤ ``max_edits``.
+    clusters, template fills).
 
-    The prefix bound is the scale decision: full-text Levenshtein is
-    O(|a|·|b|) per pair — unbounded on document bodies — while the
-    prefix caps verify cost at prefix_len² per candidate, the standard
-    production compromise (rank by prefix distance, full distance only
-    on the short tail if exactness matters).  ``levenshtein`` is
-    JVM-side in Spark and built-in in DuckDB with identical unit-cost
-    semantics, so the oracle is byte-exact.
+    CANDIDATE GENERATION (round 4) is a UNION of two independent
+    sources, because minhash-LSH blocks on *set* overlap — adversarial
+    for exactly the order-drift pairs this family exists to catch (two
+    docs sharing a near-identical opening but divergent bodies have low
+    Jaccard and never share a band):
+
+    1. the shared minhash-LSH pairs (catches body-level near-dups);
+    2. PREFIX-BUCKET blocking: docs sharing their first ``block_len``
+       normalized chars, plus a mirrored LAST-``block_len`` bucket so a
+       typo inside the head block doesn't hide a pair whose tail agrees.
+       Each bucket key is a narrow (key, doc_id) shuffle; buckets wider
+       than ``max_block`` are dropped before the self-join (same
+       skew-cap discipline as ``dedup_ngram_jaccard`` — boilerplate
+       openings otherwise fan out W·(W−1)/2).
+
+    The VERIFY is unchanged: Levenshtein over the first ``prefix_len``
+    normalized chars ≤ ``max_edits``.  The prefix bound is the scale
+    decision: full-text Levenshtein is O(|a|·|b|) per pair — unbounded
+    on document bodies — while the prefix caps verify cost at
+    prefix_len² per candidate, the standard production compromise.
+    ``levenshtein`` is JVM-side in Spark and built-in in DuckDB with
+    identical unit-cost semantics, so the oracle is byte-exact.
 
     Output: (doc_a, doc_b, edit_distance), candidates that pass."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    docs = read_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", F.substring(_norm(F.col("text")), 1, prefix_len).alias("prefix")
+    keyed = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.substring(_norm(F.col("text")), 1, prefix_len).alias("prefix"),
+        F.substring(_norm(F.col("text")), 1, block_len).alias("head"),
+        F.substring(F.reverse(_norm(F.col("text"))), 1, block_len).alias("tail"),
+    ).persist()
+    keyed.count()  # pin one computation before the self-joins
+
+    def block_pairs(key: str) -> DataFrame:
+        k = keyed.select("doc_id", F.col(key).alias("bkey"))
+        wide = k.groupBy("bkey").count().filter(F.col("count") > max_block)
+        k = k.join(F.broadcast(wide.select("bkey")), "bkey", "left_anti")
+        a, b = k.alias("a"), k.alias("b")
+        return a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+    cands = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .unionByName(block_pairs("head"))
+        .unionByName(block_pairs("tail"))
+        .distinct()
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    a = keyed.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
     return (
-        pairs.join(a, "doc_a")
+        cands.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("edit_distance", F.levenshtein("pa", "pb").cast("long"))
         .filter(F.col("edit_distance") <= max_edits)

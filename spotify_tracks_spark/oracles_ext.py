@@ -2402,21 +2402,39 @@ from spine
 
 
 def _edit_distance_sql() -> str:
-    from .operators.dedup import EDIT_MAX, EDIT_PREFIX
+    from .operators.dedup import EDIT_BLOCK, EDIT_MAX, EDIT_MAX_BLOCK, EDIT_PREFIX
 
     norm = _NORM
     return f"""
-with pairs as (
-    select doc_a, doc_b from ({DEDUP_MINHASH_LSH}) q
+with keyed as (
+    select doc_id,
+           substr({norm}, 1, {EDIT_PREFIX}) as prefix,
+           substr({norm}, 1, {EDIT_BLOCK}) as head,
+           substr(reverse({norm}), 1, {EDIT_BLOCK}) as tail
+    from documents
 ),
-pref as (
-    select doc_id, substr({norm}, 1, {EDIT_PREFIX}) as prefix from documents
+heads as (
+    select doc_id, head as bkey from keyed
+    qualify count(*) over (partition by head) <= {EDIT_MAX_BLOCK}
+),
+tails as (
+    select doc_id, tail as bkey from keyed
+    qualify count(*) over (partition by tail) <= {EDIT_MAX_BLOCK}
+),
+cands as (
+    select doc_a, doc_b from ({DEDUP_MINHASH_LSH}) q
+    union
+    select a.doc_id as doc_a, b.doc_id as doc_b
+    from heads a join heads b on a.bkey = b.bkey and a.doc_id < b.doc_id
+    union
+    select a.doc_id as doc_a, b.doc_id as doc_b
+    from tails a join tails b on a.bkey = b.bkey and a.doc_id < b.doc_id
 )
-select p.doc_a, p.doc_b,
+select c.doc_a, c.doc_b,
        cast(levenshtein(a.prefix, b.prefix) as bigint) as edit_distance
-from pairs p
-join pref a on a.doc_id = p.doc_a
-join pref b on b.doc_id = p.doc_b
+from cands c
+join keyed a on a.doc_id = c.doc_a
+join keyed b on b.doc_id = c.doc_b
 where levenshtein(a.prefix, b.prefix) <= {EDIT_MAX}
 """
 

@@ -152,3 +152,58 @@ def test_pq_adc_search_is_ranked_and_nonnegative(spark):
         adcs = [r.adc for r in rs]
         assert all(a >= 0 for a in adcs) and adcs == sorted(adcs), q
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_edit_distance_catches_lsh_invisible_pairs(spark, tmp_path):
+    """Round-4 contract: dedup_edit_distance must find order-drift pairs
+    that minhash-LSH banding cannot (low set-Jaccard, near-identical
+    prefix) via its independent prefix-bucket candidate source — one pair
+    per bucket direction (shared head block / shared tail block)."""
+    from spotify_tracks_spark.operators.dedup import (
+        dedup_edit_distance,
+        dedup_minhash_lsh,
+    )
+
+    h24 = "alpha beta gamma delta e"          # 24 chars — head-block key
+    seg = "common forty char middle segment padding"  # 40 chars -> prefix64
+    assert len(h24) == 24 and len(seg) == 40
+    # NB: _norm lowercases, so typos must be real character substitutions
+    seg_typo = "common forth chat niddle segment padding"  # 3 substitutions
+    h24_typo = "alphabbeta gamna delta e"                  # 2 substitutions
+    t24 = "shared tail block twenty"                       # 24 chars
+    assert len(t24) == 24
+
+    def body(ch: str) -> str:
+        # 300 chars of one repeated word — shingle sets disjoint per ch
+        return (" " + ch * 9) * 30
+
+    rows = [
+        # pair (1, 2): identical head block, typos at 25..64, bodies differ
+        (1, h24 + seg + body("q")),
+        (2, h24 + seg_typo + body("w")),
+        # pair (3, 4): typos INSIDE the head block, identical tail block
+        (3, h24 + seg + body("x") + t24),
+        (4, h24_typo + seg + body("z") + t24),
+        # unrelated filler
+        (5, "totally unrelated document about something else entirely"),
+        (6, "another unrelated filler document with different words"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()
+    }
+    # the planted pairs are invisible to set-overlap banding (low Jaccard)
+    assert (1, 2) not in lsh and (3, 4) not in lsh
+
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in dedup_edit_distance(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == 3   # via the head bucket
+    assert got[(3, 4)] == 2   # via the tail bucket (head differs)
+    assert (5, 6) not in got
