@@ -285,3 +285,41 @@ def test_merge_upsert_matches_bruteforce(spark, tmp_path_factory, events):
         else:
             want[u] = (latest_snap[u][0], "carry")
     assert got == want
+
+
+def test_retention_offsets_continuous_across_year_boundary(spark, tmp_path):
+    """Round-2 ask, closed in round 4: a Dec→Jan cohort must produce
+    CONSECUTIVE week offsets (0, 1) — the old year*100+weekofyear index
+    jumped by ~48 at New Year.  Cohort week: Mon 2024-12-23; activity the
+    following week (Mon 2024-12-30 .. Sun 2025-01-05) is offset 1."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.analytics import events_retention
+
+    rows = [
+        # user 1: active Dec-29 (cohort week) and Jan-3 (next week)
+        (0, datetime(2024, 12, 29, 10), 1, "view", 1.0, "{}"),
+        (1, datetime(2025, 1, 3, 10), 1, "view", 1.0, "{}"),
+        # user 2: cohort only (Dec-23)
+        (2, datetime(2024, 12, 23, 10), 2, "view", 1.0, "{}"),
+        # user 3: joins in the new year (its own cohort, offset 0)
+        (3, datetime(2025, 1, 2, 10), 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in events_retention(spark, str(tmp_path)).collect()
+    }
+    # Mon 2024-12-23 is epoch-week 2868 (weeks since Mon 1970-01-05);
+    # Mon 2024-12-30 / Jan-3 2025 fall in epoch-week 2869
+    dec_cohort = (datetime(2024, 12, 23) - datetime(1970, 1, 5)).days // 7
+    assert got == {
+        (dec_cohort, 0): 2,      # users 1 and 2 in the Dec cohort week
+        (dec_cohort, 1): 1,      # user 1 retained across New Year: offset 1
+        (dec_cohort + 1, 0): 1,  # user 3's own Jan cohort
+    }
