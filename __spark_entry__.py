@@ -86,6 +86,13 @@ def _dedup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.dedup_embedding_corpus(spark, sf_dir, near_dup_threshold=0.35)
 
 
+
+def _ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search at nprobe=2 — the recall/cost knob of a deployed IVF
+    index (each probe searches its 2 nearest cells)."""
+    return _sim.ann_topk_ivf(spark, sf_dir, nprobe=2)
+
+
 def _idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflict-ignoring append demo: overlapping halves of ``events``
     (operators/idempotent_sink.py); result = set union on event_id."""
@@ -378,6 +385,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all-family index evaluation: recall@k for lsh/ivf/pq in one
         # report against the shared exact baseline
         "ann_recall_eval_all": _sim.ann_recall_eval_all,
+        # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
+        "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -566,6 +575,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
+        "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

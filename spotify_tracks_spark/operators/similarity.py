@@ -127,9 +127,18 @@ def ann_topk_ivf(
     k: int = 5,
     probe_mod: int = 100,
     n_centroids: int = N_CENTROIDS,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize to the nearest centroid,
-    search only the probe's cell (nprobe=1).
+    search the probe's ``nprobe`` nearest cells (default 1).
+
+    ``nprobe`` is THE recall/cost knob of a deployed IVF index: each
+    probe's candidate set grows to its nprobe nearest cells (corpus-side
+    assignment is always the single nearest cell), trading nprobe× probe
+    fan-out — still tiny, the probe set is the broadcast side — for the
+    recall lost to probes sitting near cell boundaries.  nprobe > 1
+    explodes the probe's sorted cell ranking (deterministic: cosine
+    desc, ties to the lower centroid id) before the same equi-join.
 
     Deterministic centroid choice (the ``n_centroids`` lowest vec_ids) keeps
     the operator oracle-checkable; a production run would fit k-means on a
@@ -157,26 +166,40 @@ def ann_topk_ivf(
         "cents: array<array<double>>, cent_ids: array<bigint>",
     )
 
-    def cell(emb_col: Column) -> Column:
+    def scored_cells(emb_col: Column) -> Column:
         # binary HOF lambda receives (element, index); index i is 0-based.
-        scored = F.transform(
+        return F.transform(
             F.col("cents"),
             lambda c, i: F.struct(
                 cosine(emb_col, c).alias("c_cos"),
                 (-F.element_at(F.col("cent_ids"), i + 1)).alias("neg_id"),
             ),
         )
+
+    def cell(emb_col: Column) -> Column:
         # max by (c_cos, -cent_id): highest cosine, ties to the LOWER cent_id
-        return -F.array_max(scored)["neg_id"]
+        return -F.array_max(scored_cells(emb_col))["neg_id"]
 
     corpus = emb.crossJoin(F.broadcast(cent_df)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         cell(F.col("embedding")).alias("cell"),
     )
-    probe_cells = probes.crossJoin(F.broadcast(cent_df)).select(
-        "query_id", "q_emb", cell(F.col("q_emb")).alias("cell")
-    )
+    if nprobe == 1:
+        probe_cells = probes.crossJoin(F.broadcast(cent_df)).select(
+            "query_id", "q_emb", cell(F.col("q_emb")).alias("cell")
+        )
+    else:
+        # reversed ascending struct sort = (cosine desc, ties to the lower
+        # cent_id, since neg_id = -cent_id); slice the nprobe best, explode
+        top_cells = F.transform(
+            F.slice(F.reverse(F.array_sort(scored_cells(F.col("q_emb")))), 1, nprobe),
+            lambda s: -s["neg_id"],
+        )
+        probe_cells = (
+            probes.crossJoin(F.broadcast(cent_df))
+            .select("query_id", "q_emb", F.explode(top_cells).alias("cell"))
+        )
     scored = (
         corpus.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -305,7 +305,10 @@ def _cos(a: str, b: str) -> str:
     )
 
 
-ANN_TOPK_IVF = f"""
+def _ann_topk_ivf_sql(nprobe: int = 1) -> str:
+    """IVF oracle; ``nprobe`` mirrors the operator's probe-side fan-out
+    (corpus-side assignment is always the single nearest cell)."""
+    return f"""
 with emb as (select vec_id, {_EMB} as e from embeddings),
 centroids as materialized (
     select vec_id as cent_id, e as c_emb from emb order by vec_id limit 16
@@ -329,7 +332,7 @@ probe_cells as (
                    order by {_cos('p.q_emb', 'c.c_emb')} desc, c.cent_id
                ) as rn
         from probes p cross join centroids c
-    ) where rn = 1
+    ) where rn <= {nprobe}
 ),
 scored as (
     select p.query_id, c.neighbor_id, {_cos('p.q_emb', 'c.n_emb')} as cos
@@ -344,6 +347,10 @@ ranked as (
 select query_id, neighbor_id, rank, round(cos, 6) as cos
 from ranked where rank <= 5
 """
+
+
+ANN_TOPK_IVF = _ann_topk_ivf_sql(1)
+ANN_TOPK_IVF_NPROBE = _ann_topk_ivf_sql(2)
 
 _TOP1 = _ann_sql(1, 10)
 
