@@ -163,6 +163,56 @@ def kmeans_init_counts(
     )
 
 
+def kmeans_assign_pandas(
+    spark: SparkSession, sf_dir: str, k: int = K_CLUSTERS
+) -> DataFrame:
+    """mapInPandas twin of the assign step — the path for k×d beyond what
+    per-row HOF scoring can chew (the broadcast-relation plan is O(1) in
+    plan size, but its argmin still evaluates k fold-expressions per row;
+    at k=65k·d=1024 the vectorized kernel wins by orders of magnitude).
+
+    The centroid matrix ships as a REAL SparkContext broadcast variable
+    (block-manager torrent, one copy per executor, referenced per Arrow
+    batch — never per row), and assignment is one BLAS call per batch:
+    ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·cᵀ, row-wise argmin (NumPy argmin takes
+    the FIRST minimum — the same tie-to-lower-cluster contract as the
+    expression path).  BLAS pairwise summation reorders the IEEE adds,
+    so distances can differ from the fold-ordered expression path in the
+    last bits — assignments are pytest-pinned equal with a near-tie
+    tolerance, and this twin is deliberately NOT an oracle entry.
+
+    Output: (vec_id, cluster, sq_dist) for the iteration-0 centroids."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    bc = spark.sparkContext.broadcast(
+        np.array([r.e for r in seeds], dtype="float64")
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = bc.value
+        c2 = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            x = np.stack(pdf["e"].to_numpy()).astype("float64")
+            d2 = (x * x).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
+            cl = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cl.astype("int64"),
+                    "sq_dist": d2[np.arange(len(cl)), cl],
+                }
+            )
+
+    return emb.mapInPandas(assign, "vec_id long, cluster long, sq_dist double")
+
+
 def kmeans_inertia(spark: SparkSession, sf_dir: str, n_iters: int) -> float:
     """Total within-cluster squared distance after n_iters (for tests)."""
     df = embedding_kmeans(spark, sf_dir, n_iters=n_iters)
