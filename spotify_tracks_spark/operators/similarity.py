@@ -329,7 +329,8 @@ def ann_recall_eval_all(
     appear with recall 0.  Note PQ ranks by asymmetric distance to coded
     centroids — its hits are membership in the exact COSINE top-k, the
     deployment-relevant question (would the index have surfaced the true
-    neighbors), not ADC self-consistency.
+    neighbors), not ADC self-consistency.  The ``ivf2`` family is IVF at
+    nprobe=2 — the same report quantifies what the nprobe knob buys.
 
     Output: (index_family, query_id, n_exact, n_hits, recall)."""
     exact = (
@@ -342,6 +343,7 @@ def ann_recall_eval_all(
     fams = {
         "lsh": ann_topk_lsh(spark, sf_dir, k=k, probe_mod=probe_mod, dims=dims),
         "ivf": ann_topk_ivf(spark, sf_dir, k=k, probe_mod=probe_mod),
+        "ivf2": ann_topk_ivf(spark, sf_dir, k=k, probe_mod=probe_mod, nprobe=2),
         "pq": ann_topk_pq(spark, sf_dir, k=k, probe_mod=probe_mod),
     }
     parts = []

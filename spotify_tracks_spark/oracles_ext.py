@@ -1728,6 +1728,8 @@ fam as (
     union all
     select 'ivf' as index_family, query_id, neighbor_id from ({ANN_TOPK_IVF})
     union all
+    select 'ivf2' as index_family, query_id, neighbor_id from ({ANN_TOPK_IVF_NPROBE})
+    union all
     select 'pq' as index_family, query_id, neighbor_id from ({ANN_TOPK_PQ})
 ),
 hits as (
@@ -1736,7 +1738,7 @@ hits as (
     join fam f on e.query_id = f.query_id and e.neighbor_id = f.neighbor_id
     group by f.index_family, e.query_id
 ),
-fams as (select unnest(['lsh', 'ivf', 'pq']) as index_family)
+fams as (select unnest(['lsh', 'ivf', 'ivf2', 'pq']) as index_family)
 select fams.index_family, b.query_id, b.n_exact,
        cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
        coalesce(h.n_hits, 0) / 5.0 as recall
