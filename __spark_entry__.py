@@ -387,6 +387,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
+        # per-doc top-k lexical neighbors (inverted-index cosine join)
+        "text_doc_similarity": _text.text_doc_similarity,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -576,6 +578,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
+        "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

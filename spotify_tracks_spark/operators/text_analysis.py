@@ -182,6 +182,105 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K)
     )
 
 
+DOCSIM_MAX_DF = 200   # posting-list cap: terms in more docs are dropped
+DOCSIM_TOP_K = 3
+
+
+def text_doc_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DOCSIM_TOP_K,
+    max_df: int = DOCSIM_MAX_DF,
+) -> DataFrame:
+    """Per-document top-``k`` lexically similar documents by term-count
+    cosine over an INVERTED-INDEX join — the lexical-side mirror of the
+    embedding ANN family (same candidate-then-verify scale shape, no
+    all-pairs comparison anywhere).
+
+    Similarity space: the df-capped vocabulary.  Terms appearing in more
+    than ``max_df`` documents are dropped BEFORE the posting-list
+    self-join — the stopword cap that bounds candidate fan-out at
+    Σ_term df² over kept terms (a corpus-frequent term otherwise joins
+    quadratically, the classic posting-list skew bomb); vectors and
+    norms are defined over the kept terms, so the metric is exactly
+    "cosine over discriminative vocabulary".
+
+    Exactness: term counts are integers, so the pairwise dot product and
+    squared norms are INTEGER sums (order-independent — no IEEE
+    reassociation hazard); cosine is one sqrt+division per side in both
+    engines, hash-identical.  Ranking ties break (cos desc, neighbor_id
+    asc).
+
+    Plan: explode→count [the one fact-scale shuffle], persisted; df
+    table (vocab-sized) broadcast back for the cap filter; posting-list
+    self-join on term; pair-grain partial-agg shuffle; norm join at
+    entity grain.  Output: (doc_id, neighbor_id, shared_terms, dot,
+    cos, rnk) — each doc's k nearest lexical neighbors."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    counts.count()  # pin one computation before df-agg + self-join fan-out
+    df_keep = (
+        counts.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("term")
+    )
+    kept = counts.join(F.broadcast(df_keep), "term").persist()
+    kept.count()
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("n") * F.col("n")).alias("nsq")
+    )
+    a = kept.select("term", "doc_id", F.col("n").alias("na"))
+    b = kept.select(
+        "term", F.col("doc_id").alias("neighbor_id"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .groupBy("doc_id", "neighbor_id")
+        .agg(
+            F.count("*").alias("shared_terms"),
+            F.sum(F.col("na") * F.col("nb")).alias("dot"),
+        )
+    )
+    scored = (
+        pairs.join(norms.withColumnRenamed("nsq", "nsq_a"), "doc_id")
+        .join(
+            norms.select(
+                F.col("doc_id").alias("neighbor_id"), F.col("nsq").alias("nsq_b")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "doc_id",
+            "neighbor_id",
+            "shared_terms",
+            "dot",
+            (F.col("dot") / (F.sqrt("nsq_a") * F.sqrt("nsq_b"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "neighbor_id",
+            "shared_terms",
+            "dot",
+            F.round("cos", 6).alias("cos"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 LM_ALPHA = 1.0  # add-one smoothing
 
 

@@ -957,6 +957,57 @@ from ranked where rnk <= {TFIDF_TOP_K}
 TEXT_TFIDF_TOP_TERMS = _tfidf_sql()
 
 
+def _doc_similarity_sql() -> str:
+    from .operators.text_analysis import DOCSIM_MAX_DF, DOCSIM_TOP_K
+
+    return f"""
+with d as (
+    select doc_id, string_split(lower(text), ' ') as toks from documents
+),
+counts as (
+    select doc_id, term, count(*) as n
+    from (select doc_id, unnest(toks) as term from d)
+    group by doc_id, term
+),
+kept as (
+    select c.* from counts c
+    join (
+        select term from counts group by term having count(*) <= {DOCSIM_MAX_DF}
+    ) f using (term)
+),
+norms as (
+    select doc_id, sum(n * n) as nsq from kept group by doc_id
+),
+pairs as (
+    select a.doc_id, b.doc_id as neighbor_id,
+           count(*) as shared_terms,
+           sum(a.n * b.n) as dot
+    from kept a join kept b on a.term = b.term and a.doc_id != b.doc_id
+    group by a.doc_id, b.doc_id
+),
+scored as (
+    select p.doc_id, p.neighbor_id,
+           cast(p.shared_terms as bigint) as shared_terms,
+           cast(p.dot as bigint) as dot,
+           p.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) as cos
+    from pairs p
+    join norms na on na.doc_id = p.doc_id
+    join norms nb on nb.doc_id = p.neighbor_id
+),
+ranked as (
+    select *, row_number() over (
+        partition by doc_id order by cos desc, neighbor_id asc) as rnk
+    from scored
+)
+select doc_id, neighbor_id, shared_terms, dot,
+       round(cos, 6) as cos, cast(rnk as bigint) as rnk
+from ranked where rnk <= {DOCSIM_TOP_K}
+"""
+
+
+TEXT_DOC_SIMILARITY = _doc_similarity_sql()
+
+
 def _repetition_sql() -> str:
     from .operators.llm_prep import DUP_BIGRAM_MAX, DUP_LINE_MAX
 
