@@ -160,12 +160,19 @@ def main() -> None:
               f"{sorted(noisy)}", file=sys.stderr)
         run_pass(noisy)
 
-    times = {n: min(ts) for n, ts in obs.items()}
-    total = round(sum(times.values()), 3)
+    full, out, full_name = build_outputs(
+        obs, errors, sf, startup_s, set(entrymod.queries()), _next_round_no()
+    )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"full per-query bench written to {full_path}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
 
-    # full per-query record — checked into the repo, not printed (the
-    # driver's stdout tail window cannot hold the full-surface map)
-    round_no = 1 + max(
+
+def _next_round_no() -> int:
+    return 1 + max(
         [
             int(m.group(1))
             for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
@@ -173,6 +180,28 @@ def main() -> None:
         ],
         default=0,
     )
+
+
+def build_outputs(
+    obs: dict[str, list[float]],
+    errors: dict[str, str],
+    sf: float,
+    startup_s: float,
+    driver_names: set[str],
+    round_no: int,
+) -> tuple[dict, dict, str]:
+    """(full record, compact stdout record, full-record filename).
+
+    The compact record is THE driver artifact contract: one JSON line
+    holding the suite total plus ONLY the driver-surface queries at 2
+    decimals — it must stay well inside the driver's stdout tail-capture
+    window regardless of how large the full surface grows (round 3's
+    full-surface line overflowed it → BENCH_r03 parsed null).  The full
+    per-query record — every benched query at 3 decimals plus per-pass
+    observations — is written to BENCH_FULL_r{NN}.json instead."""
+    times = {n: min(ts) for n, ts in obs.items()}
+    total = round(sum(times.values()), 3)
+    full_name = f"BENCH_FULL_r{round_no:02d}.json"
     full = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -185,17 +214,6 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_r{round_no:02d}.json"
-    )
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1)
-    print(f"full per-query bench written to {full_path}", file=sys.stderr)
-
-    # ONE compact stdout line: suite total over the full surface, per-query
-    # map restricted to the 50 driver-checked entries at 2 decimals — fits
-    # the driver's capture window with heavy margin (~1.5 kB)
-    driver_names = set(entrymod.queries())
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 2),
@@ -206,12 +224,11 @@ def main() -> None:
         "sf": sf,
         "startup_s": round(startup_s, 2),
         "n_queries_total": len(times),
-        "full_map": os.path.basename(full_path),
+        "full_map": full_name,
     }
     if errors:
         out["n_errors"] = len(errors)
-    print(json.dumps(out))
-    spark.stop()
+    return full, out, full_name
 
 
 if __name__ == "__main__":

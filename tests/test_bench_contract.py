@@ -1,0 +1,41 @@
+"""Artifact-contract test for bench.py's output shapes (no Spark).
+
+Round 3's full-surface JSON line overflowed the driver's stdout
+tail-capture window (BENCH_r03.json: parsed null).  The contract since
+round 4: the printed line carries ONLY the driver-surface queries and
+must stay compact no matter how large the benched surface grows."""
+
+from __future__ import annotations
+
+import json
+
+from bench import build_outputs
+
+
+def test_compact_line_bounded_and_full_record_complete():
+    # simulate a surface far larger than today's (500 extras + 50 driver)
+    obs = {f"extra_query_with_a_long_name_{i:03d}": [1.234, 1.111] for i in range(500)}
+    driver = {f"driver_query_{i:02d}": [2.5, 2.0, 1.987] for i in range(50)}
+    obs.update(driver)
+    errors = {"broken_one": "SomeError: boom"}
+
+    full, out, name = build_outputs(
+        obs, errors, sf=0.1, startup_s=28.81, driver_names=set(driver), round_no=4
+    )
+    line = json.dumps(out)
+    # the driver's tail window held ~50-query lines fine in rounds 1-2;
+    # 4 kB leaves heavy margin and fails loudly if someone re-inlines the
+    # full surface into the printed line
+    assert len(line) < 4096, len(line)
+    assert set(out["queries"]) == set(driver)
+    assert out["n_queries_total"] == 550
+    assert out["full_map"] == name == "BENCH_FULL_r04.json"
+    assert out["n_errors"] == 1
+
+    # full record keeps everything: per-query min + raw per-pass times
+    assert set(full["queries"]) == set(obs)
+    assert full["queries"]["driver_query_00"] == 1.987  # min-of-3
+    assert full["passes"]["driver_query_00"] == [2.5, 2.0, 1.987]
+    assert full["errors"] == errors
+    # totals agree between the two records (modulo display rounding)
+    assert abs(full["value"] - out["value"]) < 0.01
