@@ -198,12 +198,15 @@ def text_doc_similarity(
     all-pairs comparison anywhere).
 
     Similarity space: the df-capped vocabulary.  Terms appearing in more
-    than ``max_df`` documents are dropped BEFORE the posting-list
-    self-join — the stopword cap that bounds candidate fan-out at
-    Σ_term df² over kept terms (a corpus-frequent term otherwise joins
-    quadratically, the classic posting-list skew bomb); vectors and
-    norms are defined over the kept terms, so the metric is exactly
-    "cosine over discriminative vocabulary".
+    than ``max(max_df, n_docs/10)`` documents are dropped BEFORE the
+    posting-list self-join — the stopword cap that bounds candidate
+    fan-out at Σ_term df² over kept terms (a corpus-frequent term
+    otherwise joins quadratically, the classic posting-list skew bomb);
+    vectors and norms are defined over the kept terms, so the metric is
+    exactly "cosine over discriminative vocabulary".  The corpus-
+    relative component keeps the cap meaningful across scales (a pure
+    absolute cap empties the space once every term's df outgrows it);
+    production would tune both knobs per corpus.
 
     Exactness: term counts are integers, so the pairwise dot product and
     squared norms are INTEGER sums (order-independent — no IEEE
@@ -217,6 +220,7 @@ def text_doc_similarity(
     entity grain.  Output: (doc_id, neighbor_id, shared_terms, dot,
     cos, rnk) — each doc's k nearest lexical neighbors."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
+    cap = max(max_df, docs.count() // 10)  # one scalar; a plan constant
     counts = (
         docs.select(
             "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
@@ -229,7 +233,7 @@ def text_doc_similarity(
     df_keep = (
         counts.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
+        .filter(F.col("df") <= cap)
         .select("term")
     )
     kept = counts.join(F.broadcast(df_keep), "term").persist()

@@ -972,7 +972,9 @@ counts as (
 kept as (
     select c.* from counts c
     join (
-        select term from counts group by term having count(*) <= {DOCSIM_MAX_DF}
+        select term from counts group by term
+        having count(*) <= greatest({DOCSIM_MAX_DF},
+                                    (select count(*) from d) // 10)
     ) f using (term)
 ),
 norms as (
