@@ -389,6 +389,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
         # per-doc top-k lexical neighbors (inverted-index cosine join)
         "text_doc_similarity": _text.text_doc_similarity,
+        # Count-Min heavy hitters (deterministic mergeable sketch, exact oracle)
+        "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -579,6 +581,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
+        "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

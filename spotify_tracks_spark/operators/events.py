@@ -213,6 +213,80 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def events_cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Count-Min-sketch heavy hitters — the MERGEABLE frequency sketch a
+    streaming/distributed pipeline keeps instead of exact per-key counts
+    when the key space outgrows memory.
+
+    Sketch build: each event hashes into one cell per depth row (seeded
+    ``portable_hash60``, so both engines compute bit-identical cells);
+    one partial-agg pass reduces the log to a depth×width cell table —
+    at 100 TB each map task combines locally to ≤ depth×width cells and
+    the shuffle carries sketch cells, never keys (that mergeability is
+    the point of CMS).  Estimate: a key's count estimate is the MIN over
+    its depth cells — always ≥ the true count (only overcounts from
+    collisions).  The report joins the tiny cell table back (broadcast,
+    4×1024 rows) and emits the top-``k`` keys by estimate beside their
+    true counts, so the overcount is visible and exactly checkable:
+    unlike HLL/t-digest, a fixed-seed CMS is fully deterministic, which
+    makes this the sketch family's exact-oracle representative.
+
+    Output: (user_id, est_n, true_n, overcount), top-k by (est desc,
+    user_id asc)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+
+    def cell_structs():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("d"),
+                    F.pmod(
+                        portable_hash60(F.col("user_id"), seed=j), F.lit(width)
+                    ).alias("cell"),
+                )
+                for j in range(depth)
+            ]
+        )
+
+    cells = (
+        ev.select(F.explode(cell_structs()).alias("s"))
+        .select("s.d", "s.cell")
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = (
+        users.select("user_id", "true_n", F.explode(cell_structs()).alias("s"))
+        .select("user_id", "true_n", "s.d", "s.cell")
+        .join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "est_n",
+            "true_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
 def events_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-(type, day) HLL sketches of user_id,
     union-merged per type WITHOUT rescanning rows — the pattern that makes

@@ -1010,6 +1010,42 @@ from ranked where rnk <= {DOCSIM_TOP_K}
 TEXT_DOC_SIMILARITY = _doc_similarity_sql()
 
 
+def _cms_sql() -> str:
+    from .operators.events import CMS_DEPTH, CMS_TOP_K, CMS_WIDTH
+
+    # seeded portable_hash60: md5('<seed>|' || value) — same prefix trick
+    # as functions/hashing.py:portable_hash60(col, seed)
+    cell = _h60("d::varchar || '|' || uid") + f" % {CMS_WIDTH}"
+    return f"""
+with ev as (select user_id::varchar as uid from events),
+ds as (select unnest(generate_series(0, {CMS_DEPTH - 1})) as d),
+cells as (
+    select d, {cell} as cell, count(*) as c
+    from ev cross join ds
+    group by d, cell
+),
+users as (select uid, count(*) as true_n from ev group by uid),
+est as (
+    select u.uid, u.true_n, min(c.c) as est_n
+    from users u
+    cross join ds
+    join cells c on c.d = ds.d
+        and c.cell = {_h60("ds.d::varchar || '|' || u.uid")} % {CMS_WIDTH}
+    group by u.uid, u.true_n
+)
+select cast(uid as bigint) as user_id,
+       cast(est_n as bigint) as est_n,
+       cast(true_n as bigint) as true_n,
+       cast(est_n - true_n as bigint) as overcount
+from est
+order by est_n desc, user_id asc
+limit {CMS_TOP_K}
+"""
+
+
+EVENTS_CMS_HEAVY_HITTERS = _cms_sql()
+
+
 def _repetition_sql() -> str:
     from .operators.llm_prep import DUP_BIGRAM_MAX, DUP_LINE_MAX
 
