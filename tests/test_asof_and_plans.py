@@ -304,3 +304,14 @@ def test_kmeans_pandas_assign_twin_pinned(spark):
     n = read_table(spark, SF_SMOKE, "embeddings").count()
     assert len(pandas_rows) == n
     assert all(r.sq_dist >= 0 for r in pandas_rows)
+
+
+def test_cms_never_undercounts(spark):
+    """The Count-Min guarantee: estimate >= true count for EVERY key
+    (min over depth cells can only be inflated by collisions, never
+    deflated), and at least one estimate in this data is exact."""
+    from spotify_tracks_spark.operators.events import events_cms_heavy_hitters
+
+    rows = events_cms_heavy_hitters(spark, SF_SMOKE, k=10**9).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    assert all(r.est_n == r.true_n + r.overcount for r in rows)
