@@ -40,6 +40,7 @@ from spotify_tracks_spark.operators.asof import (
 from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
 from spotify_tracks_spark.operators.corpus import corpus_prep, corpus_survival
 from spotify_tracks_spark.operators.range_join import events_value_bands
+from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
 from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
@@ -391,6 +392,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_similarity": _text.text_doc_similarity,
         # Count-Min heavy hitters (deterministic mergeable sketch, exact oracle)
         "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
+        # degree-oriented triangle counting over the part co-purchase graph
+        "parts_copurchase_triangles": parts_copurchase_triangles,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -582,6 +585,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
+        "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

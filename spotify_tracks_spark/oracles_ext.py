@@ -1046,6 +1046,57 @@ limit {CMS_TOP_K}
 EVENTS_CMS_HEAVY_HITTERS = _cms_sql()
 
 
+def _triangles_sql() -> str:
+    from .operators.graph import TRI_MAX_ORDER_ITEMS
+
+    return f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}),
+li2 as (select li.* from li join ok using (o)),
+edges as (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+deg as (
+    select n, count(*) as d
+    from (select x as n from edges union all select y as n from edges)
+    group by n
+),
+keyed as (
+    select e.x, e.y, dx.d as dx, dy.d as dy
+    from edges e
+    join deg dx on dx.n = e.x
+    join deg dy on dy.n = e.y
+),
+oriented as (
+    select case when (dx, x) < (dy, y) then x else y end as u,
+           case when (dx, x) < (dy, y) then y else x end as v,
+           case when (dx, x) < (dy, y) then dy else dx end as kd,
+           case when (dx, x) < (dy, y) then y else x end as kn
+    from keyed
+),
+wedges as (
+    select e1.u, e1.v, e2.v as w
+    from oriented e1 join oriented e2
+      on e1.u = e2.u and (e1.kd, e1.kn) < (e2.kd, e2.kn)
+),
+tris as (
+    select wd.u, wd.v, wd.w from wedges wd
+    where exists (select 1 from oriented o where o.u = wd.v and o.v = wd.w)
+),
+nodes as (
+    select u as part_id from tris
+    union all select v from tris
+    union all select w from tris
+)
+select part_id, cast(count(*) as bigint) as n_triangles
+from nodes group by part_id
+"""
+
+
+PARTS_COPURCHASE_TRIANGLES = _triangles_sql()
+
+
 def _repetition_sql() -> str:
     from .operators.llm_prep import DUP_BIGRAM_MAX, DUP_LINE_MAX
 
