@@ -394,6 +394,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
         # degree-oriented triangle counting over the part co-purchase graph
         "parts_copurchase_triangles": parts_copurchase_triangles,
+        # star-schema rollup through the customer->nation->region chain
+        "sales_by_region_quarter": _an.sales_by_region_quarter,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -586,6 +588,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
+        "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

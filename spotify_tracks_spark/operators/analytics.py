@@ -1021,3 +1021,47 @@ def events_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (F.col("n_users") / F.col("cohort_size")).alias("rate"),
     )
+
+
+def sales_by_region_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic warehouse star join: the orders fact rolled up through the
+    customer→nation→region dimension chain to (region, year, quarter) —
+    the canonical two-tier-dimension OLAP shape (TPC-H Q5's family) over
+    the four otherwise-unused TPC-H dims.
+
+    Scale shape: ONE fact-side join — orders⋈customer on the entity key
+    (at 100 TB this is the shuffle to co-partition or bucket away; here
+    AQE picks broadcast while customer fits) — then nation and region are
+    always-broadcast micro-dims, and the rollup groups on a handful of
+    (region, year, quarter) keys with full map-side combine.  Revenue
+    sums in integer CENTS (round(price·100) per row, then an exact
+    bigint sum) — a double sum would be partial-order-dependent and
+    break cross-engine hash parity.
+
+    Output: (region_name, year, quarter, n_orders, n_customers,
+    revenue_cents)."""
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.quarter("o_orderdate").cast("long").alias("quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

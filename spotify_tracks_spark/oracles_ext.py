@@ -2800,3 +2800,21 @@ select c.source, c.lang, c.n_docs, c.n_tokens,
        c.n_docs / p.src_docs as doc_share
 from cell c join per_source p using (source)
 """
+
+
+# --- star-schema rollup (operators/analytics.py:sales_by_region_quarter) ---
+
+SALES_BY_REGION_QUARTER = """
+select r.r_name as region_name,
+       cast(year(o.o_orderdate) as bigint) as year,
+       cast(quarter(o.o_orderdate) as bigint) as quarter,
+       count(*) as n_orders,
+       cast(count(distinct o.o_custkey) as bigint) as n_customers,
+       cast(sum(cast(round(o.o_totalprice * 100) as bigint)) as bigint)
+           as revenue_cents
+from orders o
+join customer c on o.o_custkey = c.c_custkey
+join nation n on c.c_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by r.r_name, year(o.o_orderdate), quarter(o.o_orderdate)
+"""
