@@ -188,6 +188,16 @@ def _events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _events_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS maintenance: the sketch folded forward per micro-batch
+    (constant depth x width state); drained cells hash-equal the batch
+    sketch (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_cms
+
+    return stream_events_cms(spark, sf_dir)
+
+
 def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-incremental mart maintenance: dim_track folded forward
     per micro-batch via foreachBatch; drained result hash-equals batch Q2
@@ -396,6 +406,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_triangles": parts_copurchase_triangles,
         # star-schema rollup through the customer->nation->region chain
         "sales_by_region_quarter": _an.sales_by_region_quarter,
+        # streaming CMS maintenance (constant-size sketch state fold)
+        "events_stream_cms": _events_stream_cms,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -589,6 +601,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
+        "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

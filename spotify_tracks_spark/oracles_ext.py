@@ -2818,3 +2818,20 @@ join nation n on c.c_nationkey = n.n_nationkey
 join region r on n.n_regionkey = r.r_regionkey
 group by r.r_name, year(o.o_orderdate), quarter(o.o_orderdate)
 """
+
+
+def _stream_cms_sql() -> str:
+    from .operators.events import CMS_DEPTH, CMS_WIDTH
+
+    cell = _h60("d::varchar || '|' || uid") + f" % {CMS_WIDTH}"
+    return f"""
+with ev as (select user_id::varchar as uid from events),
+ds as (select unnest(generate_series(0, {CMS_DEPTH - 1})) as d)
+select cast(d as bigint) as d, {cell} as cell, count(*) as c
+from ev cross join ds
+group by d, cell
+"""
+
+
+# the drained streaming sketch equals the batch-built cell table
+EVENTS_STREAM_CMS = _stream_cms_sql()

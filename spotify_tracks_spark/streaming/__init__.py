@@ -1,4 +1,5 @@
 from .incremental import stream_dim_track_incremental
+from .sketch import stream_events_cms
 from .ingest import stream_events_dedup
 from .joins import (
     stream_click_purchase_join,
@@ -26,4 +27,5 @@ __all__ = [
     "stream_click_purchase_join_outer",
     "stream_events_enrich",
     "stream_dim_track_incremental",
+    "stream_events_cms",
 ]

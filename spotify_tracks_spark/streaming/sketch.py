@@ -1,0 +1,134 @@
+"""Streaming sketch maintenance — a Count-Min sketch folded forward per
+micro-batch.
+
+MERGEABILITY is the whole point of keeping a sketch instead of exact
+counts: two sketches over disjoint data merge by cell-wise addition, so
+a stream maintains the corpus sketch by adding each micro-batch's cells
+— no per-key state, state size is a CONSTANT depth×width regardless of
+stream length or key cardinality.  That contrasts with the engine's
+other stateful streaming ops (dedup/sessionize hold per-key state
+bounded only by the watermark); the sketch is the unbounded-cardinality
+answer.
+
+The fold reuses the replay-idempotence discipline of
+``streaming/incremental.py``: per-batch state snapshots named by batch
+id, so an at-least-once re-delivery is detected and skipped instead of
+double-added.  The drained sketch is hash-equal to the batch-computed
+one (same seeded portable hash as ``events_cms_heavy_hitters``), which
+is the exact-oracle contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import portable_hash60
+from ..operators.events import CMS_DEPTH, CMS_WIDTH
+from ..sources.tables import normalize_events_ts
+
+N_SLICES = 4
+
+# (session id, sf_dir) -> materialized sliced-source dir (fixture prep,
+# shared per session like incremental.py's _SRC_CACHE)
+_SRC_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _batch_cells(df: DataFrame, depth: int, width: int) -> DataFrame:
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("d"),
+                F.pmod(portable_hash60(F.col("user_id"), seed=j), F.lit(width)).alias(
+                    "cell"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(structs).alias("s"))
+        .select("s.d", "s.cell")
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def stream_events_cms(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain the user-frequency CMS over a micro-batched event stream
+    (availableNow drain) and return the final (d, cell, c) cell table —
+    hash-equal to the batch-built sketch.
+
+    Each micro-batch contributes its own depth×width partial sketch;
+    merge = union + cell-wise sum (associative & commutative, so batch
+    composition is irrelevant).  State per batch is ≤ depth×width rows —
+    CONSTANT in stream length and key cardinality."""
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_cms_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_cms_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir)] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("user_id").repartition(n_slices).write.parquet(src_path)
+    schema = spark.read.parquet(src_path).schema
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = _batch_cells(batch_df, depth, width)
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = (
+            partial.groupBy("d", "cell").agg(F.sum("c").alias("c")).persist()
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    final = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    return final.select("d", "cell", F.col("c").cast("long").alias("c"))
