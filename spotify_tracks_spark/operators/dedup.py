@@ -797,3 +797,85 @@ def dedup_edit_distance(
         .filter(F.col("edit_distance") <= max_edits)
         .select("doc_a", "doc_b", "edit_distance")
     )
+
+
+DEDUP_EVAL_FAMILIES = ("ngram", "minhash", "simhash", "edit")
+POOL_TRUTH_JACCARD = 0.9
+
+
+def dedup_recall_eval(
+    spark: SparkSession, sf_dir: str, truth_threshold: float = POOL_TRUTH_JACCARD
+) -> DataFrame:
+    """Pair recall/precision of every fuzzy dedup family against a POOLED
+    ground truth — the evaluation a corpus pipeline runs before trusting
+    a near-dup detector (the text-side twin of ``ann_recall_eval_all``).
+
+    Absolute truth does not exist for near-duplication (the corpus's
+    planted clones are not byte-identical, so exact-text pairs are empty
+    at small SF), so the report uses IR-style POOLING: the candidate
+    pool is the union of every family's emitted pairs, and truth = pool
+    pairs whose exact shingle-set Jaccard ≥ ``truth_threshold`` — the
+    best-known reference set, exactly the TREC pooled-qrels compromise.
+    A family's recall is its share of that pooled truth; its precision
+    column is the fraction of its own pairs that are pooled-truth (low
+    values flag a family emitting weakly-similar pairs, not an error).
+
+    Counts are integers and both ratios single IEEE divisions —
+    hash-exact.  Output: (family, n_truth, n_found, n_hit, recall,
+    pool_precision), one row per family."""
+    fams = {
+        "ngram": dedup_ngram_jaccard(spark, sf_dir),
+        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "simhash": dedup_simhash(spark, sf_dir),
+        "edit": dedup_edit_distance(spark, sf_dir),
+    }
+    pairs = {
+        fam: df.select("doc_a", "doc_b").persist() for fam, df in fams.items()
+    }
+    pool = None
+    for fam in DEDUP_EVAL_FAMILIES:
+        pool = pairs[fam] if pool is None else pool.unionByName(pairs[fam])
+    pool = pool.distinct().persist()
+    pool.count()
+
+    # exact-Jaccard verify of the pool (pool is pair-grain and small, so
+    # the shingle-set join touches only pooled docs' sets)
+    hs = _with_shingle_hash_sets(read_table(spark, sf_dir, "documents", spread=True))
+    ja = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa"))
+    jb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb"))
+    jac = F.size(F.array_intersect("hsa", "hsb")) / F.size(
+        F.array_union("hsa", "hsb")
+    )
+    truth = (
+        pool.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .filter(jac >= truth_threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_truth = truth.count()
+
+    parts = []
+    for fam in DEDUP_EVAL_FAMILIES:
+        stats = pairs[fam].agg(F.count("*").alias("n_found"))
+        hits = truth.join(pairs[fam], ["doc_a", "doc_b"], "left_semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        parts.append(
+            stats.crossJoin(hits).select(
+                F.lit(fam).alias("family"),
+                F.lit(n_truth).alias("n_truth"),
+                "n_found",
+                "n_hit",
+                F.when(
+                    F.lit(n_truth) > 0, F.col("n_hit") / F.lit(float(n_truth))
+                ).alias("recall"),
+                F.when(
+                    F.col("n_found") > 0, F.col("n_hit") / F.col("n_found")
+                ).alias("pool_precision"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2835,3 +2835,58 @@ group by d, cell
 
 # the drained streaming sketch equals the batch-built cell table
 EVENTS_STREAM_CMS = _stream_cms_sql()
+
+
+def _dedup_recall_eval_sql() -> str:
+    from .operators.dedup import POOL_TRUTH_JACCARD
+
+    return f"""
+with fam as (
+    select 'ngram' as family, doc_a, doc_b from ({DEDUP_NGRAM_JACCARD_CAPPED})
+    union all
+    select 'minhash' as family, doc_a, doc_b from ({DEDUP_MINHASH_LSH})
+    union all
+    select 'simhash' as family, doc_a, doc_b from ({DEDUP_SIMHASH})
+    union all
+    select 'edit' as family, doc_a, doc_b from ({DEDUP_EDIT_DISTANCE})
+),
+pool as (select distinct doc_a, doc_b from fam),
+docs2 as (select doc_id, {_NORM} as norm from documents),
+sh2 as (
+    select doc_id,
+           list_distinct(list_transform({_SHINGLES}, s -> {_h60('s')})) as hs
+    from docs2
+),
+truth as (
+    select p.doc_a, p.doc_b
+    from pool p
+    join sh2 a on a.doc_id = p.doc_a
+    join sh2 b on b.doc_id = p.doc_b
+    where len(list_intersect(a.hs, b.hs))
+            / len(list_distinct(a.hs || b.hs)) >= {POOL_TRUTH_JACCARD}
+),
+t as (select count(*) as n_truth from truth),
+stats as (select family, count(*) as n_found from fam group by family),
+hits as (
+    select f.family, count(*) as n_hit
+    from fam f join truth tr on f.doc_a = tr.doc_a and f.doc_b = tr.doc_b
+    group by f.family
+),
+fams as (select unnest(['ngram', 'minhash', 'simhash', 'edit']) as family)
+select fams.family,
+       cast(t.n_truth as bigint) as n_truth,
+       cast(coalesce(s.n_found, 0) as bigint) as n_found,
+       cast(coalesce(h.n_hit, 0) as bigint) as n_hit,
+       case when t.n_truth > 0
+            then coalesce(h.n_hit, 0) / cast(t.n_truth as double) end as recall,
+       case when coalesce(s.n_found, 0) > 0
+            then coalesce(h.n_hit, 0) / cast(s.n_found as double) end
+           as pool_precision
+from fams
+cross join t
+left join stats s on s.family = fams.family
+left join hits h on h.family = fams.family
+"""
+
+
+DEDUP_RECALL_EVAL = _dedup_recall_eval_sql()
