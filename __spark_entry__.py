@@ -410,6 +410,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_cms": _events_stream_cms,
         # pair recall/precision of every fuzzy dedup family vs exact truth
         "dedup_recall_eval": _dedup.dedup_recall_eval,
+        # share-of-segment: aggregate-first then nation-partitioned windows
+        "supplier_nation_share": _an.supplier_nation_share,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -605,6 +607,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
         "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
         "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
+        "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

@@ -1065,3 +1065,51 @@ def sales_by_region_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total windowing over a pre-aggregated fact: each
+    supplier's revenue share within its nation, plus its in-nation rank —
+    the share-of-segment report every warehouse ships (TPC-H's supplier
+    side, previously unused).
+
+    Scale discipline: AGGREGATE FIRST, WINDOW SECOND.  The fact reduces
+    to one row per supplier (map-side-combined sum of integer cents:
+    round(extendedprice·(1−discount)·100) per line — the same
+    order-independent exactness contract as sales_by_region_quarter)
+    before any window function runs, so the nation-partitioned windows
+    sort |suppliers| rows, never |lineitem| — windowing the raw fact is
+    the classic scale mistake this operator exists to demonstrate
+    avoiding.  Supplier and nation are broadcast dims.
+
+    Output: (nation_name, supplier_name, revenue_cents, nation_share,
+    nation_rank)."""
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("cents").alias("revenue_cents"))
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = per_supp.join(
+        F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey
+    ).join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    wn = Window.partitionBy("n_name")
+    wr = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue_cents"), F.asc("s_suppkey")
+    )
+    return j.select(
+        F.col("n_name").alias("nation_name"),
+        F.col("s_name").alias("supplier_name"),
+        "revenue_cents",
+        (F.col("revenue_cents") / F.sum("revenue_cents").over(wn)).alias(
+            "nation_share"
+        ),
+        F.row_number().over(wr).cast("long").alias("nation_rank"),
+    )

@@ -2890,3 +2890,29 @@ left join hits h on h.family = fams.family
 
 
 DEDUP_RECALL_EVAL = _dedup_recall_eval_sql()
+
+
+# --- share-of-segment report (operators/analytics.py:supplier_nation_share)
+
+SUPPLIER_NATION_SHARE = """
+with per_supp as (
+    select l_suppkey,
+           cast(sum(cast(round(l_extendedprice * (1.0 - l_discount) * 100)
+                         as bigint)) as bigint) as revenue_cents
+    from lineitem
+    group by l_suppkey
+)
+select n.n_name as nation_name,
+       s.s_name as supplier_name,
+       p.revenue_cents,
+       p.revenue_cents
+         / cast(sum(p.revenue_cents)
+                    over (partition by n.n_name) as double) as nation_share,
+       cast(row_number() over (
+           partition by n.n_name
+           order by p.revenue_cents desc, s.s_suppkey asc) as bigint)
+           as nation_rank
+from per_supp p
+join supplier s on p.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+"""
