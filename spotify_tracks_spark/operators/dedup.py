@@ -730,6 +730,7 @@ def dedup_edit_distance(
     max_edits: int = EDIT_MAX,
     block_len: int = EDIT_BLOCK,
     max_block: int = EDIT_MAX_BLOCK,
+    lsh_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Edit-distance near-dup pairs — the fifth dedup family (exact /
     Jaccard / MinHash / SimHash / embedding measure SET overlap; edit
@@ -781,9 +782,13 @@ def dedup_edit_distance(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
 
+    # callers that already hold the minhash pair set (dedup_recall_eval)
+    # pass it in — re-running the full minhash pipeline for candidates
+    # would double the dominant cost of a composed evaluation
+    if lsh_pairs is None:
+        lsh_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     cands = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
+        lsh_pairs.select("doc_a", "doc_b")
         .unionByName(block_pairs("head"))
         .unionByName(block_pairs("tail"))
         .distinct()
@@ -823,11 +828,15 @@ def dedup_recall_eval(
     Counts are integers and both ratios single IEEE divisions —
     hash-exact.  Output: (family, n_truth, n_found, n_hit, recall,
     pool_precision), one row per family."""
+    minhash_pairs = (
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    minhash_pairs.count()  # shared by the family row AND edit's candidates
     fams = {
         "ngram": dedup_ngram_jaccard(spark, sf_dir),
-        "minhash": dedup_minhash_lsh(spark, sf_dir),
+        "minhash": minhash_pairs,
         "simhash": dedup_simhash(spark, sf_dir),
-        "edit": dedup_edit_distance(spark, sf_dir),
+        "edit": dedup_edit_distance(spark, sf_dir, lsh_pairs=minhash_pairs),
     }
     pairs = {
         fam: df.select("doc_a", "doc_b").persist() for fam, df in fams.items()
