@@ -38,7 +38,11 @@ from spotify_tracks_spark.operators.asof import (
     events_time_to_convert,
 )
 from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
-from spotify_tracks_spark.operators.corpus import corpus_prep, corpus_survival
+from spotify_tracks_spark.operators.corpus import (
+    corpus_dup_inflation,
+    corpus_prep,
+    corpus_survival,
+)
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
 from spotify_tracks_spark.operators import llm_prep as _llm
@@ -412,6 +416,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall_eval": _dedup.dedup_recall_eval,
         # share-of-segment: aggregate-first then nation-partitioned windows
         "supplier_nation_share": _an.supplier_nation_share,
+        # trailing-edge burst debounce (retry-storm compaction)
+        "events_dedup_windowed": _an.events_dedup_windowed,
+        # duplicate-token inflation: the number that motivates the dedup stage
+        "corpus_dup_inflation": corpus_dup_inflation,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -608,6 +616,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
         "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
         "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
+        "events_dedup_windowed": oracles_ext.EVENTS_DEDUP_WINDOWED,
+        "corpus_dup_inflation": oracles_ext.CORPUS_DUP_INFLATION,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

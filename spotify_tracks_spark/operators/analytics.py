@@ -1113,3 +1113,53 @@ def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(wr).cast("long").alias("nation_rank"),
     )
+
+
+DEBOUNCE_SECONDS = 60
+
+
+def events_dedup_windowed(
+    spark: SparkSession, sf_dir: str, window_s: int = DEBOUNCE_SECONDS
+) -> DataFrame:
+    """Time-windowed deduplication (trailing-edge burst debounce): group
+    consecutive same-(user, type) events whose inter-event gap is
+    ≤ ``window_s`` seconds into one burst and keep only the burst's
+    first event — the double-click / retry-storm compaction between
+    exact dedup (key equality) and sessionization (same gap semantics,
+    entity-grain).  NOTE the gap chains off the PREVIOUS event, so
+    sustained activity extends suppression (the session-window
+    contract); a strict last-KEPT-event debounce is a stateful scan,
+    not window-expressible — ``applyInPandasWithState`` territory.
+
+    One shuffle on (user_id, event_type); lag→flag→running-sum turns
+    gap-breaks into burst ids, then first-per-burst survives.  Epoch
+    math through the shared helpers keeps both engines integer-exact.
+
+    Output: the surviving events (event_id, user_id, event_type, ts,
+    value)."""
+    from ..functions.time_utils import epoch_seconds
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    sec = epoch_seconds(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
+    # burst id = running count of gap-breaks (NULL lag = first row = break)
+    brk = F.when(gap.isNull() | (gap > window_s), 1).otherwise(0)
+    burst = F.sum(brk).over(
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = Window.partitionBy("user_id", "event_type", "burst").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("burst", burst)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )

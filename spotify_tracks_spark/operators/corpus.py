@@ -174,3 +174,39 @@ def corpus_survival(
         "n_dropped",
         (F.col("n_in") - F.col("n_dropped")).cast("long").alias("n_out"),
     )
+
+
+def corpus_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token inflation report — the single number that
+    motivates the whole dedup stage: what fraction of the corpus's
+    training tokens are exact-duplicate copies (tokens a model would see
+    again verbatim)?  Per exact-dup group every non-canonical member's
+    tokens count as inflation.
+
+    One scan projecting (fp, n_tokens), one group-key shuffle for the
+    canonical map, one global aggregate — integer sums throughout, one
+    final division.  Output: single row (n_docs, n_dup_docs,
+    total_tokens, dup_tokens, dup_token_frac)."""
+    from .dedup import _norm
+
+    d = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.md5(_norm(F.col("text"))).alias("fp"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"),
+    )
+    canon = d.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    j = d.join(canon, "fp").withColumn(
+        "is_dup", F.col("doc_id") != F.col("canonical_doc_id")
+    )
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), F.col("nt")).otherwise(0)).cast("long").alias("dup_tokens"),
+    ).select(
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "dup_tokens",
+        (F.col("dup_tokens") / F.col("total_tokens")).alias("dup_token_frac"),
+    )

@@ -2916,3 +2916,59 @@ from per_supp p
 join supplier s on p.l_suppkey = s.s_suppkey
 join nation n on s.s_nationkey = n.n_nationkey
 """
+
+
+def _dedup_windowed_sql() -> str:
+    from .operators.analytics import DEBOUNCE_SECONDS
+
+    sec = "floor(epoch(ts))::bigint"
+    lag = (
+        f"lag({sec}) over (partition by user_id, event_type"
+        " order by ts, event_id)"
+    )
+    return f"""
+with e as (select event_id, user_id, event_type, ts, value from events),
+g as (
+    select *,
+           case when {sec} - {lag} is null
+                  or {sec} - {lag} > {DEBOUNCE_SECONDS}
+                then 1 else 0 end as brk
+    from e
+),
+b as (
+    select *,
+           cast(sum(brk) over (partition by user_id, event_type
+                               order by ts, event_id
+                               rows unbounded preceding) as bigint) as burst
+    from g
+),
+r as (
+    select *, row_number() over (partition by user_id, event_type, burst
+                                 order by ts, event_id) as rn
+    from b
+)
+select event_id, user_id, event_type, ts, value from r where rn = 1
+"""
+
+
+EVENTS_DEDUP_WINDOWED = _dedup_windowed_sql()
+
+CORPUS_DUP_INFLATION = f"""
+with d as (
+    select doc_id, md5({_NORM}) as fp,
+           cast(len(string_split(lower(text), ' ')) as bigint) as nt
+    from documents
+),
+canon as (select fp, min(doc_id) as canonical_doc_id from d group by fp),
+j as (
+    select d.*, d.doc_id != c.canonical_doc_id as is_dup
+    from d join canon c on d.fp = c.fp
+)
+select count(*) as n_docs,
+       cast(sum(case when is_dup then 1 else 0 end) as bigint) as n_dup_docs,
+       cast(sum(nt) as bigint) as total_tokens,
+       cast(sum(case when is_dup then nt else 0 end) as bigint) as dup_tokens,
+       sum(case when is_dup then nt else 0 end)
+         / cast(sum(nt) as double) as dup_token_frac
+from j
+"""
