@@ -1,0 +1,86 @@
+"""Planted-fixture ground truth for the round-4 additions whose oracles
+mirror the same algorithm in SQL (parity alone could hide a shared
+systematic bug): triangle counting, burst debounce, doc similarity."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+
+def test_triangle_count_planted(spark, tmp_path):
+    """Known graph: orders plant one triangle {A,B,C} (with a duplicated
+    edge), a chordless 4-cycle {D,E,F,G} (no triangle), and a pendant
+    edge — per-node counts must credit exactly the triangle corners."""
+    from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
+
+    A, B, C, D, E, Fp, G = 1, 2, 3, 4, 5, 6, 7
+    orders = {
+        1: [A, B, C],     # triangle
+        2: [A, B],        # duplicate edge AB (must not double-count)
+        3: [C, D],        # pendant edge off the triangle
+        4: [D, E], 5: [E, Fp], 6: [Fp, G], 7: [G, D],  # chordless cycle
+    }
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.part_id: r.n_triangles
+        for r in parts_copurchase_triangles(spark, str(tmp_path)).collect()
+    }
+    assert got == {A: 1, B: 1, C: 1}
+
+
+def test_debounce_planted(spark, tmp_path):
+    """Bursts chain off the previous event: 0s/30s/70s collapse into one
+    burst (each gap <= 60) even though 70s is beyond the first event;
+    200s starts a new burst; other (user, type) keys are independent."""
+    from spotify_tracks_spark.operators.analytics import events_dedup_windowed
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return datetime.fromtimestamp(base.timestamp() + s)
+
+    rows = [
+        (0, ts(0), 1, "click", 1.0, "{}"),
+        (1, ts(30), 1, "click", 1.0, "{}"),   # 30s gap: same burst
+        (2, ts(70), 1, "click", 1.0, "{}"),   # 40s gap: chains on
+        (3, ts(200), 1, "click", 1.0, "{}"),  # 130s gap: new burst
+        (4, ts(10), 1, "view", 1.0, "{}"),    # different type: kept
+        (5, ts(20), 2, "click", 1.0, "{}"),   # different user: kept
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    kept = {
+        r.event_id for r in events_dedup_windowed(spark, str(tmp_path)).collect()
+    }
+    assert kept == {0, 3, 4, 5}
+
+
+def test_doc_similarity_planted(spark, tmp_path):
+    """Two docs sharing one term rank each other; a disjoint doc emits
+    nothing; cosine of single-shared-term two-term docs is 0.5."""
+    from spotify_tracks_spark.operators.text_analysis import text_doc_similarity
+
+    rows = [
+        (1, "apple banana"),
+        (2, "apple cherry"),
+        (3, "kiwi melon"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_id, r.neighbor_id): (r.shared_terms, r.cos, r.rnk)
+        for r in text_doc_similarity(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 2): (1, 0.5, 1),
+        (2, 1): (1, 0.5, 1),
+    }
