@@ -27,9 +27,69 @@ from ..sources.tables import read_table
 # blockers; TPC-H orders hold ≤7 items, so this only guards pathologies)
 TRI_MAX_ORDER_ITEMS = 16
 
+# broadcast the closing-edge set only while it is genuinely small: 2 longs
+# per edge ≈ 16 B raw → ~80 MB at the default gate, comfortably inside a
+# single executor's broadcast budget.  Above the gate the edge list is no
+# longer an in-memory index and the probe becomes a shuffle semi-join
+# (bloom-pruned on the wedge side when the sketch aggregate is available).
+TRI_BROADCAST_MAX_EDGES = 5_000_000
+
+# bloom sizing for the shuffle path: false positives only cost extra rows
+# into the semi-join (never wrong results), so 1% fpp is plenty.
+TRI_BLOOM_FPP = 0.01
+
+
+def _edge_bloom_predicate(closing: DataFrame, n_edges: int):
+    """Map-side bloom predicate over the closing-edge set, or ``None``.
+
+    Builds the same ``BloomFilterAggregate`` / ``BloomFilterMightContain``
+    expression pair Spark's own runtime-filter injection
+    (InjectRuntimeFilter) uses — they are Catalyst-internal and not in the
+    SQL function registry, so the expressions are constructed directly via
+    the classic-mode ``ExpressionUtils`` bridge.  The aggregated sketch is
+    collected to the driver and embedded as a binary LITERAL: bounded by
+    the same ceiling as Spark's runtime filters (64 Mbit = 8 MB — a fixed
+    cap, NOT proportional to the edge count, unlike the broadcast this
+    path replaces), which is precisely the constant/scalar-subquery shape
+    ``might_contain`` demands.  Returns a Column predicate on (v, w), or
+    ``None`` on any construction failure so the caller degrades to the
+    plain shuffle semi-join — the bloom is a pruning optimization, never a
+    correctness dependency (false positives only admit extra rows into the
+    exact semi-join)."""
+    # ~10 bits/item ≈ 1% fpp; clamp to Spark's runtime-filter creation
+    # ceiling (spark.sql.optimizer.runtime.bloomFilter.maxNumBits)
+    n_bits = min(max(n_edges * 10, 1024), 67_108_864)
+    try:
+        from pyspark.sql.column import Column
+
+        jvm = closing.sparkSession._jvm
+        eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+
+        def expr_of(c):
+            return eu.expression(c._jc)
+
+        agg = jvm.org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            expr_of(F.expr("xxhash64(v, w)")),
+            expr_of(F.lit(int(n_edges)).cast("long")),
+            expr_of(F.lit(int(n_bits)).cast("long")),
+        )
+        sketch = closing.select(
+            Column(eu.column(agg.toAggregateExpression())).alias("edge_bloom")
+        )
+        blob = bytes(sketch.collect()[0]["edge_bloom"])
+        mc = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            expr_of(F.lit(blob)), expr_of(F.expr("xxhash64(v, w)"))
+        )
+        return Column(eu.column(mc))
+    except Exception:  # pragma: no cover - depends on Spark build internals
+        return None
+
 
 def parts_copurchase_triangles(
-    spark: SparkSession, sf_dir: str, max_order_items: int = TRI_MAX_ORDER_ITEMS
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+    broadcast_max_edges: int = TRI_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph.
 
@@ -45,6 +105,14 @@ def parts_copurchase_triangles(
     (degree, part); the wedge self-join on the shared LOW endpoint
     [bounded Σ dout² by orientation] left-semi-joins the closing edge;
     each triangle then credits its three corners.
+
+    The closing-edge probe is size-gated: edge sets ≤
+    ``broadcast_max_edges`` are broadcast (map-side semi-join, zero
+    wedge shuffle); above the gate the probe is a shuffle semi-join on
+    (v, w) with a map-side bloom prune of the wedge stream — the shape
+    that survives a 100× edge-count scale-up where a broadcast would
+    fail outright.  Both paths are hash-equal by construction and pinned
+    equal on the planted-graph fixture.
 
     Output: (part_id, n_triangles), parts in ≥1 triangle."""
     li = (
@@ -65,7 +133,9 @@ def parts_copurchase_triangles(
         .distinct()
         .persist()
     )
-    edges.count()  # pin before the degree join + wedge self-join fan-out
+    # pin before the degree join + wedge self-join fan-out; the count also
+    # drives the broadcast-vs-shuffle gate on the closing-edge probe
+    n_edges = edges.count()
 
     deg = (
         edges.select(F.col("x").alias("n"))
@@ -98,13 +168,25 @@ def parts_copurchase_triangles(
     ).select(
         F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
     )
-    # the closing-edge probe is the hot path: the wedge stream (Σ dout²
-    # rows) must NOT shuffle — broadcast the edge list (2 longs per edge;
-    # E·16 bytes, far under any broadcast limit for graphs whose edge set
-    # fits an index, and at larger E a bloom-pruned shuffle join replaces
-    # it) so the semi-join stays map-side over the wedges.
+    # the closing-edge probe is the hot path: the wedge stream is Σ dout²
+    # rows.  While the edge set fits an in-memory index (≤ the gate:
+    # 2 longs/edge, ~80 MB default) broadcast it so the semi-join stays
+    # map-side over the wedges; beyond that a broadcast would blow the
+    # driver/executor memory outright, so the probe becomes a shuffle
+    # semi-join on (v, w) — the wedge side pre-pruned by a bloom filter
+    # built over the closing edges (false positives only admit extra rows
+    # into the exact semi-join, never wrong results), which drops the
+    # great majority of non-closing wedges before they ever shuffle.
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tris = wedges.join(F.broadcast(closing), ["v", "w"], "left_semi")
+    if n_edges <= broadcast_max_edges:
+        tris = wedges.join(F.broadcast(closing), ["v", "w"], "left_semi")
+    else:
+        bloom_pred = _edge_bloom_predicate(closing, n_edges)
+        if bloom_pred is not None:
+            # map-side prune of the wedge stream BEFORE it shuffles: only
+            # wedges whose (v, w) might close survive into the semi-join
+            wedges = wedges.filter(bloom_pred)
+        tris = wedges.join(closing, ["v", "w"], "left_semi")
     return (
         tris.select(F.explode(F.array("u", "v", "w")).alias("part_id"))
         .groupBy("part_id")

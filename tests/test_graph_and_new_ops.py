@@ -32,6 +32,59 @@ def test_triangle_count_planted(spark, tmp_path):
     assert got == {A: 1, B: 1, C: 1}
 
 
+def test_triangle_shuffle_path_matches_broadcast(spark, tmp_path):
+    """The size-gated closing-edge probe: forcing the over-gate shuffle
+    path (broadcast_max_edges=0) must produce the identical counts, and
+    its initial plan must NOT broadcast the closing-edge relation (the
+    only broadcasts left are the pathology filter and the one-row bloom
+    spine)."""
+    from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
+
+    A, B, C, D = 1, 2, 3, 4
+    orders = {1: [A, B, C], 2: [A, B, D], 3: [B, C, D], 4: [A, C, D]}  # K4
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    bcast = parts_copurchase_triangles(spark, str(tmp_path))
+    shuf = parts_copurchase_triangles(spark, str(tmp_path), broadcast_max_edges=0)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    # K4: every vertex sits in C(3,2)=3 triangles
+    assert {r.n_triangles for r in shuf.collect()} == {3}
+
+    # initial (pre-AQE) plan: the LeftSemi closing probe must be a
+    # shuffle join, not a broadcast-hash join over the edge relation
+    plan = shuf._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    semi_hints = re.findall(r"Join LeftSemi[^\n]*", plan)
+    assert semi_hints, "closing-edge semi-join missing from the plan"
+    assert all("broadcast" not in h.lower() for h in semi_hints), semi_hints
+    # the wedge stream must be bloom-pruned map-side before the shuffle
+    assert "might_contain" in plan, "bloom prune missing from shuffle path"
+
+
+def test_edge_bloom_predicate_active(spark):
+    """The internal-expression bloom builder must be live in this Spark
+    build (it guards the over-gate shuffle path); exact members always
+    pass, and a disjoint probe set is mostly pruned."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.graph import _edge_bloom_predicate
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") + 1).alias("w")
+    )
+    pred = _edge_bloom_predicate(edges, 1000)
+    assert pred is not None, "bloom construction failed in this Spark build"
+    assert edges.filter(pred).count() == 1000  # no false negatives, ever
+    disjoint = edges.select(
+        (F.col("v") + 10_000_000).alias("v"), F.col("w")
+    )
+    assert disjoint.filter(pred).count() <= 20  # ≈1% fpp at 10 bits/item
+
+
 def test_debounce_planted(spark, tmp_path):
     """Bursts chain off the previous event: 0s/30s/70s collapse into one
     burst (each gap <= 60) even though 70s is beyond the first event;
