@@ -232,7 +232,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_keep_list, tfidf, contamination, corpus_split, markov).  This
     broadens the driver's lifetime coverage of the full query surface at
     zero cap cost; swapped-out entries keep the identical hash-compare in
-    tests/test_extra_parity.py."""
+    tests/test_extra_parity.py.
+
+    ROUND-5 ROTATION (same policy): the 10 round-4 additions that only
+    had pytest rows rotated IN (triangles, doc_similarity,
+    cms_heavy_hitters, stream_cms, dedup_recall_eval,
+    supplier_nation_share, sales_by_region_quarter, dedup_windowed,
+    dup_inflation, dedup_clusters_sql); rotated OUT 10 entries
+    driver-green ≥2 rounds (events_retention/funnel/set_ops/
+    active_users/sessionize/rollup, text_tokens/quality/fingerprint,
+    multimodal_frames)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -262,18 +271,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _llm.corpus_split,
         # first-order Markov transition matrix over per-user sequences
         "events_markov": _an.events_markov_transitions,
+        # --- rotated IN round 5: first-ever driver rows, fronted ---
+        # degree-oriented triangle counting (size-gated closing probe)
+        "parts_copurchase_triangles": parts_copurchase_triangles,
+        # per-doc top-k lexical neighbors (inverted-index cosine join)
+        "text_doc_similarity": _text.text_doc_similarity,
+        # Count-Min heavy hitters (deterministic mergeable sketch)
+        "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
+        # streaming CMS maintenance (constant-size sketch state fold)
+        "events_stream_cms": _events_stream_cms,
+        # pair recall/precision of every fuzzy dedup family vs pooled truth
+        "dedup_recall_eval": _dedup.dedup_recall_eval,
+        # share-of-segment: aggregate-first then nation-partitioned windows
+        "supplier_nation_share": _an.supplier_nation_share,
+        # star-schema rollup through the customer->nation->region chain
+        "sales_by_region_quarter": _an.sales_by_region_quarter,
+        # trailing-edge burst debounce (retry-storm compaction)
+        "events_dedup_windowed": _an.events_dedup_windowed,
+        # duplicate-token inflation: the number that motivates dedup
+        "corpus_dup_inflation": corpus_dup_inflation,
+        # WITH RECURSIVE (Spark 4) twin of the dup-cluster operator
+        "dedup_clusters_sql": _dedup.dedup_clusters_sql,
         # --- entries the round-2 harness never recorded, fronted ---
-        # weekly cohort retention matrix (one fact shuffle + broadcast
-        # cohort map; dense epoch-week index, monotone across years)
-        "events_retention": _an.events_retention,
-        # ordered funnel (view→click→purchase) via conditional aggregation
-        "events_funnel": _an.events_funnel,
-        "events_set_ops": _an.events_set_ops,
-        "events_active_users": _an.events_active_users,
         "idempotent_append": _idempotent_append,
         # multimodal plumbing (binary columns + Arrow-batched metadata)
         "multimodal_bytes": multimodal_bytes,
-        "multimodal_frames": multimodal_frames,
         # streaming family (availableNow drains; exact oracles)
         "events_stream_dedup": _events_stream_dedup,
         "events_stream_window": _events_stream_window,
@@ -293,10 +315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_roundtrip": publish_roundtrip,
         # SQL surface: ad-hoc spark.sql over registered mart views
         "sql_top_artists": sql_top_artists,
-        # text analysis (training-data pipeline)
-        "text_tokens": _text.text_tokens,
-        "text_quality": _text.text_quality,
-        "text_fingerprint": _text.text_fingerprint,
         # dedup family.  dedup_ngram_jaccard runs the scale-safe capped
         # default (block-width ≤ NGRAM_MAX_BLOCK) against a same-cap
         # oracle; the uncapped exhaustive form is extra_queries().
@@ -324,8 +342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Lloyd's is extra_queries() (float means ⇒ rows-only by design)
         "embedding_kmeans_init_counts": kmeans_init_counts,
         # events analytics surface
-        "events_sessionize": _events.events_sessionize,
-        "events_rollup": _events.events_rollup,
         # ntile window class + per-bucket boundary stats
         "events_value_quartiles": _events.events_value_quartiles,
         # VARIANT-type semi-structured extraction (parse once, typed gets)
@@ -363,6 +379,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _an.events_gap_fill,
         "events_dedup_latest": _an.events_dedup_latest,
         "text_langid": _text.text_langid,
+        # --- rotated OUT of the driver surface in round 5 (driver-green
+        # ≥2 rounds; identical hash-compare continues here every run) ---
+        "events_retention": _an.events_retention,
+        "events_funnel": _an.events_funnel,
+        "events_set_ops": _an.events_set_ops,
+        "events_active_users": _an.events_active_users,
+        "events_sessionize": _events.events_sessionize,
+        "events_rollup": _events.events_rollup,
+        "text_tokens": _text.text_tokens,
+        "text_quality": _text.text_quality,
+        "text_fingerprint": _text.text_fingerprint,
+        "multimodal_frames": multimodal_frames,
         # OVER-window re-expression of Q2 (same rows, same oracle)
         "q2_dim_track_window_variant": _dim_track_window_variant,
         # built-in session_window formulation of events_sessionize
@@ -402,24 +430,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
-        # per-doc top-k lexical neighbors (inverted-index cosine join)
-        "text_doc_similarity": _text.text_doc_similarity,
-        # Count-Min heavy hitters (deterministic mergeable sketch, exact oracle)
-        "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
-        # degree-oriented triangle counting over the part co-purchase graph
-        "parts_copurchase_triangles": parts_copurchase_triangles,
-        # star-schema rollup through the customer->nation->region chain
-        "sales_by_region_quarter": _an.sales_by_region_quarter,
-        # streaming CMS maintenance (constant-size sketch state fold)
-        "events_stream_cms": _events_stream_cms,
-        # pair recall/precision of every fuzzy dedup family vs exact truth
-        "dedup_recall_eval": _dedup.dedup_recall_eval,
-        # share-of-segment: aggregate-first then nation-partitioned windows
-        "supplier_nation_share": _an.supplier_nation_share,
-        # trailing-edge burst debounce (retry-storm compaction)
-        "events_dedup_windowed": _an.events_dedup_windowed,
-        # duplicate-token inflation: the number that motivates the dedup stage
-        "corpus_dup_inflation": corpus_dup_inflation,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -476,8 +486,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join_outer": _events_stream_join_outer,
         # market-basket co-occurrence + lift over sessions
         "events_session_cooccurrence": _events.events_session_cooccurrence,
-        # WITH RECURSIVE (Spark 4) twin of the dup-cluster operator
-        "dedup_clusters_sql": _dedup.dedup_clusters_sql,
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
         # top-k session opening paths (multi-step sequence mining)
@@ -538,22 +546,24 @@ def oracle_sql() -> dict[str, str]:
         "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
         "corpus_split": oracles_ext.CORPUS_SPLIT,
         "events_markov": oracles_ext.EVENTS_MARKOV,
-        "events_retention": oracles_ext.EVENTS_RETENTION,
-        "events_funnel": oracles_ext.EVENTS_FUNNEL,
-        "events_set_ops": oracles_ext.EVENTS_SET_OPS,
-        "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
+        "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
+        "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
+        "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
+        "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
+        "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
+        "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
+        "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
+        "events_dedup_windowed": oracles_ext.EVENTS_DEDUP_WINDOWED,
+        "corpus_dup_inflation": oracles_ext.CORPUS_DUP_INFLATION,
+        "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
-        "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
         "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "sql_top_artists": oracles.SQL_TOP_ARTISTS,
-        "text_tokens": oracles_ext.TEXT_TOKENS,
-        "text_quality": oracles_ext.TEXT_QUALITY,
-        "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
@@ -565,8 +575,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "dedup_embedding_corpus": oracles_ext.DEDUP_EMBEDDING_CORPUS,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
-        "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
-        "events_rollup": oracles_ext.EVENTS_ROLLUP,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_props_variant": oracles_ext.EVENTS_PROPS_VARIANT,
         "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
@@ -589,6 +597,16 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_gap_fill": oracles_ext.EVENTS_GAP_FILL,
         "events_dedup_latest": oracles_ext.EVENTS_DEDUP_LATEST,
         "text_langid": oracles_ext.TEXT_LANGID,
+        "events_retention": oracles_ext.EVENTS_RETENTION,
+        "events_funnel": oracles_ext.EVENTS_FUNNEL,
+        "events_set_ops": oracles_ext.EVENTS_SET_OPS,
+        "events_active_users": oracles_ext.EVENTS_ACTIVE_USERS,
+        "events_sessionize": oracles_ext.EVENTS_SESSIONIZE,
+        "events_rollup": oracles_ext.EVENTS_ROLLUP,
+        "text_tokens": oracles_ext.TEXT_TOKENS,
+        "text_quality": oracles_ext.TEXT_QUALITY,
+        "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
+        "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
@@ -609,15 +627,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
-        "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
-        "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
-        "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
-        "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
-        "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
-        "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
-        "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
-        "events_dedup_windowed": oracles_ext.EVENTS_DEDUP_WINDOWED,
-        "corpus_dup_inflation": oracles_ext.CORPUS_DUP_INFLATION,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
@@ -645,7 +654,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
-        "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
