@@ -220,7 +220,6 @@ def text_doc_similarity(
     entity grain.  Output: (doc_id, neighbor_id, shared_terms, dot,
     cos, rnk) — each doc's k nearest lexical neighbors."""
     docs = read_table(spark, sf_dir, "documents", spread=True)
-    cap = max(max_df, docs.count() // 10)  # one scalar; a plan constant
     counts = (
         docs.select(
             "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
@@ -230,6 +229,11 @@ def text_doc_similarity(
         .persist()
     )
     counts.count()  # pin one computation before df-agg + self-join fan-out
+    # corpus size for the relative cap, derived from the ALREADY-PERSISTED
+    # counts table (docs with ≥1 token — the population the similarity
+    # space is defined over) instead of a second full documents scan
+    n_docs = counts.agg(F.countDistinct("doc_id")).collect()[0][0]
+    cap = max(max_df, n_docs // 10)  # one scalar; a plan constant
     df_keep = (
         counts.groupBy("term")
         .agg(F.count("*").alias("df"))

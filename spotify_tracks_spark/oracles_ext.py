@@ -182,6 +182,37 @@ select * from pairs where jaccard >= 0.5
 
 # Same affine minhash family as operators/dedup.py: one base md5 hash per
 # shingle, 16 integer derivations (A_i*v + B_i) mod P.
+def _containment_sql() -> str:
+    from .operators.dedup import CONTAIN_MAX_DF, CONTAIN_THRESHOLD
+
+    return (
+        _SHINGLE_CTES
+        + f""",
+post as (
+    select doc_id, h
+    from (select doc_id, unnest(hs) as h from sh)
+),
+wide as (select h from post group by h having count(*) > {CONTAIN_MAX_DF}),
+kept as (select * from post where h not in (select h from wide)),
+sizes as (select doc_id, count(*) as nsh from kept group by doc_id),
+pairs as (
+    select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+    from kept a join kept b on a.h = b.h and a.doc_id < b.doc_id
+    group by a.doc_id, b.doc_id
+)
+select p.doc_a, p.doc_b, cast(p.n_shared as bigint) as n_shared,
+       p.n_shared / sa.nsh as contain_a_in_b,
+       p.n_shared / sb.nsh as contain_b_in_a
+from pairs p
+join sizes sa on sa.doc_id = p.doc_a
+join sizes sb on sb.doc_id = p.doc_b
+where greatest(p.n_shared / sa.nsh, p.n_shared / sb.nsh) >= {CONTAIN_THRESHOLD}
+"""
+    )
+
+
+DEDUP_CONTAINMENT = _containment_sql()
+
 _AB_A = "[" + ", ".join(str(a) for a, _ in MINHASH_AB) + "]"
 _AB_B = "[" + ", ".join(str(b) for _, b in MINHASH_AB) + "]"
 _SIG = (
@@ -974,7 +1005,7 @@ kept as (
     join (
         select term from counts group by term
         having count(*) <= greatest({DOCSIM_MAX_DF},
-                                    (select count(*) from d) // 10)
+                                    (select count(distinct doc_id) from counts) // 10)
     ) f using (term)
 ),
 norms as (
@@ -1851,6 +1882,94 @@ from ranked where rank <= {k}
 ANN_TOPK_PQ = _ann_topk_pq_sql()
 
 
+def _ann_topk_ivfpq_sql(
+    k: int = 5, probe_mod: int = 100, nprobe: int = 2
+) -> str:
+    """IVF×PQ composed oracle: the IVF oracle's cosine cell assignment
+    (corpus → nearest cell, probe → nprobe nearest) restricts the
+    candidate set; the PQ oracle's per-subspace codes + ADC rank it."""
+    from .operators.similarity import PQ_CODEBOOK, PQ_SUBSPACES
+
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+centroids as materialized (
+    select vec_id as cent_id, e as c_emb from emb order by vec_id limit 16
+),
+corpus_cells as (
+    select neighbor_id, cent_id as cell from (
+        select emb.vec_id as neighbor_id, c.cent_id,
+               row_number() over (
+                   partition by emb.vec_id
+                   order by {_cos('emb.e', 'c.c_emb')} desc, c.cent_id
+               ) as rn
+        from emb cross join centroids c
+    ) where rn = 1
+),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0),
+probe_cells as (
+    select query_id, cent_id as cell from (
+        select p.query_id, c.cent_id,
+               row_number() over (
+                   partition by p.query_id
+                   order by {_cos('p.qe', 'c.c_emb')} desc, c.cent_id
+               ) as rn
+        from probes p cross join centroids c
+    ) where rn <= {nprobe}
+),
+cents as (
+    select row_number() over (order by vec_id) - 1 as cid, e
+    from (select * from emb order by vec_id limit {PQ_CODEBOOK})
+),
+sublen as (select (select len(e) from emb limit 1) // {PQ_SUBSPACES} as m),
+dists as (
+    select v.vec_id, s.s, c.cid,
+           list_sum(list_transform(generate_series(1, l.m),
+               i -> (v.e[s.s * l.m + i] - c.e[s.s * l.m + i])
+                    * (v.e[s.s * l.m + i] - c.e[s.s * l.m + i]))) as d
+    from emb v
+    cross join (select unnest(generate_series(0, {PQ_SUBSPACES - 1})) as s) s
+    cross join cents c
+    cross join sublen l
+),
+best as (
+    select vec_id, s, cid as code from (
+        select *, row_number() over (partition by vec_id, s order by d, cid) as rn
+        from dists) where rn = 1
+),
+cands as (
+    select distinct p.query_id, cc.neighbor_id
+    from corpus_cells cc
+    join probe_cells p on cc.cell = p.cell
+    where cc.neighbor_id != p.query_id
+),
+terms as (
+    select ca.query_id, ca.neighbor_id, b.s,
+           list_sum(list_transform(generate_series(1, l.m),
+               i -> (p.qe[b.s * l.m + i] - c.e[b.s * l.m + i])
+                    * (p.qe[b.s * l.m + i] - c.e[b.s * l.m + i]))) as d
+    from cands ca
+    join probes p on p.query_id = ca.query_id
+    join best b on b.vec_id = ca.neighbor_id
+    join cents c on b.code = c.cid
+    cross join sublen l
+),
+adcs as (
+    select query_id, neighbor_id, list_sum(list(d order by s)) as adc
+    from terms group by query_id, neighbor_id
+),
+ranked as (
+    select query_id, neighbor_id, adc,
+           row_number() over (partition by query_id order by adc asc, neighbor_id asc) as rank
+    from adcs
+)
+select query_id, neighbor_id, cast(rank as bigint) as rank, round(adc, 6) as adc
+from ranked where rank <= {k}
+"""
+
+
+ANN_TOPK_IVFPQ = _ann_topk_ivfpq_sql()
+
+
 # --- all-family ANN recall (operators/similarity.py:ann_recall_eval_all) ---
 # Reuses each index family's full top-k statement as a nested-CTE derived
 # table (DuckDB supports WITH inside a subquery) so the per-family
@@ -1871,6 +1990,8 @@ fam as (
     select 'ivf2' as index_family, query_id, neighbor_id from ({ANN_TOPK_IVF_NPROBE})
     union all
     select 'pq' as index_family, query_id, neighbor_id from ({ANN_TOPK_PQ})
+    union all
+    select 'ivfpq' as index_family, query_id, neighbor_id from ({ANN_TOPK_IVFPQ})
 ),
 hits as (
     select f.index_family, e.query_id, count(*) as n_hits
@@ -1878,7 +1999,7 @@ hits as (
     join fam f on e.query_id = f.query_id and e.neighbor_id = f.neighbor_id
     group by f.index_family, e.query_id
 ),
-fams as (select unnest(['lsh', 'ivf', 'ivf2', 'pq']) as index_family)
+fams as (select unnest(['lsh', 'ivf', 'ivf2', 'pq', 'ivfpq']) as index_family)
 select fams.index_family, b.query_id, b.n_exact,
        cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
        coalesce(h.n_hits, 0) / 5.0 as recall
