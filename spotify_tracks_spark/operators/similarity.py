@@ -121,6 +121,40 @@ def ann_topk_lsh(
 N_CENTROIDS = 16
 
 
+def _ivf_centroid_relation(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """One-row broadcast relation carrying the coarse-quantizer matrix
+    (cents + their ids, ascending vec_id) — the round-4 de-literalized
+    shape shared by ann_topk_ivf and ann_topk_ivfpq."""
+    cent_rows = (
+        emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
+    )
+    return emb.sparkSession.createDataFrame(
+        [(
+            [[float(x) for x in r.embedding] for r in cent_rows],
+            [int(r.vec_id) for r in cent_rows],  # ascending vec_id
+        )],
+        "cents: array<array<double>>, cent_ids: array<bigint>",
+    )
+
+
+def _ivf_scored_cells(emb_col: Column) -> Column:
+    """(c_cos, -cent_id) struct per centroid; requires the cents/cent_ids
+    columns of ``_ivf_centroid_relation`` on the row (binary HOF lambda
+    receives (element, index); index i is 0-based)."""
+    return F.transform(
+        F.col("cents"),
+        lambda c, i: F.struct(
+            cosine(emb_col, c).alias("c_cos"),
+            (-F.element_at(F.col("cent_ids"), i + 1)).alias("neg_id"),
+        ),
+    )
+
+
+def _ivf_cell(emb_col: Column) -> Column:
+    """max by (c_cos, -cent_id): highest cosine, ties to the LOWER cent_id."""
+    return -F.array_max(_ivf_scored_cells(emb_col))["neg_id"]
+
+
 def ann_topk_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -155,30 +189,8 @@ def ann_topk_ivf(
     within the cell.  Ties on cosine break to the lower centroid id in
     both engines."""
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
-    cent_rows = (
-        emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
-    )
-    cent_df = spark.createDataFrame(
-        [(
-            [[float(x) for x in r.embedding] for r in cent_rows],
-            [int(r.vec_id) for r in cent_rows],  # ascending vec_id
-        )],
-        "cents: array<array<double>>, cent_ids: array<bigint>",
-    )
-
-    def scored_cells(emb_col: Column) -> Column:
-        # binary HOF lambda receives (element, index); index i is 0-based.
-        return F.transform(
-            F.col("cents"),
-            lambda c, i: F.struct(
-                cosine(emb_col, c).alias("c_cos"),
-                (-F.element_at(F.col("cent_ids"), i + 1)).alias("neg_id"),
-            ),
-        )
-
-    def cell(emb_col: Column) -> Column:
-        # max by (c_cos, -cent_id): highest cosine, ties to the LOWER cent_id
-        return -F.array_max(scored_cells(emb_col))["neg_id"]
+    cent_df = _ivf_centroid_relation(emb, n_centroids)
+    scored_cells, cell = _ivf_scored_cells, _ivf_cell
 
     corpus = emb.crossJoin(F.broadcast(cent_df)).select(
         F.col("vec_id").alias("neighbor_id"),
@@ -345,6 +357,7 @@ def ann_recall_eval_all(
         "ivf": ann_topk_ivf(spark, sf_dir, k=k, probe_mod=probe_mod),
         "ivf2": ann_topk_ivf(spark, sf_dir, k=k, probe_mod=probe_mod, nprobe=2),
         "pq": ann_topk_pq(spark, sf_dir, k=k, probe_mod=probe_mod),
+        "ivfpq": ann_topk_ivfpq(spark, sf_dir, k=k, probe_mod=probe_mod),
     }
     parts = []
     for fam, approx in fams.items():
@@ -600,6 +613,93 @@ def ann_topk_pq(
     )
     scored = (
         corpus.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc"),
+        )
+    )
+
+
+def ann_topk_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    probe_mod: int = 100,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = 2,
+    n_sub: int = PQ_SUBSPACES,
+    n_cent: int = PQ_CODEBOOK,
+) -> DataFrame:
+    """IVF×PQ composed index — the deployed billion-scale ANN shape
+    (FAISS ``IVFx,PQy``): the coarse quantizer restricts each probe to
+    its ``nprobe`` nearest cells, and WITHIN the cells candidates are
+    ranked by PQ asymmetric distance over their codes — the corpus
+    contributes only (cell, codes) at query time, never its floats.
+    Completes the family: ``ann_topk_ivf`` prunes but reranks on raw
+    vectors; ``ann_topk_pq`` compresses but scans every code; this does
+    both, which is what makes 100 TB of vectors searchable (cell prune ×
+    n_sub-bytes-per-vector scan).
+
+    Deterministic throughout (same lowest-vec_id coarse centroids and
+    per-subspace codebooks as the parent operators; argmax/argmin ties
+    to the lower id; ADC folds subspace terms in index order), so the
+    DuckDB oracle hash-matches exactly.  The two model matrices ride ONE
+    one-row broadcast relation (cent_df × cb_df) — plan O(1) in both.
+
+    Output: (query_id, neighbor_id, rank, adc) — per probe, the k
+    nearest in-cell candidates by ADC (asc, ties to lower neighbor)."""
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    cent_df = _ivf_centroid_relation(emb, n_centroids)
+    cb_df, sub_len = _pq_codebook(emb, n_sub, n_cent)
+    # one row: coarse matrix + codebooks (broadcast-hinted so the 1×1
+    # cross join plans as BroadcastNestedLoop, never CartesianProduct)
+    model = cent_df.crossJoin(F.broadcast(cb_df))
+    codebook = F.col("codebook")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: _pq_best(codebook, sub_len, F.col("embedding"), s)["code"],
+    )
+    # encode side: cell assignment + PQ codes in ONE scan-side projection;
+    # the corpus never carries the model columns past the scan
+    corpus = emb.crossJoin(F.broadcast(model)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _ivf_cell(F.col("embedding")).alias("cell"),
+        codes.alias("codes"),
+    )
+    # probe side: nprobe best cells (cosine desc, ties to lower cent_id),
+    # carrying the codebook forward for the ADC fold
+    top_cells = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(_ivf_scored_cells(F.col("q_emb")))), 1, nprobe
+        ),
+        lambda s: -s["neg_id"],
+    )
+    probe_side = probes.crossJoin(F.broadcast(model)).select(
+        "query_id", "q_emb", F.col("codebook"), F.explode(top_cells).alias("cell")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda c, s: _sq_l2(
+                _pq_sub(F.col("q_emb"), s, sub_len),
+                F.element_at(F.element_at(codebook, s + 1), c.cast("int") + 1),
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored = (
+        corpus.join(F.broadcast(probe_side), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
