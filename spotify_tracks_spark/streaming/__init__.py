@@ -1,4 +1,7 @@
-from .incremental import stream_dim_track_incremental
+from .incremental import (
+    stream_dim_track_incremental,
+    stream_rpt_track_counts_incremental,
+)
 from .sketch import stream_events_cms
 from .ingest import stream_events_dedup
 from .joins import (
@@ -27,5 +30,6 @@ __all__ = [
     "stream_click_purchase_join_outer",
     "stream_events_enrich",
     "stream_dim_track_incremental",
+    "stream_rpt_track_counts_incremental",
     "stream_events_cms",
 ]

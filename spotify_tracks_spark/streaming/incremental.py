@@ -1,5 +1,6 @@
-"""Streaming-incremental mart maintenance — ``dim_track`` kept up to date
-per micro-batch instead of rebuilt from scratch.
+"""Streaming-incremental mart maintenance — ``dim_track`` and the
+trailing-window ``rpt_track_counts`` kept up to date per micro-batch
+instead of rebuilt from scratch.
 
 The reference rebuilds every mart twice daily (full CTAS,
 flows/dbt_build_and_load_turso.py:41,182); SURVEY.md §2.9 notes
@@ -83,15 +84,23 @@ def _remerge(u: DataFrame) -> DataFrame:
     )
 
 
-def stream_dim_track_incremental(
+def _drain_fold(
     spark: SparkSession,
     sf_dir: str,
+    base: str | None,
+    partials_fn,
+    remerge_fn,
     n_slices: int = N_SLICES,
-    base: str | None = None,
+    prefix: str = "incr_dim_",
 ) -> DataFrame:
-    """Maintain dim_track incrementally over a micro-batched source stream
-    (availableNow drain) and return the final mart — hash-equal to the
-    batch ``dim_track`` (same Q2 oracle).
+    """Generic snapshot-fold drain shared by the incremental marts.
+
+    ``partials_fn(stg_batch)`` maps one staged micro-batch to state-grain
+    partial aggregates; ``remerge_fn(state ∪ partials)`` folds back to one
+    row per state key (associative, and may EVICT state rows that can
+    never contribute again — the trailing-window mart's mechanism for
+    keeping state bounded).  Returns the final state DataFrame read from
+    the durable snapshot.
 
     ``base`` is the state/checkpoint root.  Pass the SAME directory on a
     restarted run to resume: the snapshot scan below picks up the last
@@ -101,7 +110,7 @@ def stream_dim_track_incremental(
     import os
 
     if base is None:
-        base = tempfile.mkdtemp(prefix="incr_dim_")
+        base = tempfile.mkdtemp(prefix=prefix)
         # Fresh-base runs share one materialized source per (session, sf):
         # slicing the deduped log into arrival files is FIXTURE PREP (the
         # stand-in for files landing from an ingest), not part of the
@@ -147,7 +156,7 @@ def stream_dim_track_incremental(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= cur["batch"]:
             return  # replayed batch: already folded into the snapshot
-        partial = _partials(stg_recent_tracks(batch_df))
+        partial = partials_fn(stg_recent_tracks(batch_df))
         if cur["batch"] >= 0:
             # previous state: the in-memory cache from the prior batch of
             # THIS run, else (resumed run) the last snapshot on disk
@@ -160,7 +169,7 @@ def stream_dim_track_incremental(
         # persist-then-write: the snapshot write computes the fold once and
         # the cache serves the NEXT batch's read side without a parquet
         # round-trip (the snapshot files stay the replay-idempotence log)
-        merged = _remerge(partial).persist()
+        merged = remerge_fn(partial).persist()
         merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
         if cur["df"] is not None:
             cur["df"].unpersist()
@@ -188,6 +197,22 @@ def stream_dim_track_incremental(
     state = spark.read.parquet(f"{base}/state_b{cur['batch']}")
     if cur["df"] is not None:
         cur["df"].unpersist()
+    return state
+
+
+def stream_dim_track_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain dim_track incrementally over a micro-batched source stream
+    (availableNow drain) and return the final mart — hash-equal to the
+    batch ``dim_track`` (same Q2 oracle).  See ``_drain_fold`` for the
+    snapshot/restart contract."""
+    state = _drain_fold(
+        spark, sf_dir, base, _partials, _remerge, n_slices, prefix="incr_dim_"
+    )
     first_date = F.col("dttm_first_played").cast("date")
     return state.select(
         "track_id",
@@ -200,4 +225,108 @@ def stream_dim_track_incremental(
         F.year(first_date).cast("long").alias("yr_first_played"),
         F.weekofyear(first_date).cast("long").alias("wk_first_played"),
         "duration_ms",
+    )
+
+
+def _rpt_partials(stg: DataFrame) -> DataFrame:
+    """Two-grain partials of one staged micro-batch.
+
+    DAY rows ((track_id, play_date) grain) carry the in-window play
+    counts — the grain that makes a TRAILING-window mart incrementally
+    maintainable, because a track-grain running sum could never evict the
+    days that fall out of the window.  One SENTINEL row per track
+    (play_date NULL) carries what Q6 takes from the CORPUS-WIDE dim
+    regardless of the window — the max-resolved ``duration_ms``
+    (dim_track.sql's conflict resolution) and the label attributes — so
+    eviction of old days never loses them."""
+    day = stg.groupBy("track_id", F.to_date("played_at").alias("play_date")).agg(
+        F.count("*").alias("plays"),
+        F.lit(None).cast("double").alias("dur_max"),
+        F.min("track_name").alias("track_name"),
+        F.min("track_artists").alias("artists"),
+        F.min("track_album").alias("album"),
+    )
+    sentinel = stg.groupBy("track_id").agg(
+        F.lit(None).cast("date").alias("play_date"),
+        F.lit(0).cast("long").alias("plays"),
+        F.max("duration_ms").alias("dur_max"),
+        F.min("track_name").alias("track_name"),
+        F.min("track_artists").alias("artists"),
+        F.min("track_album").alias("album"),
+    )
+    return day.unionByName(sentinel)
+
+
+def _rpt_remerge(u: DataFrame) -> DataFrame:
+    """Fold state ∪ partials at (track_id, play_date) grain, then EVICT
+    day rows the trailing window has passed: with the run_date fixed, a
+    day with date_diff > 30 can never re-enter the window, so dropping
+    it keeps state bounded at ~31 days × active tracks regardless of how
+    long the stream runs (mirrors ``within_trailing_days``: deliberately
+    no lower bound, so future-dated days are retained).  The NULL-date
+    sentinel rows (track grain: corpus-wide max duration + labels) are
+    exempt — they are what survives the window."""
+    from ..config import RUN_DATE
+    from ..functions.time_utils import within_trailing_days
+
+    return (
+        u.groupBy("track_id", "play_date")
+        .agg(
+            F.sum("plays").alias("plays"),
+            F.max("dur_max").alias("dur_max"),
+            F.min("track_name").alias("track_name"),
+            F.min("artists").alias("artists"),
+            F.min("album").alias("album"),
+        )
+        .filter(
+            F.col("play_date").isNull()
+            | within_trailing_days(F.col("play_date"), RUN_DATE)
+        )
+    )
+
+
+def stream_rpt_track_counts_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain ``rpt_track_counts`` (Q6) incrementally — the trailing-
+    30-day mart whose interesting state problem is EVICTION, which the
+    dim_track fold doesn't have: state lives at (track_id, play_date)
+    grain, each micro-batch folds its per-day partials in and drops days
+    outside the window, and the final read re-aggregates the surviving
+    days to track grain.
+
+    Exactness: Q6's ``sum(dim_track.duration_ms)`` adds the MAX-resolved
+    per-track duration once per in-window play — i.e. exactly
+    plays × max_duration, both integral doubles, so the product and the
+    repeated addition are the same exact value (< 2^53) and the single
+    ``/1000/60`` division happens once at read: the drained mart is
+    BIT-equal to the batch Q6 (same oracle).  Label columns ride the
+    sentinel rows as min-folded attributes (each is functionally
+    dependent on track_id, so min = the value — the same argument as
+    dim_track's attribute columns, making the batch build's broadcast
+    dim joins unnecessary here)."""
+    state = _drain_fold(
+        spark, sf_dir, base, _rpt_partials, _rpt_remerge, n_slices,
+        prefix="incr_rpt_",
+    )
+    return (
+        state.groupBy("track_id")
+        .agg(
+            F.sum("plays").alias("plays"),  # sentinel rows contribute 0
+            F.max("dur_max").alias("dur_max"),  # only sentinels carry it
+            F.min("track_name").alias("track_name"),
+            F.min("artists").alias("artists"),
+            F.min("album").alias("album"),
+        )
+        .filter(F.col("plays") > 0)  # tracks with no in-window plays
+        .select(
+            "track_name",
+            "artists",
+            "album",
+            "plays",
+            (F.col("plays") * F.col("dur_max") / 1000 / 60).alias("minutes_played"),
+        )
     )
