@@ -150,10 +150,14 @@ def main() -> None:
     # passes were hit (observed round 3: 2-3× swings under co-tenant load).
     # Any query whose two observations disagree by >1.5× gets one more
     # cold-cache observation; min-of-3 then measures the plan.
+    # Model-chain queries are EXCLUDED from the re-time: run alone they
+    # rebuild the staging/dim chain their passes-1/2 timings shared with
+    # predecessors — the third observation would measure strictly more
+    # work (a different regime), not the same plan under less noise.
     noisy = {
         n: queries[n]
         for n, ts in obs.items()
-        if len(ts) == 2 and max(ts) > 1.5 * min(ts)
+        if len(ts) == 2 and max(ts) > 1.5 * min(ts) and not _is_chain(n)
     }
     if noisy:
         print(f"third pass for {len(noisy)} high-variance queries: "
