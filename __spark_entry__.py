@@ -63,8 +63,13 @@ from spotify_tracks_spark.sources.tables import read_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return run_models(spark, "/root/testdata/sf0.001")["rpt_track_counts"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    SPARK_GRAFT_DATA_ROOT overrides the fixture root for portable/CI runs
+    (scripts/gen_testdata.py synthesizes a schema-identical set)."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    return run_models(spark, f"{root}/sf0.001")["rpt_track_counts"]
 
 
 def _model(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -209,6 +214,15 @@ def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     from spotify_tracks_spark.streaming import stream_dim_track_incremental
 
     return stream_dim_track_incremental(spark, sf_dir)
+
+
+def _rpt_track_counts_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-incremental TRAILING-WINDOW mart: rpt_track_counts kept
+    at (track_id, play_date) grain with per-batch window eviction;
+    drained result bit-equals batch Q6 (streaming/incremental.py)."""
+    from spotify_tracks_spark.streaming import stream_rpt_track_counts_incremental
+
+    return stream_rpt_track_counts_incremental(spark, sf_dir)
 
 
 def _events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +407,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         # OVER-window re-expression of Q2 (same rows, same oracle)
         "q2_dim_track_window_variant": _dim_track_window_variant,
+        # streaming-incremental trailing-window mart (eviction state;
+        # same Q6 oracle as the batch build)
+        "q6_rpt_track_counts_streaming_incremental": _rpt_track_counts_streaming_incremental,
         # built-in session_window formulation of events_sessionize
         "events_sessionize_native": _events.events_sessionize_native,
         # two-phase salted top-k: skew-proof twin, byte-identical result
@@ -425,11 +442,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interpolate": _ts.events_interpolate,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
-        # all-family index evaluation: recall@k for lsh/ivf/pq in one
-        # report against the shared exact baseline
+        # all-family index evaluation: recall@k for lsh/ivf/ivf2/pq/ivfpq
+        # in one report against the shared exact baseline
         "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
+        # IVF×PQ composed index: cell prune + code-only ADC rerank (the
+        # deployed billion-scale shape; corpus floats never read at query)
+        "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -486,6 +506,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join_outer": _events_stream_join_outer,
         # market-basket co-occurrence + lift over sessions
         "events_session_cooccurrence": _events.events_session_cooccurrence,
+        # alternating large-star/small-star connected components — the
+        # O(log²)-round CC whose convergence survives any diameter
+        "dedup_clusters_star": _dedup.dedup_clusters_star,
+        # sixth dedup family: asymmetric shingle containment (excerpt /
+        # quote / wrapper detection — the case Jaccard is blind to)
+        "dedup_containment": _dedup.dedup_containment,
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
         # top-k session opening paths (multi-step sequence mining)
@@ -608,6 +634,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
+        "q6_rpt_track_counts_streaming_incremental": oracles.Q6_RPT_TRACK_COUNTS,
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
@@ -627,6 +654,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
+        "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
@@ -654,6 +682,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
+        "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
+        "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

@@ -190,6 +190,61 @@ def test_incremental_dim_restart_recovers_state(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_rpt_matches_batch(spark):
+    """Drained streaming-incremental rpt_track_counts BIT-equals the
+    batch Q6 build: per-day integral-double sums re-aggregate exactly,
+    and the single /1000/60 division happens once at read."""
+    from spotify_tracks_spark.pipeline import run_models
+    from spotify_tracks_spark.streaming.incremental import (
+        stream_rpt_track_counts_incremental,
+    )
+
+    got = stream_rpt_track_counts_incremental(spark, SF_SMOKE)
+    want = run_models(spark, SF_SMOKE)["rpt_track_counts"]
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows
+
+
+def test_incremental_rpt_state_is_window_bounded(spark, tmp_path):
+    """The eviction contract: every day surviving in the final state
+    snapshot satisfies the trailing-window predicate, so state stays
+    bounded at ~31 days x active tracks no matter how much history the
+    stream has folded; and a re-run against the same base resumes
+    idempotently (replay contract shared with the dim fold)."""
+    import glob
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.config import RUN_DATE
+    from spotify_tracks_spark.streaming.incremental import (
+        stream_rpt_track_counts_incremental,
+    )
+
+    base = str(tmp_path / "incr_rpt")
+    first = stream_rpt_track_counts_incremental(spark, SF_SMOKE, base=base)
+    cols = sorted(first.columns)
+    want = sorted(tuple(r[c] for c in cols) for r in first.collect())
+
+    snaps = sorted(
+        glob.glob(f"{base}/state_b*"),
+        key=lambda p: int(re.search(r"state_b(\d+)$", p).group(1)),
+    )
+    assert snaps, "no state snapshots written"
+    state = spark.read.parquet(snaps[-1])
+    over = state.filter(
+        F.datediff(F.lit(RUN_DATE).cast("date"), F.col("play_date")) > 30
+    ).count()
+    assert over == 0, "evictable days survived in state"
+
+    resumed = stream_rpt_track_counts_incremental(spark, SF_SMOKE, base=base)
+    got = sorted(tuple(r[c] for c in cols) for r in resumed.collect())
+    assert got == want
+
+
 def test_unpivot_roundtrips_pivot(spark):
     """unpivot(pivot(events)) equals the direct long-form count table with
     zero-filled (day × type) combinations."""
