@@ -44,6 +44,7 @@ from spotify_tracks_spark.operators.corpus import (
     corpus_survival,
 )
 from spotify_tracks_spark.operators.range_join import events_value_bands
+from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
 from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
@@ -506,6 +507,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_join_outer": _events_stream_join_outer,
         # market-basket co-occurrence + lift over sessions
         "events_session_cooccurrence": _events.events_session_cooccurrence,
+        # classic warehouse-benchmark shapes over the TPC-H-ish tables
+        # (operators/tpch_shapes.py): Q1 pricing summary, Q3 top-k
+        # revenue join, Q2 min-cost-supplier ranking, basket rules
+        "lineitem_pricing_summary": _tpch.lineitem_pricing_summary,
+        "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
+        "part_min_cost_supplier": _tpch.part_min_cost_supplier,
+        "orders_basket_rules": _tpch.orders_basket_rules,
         # alternating large-star/small-star connected components — the
         # O(log²)-round CC whose convergence survives any diameter
         "dedup_clusters_star": _dedup.dedup_clusters_star,
@@ -684,6 +692,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
         "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
+        "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
+        "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
+        "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
+        "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

@@ -38,11 +38,17 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDEAST"]
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
 LANGS = ["en", "en", "de", "fr", "es", "zh"]  # en-heavy like the driver set
 EPOCH_US = np.datetime64("2024-01-01", "us").astype("int64")
+# order/ship dates follow the driver set's classic TPC-H 1995-2001 span
+TPCH_EPOCH_US = np.datetime64("1995-01-01", "us").astype("int64")
 MONTH_US = 30 * 24 * 3600 * 1_000_000
 
 
 def _ts(us: np.ndarray) -> pa.Array:
     return pa.array((EPOCH_US + us).astype("datetime64[us]"))
+
+
+def _tpch_ts(us: np.ndarray) -> pa.Array:
+    return pa.array((TPCH_EPOCH_US + us).astype("datetime64[us]"))
 
 
 def gen_sf(root: str, sf: float, seed: int = 42) -> None:
@@ -104,7 +110,7 @@ def gen_sf(root: str, sf: float, seed: int = 42) -> None:
         # cast-to-string in Spark vs %H:%M:%S strftime in the oracle —
         # both agree only when the fractional part is zero (the driver
         # set's convention)
-        "o_orderdate": _ts(rng.integers(0, 24 * MONTH_US // 1_000_000, n_ord) * 1_000_000),
+        "o_orderdate": _tpch_ts(rng.integers(0, 84 * MONTH_US // 1_000_000, n_ord) * 1_000_000),
         "o_orderpriority": rng.choice(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], n_ord
         ),
@@ -127,7 +133,7 @@ def gen_sf(root: str, sf: float, seed: int = 42) -> None:
         "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
         "l_returnflag": rng.choice(["A", "N", "R"], n_li),
         "l_linestatus": rng.choice(["O", "F"], n_li),
-        "l_shipdate": _ts(rng.integers(0, 24 * MONTH_US // 1_000_000, n_li) * 1_000_000),
+        "l_shipdate": _tpch_ts(rng.integers(0, 84 * MONTH_US // 1_000_000, n_li) * 1_000_000),
     }))
 
     n_ev = int(1000 * scale)

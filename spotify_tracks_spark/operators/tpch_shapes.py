@@ -1,0 +1,246 @@
+"""Classic warehouse-benchmark query shapes over the TPC-H-ish tables.
+
+The testdata star schema (TESTDATA.md) is TPC-H-shaped, so the canonical
+decision-support patterns belong in the engine's surface alongside the
+reference-derived marts: the wide-aggregate pricing summary (Q1's
+family), the top-k revenue join (Q3's), the min-cost-supplier ranking
+(Q2's), and market-basket association rules (the classic co-occurrence
+mining one step past ``events_session_cooccurrence``'s pair lift).
+
+Exactness discipline (the repo contract for money columns): every sum is
+an integer — prices in round(·100) CENTS, discount/tax percents as
+round(·100) integers, so products like price·(1−disc) become exact
+bigint products at a documented fixed-point scale — and every ratio is
+one IEEE division of exact operands.  A raw double sum would be
+partial-order-dependent and break cross-engine hash parity.
+
+Scale notes per operator in the docstrings; the shared shape: one
+fact-side shuffle at most, micro-dims broadcast, group keys of low
+cardinality with full map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import read_table
+
+# fixed analysis dates (the injected-literal discipline of RUN_DATE:
+# both engines must see the same constants or hashes can never match).
+# The order/ship dates in the testdata span the classic TPC-H 1995-2001
+# range, so the benchmark's own constants apply.
+PRICING_CUTOFF = "1998-09-02"   # Q1-style: ship dates at/before this
+UNSHIPPED_DATE = "1996-03-15"   # Q3-style: ordered before, shipped after
+BASKET_MIN_SUPPORT = 2          # rules must recur to be rules
+BASKET_MAX_ORDER_ITEMS = 16     # same quadratic-block guard as triangles
+
+
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _pct(col: str) -> Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def lineitem_pricing_summary(
+    spark: SparkSession, sf_dir: str, cutoff: str = PRICING_CUTOFF
+) -> DataFrame:
+    """TPC-H Q1's shape: the wide pricing summary per (returnflag,
+    linestatus) over shipped lineitems — the benchmark's canonical
+    scan-heavy aggregate (one pass, one tiny group key, every metric a
+    map-side-combinable partial).
+
+    disc_price = price·(1−disc) and charge = disc_price·(1+tax) are
+    computed as exact integer products at fixed-point scale: cents ×
+    (100−disc_pct) [scale 10⁻⁴] and cents × (100−d) × (100+t)
+    [scale 10⁻⁶].  The averages are single divisions of exact sums.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+    sum_disc_price_e4, sum_charge_e6, avg_qty, avg_price_cents,
+    count_order)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .filter(F.to_date("l_shipdate") <= F.lit(cutoff).cast("date"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            _cents("l_extendedprice").alias("cents"),
+            _pct("l_discount").alias("d"),
+            _pct("l_tax").alias("t"),
+        )
+    )
+    disc_e4 = F.col("cents") * (F.lit(100) - F.col("d"))
+    charge_e6 = disc_e4 * (F.lit(100) + F.col("t"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("cents").alias("sum_base_cents"),
+            F.sum(disc_e4).alias("sum_disc_price_e4"),
+            F.sum(charge_e6).alias("sum_charge_e6"),
+            (F.sum("qty") / F.count("*")).alias("avg_qty"),
+            (F.sum("cents") / F.count("*")).alias("avg_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def orders_top_revenue_unshipped(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    date: str = UNSHIPPED_DATE,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3's shape: the k highest-revenue orders from one customer
+    segment that were placed before ``date`` but still shipping after it
+    — fact⋈fact⋈dim with a selective filter on every input.
+
+    Scale shape: both date filters and the segment filter push to the
+    scans (segment prunes customer BEFORE it broadcasts); lineitem⋈orders
+    is the one fact shuffle (AQE broadcasts orders' filtered survivors
+    when small); revenue sums exact integer cents×(100−d).  The final
+    top-k is a total order (revenue desc, orderdate asc, orderkey asc) —
+    deterministic LIMIT in both engines.
+
+    Output: (o_orderkey, o_orderdate, o_orderpriority, revenue_e4)."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.to_date("o_orderdate") < F.lit(date).cast("date"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .filter(F.to_date("l_shipdate") > F.lit(date).cast("date"))
+        .select(
+            "l_orderkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+                "rev_e4"
+            ),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape: for every part, the supplier observed offering
+    it cheapest (min lineitem price in exact cents; ties to the lower
+    suppkey), labeled through the supplier→nation dims.
+
+    Scale shape: the (part, supplier) pre-aggregate is the one fact
+    shuffle and collapses the fact to ≤ |part|×|supplier observed|
+    rows BEFORE the per-part ranking window — aggregate-first,
+    window-second (the repo's standard two-phase shape); supplier and
+    nation broadcast.
+
+    Output: (p_partkey, p_name, s_name, nation_name, best_cents)."""
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("cents")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("cents").alias("best_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("best_cents"), F.asc("l_suppkey")
+    )
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "best_cents",
+        )
+    )
+
+
+def orders_basket_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = BASKET_MIN_SUPPORT,
+    max_order_items: int = BASKET_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """Market-basket association rules over ORDER baskets: for part
+    pairs co-purchased in ≥ ``min_support`` orders, both direction
+    confidences and the lift — the rule-mining step past
+    ``events_session_cooccurrence``'s pair counts (and the classic
+    a-priori output for the support-2 frontier).
+
+    Scale shape: within-order pairing is bounded by the same
+    ``max_order_items`` quadratic-block guard as the triangle counter
+    (a W-item order contributes W·(W−1)/2 pairs); pair counts, item
+    counts and the basket total are all integers, and confidence/lift
+    are single divisions of exact operands.
+
+    Output: (part_a, part_b, n_ab, n_a, n_b, conf_a_to_b, conf_b_to_a,
+    lift), pairs with part_a < part_b."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    ).persist()
+    # persisted: the filtered basket table feeds the scalar count, the
+    # item counts AND both sides of the pair self-join (the cache is the
+    # single-job stand-in for the written intermediate a production DAG
+    # would materialize)
+    n_baskets = li.select("o").distinct().count()  # one scalar, plan constant
+    item = li.groupBy("p").agg(F.count("*").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    out = (
+        pairs.join(
+            item.select(F.col("p").alias("part_a"), F.col("n_item").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("p").alias("part_b"), F.col("n_item").alias("n_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("n_a")).alias("conf_a_to_b"),
+            (F.col("n_ab") / F.col("n_b")).alias("conf_b_to_a"),
+            (
+                F.col("n_ab") * F.lit(int(n_baskets)) / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -3093,3 +3093,119 @@ select count(*) as n_docs,
          / cast(sum(nt) as double) as dup_token_frac
 from j
 """
+
+
+# --- classic warehouse-benchmark shapes (operators/tpch_shapes.py) ---------
+# Money arithmetic mirrors the engine's fixed-point discipline: integer
+# cents / percent products summed exactly, one IEEE division per ratio.
+# DuckDB sum(bigint) widens to HUGEINT (renders as pandas object/float),
+# so every sum is cast back to bigint before leaving the query.
+
+
+def _tpch_shape_sqls() -> dict:
+    from .operators.tpch_shapes import (
+        BASKET_MAX_ORDER_ITEMS,
+        BASKET_MIN_SUPPORT,
+        PRICING_CUTOFF,
+        UNSHIPPED_DATE,
+    )
+
+    pricing = f"""
+with li as (
+    select l_returnflag, l_linestatus,
+           cast(l_quantity as bigint) as qty,
+           cast(round(l_extendedprice * 100) as bigint) as cents,
+           cast(round(l_discount * 100) as bigint) as d,
+           cast(round(l_tax * 100) as bigint) as t
+    from lineitem
+    where cast(l_shipdate as date) <= date '{PRICING_CUTOFF}'
+)
+select l_returnflag, l_linestatus,
+       cast(sum(qty) as bigint) as sum_qty,
+       cast(sum(cents) as bigint) as sum_base_cents,
+       cast(sum(cents * (100 - d)) as bigint) as sum_disc_price_e4,
+       cast(sum(cents * (100 - d) * (100 + t)) as bigint) as sum_charge_e6,
+       cast(sum(qty) as bigint) / count(*) as avg_qty,
+       cast(sum(cents) as bigint) / count(*) as avg_price_cents,
+       count(*) as count_order
+from li group by l_returnflag, l_linestatus
+"""
+
+    top_unshipped = f"""
+with cust as (select c_custkey from customer where c_mktsegment = 'BUILDING'),
+o as (
+    select o_orderkey, o_orderdate, o_orderpriority
+    from orders join cust on o_custkey = c_custkey
+    where cast(o_orderdate as date) < date '{UNSHIPPED_DATE}'
+),
+li as (
+    select l_orderkey,
+           cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint)) as rev_e4
+    from lineitem where cast(l_shipdate as date) > date '{UNSHIPPED_DATE}'
+)
+select o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       cast(sum(li.rev_e4) as bigint) as revenue_e4
+from li join o on li.l_orderkey = o.o_orderkey
+group by o.o_orderkey, o.o_orderdate, o.o_orderpriority
+order by revenue_e4 desc, o_orderdate asc, o_orderkey asc
+limit 10
+"""
+
+    min_cost = """
+with offers as (
+    select l_partkey, l_suppkey,
+           cast(min(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+               as best_cents
+    from lineitem group by l_partkey, l_suppkey
+),
+best as (
+    select * from (
+        select *, row_number() over (
+            partition by l_partkey order by best_cents asc, l_suppkey asc) as rn
+        from offers) where rn = 1
+)
+select b.l_partkey as p_partkey, p.p_name, s.s_name,
+       n.n_name as nation_name, b.best_cents
+from best b
+join part p on b.l_partkey = p.p_partkey
+join supplier s on b.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+"""
+
+    basket = f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {BASKET_MAX_ORDER_ITEMS}),
+k as (select li.* from li join ok using (o)),
+nb as (select count(distinct o) as n from k),
+item as (select p, count(*) as n_item from k group by p),
+pairs as (
+    select a.p as part_a, b.p as part_b, count(*) as n_ab
+    from k a join k b on a.o = b.o and a.p < b.p
+    group by a.p, b.p having count(*) >= {BASKET_MIN_SUPPORT}
+)
+select part_a, part_b,
+       cast(n_ab as bigint) as n_ab,
+       cast(ia.n_item as bigint) as n_a,
+       cast(ib.n_item as bigint) as n_b,
+       n_ab / ia.n_item as conf_a_to_b,
+       n_ab / ib.n_item as conf_b_to_a,
+       n_ab * nb.n / (ia.n_item * ib.n_item) as lift
+from pairs
+join item ia on ia.p = part_a
+join item ib on ib.p = part_b
+cross join nb
+"""
+    return {
+        "pricing": pricing,
+        "top_unshipped": top_unshipped,
+        "min_cost": min_cost,
+        "basket": basket,
+    }
+
+
+_TPCH_SHAPES = _tpch_shape_sqls()
+LINEITEM_PRICING_SUMMARY = _TPCH_SHAPES["pricing"]
+ORDERS_TOP_REVENUE_UNSHIPPED = _TPCH_SHAPES["top_unshipped"]
+PART_MIN_COST_SUPPLIER = _TPCH_SHAPES["min_cost"]
+ORDERS_BASKET_RULES = _TPCH_SHAPES["basket"]
