@@ -1,0 +1,136 @@
+"""Planted-fixture ground truth for the warehouse-benchmark shapes
+(tpch_shapes.py) — hand-computed values, independent of the SQL oracles
+(which mirror the same algorithm and could hide a shared bug)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+
+def test_pricing_summary_planted(spark, tmp_path):
+    """Two in-window rows in one group + one out-of-window row: exact
+    fixed-point sums (cents, cents*(100-d), cents*(100-d)*(100+t)) and
+    single-division averages."""
+    from spotify_tracks_spark.operators.tpch_shapes import lineitem_pricing_summary
+
+    t_in = datetime(1998, 1, 1)
+    t_out = datetime(1999, 1, 1)  # after the 1998-09-02 cutoff
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 10.0, 100.00, 0.10, 0.05, "A", "F", t_in),
+        (1, 2, 1, 2, 5.0, 50.00, 0.00, 0.08, "A", "F", t_in),
+        (2, 3, 1, 1, 7.0, 70.00, 0.02, 0.01, "A", "F", t_out),
+    ])
+    rows = lineitem_pricing_summary(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.l_returnflag, r.l_linestatus) == ("A", "F")
+    assert r.sum_qty == 15
+    assert r.sum_base_cents == 15000  # 10000 + 5000
+    # 10000*(100-10) + 5000*(100-0) = 900000 + 500000
+    assert r.sum_disc_price_e4 == 1_400_000
+    # 900000*105 + 500000*108
+    assert r.sum_charge_e6 == 94_500_000 + 54_000_000
+    assert r.avg_qty == 7.5
+    assert r.avg_price_cents == 7500.0
+    assert r.count_order == 2
+
+
+def test_min_cost_supplier_planted(spark, tmp_path):
+    """Cheapest supplier per part; a price tie breaks to the LOWER
+    suppkey."""
+    from spotify_tracks_spark.operators.tpch_shapes import part_min_cost_supplier
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 2, 1, 1.0, 20.00, 0.0, 0.0, "N", "O", t),   # part 1, supp 2 @ 2000
+        (2, 1, 1, 1, 1.0, 10.00, 0.0, 0.0, "N", "O", t),   # part 1, supp 1 @ 1000
+        (3, 2, 3, 1, 1.0, 30.00, 0.0, 0.0, "N", "O", t),   # part 2, supp 3 @ 3000
+        (4, 2, 1, 1, 1.0, 30.00, 0.0, 0.0, "N", "O", t),   # tie: supp 1 wins
+    ])
+    spark.createDataFrame(
+        [(1, "part one"), (2, "part two")], "p_partkey long, p_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 0), (2, "S2", 1), (3, "S3", 2)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "N0"), (1, "N1"), (2, "N2")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+
+    got = {
+        r.p_partkey: (r.s_name, r.nation_name, r.best_cents)
+        for r in part_min_cost_supplier(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: ("S1", "N0", 1000), 2: ("S1", "N0", 3000)}
+
+
+def test_basket_rules_planted(spark, tmp_path):
+    """Baskets {A,B,C}, {A,B}, {A,C}: AB and AC recur (support 2), BC
+    does not; confidences and lift are exact small fractions."""
+    from spotify_tracks_spark.operators.tpch_shapes import orders_basket_rules
+
+    t = datetime(1997, 6, 1)
+    A, B, C = 11, 22, 33
+    baskets = {1: [A, B, C], 2: [A, B], 3: [A, C]}
+    rows = [
+        (o, p, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t)
+        for o, parts in baskets.items()
+        for p in parts
+    ]
+    _write_lineitem(spark, tmp_path, rows)
+    got = {
+        (r.part_a, r.part_b): (
+            r.n_ab, r.n_a, r.n_b, r.conf_a_to_b, r.conf_b_to_a, r.lift
+        )
+        for r in orders_basket_rules(spark, str(tmp_path)).collect()
+    }
+    # n_baskets = 3; A in 3, B in 2, C in 2
+    assert got == {
+        (A, B): (2, 3, 2, 2 / 3, 1.0, 2 * 3 / (3 * 2)),
+        (A, C): (2, 3, 2, 2 / 3, 1.0, 2 * 3 / (3 * 2)),
+    }
+
+
+def test_top_unshipped_is_deterministic_topk(spark, tmp_path):
+    """Segment + both date filters + exact revenue ranking: only the
+    qualifying order appears, revenue = cents*(100-d) summed."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        orders_top_revenue_unshipped,
+    )
+
+    before = datetime(1996, 1, 1)
+    after = datetime(1996, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", after),  # qualifies
+        (1, 2, 1, 2, 1.0, 50.00, 0.00, 0.0, "N", "O", after),   # same order
+        (2, 3, 1, 1, 1.0, 900.00, 0.00, 0.0, "N", "O", before), # shipped early
+        (3, 4, 1, 1, 1.0, 900.00, 0.00, 0.0, "N", "O", after),  # wrong segment
+    ])
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1, datetime(1996, 1, 5), "1-URGENT"),
+            (2, 1, datetime(1996, 1, 5), "1-URGENT"),
+            (3, 2, datetime(1996, 1, 5), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+
+    rows = orders_top_revenue_unshipped(spark, str(tmp_path)).collect()
+    assert [(r.o_orderkey, r.revenue_e4) for r in rows] == [
+        (1, 10000 * 90 + 5000 * 100)
+    ]
