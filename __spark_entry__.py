@@ -451,6 +451,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF×PQ composed index: cell prune + code-only ADC rerank (the
         # deployed billion-scale shape; corpus floats never read at query)
         "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
+        # matryoshka-style dimension ablation: recall@k at truncated dims
+        "embedding_truncation_recall": _sim.embedding_truncation_recall,
+        # multilingual rebalancing: down-sample every language to the
+        # smallest one's volume (data-derived hash-mod rates)
+        "corpus_language_balance": _llm.corpus_language_balance,
         # one-scan per-column profile (multi-distinct Expand plan)
         "events_profile": _profile.events_profile,
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
@@ -663,6 +668,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
+        "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
+        "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,

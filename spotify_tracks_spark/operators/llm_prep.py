@@ -451,3 +451,43 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_frac"
         ),
     )
+
+
+BALANCE_RESOLUTION = 1_000_000
+
+
+def corpus_language_balance(
+    spark: SparkSession, sf_dir: str, resolution: int = BALANCE_RESOLUTION
+) -> DataFrame:
+    """Down-sample every language to ≈ the smallest language's volume —
+    the corpus REBALANCING step multilingual training mixes run (and the
+    data-derived-rate sibling of ``events_sample_stratified``, whose
+    strata rates are fixed constants).
+
+    Two phases: (1) per-language counts — one tiny aggregate whose
+    |languages|-row result is a documented bounded collect; (2) a
+    scan-side hash-mod filter where each language's keep-threshold
+    ``⌊resolution·target/count_lang⌋`` rides a literal CASE over the
+    handful of languages.  Sampling is the repo's portable hash-mod
+    discipline: deterministic, engine-portable, stable under
+    repartitioning, and CONSISTENT — every operator sampling doc_ids
+    draws the same rows, so sampled tables still join.  Zero shuffle;
+    the filter reaches the scan.
+
+    Output: the kept sample (doc_id, lang, source, n_chars)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    target = min(counts.values())
+    thr = {lang: (resolution * target) // n for lang, n in counts.items()}
+    thr_col = F.lit(0)
+    for lang, t in sorted(thr.items()):
+        thr_col = F.when(F.col("lang") == lang, F.lit(int(t))).otherwise(thr_col)
+    bucket = F.pmod(
+        portable_hash60(F.col("doc_id").cast("string")), F.lit(resolution)
+    )
+    return docs.filter(bucket < thr_col).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

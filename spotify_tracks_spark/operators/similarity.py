@@ -755,3 +755,77 @@ def embedding_score_topk(
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def embedding_truncation_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    probe_mod: int = 100,
+    dims: tuple[int, ...] = TRUNC_DIMS,
+) -> DataFrame:
+    """Dimension-ablation (matryoshka-style) retrieval evaluation:
+    recall@k of cosine top-k computed over only the FIRST d' dimensions,
+    for each d' in ``dims``, against the full-dimension exact top-k —
+    the measurement behind serving truncated embeddings (d'·4 bytes per
+    vector scanned instead of d·4; the recall column is what that buys).
+
+    Same harness shape as ``ann_recall_eval_all``: the exact baseline is
+    computed once and persisted; each ablation is a brute-force cosine
+    over ``slice(embedding, 1, d')`` (broadcast probes, per-query top-k
+    window, ties to the lower neighbor), then a left-semi hit count.
+    The full-d ablation row doubles as a self-check (recall 1.0 by
+    construction).
+
+    Output: (n_dims, query_id, n_exact, n_hits, recall)."""
+    exact = (
+        ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()  # materialize before fan-out (lazy persist races)
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    parts = []
+    for d in dims:
+        scored = (
+            emb.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(
+                    F.slice(F.col("q_emb"), 1, d), F.slice(F.col("embedding"), 1, d)
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            exact.join(topk, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        parts.append(
+            base.join(hits, "query_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("long"))
+            .select(
+                F.lit(d).cast("long").alias("n_dims"),
+                "query_id",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

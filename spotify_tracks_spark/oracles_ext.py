@@ -3209,3 +3209,76 @@ LINEITEM_PRICING_SUMMARY = _TPCH_SHAPES["pricing"]
 ORDERS_TOP_REVENUE_UNSHIPPED = _TPCH_SHAPES["top_unshipped"]
 PART_MIN_COST_SUPPLIER = _TPCH_SHAPES["min_cost"]
 ORDERS_BASKET_RULES = _TPCH_SHAPES["basket"]
+
+
+def _language_balance_sql() -> str:
+    from .operators.llm_prep import BALANCE_RESOLUTION
+
+    r = BALANCE_RESOLUTION
+    return f"""
+with c as (select lang, count(*) as n from documents group by lang),
+t as (select min(n) as target from c),
+thr as (select lang, ({r} * t.target) // c.n as thr from c cross join t)
+select d.doc_id, d.lang, d.source, d.n_chars
+from documents d join thr using (lang)
+where {_h60("d.doc_id::varchar")} % {r} < thr.thr
+"""
+
+
+CORPUS_LANGUAGE_BALANCE = _language_balance_sql()
+
+
+def _truncation_recall_sql(k: int = 5, probe_mod: int = 100) -> str:
+    from .operators.similarity import TRUNC_DIMS
+
+    def topk_at(d: int) -> str:
+        a, b = f"(p.qe[1:{d}])", f"(emb.e[1:{d}])"
+        return f"""
+    select query_id, neighbor_id from (
+        select p.query_id, emb.vec_id as neighbor_id,
+               row_number() over (
+                   partition by p.query_id
+                   order by {_cos(a, b)} desc, emb.vec_id) as rank
+        from emb cross join probes p
+        where emb.vec_id != p.query_id
+    ) where rank <= {k}
+"""
+
+    fam_union = "\n    union all\n".join(
+        f"    select {d} as n_dims, * from ({topk_at(d)})" for d in TRUNC_DIMS
+    )
+    dims_list = ", ".join(str(d) for d in TRUNC_DIMS)
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0),
+exact as (
+    select query_id, neighbor_id from (
+        select p.query_id, emb.vec_id as neighbor_id,
+               row_number() over (
+                   partition by p.query_id
+                   order by {_cos('p.qe', 'emb.e')} desc, emb.vec_id) as rank
+        from emb cross join probes p
+        where emb.vec_id != p.query_id
+    ) where rank <= {k}
+),
+base as (select query_id, count(*) as n_exact from exact group by query_id),
+fam as (
+{fam_union}
+),
+hits as (
+    select f.n_dims, e.query_id, count(*) as n_hits
+    from exact e
+    join fam f on e.query_id = f.query_id and e.neighbor_id = f.neighbor_id
+    group by f.n_dims, e.query_id
+),
+dims as (select unnest([{dims_list}]) as n_dims)
+select cast(dims.n_dims as bigint) as n_dims, b.query_id, b.n_exact,
+       cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
+       coalesce(h.n_hits, 0) / {float(k)} as recall
+from dims
+cross join base b
+left join hits h on h.n_dims = dims.n_dims and h.query_id = b.query_id
+"""
+
+
+EMBEDDING_TRUNCATION_RECALL = _truncation_recall_sql()
