@@ -525,6 +525,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sixth dedup family: asymmetric shingle containment (excerpt /
         # quote / wrapper detection — the case Jaccard is blind to)
         "dedup_containment": _dedup.dedup_containment,
+        # EXACT set-similarity join (prefix filtering, AllPairs/PPJoin):
+        # lossless J>=t pairs — the completeness-guaranteed family
+        "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
         # top-k session opening paths (multi-step sequence mining)
@@ -699,6 +702,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
         "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
+        "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
         "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
         "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
         "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,

@@ -1136,3 +1136,84 @@ def dedup_recall_eval(
         for df in (hs_shared, minhash_pairs, pool, truth, *pairs.values()):
             if df is not None:
                 df.unpersist()
+
+
+def dedup_jaccard_exact_join(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity join by PREFIX FILTERING (the AllPairs/
+    PPJoin family) — every pair with shingle-set Jaccard ≥ ``threshold``,
+    with a completeness GUARANTEE the other fuzzy families trade away:
+    min-shingle blocking (ngram) misses pairs whose min hashes differ,
+    minhash-LSH is probabilistic by construction, simhash is radius-
+    bounded.  Prefix filtering is lossless: order every set by one
+    global token ranking (rarest first) and emit only each set's first
+    ``|s| − ⌈t·|s|⌉ + 1`` tokens as join keys — two sets with
+    J ≥ t must overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they cannot
+    BOTH miss each other's prefix under a common ordering (Chaudhuri
+    et al., "A Primitive Operator for Similarity Joins", ICDE'06).
+
+    Plan: shingle-hash sets (shared builder) → explode to postings → a
+    df-count join tags each token with its document frequency [one
+    token-keyed shuffle]; the global ordering is the (df, tok) TUPLE
+    itself — a total order needs no consecutive ranks, so there is no
+    global row_number (a single-partition window would serialize the
+    whole vocabulary through one task at scale); per-doc ordered arrays
+    rebuild via sort_array(collect_list(struct(df, tok))); the PREFIX
+    explode is the candidate generator [second shuffle, prefix-sized
+    not set-sized]; verify joins the full hash sets back and keeps
+    exact J ≥ t.  The rarest-first ordering is why this scales: a
+    token's candidate contribution is its df², and prefixes
+    preferentially hold the rare tokens.  A pytest pins completeness
+    against the brute-force all-pairs join.
+
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    sh = _with_shingle_hash_sets(
+        read_table(spark, sf_dir, "documents", spread=True)
+    ).persist()
+    sh.count()
+    post = sh.select("doc_id", F.explode("hs").alias("tok"))
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = (
+        post.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("sorted"))
+        .select(
+            "doc_id",
+            F.transform("sorted", lambda s: s["tok"]).alias("toks"),
+            F.size("sorted").alias("n"),
+        )
+    )
+    # prefix length |s| - ceil(t*|s|) + 1
+    pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    prefixes = ranked.select(
+        "doc_id", "n", F.explode(F.slice("toks", 1, pref_len)).alias("tok")
+    )
+    # LENGTH filter (the second AllPairs invariant, also lossless):
+    # J ≥ t ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ t, so size-incompatible
+    # prefix collisions never reach the pair distinct — the filter that
+    # tames mid-frequency tokens' df² fan-out
+    size_ok = F.least(F.col("a.n"), F.col("b.n")) >= (
+        F.greatest(F.col("a.n"), F.col("b.n")) * F.lit(threshold)
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ja = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa"))
+    jb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb"))
+    n_inter = F.size(F.array_intersect("hsa", "hsb"))
+    jac = n_inter / (F.size("hsa") + F.size("hsb") - n_inter)
+    return (
+        cands.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -3282,3 +3282,41 @@ left join hits h on h.n_dims = dims.n_dims and h.query_id = b.query_id
 
 
 EMBEDDING_TRUNCATION_RECALL = _truncation_recall_sql()
+
+
+def _jaccard_exact_join_sql(threshold: float = 0.5) -> str:
+    """Prefix-filter mirror: same (df, tok) rarest-first total order,
+    same prefix length |s| - ceil(t*|s|) + 1, same exact-Jaccard verify."""
+    return (
+        _SHINGLE_CTES
+        + f""",
+post as (select doc_id, unnest(hs) as tok from sh),
+dfreq as (select tok, count(*) as df from post group by tok),
+ranked as (
+    select doc_id, list(p.tok order by d.df, p.tok) as toks, count(*) as n
+    from post p join dfreq d using (tok)
+    group by doc_id
+),
+prefixes as (
+    select doc_id, n, unnest(toks[1 : cast(n - ceil(n * {threshold}) + 1 as int)]) as tok
+    from ranked
+),
+cands as (
+    select distinct a.doc_id as doc_a, b.doc_id as doc_b
+    from prefixes a join prefixes b
+      on a.tok = b.tok and a.doc_id < b.doc_id
+     and least(a.n, b.n) >= greatest(a.n, b.n) * {threshold}
+)
+select c.doc_a, c.doc_b,
+       len(list_intersect(sa.hs, sb.hs))
+         / len(list_distinct(sa.hs || sb.hs)) as jaccard
+from cands c
+join sh sa on sa.doc_id = c.doc_a
+join sh sb on sb.doc_id = c.doc_b
+where len(list_intersect(sa.hs, sb.hs))
+        / len(list_distinct(sa.hs || sb.hs)) >= {threshold}
+"""
+    )
+
+
+DEDUP_JACCARD_EXACT_JOIN = _jaccard_exact_join_sql()

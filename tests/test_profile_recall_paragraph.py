@@ -207,3 +207,40 @@ def test_edit_distance_catches_lsh_invisible_pairs(spark, tmp_path):
     assert got[(1, 2)] == 3   # via the head bucket
     assert got[(3, 4)] == 2   # via the tail bucket (head differs)
     assert (5, 6) not in got
+
+
+def test_jaccard_exact_join_is_complete(spark):
+    """The prefix-filter join's lossless claim, pinned the hard way:
+    brute-force all-pairs exact Jaccard over the smoke corpus must equal
+    the prefix-filtered result pair-for-pair (any missing pair breaks
+    the Chaudhuri completeness argument; any extra pair the verify)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.dedup import (
+        _with_shingle_hash_sets,
+        dedup_jaccard_exact_join,
+    )
+    from spotify_tracks_spark.sources.tables import read_table
+    from tests.conftest import SF_SMOKE
+
+    sh = _with_shingle_hash_sets(
+        read_table(spark, SF_SMOKE, "documents")
+    ).persist()
+    sh.count()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb"))
+    n_inter = F.size(F.array_intersect("hsa", "hsb"))
+    jac = n_inter / (F.size("hsa") + F.size("hsb") - n_inter)
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_exact_join(spark, SF_SMOKE).collect()
+    }
+    sh.unpersist()
+    assert got == brute and len(brute) > 0
