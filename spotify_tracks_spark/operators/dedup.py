@@ -1139,7 +1139,7 @@ def dedup_recall_eval(
 
 
 def dedup_jaccard_exact_join(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
     """EXACT set-similarity join by PREFIX FILTERING (the AllPairs/
     PPJoin family) — every pair with shingle-set Jaccard ≥ ``threshold``,
@@ -1165,7 +1165,10 @@ def dedup_jaccard_exact_join(
     exact J ≥ t.  The rarest-first ordering is why this scales: a
     token's candidate contribution is its df², and prefixes
     preferentially hold the rare tokens.  A pytest pins completeness
-    against the brute-force all-pairs join.
+    against the brute-force all-pairs join at the harder t=0.5; the
+    registered default is the standard near-dup operating point 0.8
+    (prefix length shrinks to ~|s|/5, cutting candidate volume ~3×
+    with the identical guarantee).
 
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b."""
     sh = _with_shingle_hash_sets(

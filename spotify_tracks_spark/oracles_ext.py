@@ -3284,7 +3284,7 @@ left join hits h on h.n_dims = dims.n_dims and h.query_id = b.query_id
 EMBEDDING_TRUNCATION_RECALL = _truncation_recall_sql()
 
 
-def _jaccard_exact_join_sql(threshold: float = 0.5) -> str:
+def _jaccard_exact_join_sql(threshold: float = 0.8) -> str:
     """Prefix-filter mirror: same (df, tok) rarest-first total order,
     same prefix length |s| - ceil(t*|s|) + 1, same exact-Jaccard verify."""
     return (

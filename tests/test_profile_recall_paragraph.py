@@ -240,7 +240,7 @@ def test_jaccard_exact_join_is_complete(spark):
     }
     got = {
         (r.doc_a, r.doc_b)
-        for r in dedup_jaccard_exact_join(spark, SF_SMOKE).collect()
+        for r in dedup_jaccard_exact_join(spark, SF_SMOKE, threshold=0.5).collect()
     }
     sh.unpersist()
     assert got == brute and len(brute) > 0
