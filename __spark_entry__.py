@@ -45,7 +45,10 @@ from spotify_tracks_spark.operators.corpus import (
 )
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
-from spotify_tracks_spark.operators.graph import parts_copurchase_triangles
+from spotify_tracks_spark.operators.graph import (
+    parts_copurchase_pagerank as _graph_pagerank,
+    parts_copurchase_triangles,
+)
 from spotify_tracks_spark.operators import llm_prep as _llm
 from spotify_tracks_spark.operators import similarity as _sim
 from spotify_tracks_spark.operators import text_analysis as _text
@@ -519,6 +522,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
         "part_min_cost_supplier": _tpch.part_min_cost_supplier,
         "orders_basket_rules": _tpch.orders_basket_rules,
+        # the benchmark's three canonical SUBQUERY shapes, decorrelated:
+        # correlated-scalar (Q17), HAVING semi-join (Q18), global-scalar
+        # + NOT-EXISTS anti-join (Q22)
+        "part_small_qty_revenue": _tpch.part_small_qty_revenue,
+        "orders_large_volume": _tpch.orders_large_volume,
+        "customers_idle_high_balance": _tpch.customers_idle_high_balance,
+        # fixed-depth power iteration over the co-purchase graph: the
+        # third classic graph primitive (CC and triangles are above)
+        "parts_copurchase_pagerank": _graph_pagerank,
         # alternating large-star/small-star connected components — the
         # O(log²)-round CC whose convergence survives any diameter
         "dedup_clusters_star": _dedup.dedup_clusters_star,
@@ -707,6 +719,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
         "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
         "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
+        "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
+        "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
+        "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
+        "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

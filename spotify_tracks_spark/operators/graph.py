@@ -85,6 +85,102 @@ def _edge_bloom_predicate(closing: DataFrame, n_edges: int):
         return None
 
 
+# power-iteration depth for the PageRank report: enough to separate the
+# hubs from the periphery, small enough that the unrolled oracle stays
+# readable.  Deterministic — both engines run exactly this many steps.
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def parts_copurchase_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """PageRank over the part co-purchase graph — the third classic
+    scale-out graph primitive next to connected components (dedup) and
+    triangle counting: fixed-depth power iteration
+    ``r' = (1−d)/N + d·Σ_in r/outdeg`` on the symmetrized edge set.
+
+    Plan: the undirected edge set (same construction + quadratic-block
+    guard as the triangle counter) symmetrizes into an adjacency list
+    that is hash-partitioned ON THE SOURCE KEY and persisted ONCE; every
+    iteration is then one join of the (small) rank vector against that
+    pinned adjacency plus one groupBy on the destination — the rank
+    vector alone moves through the network each step, the O(E) adjacency
+    never re-shuffles (the classic Spark PageRank partitioning story).
+    The graph is undirected so every node has outdeg ≥ 1 — no dangling
+    mass term — and the destination groupBy covers every node each
+    iteration, so no outer-join backfill is needed either.
+
+    Determinism: ranks are IEEE doubles; the only cross-engine hazard is
+    summation ORDER, whose ulp-level noise sits ~9 orders of magnitude
+    under the harness's 6-dp hash rounding.  Iteration count is fixed —
+    no convergence test, so no float-threshold branch.
+
+    Output: (part_id, degree, rank) for every node in the graph."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    edges = edges.persist()  # one edge build feeds sym twice + both sides below
+    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    # deg doubles as the node table: one row per vertex, reused by the
+    # adjacency build, the rank init AND the final labeling — persist the
+    # |V|-sized table rather than recompute the |E|-sized shuffle thrice
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    n_nodes = deg.count()  # scalar; plan constant (and materializes deg)
+    # the pinned adjacency: the join's own exchange hash-partitions it on
+    # src, so every iteration's rank join lines up against this layout
+    # with no further adjacency shuffle (the stationary side of the loop)
+    adj = sym.join(deg, "src").persist()
+    try:
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+        )
+        base = (1.0 - damping) / n_nodes
+        for _ in range(n_iter):
+            ranks = (
+                adj.join(ranks, adj.src == ranks.node)
+                .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            )
+        out = (
+            ranks.join(
+                deg.select(F.col("src").alias("node"), "deg"), "node"
+            ).select(
+                F.col("node").alias("part_id"),
+                F.col("deg").alias("degree"),
+                "rank",
+            )
+        )
+        # materialize before unpersisting the tables the plan feeds on
+        out = out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+        deg.unpersist()
+        edges.unpersist()
+    return out
+
+
 def parts_copurchase_triangles(
     spark: SparkSession,
     sf_dir: str,

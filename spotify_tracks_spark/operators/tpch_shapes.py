@@ -177,6 +177,128 @@ def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LARGE_VOLUME_MIN_QTY = 300      # Q18's own constant; ~0.1% of orders
+LAPSED_CUTOFF = "2000-01-01"    # Q22-shape recency bar (orders span →2001-08)
+
+
+def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: revenue locked in "small" lineitems — lines
+    whose quantity is below 20% of their part's average order quantity.
+    The benchmark's canonical CORRELATED SCALAR SUBQUERY
+    (``l_quantity < 0.2 * (select avg(l_quantity) ... same part)``),
+    decorrelated the way Catalyst/any planner must: a per-part
+    aggregate joined back to the fact on the same key.
+
+    Exactness discipline: the 20%-of-average predicate is evaluated in
+    integers — ``qty < avg/5  ⟺  5·qty·n_lines < sum_qty`` — so both
+    engines compare the same bigints and no float threshold can straddle
+    a boundary.  Revenue sums exact cents.
+
+    Scale shape: the per-part aggregate is one fact shuffle on
+    l_partkey; the join back to lineitem reuses the same key, so AQE
+    plans it against the already-partitioned exchange (and the
+    aggregate side is |part|-sized — broadcastable when parts are few).
+    Output: (p_brand, n_small_lines, small_rev_cents) — per-brand so
+    the answer exercises a dim broadcast too."""
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("n_li")
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            F.sum("cents").alias("small_rev_cents"),
+        )
+    )
+
+
+def orders_large_volume(
+    spark: SparkSession, sf_dir: str, min_qty: int = LARGE_VOLUME_MIN_QTY
+) -> DataFrame:
+    """TPC-H Q18's shape: the large-volume orders — orders whose total
+    quantity reaches ``min_qty``, labeled with their customer.  The
+    benchmark's canonical HAVING-subquery semi-join
+    (``o_orderkey in (select l_orderkey ... having sum(qty) > T)``):
+    aggregate the fact FIRST, and only the tiny qualifying key set
+    drives the joins.
+
+    Scale shape: one fact shuffle (the per-order sum with map-side
+    combine); the ~0.1%-selective HAVING survivor set then joins orders
+    (broadcastable survivors) and the customer dim.  Output: (c_name,
+    c_custkey, o_orderkey, o_orderdate, total_qty)."""
+    per_order = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") >= min_qty)
+    )
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+def customers_idle_high_balance(
+    spark: SparkSession, sf_dir: str, lapsed_cutoff: str = LAPSED_CUTOFF
+) -> DataFrame:
+    """TPC-H Q22's shape: per-nation count and balance of customers who
+    hold an above-average positive account balance yet have placed NO
+    order since ``lapsed_cutoff`` — the benchmark's canonical
+    GLOBAL-SCALAR-SUBQUERY + NOT-EXISTS anti-join ("who has money
+    parked here and stopped buying?").  The testdata's customers all
+    have SOME order, so Q22's literal "no orders ever" is vacuous; the
+    recency cutoff keeps the anti-join shape with a real survivor set.
+
+    Exactness discipline: the above-average predicate is integer-exact —
+    ``bal > sum_pos/n_pos  ⟺  bal_cents·n_pos > sum_pos_cents`` — one
+    bigint comparison in both engines, no float average.
+
+    Scale shape: the scalar aggregate is one tiny job over the customer
+    dim; the anti-join streams the date-pruned orders' custkeys against
+    the filtered (small) customer side — Spark plans it broadcast-anti
+    when the survivors fit, shuffle-anti beyond; nation broadcasts.
+    Output: (nation_name, n_cust, sum_bal_cents)."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_cents")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_pos"), F.count("*").alias("n_pos")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.to_date("o_orderdate") >= F.lit(lapsed_cutoff).cast("date"))
+        .select("o_custkey")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        )
+    )
+
+
 def orders_basket_rules(
     spark: SparkSession,
     sf_dir: str,

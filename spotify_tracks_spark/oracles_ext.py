@@ -3320,3 +3320,125 @@ where len(list_intersect(sa.hs, sb.hs))
 
 
 DEDUP_JACCARD_EXACT_JOIN = _jaccard_exact_join_sql()
+
+
+def _tpch_subquery_shape_sqls() -> dict:
+    from .operators.tpch_shapes import LAPSED_CUTOFF, LARGE_VOLUME_MIN_QTY
+
+    small_qty = """
+with li as (
+    select l_partkey,
+           cast(l_quantity as bigint) as qty,
+           cast(round(l_extendedprice * 100) as bigint) as cents
+    from lineitem
+),
+per_part as (
+    select l_partkey, sum(qty) as sum_qty, count(*) as n_li
+    from li group by l_partkey
+)
+select p.p_brand,
+       count(*) as n_small_lines,
+       cast(sum(li.cents) as bigint) as small_rev_cents
+from li
+join per_part pp using (l_partkey)
+join part p on p.p_partkey = li.l_partkey
+where li.qty * 5 * pp.n_li < pp.sum_qty
+group by p.p_brand
+"""
+
+    large_volume = f"""
+with per_order as (
+    select l_orderkey, cast(sum(cast(l_quantity as bigint)) as bigint) as total_qty
+    from lineitem group by l_orderkey
+    having sum(cast(l_quantity as bigint)) >= {LARGE_VOLUME_MIN_QTY}
+)
+select c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, po.total_qty
+from per_order po
+join orders o on o.o_orderkey = po.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+"""
+
+    idle_rich = f"""
+with cust as (
+    select c_custkey, c_nationkey,
+           cast(round(c_acctbal * 100) as bigint) as bal_cents
+    from customer
+),
+pos as (
+    select sum(bal_cents) as sum_pos, count(*) as n_pos
+    from cust where bal_cents > 0
+),
+recent as (
+    select distinct o_custkey from orders
+    where cast(o_orderdate as date) >= date '{LAPSED_CUTOFF}'
+)
+select n.n_name as nation_name,
+       count(*) as n_cust,
+       cast(sum(c.bal_cents) as bigint) as sum_bal_cents
+from cust c cross join pos
+join nation n on n.n_nationkey = c.c_nationkey
+where c.bal_cents * pos.n_pos > pos.sum_pos
+  and not exists (select 1 from recent r where r.o_custkey = c.c_custkey)
+group by n.n_name
+"""
+    return {
+        "small_qty": small_qty,
+        "large_volume": large_volume,
+        "idle_rich": idle_rich,
+    }
+
+
+_TPCH_SUBQ = _tpch_subquery_shape_sqls()
+PART_SMALL_QTY_REVENUE = _TPCH_SUBQ["small_qty"]
+ORDERS_LARGE_VOLUME = _TPCH_SUBQ["large_volume"]
+CUSTOMERS_IDLE_HIGH_BALANCE = _TPCH_SUBQ["idle_rich"]
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration mirroring parts_copurchase_pagerank:
+    same edge construction as the triangles oracle, symmetrized; every
+    float literal is e0-suffixed so DuckDB evaluates in IEEE doubles
+    (bare decimals parse as DECIMAL and would divide differently —
+    though the delta sits far below the 6-dp hash rounding anyway)."""
+    from .operators.graph import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    d = f"{PAGERANK_DAMPING}e0"
+    steps = []
+    for k in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""it{k} as (
+    select s.dst as node,
+           (1.0e0 - {d}) / (select n from nn)
+             + {d} * sum(r."rank" / g.deg) as "rank"
+    from sym s
+    join it{k - 1} r on r.node = s.src
+    join deg g on g.src = s.src
+    group by s.dst
+)"""
+        )
+    joined_steps = ",\n".join(steps)
+    return f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}),
+li2 as (select li.* from li join ok using (o)),
+edges as (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as (select x as src, y as dst from edges
+        union all
+        select y as src, x as dst from edges),
+deg as (select src, count(*) as deg from sym group by src),
+nn as (select count(*) as n from deg),
+it0 as (select src as node, 1.0e0 / (select n from nn) as "rank" from deg),
+{joined_steps}
+select r.node as part_id, g.deg as degree, r."rank" as rank
+from it{PAGERANK_ITERS} r join deg g on g.src = r.node
+"""
+
+
+PARTS_COPURCHASE_PAGERANK = _pagerank_sql()

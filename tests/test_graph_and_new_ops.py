@@ -202,3 +202,44 @@ def test_doc_similarity_planted(spark, tmp_path):
         (1, 2): (1, 0.5, 1),
         (2, 1): (1, 0.5, 1),
     }
+
+
+def test_pagerank_planted(spark, tmp_path):
+    """Star-plus-path graph against an independent driver-side power
+    iteration with the identical fixed-depth semantics; rank mass must
+    stay 1 (no dangling nodes in an undirected graph) and the reported
+    degree must be the true degree."""
+    from spotify_tracks_spark.operators.graph import parts_copurchase_pagerank
+
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    rows = [(i + 1, p) for i, e in enumerate(edges) for p in e]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.part_id: (r.degree, r.rank)
+        for r in parts_copurchase_pagerank(spark, str(tmp_path)).collect()
+    }
+
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    n, d = len(nodes), 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        r = {
+            v: (1.0 - d) / n + d * sum(r[u] / len(adj[u]) for u in adj[v])
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == len(adj[v])
+        assert abs(got[v][1] - r[v]) < 1e-9
+    assert abs(sum(x[1] for x in got.values()) - 1.0) < 1e-9
+    # the hub of the star must outrank every leaf
+    assert got[1][1] == max(x[1] for x in got.values())

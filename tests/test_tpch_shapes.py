@@ -134,3 +134,82 @@ def test_top_unshipped_is_deterministic_topk(spark, tmp_path):
     assert [(r.o_orderkey, r.revenue_e4) for r in rows] == [
         (1, 10000 * 90 + 5000 * 100)
     ]
+
+
+def test_small_qty_revenue_planted(spark, tmp_path):
+    """Q17 shape: the 20%-of-average predicate in its exact integer form
+    (5·qty·n < sum_qty).  Part 1 (qty 1,10,10,10: sum 31, n 4) — only
+    the qty-1 line satisfies 20 < 31; part 2 (qty 5,5) has none."""
+    from spotify_tracks_spark.operators.tpch_shapes import part_small_qty_revenue
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 12.34, 0.0, 0.0, "N", "O", t),    # the small line
+        (2, 1, 1, 1, 10.0, 100.00, 0.0, 0.0, "N", "O", t),
+        (3, 1, 1, 1, 10.0, 100.00, 0.0, 0.0, "N", "O", t),
+        (4, 1, 1, 1, 10.0, 100.00, 0.0, 0.0, "N", "O", t),
+        (5, 2, 1, 1, 5.0, 50.00, 0.0, 0.0, "N", "O", t),
+        (6, 2, 1, 1, 5.0, 50.00, 0.0, 0.0, "N", "O", t),
+    ])
+    spark.createDataFrame(
+        [(1, "BRAND#1"), (2, "BRAND#2")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+
+    rows = part_small_qty_revenue(spark, str(tmp_path)).collect()
+    assert [(r.p_brand, r.n_small_lines, r.small_rev_cents) for r in rows] == [
+        ("BRAND#1", 1, 1234)
+    ]
+
+
+def test_large_volume_planted(spark, tmp_path):
+    """Q18 shape: only the order whose summed quantity reaches the bar
+    survives the HAVING semi-join, labeled with its customer."""
+    from spotify_tracks_spark.operators.tpch_shapes import orders_large_volume
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 150.0, 1.0, 0.0, 0.0, "N", "O", t),
+        (1, 2, 1, 2, 160.0, 1.0, 0.0, 0.0, "N", "O", t),   # order 1: 310
+        (2, 3, 1, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", t),   # order 2: 100
+    ])
+    spark.createDataFrame(
+        [(1, 7, datetime(1997, 1, 5)), (2, 8, datetime(1997, 1, 6))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(7, "Alice"), (8, "Bob")], "c_custkey long, c_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+
+    rows = orders_large_volume(spark, str(tmp_path)).collect()
+    assert [(r.c_name, r.o_orderkey, r.total_qty) for r in rows] == [
+        ("Alice", 1, 310)
+    ]
+
+
+def test_idle_high_balance_planted(spark, tmp_path):
+    """Q22 shape: integer above-average predicate (bal·n_pos > sum_pos:
+    400·4 and 600·4 beat 1300; 100/200 don't) then the recency anti-join
+    keeps only the rich customer whose orders all predate the cutoff."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        customers_idle_high_balance,
+    )
+
+    spark.createDataFrame(
+        [(1, 0, 1.00), (2, 0, 2.00), (3, 1, 4.00), (4, 1, 6.00)],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (1, 3, datetime(2000, 5, 1)),   # cust 3 ordered AFTER the bar
+            (2, 4, datetime(1999, 1, 1)),   # cust 4 lapsed
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+
+    rows = customers_idle_high_balance(spark, str(tmp_path)).collect()
+    assert [(r.nation_name, r.n_cust, r.sum_bal_cents) for r in rows] == [
+        ("N1", 1, 600)
+    ]
