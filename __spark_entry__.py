@@ -503,6 +503,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": _an.events_rfm,
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
         "corpus_vocab_encode": _llm.corpus_vocab_encode,
+        # tokenizer TRAINING: first K learned BPE merges (iterative
+        # top-pair merge over the word-frequency table)
+        "corpus_bpe_merges": _llm.corpus_bpe_merges,
         # length-bucketed batch assembly + padding-efficiency report
         "corpus_length_batches": _llm.corpus_length_batches,
         # chained stateful aggregation (window-over-window, Spark 4)
@@ -528,6 +531,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_small_qty_revenue": _tpch.part_small_qty_revenue,
         "orders_large_volume": _tpch.orders_large_volume,
         "customers_idle_high_balance": _tpch.customers_idle_high_balance,
+        "orders_priority_late_ship": _tpch.orders_priority_late_ship,
         # fixed-depth power iteration over the co-purchase graph: the
         # third classic graph primitive (CC and triangles are above)
         "parts_copurchase_pagerank": _graph_pagerank,
@@ -722,7 +726,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
         "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
+        "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
+        "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

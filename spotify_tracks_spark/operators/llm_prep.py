@@ -491,3 +491,101 @@ def corpus_language_balance(
     return docs.filter(bucket < thr_col).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+BPE_MERGES = 6
+
+
+def corpus_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The tokenizer-TRAINING step: the first ``n_merges`` BPE merges
+    learned from the corpus (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units", ACL'16) — iterate
+    "count adjacent symbol pairs weighted by word frequency → merge the
+    most frequent pair everywhere", starting from characters.
+
+    The scale story is the classic BPE factoring: merges operate on the
+    WORD-FREQUENCY table, not the corpus — one corpus-sized shuffle
+    builds (word, freq), after which every iteration is a |vocab|-sized
+    pair count plus a |vocab|-sized rewrite.  Each winning pair is a
+    one-row localCheckpointed broadcast relation (the repo's
+    de-literalized-spine pattern), so the loop's plan stays O(1) per
+    step and nothing larger than the vocabulary ever moves again.
+
+    The symbol sequence is carried as a DOUBLE-SPACE-joined string with
+    a two-space pad: every symbol is flanked by gaps of two spaces, a
+    pair match (' a  b ') consumes exactly one space from each flanking
+    gap, and its replacement (' ab ') restores the invariant — so one
+    left-to-right non-overlapping replace() merges ALL boundary-aligned
+    occurrences, including consecutive runs ('a b a b' → 'ab ab'),
+    exactly like the reference implementation's zero-width-boundary
+    regex, with plain string replace available identically in Spark and
+    DuckDB.  All counts are integers; the (freq desc, lhs, rhs) tiebreak
+    is total — fully deterministic.
+
+    Output: (step, lhs, rhs, merged, pair_freq), one row per merge."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    rep = words.select(
+        "freq",
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
+            F.lit("  "),
+        ).alias("s"),
+    ).persist()
+    merges = []
+    cur = rep
+    try:
+        for step in range(1, n_merges + 1):
+            with_syms = cur.withColumn("syms", F.split(F.trim(F.col("s")), "  "))
+            n = F.size(F.col("syms"))
+            zipped = with_syms.select(
+                "freq",
+                F.slice("syms", 1, n - 1).alias("la"),
+                F.slice("syms", 2, n - 1).alias("lb"),
+            ).select("freq", F.explode(F.arrays_zip("la", "lb")).alias("pr"))
+            pair_counts = (
+                zipped.select(
+                    "freq",
+                    F.col("pr.la").alias("lhs"),
+                    F.col("pr.lb").alias("rhs"),
+                )
+                .groupBy("lhs", "rhs")
+                .agg(F.sum("freq").alias("pair_freq"))
+            )
+            best = (
+                pair_counts.orderBy(
+                    F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs")
+                )
+                .limit(1)
+                .withColumn("step", F.lit(step))
+                .localCheckpoint(eager=True)  # one row; pins the winner so
+                # later steps replay a constant, not this step's aggregation
+            )
+            merges.append(best)
+            pat = F.concat(
+                F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
+            )
+            repl = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+            cur = cur.crossJoin(
+                F.broadcast(best.select("lhs", "rhs"))
+            ).select("freq", F.replace(F.col("s"), pat, repl).alias("s"))
+        out = merges[0]
+        for m in merges[1:]:
+            out = out.unionByName(m)
+        return out.select(
+            "step",
+            "lhs",
+            "rhs",
+            F.concat("lhs", "rhs").alias("merged"),
+            "pair_freq",
+        )
+    finally:
+        rep.unpersist()

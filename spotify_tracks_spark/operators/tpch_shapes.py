@@ -253,6 +253,39 @@ def orders_large_volume(
     )
 
 
+LATE_SHIP_DAYS = 90             # Q4-shape lateness bar
+
+
+def orders_priority_late_ship(
+    spark: SparkSession, sf_dir: str, late_days: int = LATE_SHIP_DAYS
+) -> DataFrame:
+    """TPC-H Q4's shape: order counts per priority class, restricted to
+    orders where EXISTS a lineitem shipped more than ``late_days`` after
+    the order date — the benchmark's canonical EXISTS correlated
+    subquery, planned as a LEFT SEMI join (each order counted once no
+    matter how many late lines; the testdata has no commit/receipt
+    dates, so lateness is measured against the order date).
+
+    Scale shape: the semi-join is key-equi on orderkey with the
+    date-lateness residual; Spark ships only (l_orderkey, l_shipdate)
+    from the fact, the semi form stops probing an order at its first
+    late line, and the final aggregate is a 5-row map-side-combinable
+    count.  Output: (o_orderpriority, n_orders)."""
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.sd > F.date_add(orders.od, late_days)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
 def customers_idle_high_balance(
     spark: SparkSession, sf_dir: str, lapsed_cutoff: str = LAPSED_CUTOFF
 ) -> DataFrame:

@@ -3323,7 +3323,11 @@ DEDUP_JACCARD_EXACT_JOIN = _jaccard_exact_join_sql()
 
 
 def _tpch_subquery_shape_sqls() -> dict:
-    from .operators.tpch_shapes import LAPSED_CUTOFF, LARGE_VOLUME_MIN_QTY
+    from .operators.tpch_shapes import (
+        LAPSED_CUTOFF,
+        LARGE_VOLUME_MIN_QTY,
+        LATE_SHIP_DAYS,
+    )
 
     small_qty = """
 with li as (
@@ -3381,10 +3385,22 @@ where c.bal_cents * pos.n_pos > pos.sum_pos
   and not exists (select 1 from recent r where r.o_custkey = c.c_custkey)
 group by n.n_name
 """
+    late_ship = f"""
+select o.o_orderpriority, count(*) as n_orders
+from orders o
+where exists (
+    select 1 from lineitem l
+    where l.l_orderkey = o.o_orderkey
+      and cast(l.l_shipdate as date)
+            > cast(o.o_orderdate as date) + cast({LATE_SHIP_DAYS} as integer)
+)
+group by o.o_orderpriority
+"""
     return {
         "small_qty": small_qty,
         "large_volume": large_volume,
         "idle_rich": idle_rich,
+        "late_ship": late_ship,
     }
 
 
@@ -3392,6 +3408,7 @@ _TPCH_SUBQ = _tpch_subquery_shape_sqls()
 PART_SMALL_QTY_REVENUE = _TPCH_SUBQ["small_qty"]
 ORDERS_LARGE_VOLUME = _TPCH_SUBQ["large_volume"]
 CUSTOMERS_IDLE_HIGH_BALANCE = _TPCH_SUBQ["idle_rich"]
+ORDERS_PRIORITY_LATE_SHIP = _TPCH_SUBQ["late_ship"]
 
 
 def _pagerank_sql() -> str:
@@ -3442,3 +3459,59 @@ from it{PAGERANK_ITERS} r join deg g on g.src = r.node
 
 
 PARTS_COPURCHASE_PAGERANK = _pagerank_sql()
+
+
+def _bpe_merges_sql() -> str:
+    """Unrolled BPE mirror: same double-space-gap string representation,
+    same replace() rewrite, same (freq desc, lhs, rhs) total tiebreak.
+    DuckDB notes: parallel unnest zips positionally (the posexplode
+    mirror); sum(bigint) → HUGEINT so the pair count is cast back."""
+    from .operators.llm_prep import BPE_MERGES
+
+    blocks = []
+    for k in range(1, BPE_MERGES + 1):
+        blocks.append(
+            f"""pairs{k} as (
+    select freq,
+           unnest(syms[1:len(syms) - 1]) as lhs,
+           unnest(syms[2:len(syms)]) as rhs
+    from (select freq, string_split(trim(s), '  ') as syms from rep{k - 1})
+),
+best{k} as (
+    select {k} as step, lhs, rhs,
+           cast(sum(freq) as bigint) as pair_freq
+    from pairs{k}
+    group by lhs, rhs
+    order by pair_freq desc, lhs, rhs
+    limit 1
+),
+rep{k} as (
+    select r.freq,
+           replace(r.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') as s
+    from rep{k - 1} r cross join best{k} b
+)"""
+        )
+    union = "\nunion all\n".join(
+        f"select * from best{k}" for k in range(1, BPE_MERGES + 1)
+    )
+    joined_blocks = ",\n".join(blocks)
+    return f"""
+with words as (
+    select w, count(*) as freq
+    from (select unnest(string_split(lower(text), ' ')) as w from documents)
+    where w <> ''
+    group by w
+),
+rep0 as (
+    select freq,
+           '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' as s
+    from words
+),
+{joined_blocks}
+select step, lhs, rhs, lhs || rhs as merged, pair_freq
+from ({union})
+"""
+
+
+CORPUS_BPE_MERGES = _bpe_merges_sql()

@@ -208,3 +208,23 @@ def test_window_funnel_is_subset_of_unbounded(spark):
     # disqualifies), while the windowed form re-anchors on the first
     # in-window click after the view.  Only monotonicity is an invariant.
     assert windowed["view"] >= windowed["click"] >= windowed["purchase"] >= 0
+
+
+def test_bpe_merges_planted(spark, tmp_path):
+    """Hand-run BPE: corpus "aaab aaab cab".  Pair counts iterate
+    (a,a)=4 → merge; (a,b)=3 → merge; (aa,ab)=2 → merge.  The first
+    merge exercises the consecutive-run case ('a a a' must become
+    'aa a' exactly like the reference's left-to-right greedy, which the
+    double-space-gap replace reproduces)."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_bpe_merges
+
+    sf = _write_docs(spark, tmp_path, [(0, "aaab cab"), (1, "aaab")])
+    rows = sorted(
+        corpus_bpe_merges(spark, sf, n_merges=3).collect(),
+        key=lambda r: r.step,
+    )
+    assert [(r.step, r.lhs, r.rhs, r.merged, r.pair_freq) for r in rows] == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]

@@ -213,3 +213,27 @@ def test_idle_high_balance_planted(spark, tmp_path):
     assert [(r.nation_name, r.n_cust, r.sum_bal_cents) for r in rows] == [
         ("N1", 1, 600)
     ]
+
+
+def test_priority_late_ship_planted(spark, tmp_path):
+    """Q4 shape: EXISTS counts each order ONCE however many late lines
+    it has; on-time orders never appear."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        orders_priority_late_ship,
+    )
+
+    od = datetime(1997, 1, 1)
+    late = datetime(1997, 6, 1)     # > 90 days after od
+    ontime = datetime(1997, 2, 1)   # within 90 days
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),   # 2nd late line
+        (2, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime),
+    ])
+    spark.createDataFrame(
+        [(1, "1-URGENT", od), (2, "1-URGENT", od)],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+
+    rows = orders_priority_late_ship(spark, str(tmp_path)).collect()
+    assert [(r.o_orderpriority, r.n_orders) for r in rows] == [("1-URGENT", 1)]
