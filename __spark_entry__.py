@@ -532,6 +532,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_large_volume": _tpch.orders_large_volume,
         "customers_idle_high_balance": _tpch.customers_idle_high_balance,
         "orders_priority_late_ship": _tpch.orders_priority_late_ship,
+        # mergeable K-Minimum-Values cardinality sketch (two-level
+        # partial→rollup merge, register-exact oracle like the CMS twin)
+        "events_kmv_distinct": _events.events_kmv_distinct,
         # fixed-depth power iteration over the co-purchase graph: the
         # third classic graph primitive (CC and triangles are above)
         "parts_copurchase_pagerank": _graph_pagerank,
@@ -727,6 +730,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
+        "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,

@@ -667,3 +667,78 @@ def events_bounce_rate(
         F.col("n_bounces").cast("long").alias("n_bounces"),
         (F.col("n_bounces") / F.col("n_sessions")).alias("bounce_rate"),
     )
+
+
+KMV_K = 64                # sketch size; rel. std. error ≈ 1/√(k−2) ≈ 13%
+KMV_SPACE = 1 << 60       # portable_hash60's range
+
+
+def events_kmv_distinct(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch with a TWO-LEVEL MERGE —
+    the mergeable cardinality sketch (Bar-Yossef et al., RANDOM'02;
+    the θ-sketch family's simplest member) built the way a 100 TB
+    pipeline would: per-(event_type, day) partials first, then a rollup
+    merge per event_type.  Merging KMV partials is lossless for the
+    final sketch: every hash in the global k-minimum set is also in its
+    own day's k-minimum set, so union-then-retake-k equals the sketch
+    of the union — the property that lets daily partial tables roll up
+    to any coarser grain without touching raw data again.
+
+    Like the CMS twin, fixed hashing (``portable_hash60``) makes the
+    sketch fully deterministic, so the oracle reproduces the registers
+    bit-for-bit and the estimate exactly — HLL would need engine-
+    matched register math; KMV needs one window and one division.
+    Estimate: exact n while the type holds < k distinct hashes, else
+    (k−1)·2⁶⁰ / h₍ₖ₎.  The true distinct count rides along so the
+    sketch error is visible (and tolerance-tested).
+
+    Scale shape: the only corpus-sized steps are the distinct and the
+    per-(type, day) window, both partitioned fine-grained; everything
+    after operates on ≤ k rows per (type, day).  Output: (event_type,
+    n_kept, kth_hash, est_distinct_users, exact_distinct_users)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        portable_hash60(F.col("user_id")).alias("h"),
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("h")
+    partials = (
+        ev.distinct()
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        partials.distinct()  # a user active on many days appears once
+        .withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= k)
+    )
+    sk = merged.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    # (k−1)·2⁶⁰ exceeds int64 — carried as an exactly-representable
+    # double literal; the estimate is one IEEE division in both engines
+    numer = float((k - 1) * KMV_SPACE)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(numer) / F.col("kth_hash"))
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_kept",
+            "kth_hash",
+            est.alias("est_distinct_users"),
+            "exact_distinct_users",
+        )
+    )

@@ -3515,3 +3515,51 @@ from ({union})
 
 
 CORPUS_BPE_MERGES = _bpe_merges_sql()
+
+
+def _kmv_distinct_sql() -> str:
+    """Register-exact KMV mirror: same hash, same two-level window
+    retake, same single-division estimate (numerator as the repr of the
+    exactly-representable double — 63·2⁶⁰ overflows bigint)."""
+    from .operators.events import KMV_K, KMV_SPACE
+
+    numer = repr(float((KMV_K - 1) * KMV_SPACE))
+    return f"""
+with ev as (
+    select distinct event_type, cast(ts as date) as day,
+           {_h60('user_id::varchar')} as h
+    from events
+),
+partials as (
+    select event_type, h from (
+        select event_type, day, h,
+               row_number() over (partition by event_type, day order by h) as rn
+        from ev
+    ) where rn <= {KMV_K}
+),
+merged as (
+    select event_type, h from (
+        select event_type, h,
+               row_number() over (partition by event_type order by h) as rn
+        from (select distinct event_type, h from partials)
+    ) where rn <= {KMV_K}
+),
+sk as (
+    select event_type, count(*) as n_kept, max(h) as kth_hash
+    from merged group by event_type
+),
+exact as (
+    select event_type, count(distinct user_id) as exact_distinct_users
+    from events group by event_type
+)
+select s.event_type,
+       cast(s.n_kept as bigint) as n_kept,
+       s.kth_hash,
+       case when s.n_kept < {KMV_K} then cast(s.n_kept as double)
+            else {numer} / s.kth_hash end as est_distinct_users,
+       e.exact_distinct_users
+from sk s join exact e using (event_type)
+"""
+
+
+EVENTS_KMV_DISTINCT = _kmv_distinct_sql()

@@ -347,3 +347,49 @@ def test_cms_never_undercounts(spark):
     rows = events_cms_heavy_hitters(spark, SF_SMOKE, k=10**9).collect()
     assert rows and all(r.overcount >= 0 for r in rows)
     assert all(r.est_n == r.true_n + r.overcount for r in rows)
+
+
+def test_kmv_merge_is_lossless_and_estimate_sane(spark):
+    """The two-level KMV path (daily partials → rollup retake) must
+    yield the IDENTICAL register set as a single global k-minimum pass
+    (the mergeability theorem the operator banks on), and the estimate
+    must land within the sketch's statistical envelope."""
+    from pyspark.sql import Window, functions as F
+
+    from spotify_tracks_spark.functions.hashing import portable_hash60
+    from spotify_tracks_spark.operators.events import (
+        KMV_K,
+        events_kmv_distinct,
+    )
+    from spotify_tracks_spark.sources.tables import read_table
+    from tests.conftest import SF_T2
+
+    sf = SF_T2
+    got = {r.event_type: r for r in events_kmv_distinct(spark, sf).collect()}
+    assert got, "no event types"
+
+    # independent single-pass global k-minimum (no daily level)
+    ev = read_table(spark, sf, "events").select(
+        "event_type", portable_hash60(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    direct = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+    )
+    for r in direct.collect():
+        g = got[r.event_type]
+        assert (g.n_kept, g.kth_hash) == (r.n_kept, r.kth_hash), r.event_type
+
+    # estimate quality: within 5 relative standard errors (1/sqrt(k-2))
+    import math
+
+    rse = 1.0 / math.sqrt(KMV_K - 2)
+    for t, g in got.items():
+        if g.n_kept < KMV_K:
+            assert g.est_distinct_users == g.exact_distinct_users, t
+        else:
+            rel = abs(g.est_distinct_users - g.exact_distinct_users) / g.exact_distinct_users
+            assert rel < 5 * rse, (t, rel)
