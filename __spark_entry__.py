@@ -506,6 +506,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer TRAINING: first K learned BPE merges (iterative
         # top-pair merge over the word-frequency table)
         "corpus_bpe_merges": _llm.corpus_bpe_merges,
+        # tokenizer APPLICATION: per-doc token budget under the learned
+        # merges (word->count map joins the corpus; no corpus rewrite)
+        "corpus_bpe_encode": _llm.corpus_bpe_encode,
         # length-bucketed batch assembly + padding-efficiency report
         "corpus_length_batches": _llm.corpus_length_batches,
         # chained stateful aggregation (window-over-window, Spark 4)
@@ -733,6 +736,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
+        "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

@@ -525,58 +525,8 @@ def corpus_bpe_merges(
     is total — fully deterministic.
 
     Output: (step, lhs, rhs, merged, pair_freq), one row per merge."""
-    docs = read_table(spark, sf_dir, "documents", spread=True)
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    rep = words.select(
-        "freq",
-        F.concat(
-            F.lit("  "),
-            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
-            F.lit("  "),
-        ).alias("s"),
-    ).persist()
-    merges = []
-    cur = rep
+    rep, merges, cur = _bpe_chain(spark, sf_dir, n_merges)
     try:
-        for step in range(1, n_merges + 1):
-            with_syms = cur.withColumn("syms", F.split(F.trim(F.col("s")), "  "))
-            n = F.size(F.col("syms"))
-            zipped = with_syms.select(
-                "freq",
-                F.slice("syms", 1, n - 1).alias("la"),
-                F.slice("syms", 2, n - 1).alias("lb"),
-            ).select("freq", F.explode(F.arrays_zip("la", "lb")).alias("pr"))
-            pair_counts = (
-                zipped.select(
-                    "freq",
-                    F.col("pr.la").alias("lhs"),
-                    F.col("pr.lb").alias("rhs"),
-                )
-                .groupBy("lhs", "rhs")
-                .agg(F.sum("freq").alias("pair_freq"))
-            )
-            best = (
-                pair_counts.orderBy(
-                    F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs")
-                )
-                .limit(1)
-                .withColumn("step", F.lit(step))
-                .localCheckpoint(eager=True)  # one row; pins the winner so
-                # later steps replay a constant, not this step's aggregation
-            )
-            merges.append(best)
-            pat = F.concat(
-                F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
-            )
-            repl = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
-            cur = cur.crossJoin(
-                F.broadcast(best.select("lhs", "rhs"))
-            ).select("freq", F.replace(F.col("s"), pat, repl).alias("s"))
         out = merges[0]
         for m in merges[1:]:
             out = out.unionByName(m)
@@ -589,3 +539,104 @@ def corpus_bpe_merges(
         )
     finally:
         rep.unpersist()
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str, n_merges: int):
+    """The shared BPE loop: returns (persisted char-level rep table,
+    [one-row checkpointed winner per step], final rewritten rep).  The
+    rep rows carry (w, freq, s) so the encode step can map words to
+    their final symbol sequences; callers own ``rep.unpersist()``."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    rep = words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), "  "),
+            F.lit("  "),
+        ).alias("s"),
+    ).persist()
+    merges = []
+    cur = rep
+    for step in range(1, n_merges + 1):
+        with_syms = cur.withColumn("syms", F.split(F.trim(F.col("s")), "  "))
+        n = F.size(F.col("syms"))
+        zipped = with_syms.select(
+            "freq",
+            F.slice("syms", 1, n - 1).alias("la"),
+            F.slice("syms", 2, n - 1).alias("lb"),
+        ).select("freq", F.explode(F.arrays_zip("la", "lb")).alias("pr"))
+        pair_counts = (
+            zipped.select(
+                "freq",
+                F.col("pr.la").alias("lhs"),
+                F.col("pr.lb").alias("rhs"),
+            )
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .withColumn("step", F.lit(step))
+            .localCheckpoint(eager=True)  # one row; pins the winner so
+            # later steps replay a constant, not this step's aggregation
+        )
+        merges.append(best)
+        pat = F.concat(
+            F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" ")
+        )
+        repl = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        cur = cur.crossJoin(
+            F.broadcast(best.select("lhs", "rhs"))
+        ).select("w", "freq", F.replace(F.col("s"), pat, repl).alias("s"))
+    return rep, merges, cur
+
+
+def corpus_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The tokenizer-APPLICATION step: encode every document with the
+    ``n_merges`` BPE merges learned by ``corpus_bpe_merges`` and report
+    the per-document token budget — the number an LLM data pipeline
+    actually meters by.
+
+    Scale shape: encoding never rewrites the corpus — the learned
+    word → token-count map (|vocab| rows, localCheckpointed after the
+    merge loop so the corpus pass replays a materialized table) joins
+    the exploded word stream on the word key; per-doc sums are integer
+    and map-side combinable.  Documents whose text holds no words drop
+    out (nothing to encode).  ``compression`` (chars per BPE token) is
+    one IEEE division of exact integers; its denominator is ≥ 1 by
+    construction.
+
+    Output: (doc_id, n_words, n_bpe_tokens, compression)."""
+    rep, _, final = _bpe_chain(spark, sf_dir, n_merges)
+    try:
+        word_tok = final.select(
+            "w",
+            F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_tok"),
+        ).localCheckpoint(eager=True)
+    finally:
+        rep.unpersist()
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    doc_words = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        doc_words.join(word_tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+            (F.max("n_chars") / F.sum("n_tok")).alias("compression"),
+        )
+    )

@@ -3461,11 +3461,13 @@ from it{PAGERANK_ITERS} r join deg g on g.src = r.node
 PARTS_COPURCHASE_PAGERANK = _pagerank_sql()
 
 
-def _bpe_merges_sql() -> str:
-    """Unrolled BPE mirror: same double-space-gap string representation,
-    same replace() rewrite, same (freq desc, lhs, rhs) total tiebreak.
-    DuckDB notes: parallel unnest zips positionally (the posexplode
-    mirror); sum(bigint) → HUGEINT so the pair count is cast back."""
+def _bpe_chain_ctes() -> str:
+    """The shared unrolled-BPE CTE prefix (words → rep0 → pairsK/bestK/
+    repK): same double-space-gap string representation, same replace()
+    rewrite, same (freq desc, lhs, rhs) total tiebreak as the Spark
+    loop.  DuckDB notes: parallel unnest zips positionally (the
+    posexplode mirror); sum(bigint) → HUGEINT so the pair count is cast
+    back."""
     from .operators.llm_prep import BPE_MERGES
 
     blocks = []
@@ -3486,15 +3488,12 @@ best{k} as (
     limit 1
 ),
 rep{k} as (
-    select r.freq,
+    select r.w, r.freq,
            replace(r.s, ' ' || b.lhs || '  ' || b.rhs || ' ',
                         ' ' || b.lhs || b.rhs || ' ') as s
     from rep{k - 1} r cross join best{k} b
 )"""
         )
-    union = "\nunion all\n".join(
-        f"select * from best{k}" for k in range(1, BPE_MERGES + 1)
-    )
     joined_blocks = ",\n".join(blocks)
     return f"""
 with words as (
@@ -3504,17 +3503,51 @@ with words as (
     group by w
 ),
 rep0 as (
-    select freq,
+    select w, freq,
            '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' as s
     from words
 ),
-{joined_blocks}
+{joined_blocks}"""
+
+
+def _bpe_merges_sql() -> str:
+    from .operators.llm_prep import BPE_MERGES
+
+    union = "\nunion all\n".join(
+        f"select * from best{k}" for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""{_bpe_chain_ctes()}
 select step, lhs, rhs, lhs || rhs as merged, pair_freq
 from ({union})
 """
 
 
 CORPUS_BPE_MERGES = _bpe_merges_sql()
+
+
+def _bpe_encode_sql() -> str:
+    from .operators.llm_prep import BPE_MERGES
+
+    return f"""{_bpe_chain_ctes()},
+word_tok as (
+    select w, len(string_split(trim(s), '  ')) as n_tok from rep{BPE_MERGES}
+),
+doc_words as (
+    select doc_id, length(text) as n_chars,
+           unnest(string_split(lower(text), ' ')) as w
+    from documents
+)
+select d.doc_id,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(t.n_tok) as bigint) as n_bpe_tokens,
+       max(d.n_chars) / cast(sum(t.n_tok) as bigint) as compression
+from doc_words d join word_tok t using (w)
+where d.w <> ''
+group by d.doc_id
+"""
+
+
+CORPUS_BPE_ENCODE = _bpe_encode_sql()
 
 
 def _kmv_distinct_sql() -> str:

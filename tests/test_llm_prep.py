@@ -228,3 +228,17 @@ def test_bpe_merges_planted(spark, tmp_path):
         (2, "a", "b", "ab", 3),
         (3, "aa", "ab", "aaab", 2),
     ]
+
+
+def test_bpe_encode_planted(spark, tmp_path):
+    """With the 3 learned merges (aa, ab, aaab) the corpus re-encodes:
+    'aaab' → 1 token, 'cab' → [c, ab] = 2 tokens."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_bpe_encode
+
+    sf = _write_docs(spark, tmp_path, [(0, "aaab cab"), (1, "aaab")])
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.compression)
+        for r in corpus_bpe_encode(spark, sf, n_merges=3).collect()
+    }
+    assert got[0] == (2, 3, 8 / 3)   # "aaab cab" = 8 chars, 3 tokens
+    assert got[1] == (1, 1, 4 / 1)
