@@ -211,6 +211,16 @@ def _events_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_cms(spark, sf_dir)
 
 
+def _events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV maintenance: the distinct-count registers folded
+    forward per micro-batch by union-and-retake (constant <=k rows per
+    type); drained sketch hash-equals the batch build
+    (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_kmv
+
+    return stream_events_kmv(spark, sf_dir)
+
+
 def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-incremental mart maintenance: dim_track folded forward
     per micro-batch via foreachBatch; drained result hash-equals batch Q2
@@ -442,6 +452,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling aggregates, integer-exact z-score anomaly flags, and
         # ignore-nulls-window linear interpolation over a calendar spine
         "events_rolling_7d": _ts.events_rolling_7d,
+        # calendar-aware EWMA with dyadic decay (bit-deterministic
+        # cross-engine: every weight an exact power of two)
+        "events_ewma_daily": _ts.events_ewma_daily,
         "events_anomaly": _ts.events_anomaly,
         "events_interpolate": _ts.events_interpolate,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
@@ -538,6 +551,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
+        # streaming KMV fold: constant-size distinct-count state
+        "events_stream_kmv": _events_stream_kmv,
         # fixed-depth power iteration over the co-purchase graph: the
         # third classic graph primitive (CC and triangles are above)
         "parts_copurchase_pagerank": _graph_pagerank,
@@ -687,6 +702,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_repetition": oracles_ext.TEXT_REPETITION,
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
+        "events_ewma_daily": oracles_ext.EVENTS_EWMA_DAILY,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
@@ -734,6 +750,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
+        "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,

@@ -520,3 +520,50 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_head"
         ),
     )
+
+
+EWMA_LOOKBACK_DAYS = 28   # weights below 2^-28 truncate (mirrored in SQL)
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count
+    per type, with a DYADIC decay (α = 1/2 per day) chosen so the
+    smoothing is bit-deterministic across engines: every weight
+    2^-(day gap) is an exact IEEE double, every term n·2⁻ᵈ is an exact
+    dyadic rational, and the normalized estimate is one division of
+    exact operands — no libm `exp`/`pow` rounding disagreement can
+    creep in (integer powers of 0.5 are exact in any pow
+    implementation).
+
+    Decay is CALENDAR-aware: the exponent is the day gap, so a missing
+    day decays the history exactly as if a zero-count day sat there —
+    the same gap discipline as the RANGE-frame in ``events_rolling_7d``
+    (a row-position recurrence would decay gaps wrong).  The lookback
+    truncates at ``EWMA_LOOKBACK_DAYS`` (weights < 2⁻²⁸), identically
+    in the oracle.
+
+    Scale shape: the fact log collapses to the (type, day) grain FIRST
+    (the shared `_daily_counts` shuffle); the windowed self-join then
+    fans each anchor day out to ≤ 28 observed predecessors — bounded by
+    the lookback × |days| per type, never by the log.
+
+    Output: (event_type, day, n_events, ewma)."""
+    daily = _daily_counts(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    gap = F.datediff(F.col("a.day"), F.col("b.day"))
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (gap >= 0)
+        & (gap < EWMA_LOOKBACK_DAYS),
+    )
+    w = F.pow(F.lit(0.5), gap.cast("double"))
+    return (
+        j.groupBy(
+            F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day")
+        )
+        .agg(
+            F.max(F.when(gap == 0, F.col("b.n"))).alias("n_events"),
+            (F.sum(F.col("b.n") * w) / F.sum(w)).alias("ewma"),
+        )
+    )

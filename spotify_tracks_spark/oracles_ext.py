@@ -3596,3 +3596,61 @@ from sk s join exact e using (event_type)
 
 
 EVENTS_KMV_DISTINCT = _kmv_distinct_sql()
+
+
+def _ewma_daily_sql() -> str:
+    from .operators.timeseries import EWMA_LOOKBACK_DAYS
+
+    return f"""
+with daily as (
+    select event_type, cast(ts as date) as day, count(*) as n
+    from events group by event_type, cast(ts as date)
+)
+select a.event_type, a.day,
+       cast(max(case when a.day = b.day then b.n end) as bigint) as n_events,
+       sum(b.n * pow(0.5e0, date_diff('day', b.day, a.day)))
+         / sum(pow(0.5e0, date_diff('day', b.day, a.day))) as ewma
+from daily a
+join daily b
+  on b.event_type = a.event_type
+ and date_diff('day', b.day, a.day) >= 0
+ and date_diff('day', b.day, a.day) < {EWMA_LOOKBACK_DAYS}
+group by a.event_type, a.day
+"""
+
+
+EVENTS_EWMA_DAILY = _ewma_daily_sql()
+
+
+def _stream_kmv_sql() -> str:
+    """The drained streaming KMV equals one global k-minimum pass (the
+    merge theorem) — so the oracle is the batch SQL minus the daily
+    level and the exact column."""
+    from .operators.events import KMV_K, KMV_SPACE
+
+    numer = repr(float((KMV_K - 1) * KMV_SPACE))
+    return f"""
+with ev as (
+    select distinct event_type, {_h60('user_id::varchar')} as h from events
+),
+merged as (
+    select event_type, h from (
+        select event_type, h,
+               row_number() over (partition by event_type order by h) as rn
+        from ev
+    ) where rn <= {KMV_K}
+),
+sk as (
+    select event_type, count(*) as n_kept, max(h) as kth_hash
+    from merged group by event_type
+)
+select event_type,
+       cast(n_kept as bigint) as n_kept,
+       kth_hash,
+       case when n_kept < {KMV_K} then cast(n_kept as double)
+            else {numer} / kth_hash end as est_distinct_users
+from sk
+"""
+
+
+EVENTS_STREAM_KMV = _stream_kmv_sql()

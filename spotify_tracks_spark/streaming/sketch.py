@@ -35,7 +35,7 @@ N_SLICES = 4
 
 # (session id, sf_dir) -> materialized sliced-source dir (fixture prep,
 # shared per session like incremental.py's _SRC_CACHE)
-_SRC_CACHE: dict[tuple[int, str], str] = {}
+_SRC_CACHE: dict[tuple, str] = {}
 
 
 def _batch_cells(df: DataFrame, depth: int, width: int) -> DataFrame:
@@ -132,3 +132,122 @@ def stream_events_cms(
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     final = spark.read.parquet(f"{base}/state_b{cur['batch']}")
     return final.select("d", "cell", F.col("c").cast("long").alias("c"))
+
+
+def _batch_kmv(df: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        "event_type", portable_hash60(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+
+
+def stream_events_kmv(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain the per-type K-Minimum-Values distinct sketch over a
+    micro-batched event stream (availableNow drain) and return the
+    final registers + estimate — hash-equal to the batch-built sketch
+    (``events_kmv_distinct``'s merge theorem: every global k-minimum
+    hash is in its own batch's k-minimum set, so union-and-retake per
+    batch is lossless however the stream slices).
+
+    State per batch is ≤ k rows per event type — constant in stream
+    length and user cardinality, the cardinality twin of the CMS
+    frequency fold above, with the same snapshot-per-batch replay
+    idempotence.  Output: (event_type, n_kept, kth_hash,
+    est_distinct_users)."""
+    from ..operators.events import KMV_K, KMV_SPACE
+
+    if k is None:
+        k = KMV_K
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_kmv_")
+        # cache key namespaced: the CMS fold's source drops event_type,
+        # this one needs it — the two must not share a materialized src
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "kmv"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_kmv_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "kmv")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_type", "user_id").repartition(n_slices).write.parquet(
+            src_path
+        )
+    schema = spark.read.parquet(src_path).schema
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = _batch_kmv(batch_df, k)
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        # union-and-retake: dedup shared users across batches, keep the
+        # k smallest per type — the lossless KMV merge
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy("h")
+        merged = (
+            partial.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("event_type", "h")
+            .persist()
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    final = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    sk = final.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    numer = float((k - 1) * KMV_SPACE)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(numer) / F.col("kth_hash"))
+    return sk.select(
+        "event_type", "n_kept", "kth_hash", est.alias("est_distinct_users")
+    )

@@ -162,3 +162,28 @@ def test_median_grouped_agg_twin_matches_builtin(spark):
     for t in a:
         assert a[t].n == b[t].n
         assert a[t].median_value == b[t].median_value, t
+
+
+def test_ewma_daily_gap_decay_planted(spark, tmp_path):
+    """Dyadic EWMA hand-check with a calendar gap: days 1/2/4 carry
+    counts 4/2/8 (day 3 missing).  At day 4 the weights are the DAY-GAP
+    powers 2⁰, 2⁻², 2⁻³ — the missing day decays history by position in
+    the calendar, not by row: ewma = (8 + 2/4 + 4/8)/(1 + 1/4 + 1/8)."""
+    from datetime import datetime as d
+
+    from spotify_tracks_spark.operators.timeseries import events_ewma_daily
+
+    rows = []
+    eid = 0
+    for day, n in ((1, 4), (2, 2), (4, 8)):
+        for _ in range(n):
+            rows.append((eid, d(2024, 3, day, 12), 1, "view", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.day.day: r for r in events_ewma_daily(spark, sf).collect()}
+    assert got[1].n_events == 4 and got[1].ewma == 4.0
+    # day 2: (2 + 4/2) / (1 + 1/2)
+    assert got[2].ewma == (2 + 2.0) / 1.5
+    # day 4: gap-aware — weights 1, 1/4, 1/8 (day 3 absent)
+    assert got[4].n_events == 8
+    assert got[4].ewma == (8 + 0.5 + 0.5) / 1.375
