@@ -455,6 +455,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # calendar-aware EWMA with dyadic decay (bit-deterministic
         # cross-engine: every weight an exact power of two)
         "events_ewma_daily": _ts.events_ewma_daily,
+        # ISO-weekday seasonality profile (seasonal-naive decomposition)
+        "events_weekday_profile": _ts.events_weekday_profile,
         "events_anomaly": _ts.events_anomaly,
         "events_interpolate": _ts.events_interpolate,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
@@ -553,6 +555,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": _events.events_kmv_distinct,
         # streaming KMV fold: constant-size distinct-count state
         "events_stream_kmv": _events_stream_kmv,
+        # multi-touch linear attribution (equal split across in-window
+        # touches; the as-of op is its last-touch sibling)
+        "events_attribution_linear": _events.events_attribution_linear,
         # fixed-depth power iteration over the co-purchase graph: the
         # third classic graph primitive (CC and triangles are above)
         "parts_copurchase_pagerank": _graph_pagerank,
@@ -703,6 +708,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
         "events_ewma_daily": oracles_ext.EVENTS_EWMA_DAILY,
+        "events_weekday_profile": oracles_ext.EVENTS_WEEKDAY_PROFILE,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
@@ -751,6 +757,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
+        "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,

@@ -742,3 +742,57 @@ def events_kmv_distinct(
             "exact_distinct_users",
         )
     )
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+ATTRIBUTION_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def events_attribution_linear(
+    spark: SparkSession, sf_dir: str, window_days: int = ATTRIBUTION_WINDOW_DAYS
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase splits one unit of
+    credit equally across the user's touch events (view/click/signup)
+    in the ``window_days`` at-or-before it — the standard equal-weight
+    alternative to the last-touch rule ``events_asof_purchase_click``
+    encodes (as-of = 100% credit to the latest touch).
+
+    Exactness: per-purchase touch counts are integers; each touch's
+    credit is the single IEEE division 1/n, and the per-type credit sum
+    carries ordering noise ~6 orders of magnitude under the 6-dp hash
+    rounding.  Window bounds are integer
+    epoch-micros comparisons (strictly-after lower bound, inclusive
+    upper — pinned by the planted test).
+
+    Scale shape: the touch⋈purchase join is equi on user_id with a
+    time-band residual (never cartesian); the per-purchase count is a
+    |purchases|-grain window after the join has already narrowed to
+    in-window touches.  Purchases with no in-window touch drop out (no
+    credit to assign).  Output: (event_type, n_touches,
+    attributed_purchases)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        us.alias("pus"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin(*ATTRIBUTION_TOUCH_TYPES)
+    ).select("user_id", "event_type", us.alias("tus"))
+    win_us = window_days * 86_400_000_000
+    j = purch.join(
+        touch,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") > F.col("pus") - F.lit(win_us)),
+    )
+    w = Window.partitionBy("pid")
+    credited = j.withColumn("np", F.count("*").over(w))
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.lit(1.0) / F.col("np")).alias("attributed_purchases"),
+        )
+    )

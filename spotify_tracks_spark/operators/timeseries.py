@@ -567,3 +567,43 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("b.n") * w) / F.sum(w)).alias("ewma"),
         )
     )
+
+
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type: how each ISO weekday's
+    average daily volume compares to the type's overall traffic — the
+    seasonal-naive decomposition a capacity planner reads before any
+    fancier model.
+
+    Weekday numbering is pinned to ISO (1 = Monday … 7 = Sunday) on
+    both engines — Spark's ``dayofweek`` is 1 = Sunday while DuckDB's
+    ``dayofweek`` is 0 = Sunday, a classic cross-engine off-by-one, so
+    the operator uses ``weekday()+1`` and the oracle ``isodow()``.
+
+    Exactness: day counts and event totals are integers; ``avg_daily``
+    and ``share`` are single divisions (the share's denominator is the
+    partition-window total — kept integer, cast inside the window to
+    dodge DuckDB's HUGEINT promotion).
+
+    Scale shape: the fact log collapses to (type, day) first (shared
+    `_daily_counts` shuffle); everything after is ≤ 7 rows per type.
+    Output: (event_type, iso_weekday, n_days, total_events, avg_daily,
+    share)."""
+    daily = _daily_counts(spark, sf_dir)
+    by_dow = daily.groupBy(
+        "event_type",
+        (F.expr("weekday(day)") + F.lit(1)).alias("iso_weekday"),
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("total_events"),
+        (F.sum("n") / F.count("*")).alias("avg_daily"),
+    )
+    w = Window.partitionBy("event_type")
+    return by_dow.select(
+        "event_type",
+        "iso_weekday",
+        "n_days",
+        "total_events",
+        "avg_daily",
+        (F.col("total_events") / F.sum("total_events").over(w)).alias("share"),
+    )

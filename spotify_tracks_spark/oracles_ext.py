@@ -3654,3 +3654,58 @@ from sk
 
 
 EVENTS_STREAM_KMV = _stream_kmv_sql()
+
+
+def _attribution_linear_sql() -> str:
+    from .operators.events import (
+        ATTRIBUTION_TOUCH_TYPES,
+        ATTRIBUTION_WINDOW_DAYS,
+    )
+
+    types = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCH_TYPES)
+    win_us = ATTRIBUTION_WINDOW_DAYS * 86_400_000_000
+    return f"""
+with p as (
+    select event_id as pid, user_id as pu, epoch_us(ts) as pus
+    from events where event_type = 'purchase'
+),
+t as (
+    select user_id, event_type, epoch_us(ts) as tus
+    from events where event_type in ({types})
+),
+j as (
+    select p.pid, t.event_type
+    from p join t
+      on t.user_id = p.pu
+     and t.tus <= p.pus
+     and t.tus > p.pus - {win_us}
+),
+n as (select pid, count(*) as np from j group by pid)
+select j.event_type,
+       cast(count(*) as bigint) as n_touches,
+       sum(1.0e0 / n.np) as attributed_purchases
+from j join n using (pid)
+group by j.event_type
+"""
+
+
+EVENTS_ATTRIBUTION_LINEAR = _attribution_linear_sql()
+
+
+EVENTS_WEEKDAY_PROFILE = """
+with daily as (
+    select event_type, cast(ts as date) as day, count(*) as n
+    from events group by event_type, cast(ts as date)
+),
+by_dow as (
+    select event_type, cast(isodow(day) as int) as iso_weekday,
+           cast(count(*) as bigint) as n_days,
+           cast(sum(n) as bigint) as total_events,
+           cast(sum(n) as bigint) / count(*) as avg_daily
+    from daily group by event_type, isodow(day)
+)
+select event_type, iso_weekday, n_days, total_events, avg_daily,
+       total_events / cast(sum(total_events) over (partition by event_type)
+                           as bigint) as share
+from by_dow
+"""

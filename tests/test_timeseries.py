@@ -187,3 +187,55 @@ def test_ewma_daily_gap_decay_planted(spark, tmp_path):
     # day 4: gap-aware — weights 1, 1/4, 1/8 (day 3 absent)
     assert got[4].n_events == 8
     assert got[4].ewma == (8 + 0.5 + 0.5) / 1.375
+
+
+def test_attribution_linear_planted(spark, tmp_path):
+    """Two purchases: one splits across 2 in-window touches (0.5 each),
+    one has a single touch (full credit).  Boundary pins: a touch AT the
+    purchase instant counts (inclusive upper); a touch exactly
+    window_days before does NOT (strict lower); purchases with no touch
+    assign nothing."""
+    from datetime import datetime as d, timedelta
+
+    from spotify_tracks_spark.operators.events import events_attribution_linear
+
+    T = d(2024, 3, 10, 12, 0, 0)
+    rows = [
+        (0, T, 1, "purchase", 1.0),
+        (1, T - timedelta(hours=1), 1, "click", 1.0),    # in window
+        (2, T, 1, "view", 1.0),                           # at the instant
+        (3, T - timedelta(days=7), 1, "signup", 1.0),     # exactly -7d: out
+        (4, T, 2, "purchase", 1.0),
+        (5, T - timedelta(days=6, hours=23), 2, "click", 1.0),  # sole touch
+        (6, T, 3, "purchase", 1.0),                       # no touches
+        (7, T + timedelta(hours=1), 3, "view", 1.0),      # after: out
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n_touches, r.attributed_purchases)
+        for r in events_attribution_linear(spark, sf).collect()
+    }
+    assert got == {"click": (2, 0.5 + 1.0), "view": (1, 0.5)}
+
+
+def test_weekday_profile_iso_numbering(spark, tmp_path):
+    """2024-03-04 was a Monday: its events must land on iso_weekday 1,
+    Sunday 2024-03-10 on 7; shares sum to 1 per type."""
+    from datetime import datetime as d
+
+    from spotify_tracks_spark.operators.timeseries import events_weekday_profile
+
+    rows = [
+        (0, d(2024, 3, 4, 9), 1, "view", 1.0),    # Monday
+        (1, d(2024, 3, 4, 10), 2, "view", 1.0),
+        (2, d(2024, 3, 11, 9), 1, "view", 1.0),   # next Monday
+        (3, d(2024, 3, 10, 9), 1, "view", 1.0),   # Sunday
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.iso_weekday: r for r in events_weekday_profile(spark, sf).collect()
+    }
+    assert set(got) == {1, 7}
+    assert (got[1].n_days, got[1].total_events, got[1].avg_daily) == (2, 3, 1.5)
+    assert (got[7].n_days, got[7].total_events) == (1, 1)
+    assert got[1].share == 0.75 and got[7].share == 0.25
