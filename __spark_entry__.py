@@ -457,6 +457,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_daily": _ts.events_ewma_daily,
         # ISO-weekday seasonality profile (seasonal-naive decomposition)
         "events_weekday_profile": _ts.events_weekday_profile,
+        # contrastive (anchor, positives, hash-sampled negatives) assembly
+        "embedding_negative_samples": _sim.embedding_negative_samples,
         "events_anomaly": _ts.events_anomaly,
         "events_interpolate": _ts.events_interpolate,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
@@ -709,6 +711,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
         "events_ewma_daily": oracles_ext.EVENTS_EWMA_DAILY,
         "events_weekday_profile": oracles_ext.EVENTS_WEEKDAY_PROFILE,
+        "embedding_negative_samples": oracles_ext.EMBEDDING_NEGATIVE_SAMPLES,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,

@@ -829,3 +829,72 @@ def embedding_truncation_recall(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+NEG_K = 5
+NEG_SAMPLE_MOD = 10   # negative candidate pool = 1/mod of the corpus
+
+
+def embedding_negative_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    neg_k: int = NEG_K,
+    probe_mod: int = 100,
+    sample_mod: int = NEG_SAMPLE_MOD,
+) -> DataFrame:
+    """Contrastive training-pair assembly: for every probe anchor, its
+    exact top-``k`` cosine neighbors as POSITIVES plus ``neg_k``
+    deterministic hash-sampled non-neighbors as NEGATIVES — the
+    (anchor, positive, negatives) triple layout an embedding-model
+    trainer consumes, with each negative's cosine carried so the batch's
+    hardness is inspectable (in-batch negatives being "too easy" is the
+    classic contrastive failure mode).
+
+    Determinism without randomness: the candidate pool is a
+    hash-bucketed corpus slice (``h(vec_id) % sample_mod == 0``) and
+    each anchor ranks its non-positive candidates by a PAIR hash
+    ``h(query_id || '|' || vec_id)`` — per-anchor pseudo-random order,
+    reproducible in SQL, no rand() seed drift.  Positives are excluded
+    by anti-join before ranking, so a negative can never be a true
+    neighbor.
+
+    Scale shape: the pool fan-out is |probes| × |corpus|/``sample_mod``
+    — both knobs scale-tunable; the per-anchor window ranks only the
+    sampled candidates.  Output: (query_id, vec_id, role, rank, cos)."""
+    from ..functions.hashing import portable_hash60
+
+    emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
+    pos = ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod)
+    cand = emb.filter(portable_hash60(F.col("vec_id")) % sample_mod == 0)
+    pairs = cand.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    nonpos = pairs.join(
+        pos.select("query_id", F.col("neighbor_id").alias("vec_id")),
+        ["query_id", "vec_id"],
+        "left_anti",
+    )
+    pair_h = portable_hash60(
+        F.concat_ws("|", F.col("query_id"), F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(pair_h.asc(), F.asc("vec_id"))
+    negs = (
+        nonpos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= neg_k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit("negative").alias("role"),
+            F.col("rn").cast("long").alias("rank"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    positives = pos.select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.lit("positive").alias("role"),
+        "rank",
+        "cos",
+    )
+    return positives.unionByName(negs)

@@ -3709,3 +3709,63 @@ select event_type, iso_weekday, n_days, total_events, avg_daily,
                            as bigint) as share
 from by_dow
 """
+
+
+def _negative_samples_sql() -> str:
+    from .operators.similarity import NEG_K, NEG_SAMPLE_MOD
+
+    pair_h = _h60("pr.query_id::varchar || '|' || pr.vec_id::varchar")
+    cos = (
+        "list_sum(list_transform(generate_series(1, len({e})), i -> {q}[i] * {e}[i]))"
+        " / (sqrt(list_sum(list_transform({q}, x -> x*x)))"
+        "    * sqrt(list_sum(list_transform({e}, x -> x*x))))"
+    )
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % 100 = 0),
+scored as (
+    select p.query_id, emb.vec_id as neighbor_id,
+           {cos.format(e='emb.e', q='p.qe')} as cos
+    from emb cross join probes p
+    where emb.vec_id != p.query_id
+),
+pos as (
+    select query_id, neighbor_id, cos,
+           row_number() over (partition by query_id order by cos desc, neighbor_id) as rank
+    from scored
+    qualify rank <= 5
+),
+cand as (
+    select vec_id, e from emb
+    where {_h60('vec_id::varchar')} % {NEG_SAMPLE_MOD} = 0
+),
+pairs as (
+    select p.query_id, c.vec_id, p.qe, c.e
+    from cand c cross join probes p
+    where c.vec_id != p.query_id
+),
+nonpos as (
+    select pr.* from pairs pr
+    where not exists (select 1 from pos
+                      where pos.query_id = pr.query_id
+                        and pos.neighbor_id = pr.vec_id)
+),
+negs as (
+    select pr.query_id, pr.vec_id,
+           row_number() over (partition by pr.query_id
+                              order by {pair_h}, pr.vec_id) as rn,
+           {cos.format(e='pr.e', q='pr.qe')} as cos
+    from nonpos pr
+    qualify rn <= {NEG_K}
+)
+select query_id, neighbor_id as vec_id, 'positive' as role,
+       cast(rank as bigint) as rank, round(cos, 6) as cos
+from pos
+union all
+select query_id, vec_id, 'negative' as role,
+       cast(rn as bigint) as rank, round(cos, 6) as cos
+from negs
+"""
+
+
+EMBEDDING_NEGATIVE_SAMPLES = _negative_samples_sql()

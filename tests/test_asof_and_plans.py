@@ -393,3 +393,30 @@ def test_kmv_merge_is_lossless_and_estimate_sane(spark):
         else:
             rel = abs(g.est_distinct_users - g.exact_distinct_users) / g.exact_distinct_users
             assert rel < 5 * rse, (t, rel)
+
+
+def test_negative_samples_invariants(spark):
+    """Per anchor: exactly k positives + neg_k negatives, disjoint sets,
+    and (positives being the GLOBAL top-k) every negative's cosine is
+    bounded by the weakest positive's."""
+    from collections import defaultdict
+
+    from spotify_tracks_spark.operators.similarity import (
+        NEG_K,
+        embedding_negative_samples,
+    )
+    from tests.conftest import SF_T2
+
+    rows = embedding_negative_samples(spark, SF_T2).collect()
+    by_q = defaultdict(lambda: {"positive": [], "negative": []})
+    for r in rows:
+        by_q[r.query_id][r.role].append(r)
+    assert by_q
+    for q, d in by_q.items():
+        assert len(d["positive"]) == 5 and len(d["negative"]) == NEG_K, q
+        pos_ids = {r.vec_id for r in d["positive"]}
+        neg_ids = {r.vec_id for r in d["negative"]}
+        assert not (pos_ids & neg_ids), q
+        assert q not in pos_ids | neg_ids, q
+        weakest_pos = min(r.cos for r in d["positive"])
+        assert all(r.cos <= weakest_pos for r in d["negative"]), q
