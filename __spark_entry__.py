@@ -552,6 +552,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_large_volume": _tpch.orders_large_volume,
         "customers_idle_high_balance": _tpch.customers_idle_high_balance,
         "orders_priority_late_ship": _tpch.orders_priority_late_ship,
+        # Q5's same-nation customer/supplier join; Q10's returned-revenue
+        # top-k — the last two canonical join shapes
+        "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
+        "customers_returned_revenue": _tpch.customers_returned_revenue,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -758,6 +762,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
+        "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
+        "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

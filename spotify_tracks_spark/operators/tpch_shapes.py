@@ -399,3 +399,105 @@ def orders_basket_rules(
         )
     )
     return out
+
+
+def nation_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's shape: revenue from lineitems where the CUSTOMER and
+    the SUPPLIER sit in the same nation — the benchmark's signature
+    six-way join whose defining twist is the non-hierarchical equality
+    c_nationkey = s_nationkey (two independent dimension paths must
+    agree, so the planner can't just snowflake down one chain).
+
+    Scale shape: lineitem⋈orders is the one fact⋈fact shuffle on
+    orderkey; customer and supplier broadcast onto opposite ends and
+    the nation-equality residual filters at join time (never a
+    post-join cartesian); revenue sums exact integer cents×(100−d).
+    Output: (nation_name, n_lineitems, revenue_e4)."""
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("cn")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("sn")
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("sn") == F.col("cn")),
+        )
+        .join(F.broadcast(nation), F.col("sn") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+    )
+
+
+RETURNED_TOP_K = 20
+
+
+def customers_returned_revenue(
+    spark: SparkSession, sf_dir: str, k: int = RETURNED_TOP_K
+) -> DataFrame:
+    """TPC-H Q10's shape: the ``k`` customers who returned the most
+    revenue (returnflag = 'R') — the classic "who should account
+    management call" report: selective fact filter, two joins, exact
+    money ranking with a total-order deterministic LIMIT.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan (≈⅓
+    survives), the per-customer aggregate collapses the fact BEFORE the
+    dim joins, and the top-k total order (revenue desc, custkey asc) is
+    engine-agnostic.  Output: (c_custkey, c_name, nation_name,
+    n_returned_items, returned_rev_e4)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+                "rev_e4"
+            ),
+        )
+    )
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_returned_items"),
+            F.sum("rev_e4").alias("returned_rev_e4"),
+        )
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(cust), "c_custkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            "n_returned_items",
+            "returned_rev_e4",
+        )
+        .orderBy(F.desc("returned_rev_e4"), F.asc("c_custkey"))
+        .limit(k)
+    )

@@ -3769,3 +3769,47 @@ from negs
 
 
 EMBEDDING_NEGATIVE_SAMPLES = _negative_samples_sql()
+
+
+NATION_LOCAL_SUPPLIER_REVENUE = """
+select n.n_name as nation_name,
+       cast(count(*) as bigint) as n_lineitems,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l.l_discount * 100) as bigint)))
+            as bigint) as revenue_e4
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+join customer c on c.c_custkey = o.o_custkey
+join supplier s on s.s_suppkey = l.l_suppkey
+               and s.s_nationkey = c.c_nationkey
+join nation n on n.n_nationkey = s.s_nationkey
+group by n.n_name
+"""
+
+
+def _returned_revenue_sql() -> str:
+    from .operators.tpch_shapes import RETURNED_TOP_K
+
+    return f"""
+with per_cust as (
+    select o.o_custkey as c_custkey,
+           cast(count(*) as bigint) as n_returned_items,
+           cast(sum(cast(round(l.l_extendedprice * 100) as bigint)
+                    * (100 - cast(round(l.l_discount * 100) as bigint)))
+                as bigint) as returned_rev_e4
+    from lineitem l
+    join orders o on o.o_orderkey = l.l_orderkey
+    where l.l_returnflag = 'R'
+    group by o.o_custkey
+)
+select p.c_custkey, c.c_name, n.n_name as nation_name,
+       p.n_returned_items, p.returned_rev_e4
+from per_cust p
+join customer c on c.c_custkey = p.c_custkey
+join nation n on n.n_nationkey = c.c_nationkey
+order by p.returned_rev_e4 desc, p.c_custkey
+limit {RETURNED_TOP_K}
+"""
+
+
+CUSTOMERS_RETURNED_REVENUE = _returned_revenue_sql()

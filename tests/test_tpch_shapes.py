@@ -237,3 +237,64 @@ def test_priority_late_ship_planted(spark, tmp_path):
 
     rows = orders_priority_late_ship(spark, str(tmp_path)).collect()
     assert [(r.o_orderpriority, r.n_orders) for r in rows] == [("1-URGENT", 1)]
+
+
+def test_local_supplier_revenue_planted(spark, tmp_path):
+    """Only the lineitem whose customer and supplier share a nation
+    contributes; revenue is exact cents x (100 - disc)."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        nation_local_supplier_revenue,
+    )
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", t),  # supp 1 (N0) = cust nation
+        (1, 2, 2, 2, 1.0, 50.00, 0.00, 0.0, "N", "O", t),   # supp 2 (N1) != N0
+    ])
+    spark.createDataFrame(
+        [(1, 7)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(7, 0)], "c_custkey long, c_nationkey int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "N0"), (1, "N1")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+
+    rows = nation_local_supplier_revenue(spark, str(tmp_path)).collect()
+    assert [(r.nation_name, r.n_lineitems, r.revenue_e4) for r in rows] == [
+        ("N0", 1, 10000 * 90)
+    ]
+
+
+def test_returned_revenue_topk_planted(spark, tmp_path):
+    """Only flag-'R' lines count; per-customer sums rank with the
+    (revenue desc, custkey asc) total order."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        customers_returned_revenue,
+    )
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "R", "O", t),
+        (1, 2, 1, 2, 1.0, 50.00, 0.0, 0.0, "N", "O", t),   # kept? no: flag N
+        (2, 3, 1, 1, 1.0, 30.00, 0.0, 0.0, "R", "O", t),
+    ])
+    spark.createDataFrame(
+        [(1, 7), (2, 8)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(7, "Alice", 0), (8, "Bob", 0)],
+        "c_custkey long, c_name string, c_nationkey int",
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "N0")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+
+    rows = customers_returned_revenue(spark, str(tmp_path)).collect()
+    assert [
+        (r.c_custkey, r.n_returned_items, r.returned_rev_e4) for r in rows
+    ] == [(7, 1, 10000 * 100), (8, 1, 3000 * 100)]
