@@ -556,6 +556,26 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-k — the last two canonical join shapes
         "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
         "customers_returned_revenue": _tpch.customers_returned_revenue,
+        # the 12 shapes completing the canonical warehouse family:
+        # Q6 pure-scan forecast, Q7 bidirectional nation pair, Q8
+        # market-share ratio, Q9 LIKE-dim profit, Q11 global-scalar
+        # HAVING, Q12 CASE-count pair, Q13 outer-join histogram, Q14
+        # promo ratio, Q15 scalar-max view, Q16 distinct-count +
+        # NOT-IN anti-join, Q19 disjunctive pushdown, Q20 nested
+        # semi-join dominance, Q21 EXISTS/NOT-EXISTS decorrelation
+        "lineitem_revenue_forecast": _tpch.lineitem_revenue_forecast,
+        "nation_volume_shipping": _tpch.nation_volume_shipping,
+        "nation_market_share": _tpch.nation_market_share,
+        "nation_product_profit": _tpch.nation_product_profit,
+        "nation_part_value_concentration": _tpch.nation_part_value_concentration,
+        "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
+        "customer_order_distribution": _tpch.customer_order_distribution,
+        "promo_revenue_share": _tpch.promo_revenue_share,
+        "top_supplier_revenue": _tpch.top_supplier_revenue,
+        "part_supplier_diversity": _tpch.part_supplier_diversity,
+        "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
+        "excess_supply_candidates": _tpch.excess_supply_candidates,
+        "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -764,6 +784,23 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
         "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
         "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
+        "lineitem_revenue_forecast": oracles_ext.LINEITEM_REVENUE_FORECAST,
+        "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
+        "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
+        "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
+        "nation_part_value_concentration": (
+            oracles_ext.NATION_PART_VALUE_CONCENTRATION
+        ),
+        "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
+        "customer_order_distribution": oracles_ext.CUSTOMER_ORDER_DISTRIBUTION,
+        "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
+        "top_supplier_revenue": oracles_ext.TOP_SUPPLIER_REVENUE,
+        "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
+        "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
+        "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
+        "suppliers_kept_orders_waiting": (
+            oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
+        ),
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -501,3 +501,599 @@ def customers_returned_revenue(
         .orderBy(F.desc("returned_rev_e4"), F.asc("c_custkey"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# The remaining canonical shapes (Q6/7/8/9/11/12/13/14/15/16/19/20/21
+# families), adapted to the testdata star schema: no partsupp table
+# (lineitem's (partkey, suppkey) observations stand in for the supply
+# relation, as part_min_cost_supplier already established), no
+# commit/receipt dates (lateness is ship − order date, as
+# orders_priority_late_ship established), no shipmode/container/comment
+# columns (l_linestatus, p_size bands and balance signs stand in for
+# the categorical filters).  The SHAPES — not the literal predicates —
+# are the engine capabilities under test.
+
+FORECAST_YEAR = "1996-01-01"        # Q6 window [year, year+1)
+FORECAST_DISC_LO, FORECAST_DISC_HI = 5, 7   # discount band, pct points
+FORECAST_MAX_QTY = 24
+VOLUME_NATION_A = "NATION_1"        # Q7 trading pair
+VOLUME_NATION_B = "NATION_2"
+MKT_SHARE_REGION = "ASIA"           # Q8 market
+MKT_SHARE_NATION = "NATION_2"       # Q8 subject nation (an ASIA member)
+MKT_SHARE_TYPE = "ECONOMY"          # Q8 part-type market segment
+PROFIT_NAME_WORD = "red"            # Q9 part-name LIKE word
+VALUE_NATION = "NATION_3"           # Q11 scoped nation
+VALUE_FRACTION_DEN = 1000           # Q11 threshold: > total/1000
+LATE_MODE_DAYS = 60                 # Q12 lateness bar
+DIST_EXCLUDED_PRIORITY = "5-LOW"    # Q13 order-exclusion filter
+TOP_SUPPLIER_QUARTER = "1996-01-01"  # Q15 3-month window start
+DIVERSITY_EXCL_BRAND = "Brand#1"    # Q16 exclusions
+DIVERSITY_EXCL_TYPE = "PROMO"
+DIVERSITY_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+EXCESS_NAME_WORD = "small"          # Q20 part-name LIKE word
+EXCESS_SHARE_MULT = 2               # Q20 dominance: > 2× the uniform share
+WAITING_LATE_DAYS = 90              # Q21 lateness bar
+
+
+def lineitem_revenue_forecast(
+    spark: SparkSession, sf_dir: str, year_start: str = FORECAST_YEAR
+) -> DataFrame:
+    """TPC-H Q6's shape: the what-if revenue delta from eliminating a
+    narrow discount band — a pure scan-side aggregate with THREE
+    range predicates and no join at all.  The capability under test is
+    predicate pushdown: all three filters (ship year, discount band,
+    quantity cap) must reach the parquet scan, and the whole query is
+    one map-side-combinable partial sum over the survivors.
+
+    forecast = Σ price·disc in exact e4 fixed point (cents × pct).
+    Output: one row (n_lines, forecast_rev_e4)."""
+    lo = F.lit(year_start).cast("date")
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            (F.to_date("l_shipdate") >= lo)
+            & (F.to_date("l_shipdate") < F.add_months(lo, 12))
+        )
+        .select(
+            _cents("l_extendedprice").alias("cents"),
+            _pct("l_discount").alias("d"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .filter(
+            (F.col("d") >= FORECAST_DISC_LO)
+            & (F.col("d") <= FORECAST_DISC_HI)
+            & (F.col("qty") < FORECAST_MAX_QTY)
+        )
+    )
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("cents") * F.col("d")).alias("forecast_rev_e4"),
+    )
+
+
+def nation_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = VOLUME_NATION_A,
+    nation_b: str = VOLUME_NATION_B,
+) -> DataFrame:
+    """TPC-H Q7's shape: shipping volume BETWEEN two nations, by
+    direction and ship year — the bidirectional-pair join where the
+    supplier's nation and the customer's nation must form the unordered
+    pair {A, B} in either orientation.
+
+    Scale shape: lineitem⋈orders is the one fact shuffle; customer and
+    supplier (pre-filtered to the two nations — the filter prunes
+    BEFORE the broadcast) broadcast onto it, and the cross-nation
+    inequality is a join-time residual.  Revenue exact e4.
+    Output: (supp_nation, cust_nation, ship_year, n_lines,
+    revenue_e4) — 2 directions × observed years."""
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(F.to_date("l_shipdate")).alias("ship_year"),
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+    )
+
+
+def nation_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = MKT_SHARE_REGION,
+    nation: str = MKT_SHARE_NATION,
+    part_type: str = MKT_SHARE_TYPE,
+) -> DataFrame:
+    """TPC-H Q8's shape: one nation's share of a region's market for
+    one part type, per order year — the conditional-aggregate ratio
+    (numerator = a CASE inside the sum, denominator = the same sum
+    unconditioned) that turns "market share" into a single grouped
+    pass over the joined fact.
+
+    Scale shape: part (type-filtered) and the region-pruned customer
+    side broadcast; lineitem⋈orders is the one fact shuffle; share is
+    ONE division of two exact e4 sums per year.
+    Output: (o_year, total_rev_e4, nation_rev_e4, mkt_share)."""
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = (
+        read_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == region)
+        .select("r_regionkey")
+    )
+    mkt_cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == part_type)
+        .select("p_partkey")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_custkey", F.year(F.to_date("o_orderdate")).alias("o_year")
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == nation, F.col("rev_e4")).otherwise(F.lit(0))
+    )
+    return joined.groupBy("o_year").agg(
+        F.sum("rev_e4").alias("total_rev_e4"),
+        nation_rev.alias("nation_rev_e4"),
+        (nation_rev / F.sum("rev_e4")).alias("mkt_share"),
+    )
+
+
+def nation_product_profit(
+    spark: SparkSession, sf_dir: str, name_word: str = PROFIT_NAME_WORD
+) -> DataFrame:
+    """TPC-H Q9's shape: profit on one product line per (supplier
+    nation, order year).  The testdata has no partsupp.ps_supplycost,
+    so cost is proxied by the part's retail price × quantity (the Q9
+    capability under test — a LIKE-filtered dim driving a multi-join
+    profit expression with a possibly-negative measure — is intact).
+
+    profit_e4 = Σ [cents·(100−d) − qty·retail_cents·100]: both terms at
+    e4 scale, exact bigints, sign-mixed.  Scale shape: the LIKE filter
+    prunes part BEFORE its broadcast; lineitem⋈orders is the one fact
+    shuffle; supplier/nation broadcast.
+    Output: (nation_name, o_year, n_lines, profit_e4)."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{name_word}%"))
+        .select("p_partkey", _cents("p_retailprice").alias("retail_cents"))
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).alias("o_year")
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("cents"),
+        _pct("l_discount").alias("d"),
+    )
+    profit = F.col("cents") * (F.lit(100) - F.col("d")) - F.col("qty") * F.col(
+        "retail_cents"
+    ) * F.lit(100)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"), F.col("o_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(profit).alias("profit_e4"),
+        )
+    )
+
+
+def nation_part_value_concentration(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = VALUE_NATION,
+    fraction_den: int = VALUE_FRACTION_DEN,
+) -> DataFrame:
+    """TPC-H Q11's shape: the parts holding an outsized share of one
+    nation's observed supply value — GROUP BY + HAVING against a
+    GLOBAL scalar subquery over the SAME scoped relation (the planner
+    must evaluate the filtered aggregate twice or share the scan).
+
+    The supply relation is lineitem's observed (part, supplier) flows
+    (no partsupp in the testdata); value = Σ extendedprice in cents.
+    The threshold ``value > total/fraction_den`` is evaluated in exact
+    integers: ``value·fraction_den > total``.
+
+    Scale shape: ONE shuffle builds the per-part values (the nation
+    filter pruned the fact at scan time via the broadcast supplier
+    semi-join); the scalar total folds off the same aggregate and rides
+    back as a one-row broadcast — the scoped scan happens once.
+    Output: (p_partkey, value_cents) for survivors."""
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", _cents("l_extendedprice").alias("cents"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+    per_part = per_part.persist()  # one scan feeds both the total and the filter
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    out = (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * fraction_den > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+    return out
+
+
+def lineitem_late_shipment_modes(
+    spark: SparkSession, sf_dir: str, late_days: int = LATE_MODE_DAYS
+) -> DataFrame:
+    """TPC-H Q12's shape: late shipments bucketed by category, counting
+    critical-priority vs other orders per bucket — the CASE-driven
+    conditional count pair over a fact⋈fact join.  The testdata has no
+    l_shipmode; l_linestatus is the stand-in category, and lateness is
+    ship > order date + ``late_days`` (no commit/receipt dates).
+
+    Scale shape: the lateness predicate is a join residual (only
+    orderkey + two dates ship through the shuffle); the two CASE counts
+    are one grouped pass, 2 output rows, full map-side combine.
+    Output: (l_linestatus, high_line_count, low_line_count)."""
+    orders = read_table(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_linestatus", F.to_date("l_shipdate").alias("sd")
+    )
+    late = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.sd > F.date_add(orders.od, late_days)),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str, excluded_priority: str = DIST_EXCLUDED_PRIORITY
+) -> DataFrame:
+    """TPC-H Q13's shape: the distribution of customers by how many
+    qualifying orders they placed — the LEFT OUTER join whose unmatched
+    side MUST survive as count 0, then a second aggregation over the
+    first's result (the histogram-of-a-histogram).
+
+    Scale shape: orders are filtered at scan (the NOT LIKE analogue:
+    one priority class excluded), the outer join aggregates to
+    |customer| rows, and the second groupBy is over ≤ max-order-count
+    distinct keys — tiny.  Output: (c_count, custdist)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        read_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderpriority") != excluded_priority)
+        .select("o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's shape: the share of revenue from promotional parts,
+    per ship month — the conditional-sum ratio joined through a dim
+    (p_type = 'PROMO' exists verbatim in the testdata).  Q14 fixes one
+    month; grouping by every ship month exercises the identical shape
+    with a fuller result.
+
+    Scale shape: part broadcasts (2 columns); one grouped pass; share
+    is ONE division of two exact e4 sums per month.
+    Output: (ship_month, promo_rev_e4, total_rev_e4, promo_share)."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey",
+        F.date_trunc("month", F.to_date("l_shipdate")).cast("date").alias(
+            "ship_month"
+        ),
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("ship_month")
+        .agg(
+            promo.alias("promo_rev_e4"),
+            F.sum("rev_e4").alias("total_rev_e4"),
+            (promo / F.sum("rev_e4")).alias("promo_share"),
+        )
+    )
+
+
+def top_supplier_revenue(
+    spark: SparkSession, sf_dir: str, quarter_start: str = TOP_SUPPLIER_QUARTER
+) -> DataFrame:
+    """TPC-H Q15's shape: the supplier(s) achieving the MAXIMUM revenue
+    over a 3-month window — the view-then-scalar-max-equality pattern
+    (ties all surface; no arbitrary LIMIT 1).
+
+    Scale shape: one fact shuffle builds per-supplier revenue (~|supplier|
+    rows, persisted — the 'view'); the global max folds off it and rides
+    back as a one-row broadcast; equality keeps exact-e4 ties.
+    Output: (s_suppkey, s_name, total_rev_e4)."""
+    lo = F.lit(quarter_start).cast("date")
+    per_supp = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            (F.to_date("l_shipdate") >= lo)
+            & (F.to_date("l_shipdate") < F.add_months(lo, 3))
+        )
+        .select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+                "rev_e4"
+            ),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("total_rev_e4"))
+        .persist()
+    )
+    best = per_supp.agg(F.max("total_rev_e4").alias("max_rev"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev_e4") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+def part_supplier_diversity(
+    spark: SparkSession,
+    sf_dir: str,
+    excl_brand: str = DIVERSITY_EXCL_BRAND,
+    excl_type: str = DIVERSITY_EXCL_TYPE,
+    sizes: tuple = DIVERSITY_SIZES,
+) -> DataFrame:
+    """TPC-H Q16's shape: how many distinct suppliers can furnish each
+    (brand, type, size) part class, excluding one brand, one type
+    family, a size whitelist, and a supplier denylist (NOT IN
+    anti-join; balance < 0 is the testdata's complaint analogue).
+
+    The supply relation is lineitem's observed (part, supplier) pairs.
+    Scale shape: the part filters prune at scan and broadcast; the
+    denylist is a tiny broadcast anti-join; countDistinct shuffles on
+    the 3-part group key once.
+    Output: (p_brand, p_type, p_size, supplier_cnt)."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != excl_brand)
+            & (F.col("p_type") != excl_type)
+            & F.col("p_size").isin(*sizes)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def disjunctive_branch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: revenue matched by an OR of three
+    independently-conjunctive (brand, size-band, quantity-band)
+    branches — the disjunctive-predicate query whose capability under
+    test is that the planner pushes the UNION of the branches down as
+    ONE scan predicate (not three scans, not a post-join filter).
+
+    The testdata has no container column; p_size bands stand in.  The
+    join predicate carries the disjunction: each branch pairs a part
+    condition with a lineitem condition, exactly Q19's
+    ``(p_brand = .. AND p_size BETWEEN .. AND l_quantity BETWEEN ..)
+    OR (..)`` form.  Output: one row (n_lines, revenue_e4)."""
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("qty")
+    branch = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 45) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & branch)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+    )
+
+
+def excess_supply_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    name_word: str = EXCESS_NAME_WORD,
+    share_mult: int = EXCESS_SHARE_MULT,
+) -> DataFrame:
+    """TPC-H Q20's shape: suppliers who dominate the observed supply of
+    a LIKE-filtered product line — the nested-semi-join query ("ship
+    excess stock") whose inner threshold is a per-part scalar subquery
+    (Q20's 50%-of-availqty analogue, made scale-free: a supplier
+    dominates a part when its volume exceeds ``share_mult``× the
+    part's UNIFORM per-supplier share — an absolute fraction would go
+    vacuous as the supplier count scales with SF).
+
+    Integer-exact threshold: qty(part,supp)·n_suppliers(part) >
+    share_mult·qty(part).  Scale shape: the LIKE filter prunes part
+    before broadcast; ONE fact shuffle builds (part, supp) volumes;
+    the per-part total reuses the same aggregate (a second combine
+    over it, not a second scan); the dominance filter is a same-key
+    join.  Output: (s_suppkey, s_name, n_dominated_parts)."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{name_word}%"))
+        .select("p_partkey")
+    )
+    ps = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_ps"))
+        .persist()
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("qty_ps").alias("qty_p"), F.count("*").alias("n_supp")
+    )
+    dominant = ps.join(per_part, "l_partkey").filter(
+        F.col("qty_ps") * F.col("n_supp") > F.lit(share_mult) * F.col("qty_p")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+    )
+
+
+def suppliers_kept_orders_waiting(
+    spark: SparkSession, sf_dir: str, late_days: int = WAITING_LATE_DAYS
+) -> DataFrame:
+    """TPC-H Q21's shape: per supplier, the count of finalized
+    multi-supplier orders where THIS supplier was the ONLY late one —
+    the benchmark's hardest correlated pattern (EXISTS another
+    supplier's line AND NOT EXISTS another supplier's late line),
+    decorrelated into per-order supplier counts: an order qualifies
+    for supplier s iff  n_distinct_suppliers ≥ 2  AND
+    n_distinct_LATE_suppliers = 1  AND s is that late supplier.
+
+    Lateness is ship > order + ``late_days`` (no receipt/commit dates).
+    Scale shape: one orderkey shuffle computes both distinct-supplier
+    counts in a single grouped pass (a conditional countDistinct
+    pair); late per-(order, supplier) pairs join back on the same key;
+    the EXISTS/NOT-EXISTS pair never materializes as self-joins.
+    Output: (s_suppkey, s_name, numwait)."""
+    orders = (
+        read_table(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("od"))
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select("l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sd"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", F.col("sd") > F.date_add(F.col("od"), late_days))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        li.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    waiting = late_pairs.join(
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )

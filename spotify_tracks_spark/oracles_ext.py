@@ -3813,3 +3813,293 @@ limit {RETURNED_TOP_K}
 
 
 CUSTOMERS_RETURNED_REVENUE = _returned_revenue_sql()
+
+
+def _tpch_remaining_shape_sqls() -> dict:
+    """Oracles for the 12 shapes that complete the canonical warehouse
+    family (tpch_shapes.py Q6/7/8/9/11/12/13/14/15/16/19/20/21
+    adaptations).  Dialect-parity notes: every final integer sum is
+    cast to bigint (DuckDB sums ints into HUGEINT), year()/size ints
+    cast to int to match Spark's 32-bit extracts, and month/quarter
+    bounds are precomputed as Python date literals so no engine's
+    interval arithmetic enters the query."""
+    from datetime import date, timedelta
+
+    from .operators.tpch_shapes import (
+        DIST_EXCLUDED_PRIORITY,
+        DIVERSITY_EXCL_BRAND,
+        DIVERSITY_EXCL_TYPE,
+        DIVERSITY_SIZES,
+        EXCESS_NAME_WORD,
+        EXCESS_SHARE_MULT,
+        FORECAST_DISC_HI,
+        FORECAST_DISC_LO,
+        FORECAST_MAX_QTY,
+        FORECAST_YEAR,
+        LATE_MODE_DAYS,
+        MKT_SHARE_NATION,
+        MKT_SHARE_REGION,
+        MKT_SHARE_TYPE,
+        PROFIT_NAME_WORD,
+        TOP_SUPPLIER_QUARTER,
+        VALUE_FRACTION_DEN,
+        VALUE_NATION,
+        VOLUME_NATION_A,
+        VOLUME_NATION_B,
+        WAITING_LATE_DAYS,
+    )
+
+    def _add_months(iso: str, m: int) -> str:
+        y, mo, d = map(int, iso.split("-"))
+        mo0 = mo - 1 + m
+        return date(y + mo0 // 12, mo0 % 12 + 1, d).isoformat()
+
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    pct = "cast(round(l_discount * 100) as bigint)"
+    rev_e4 = f"{cents} * (100 - {pct})"
+
+    forecast = f"""
+select count(*) as n_lines,
+       cast(sum({cents} * {pct}) as bigint) as forecast_rev_e4
+from lineitem
+where cast(l_shipdate as date) >= date '{FORECAST_YEAR}'
+  and cast(l_shipdate as date) < date '{_add_months(FORECAST_YEAR, 12)}'
+  and {pct} between {FORECAST_DISC_LO} and {FORECAST_DISC_HI}
+  and cast(l_quantity as bigint) < {FORECAST_MAX_QTY}
+"""
+
+    volume = f"""
+with pair as (select n_nationkey, n_name from nation
+              where n_name in ('{VOLUME_NATION_A}', '{VOLUME_NATION_B}'))
+select ps.n_name as supp_nation,
+       pc.n_name as cust_nation,
+       cast(year(cast(l.l_shipdate as date)) as int) as ship_year,
+       count(*) as n_lines,
+       cast(sum({rev_e4}) as bigint) as revenue_e4
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey
+join pair ps on ps.n_nationkey = s.s_nationkey
+join customer c on c.c_custkey = o.o_custkey
+join pair pc on pc.n_nationkey = c.c_nationkey
+where ps.n_name != pc.n_name
+group by ps.n_name, pc.n_name, year(cast(l.l_shipdate as date))
+"""
+
+    mkt_share = f"""
+with mkt_cust as (
+    select c_custkey from customer c
+    join nation n on n.n_nationkey = c.c_nationkey
+    join region r on r.r_regionkey = n.n_regionkey
+    where r.r_name = '{MKT_SHARE_REGION}'
+)
+select cast(year(cast(o.o_orderdate as date)) as int) as o_year,
+       cast(sum({rev_e4}) as bigint) as total_rev_e4,
+       cast(sum(case when n.n_name = '{MKT_SHARE_NATION}'
+                     then {rev_e4} else 0 end) as bigint) as nation_rev_e4,
+       cast(sum(case when n.n_name = '{MKT_SHARE_NATION}'
+                     then {rev_e4} else 0 end) as bigint)
+         / cast(sum({rev_e4}) as bigint) as mkt_share
+from lineitem l
+join part p on p.p_partkey = l.l_partkey and p.p_type = '{MKT_SHARE_TYPE}'
+join orders o on o.o_orderkey = l.l_orderkey
+join mkt_cust mc on mc.c_custkey = o.o_custkey
+join supplier s on s.s_suppkey = l.l_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+group by year(cast(o.o_orderdate as date))
+"""
+
+    profit = f"""
+select n.n_name as nation_name,
+       cast(year(cast(o.o_orderdate as date)) as int) as o_year,
+       count(*) as n_lines,
+       cast(sum({rev_e4}
+                - cast(l_quantity as bigint)
+                  * cast(round(p.p_retailprice * 100) as bigint)
+                  * 100) as bigint) as profit_e4
+from lineitem l
+join part p on p.p_partkey = l.l_partkey
+           and p.p_name like '%{PROFIT_NAME_WORD}%'
+join orders o on o.o_orderkey = l.l_orderkey
+join supplier s on s.s_suppkey = l.l_suppkey
+join nation n on n.n_nationkey = s.s_nationkey
+group by n.n_name, year(cast(o.o_orderdate as date))
+"""
+
+    value_conc = f"""
+with scoped as (
+    select l.l_partkey, {cents} as cents
+    from lineitem l
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n on n.n_nationkey = s.s_nationkey
+                 and n.n_name = '{VALUE_NATION}'
+),
+per_part as (
+    select l_partkey, cast(sum(cents) as bigint) as value_cents
+    from scoped group by l_partkey
+)
+select l_partkey as p_partkey, value_cents
+from per_part
+where value_cents * {VALUE_FRACTION_DEN} > (select sum(value_cents) from per_part)
+"""
+
+    late_modes = f"""
+select l.l_linestatus,
+       cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o.o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 0 else 1 end) as bigint) as low_line_count
+from lineitem l
+join orders o on o.o_orderkey = l.l_orderkey
+where cast(l.l_shipdate as date)
+        > cast(o.o_orderdate as date) + cast({LATE_MODE_DAYS} as integer)
+group by l.l_linestatus
+"""
+
+    order_dist = f"""
+with per_cust as (
+    select c.c_custkey, count(o.o_custkey) as c_count
+    from customer c
+    left join (select o_custkey from orders
+               where o_orderpriority != '{DIST_EXCLUDED_PRIORITY}') o
+      on o.o_custkey = c.c_custkey
+    group by c.c_custkey
+)
+select cast(c_count as bigint) as c_count, count(*) as custdist
+from per_cust group by c_count
+"""
+
+    promo = f"""
+select cast(date_trunc('month', cast(l.l_shipdate as date)) as date) as ship_month,
+       cast(sum(case when p.p_type = 'PROMO' then {rev_e4} else 0 end)
+            as bigint) as promo_rev_e4,
+       cast(sum({rev_e4}) as bigint) as total_rev_e4,
+       cast(sum(case when p.p_type = 'PROMO' then {rev_e4} else 0 end)
+            as bigint)
+         / cast(sum({rev_e4}) as bigint) as promo_share
+from lineitem l
+join part p on p.p_partkey = l.l_partkey
+group by date_trunc('month', cast(l.l_shipdate as date))
+"""
+
+    top_supplier = f"""
+with per_supp as (
+    select l_suppkey, cast(sum({rev_e4}) as bigint) as total_rev_e4
+    from lineitem
+    where cast(l_shipdate as date) >= date '{TOP_SUPPLIER_QUARTER}'
+      and cast(l_shipdate as date)
+            < date '{_add_months(TOP_SUPPLIER_QUARTER, 3)}'
+    group by l_suppkey
+)
+select s.s_suppkey, s.s_name, ps.total_rev_e4
+from per_supp ps
+join supplier s on s.s_suppkey = ps.l_suppkey
+where ps.total_rev_e4 = (select max(total_rev_e4) from per_supp)
+"""
+
+    sizes_csv = ", ".join(str(s) for s in DIVERSITY_SIZES)
+    diversity = f"""
+select p.p_brand, p.p_type, p.p_size,
+       count(distinct ps.l_suppkey) as supplier_cnt
+from (select distinct l_partkey, l_suppkey from lineitem) ps
+join part p on p.p_partkey = ps.l_partkey
+where p.p_brand != '{DIVERSITY_EXCL_BRAND}'
+  and p.p_type != '{DIVERSITY_EXCL_TYPE}'
+  and p.p_size in ({sizes_csv})
+  and ps.l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p.p_brand, p.p_type, p.p_size
+"""
+
+    disjunctive = f"""
+select count(*) as n_lines,
+       cast(sum({rev_e4}) as bigint) as revenue_e4
+from lineitem l
+join part p on p.p_partkey = l.l_partkey
+where (p.p_brand = 'Brand#12' and p.p_size between 1 and 15
+       and cast(l.l_quantity as bigint) between 1 and 11)
+   or (p.p_brand = 'Brand#23' and p.p_size between 1 and 25
+       and cast(l.l_quantity as bigint) between 10 and 20)
+   or (p.p_brand = 'Brand#34' and p.p_size between 1 and 45
+       and cast(l.l_quantity as bigint) between 20 and 30)
+"""
+
+    excess = f"""
+with ps as (
+    select l.l_partkey, l.l_suppkey,
+           cast(sum(cast(l.l_quantity as bigint)) as bigint) as qty_ps
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey
+               and p.p_name like '%{EXCESS_NAME_WORD}%'
+    group by l.l_partkey, l.l_suppkey
+),
+per_part as (
+    select l_partkey, cast(sum(qty_ps) as bigint) as qty_p,
+           count(*) as n_supp
+    from ps group by l_partkey
+)
+select s.s_suppkey, s.s_name, count(*) as n_dominated_parts
+from ps
+join per_part pp using (l_partkey)
+join supplier s on s.s_suppkey = ps.l_suppkey
+where ps.qty_ps * pp.n_supp > {EXCESS_SHARE_MULT} * pp.qty_p
+group by s.s_suppkey, s.s_name
+"""
+
+    waiting = f"""
+with li as (
+    select l.l_orderkey, l.l_suppkey,
+           cast(l.l_shipdate as date)
+             > cast(o.o_orderdate as date)
+               + cast({WAITING_LATE_DAYS} as integer) as is_late
+    from lineitem l
+    join orders o on o.o_orderkey = l.l_orderkey
+                 and o.o_orderstatus = 'F'
+),
+per_order as (
+    select l_orderkey,
+           count(distinct l_suppkey) as n_supp,
+           count(distinct case when is_late then l_suppkey end) as n_late_supp
+    from li group by l_orderkey
+),
+late_pairs as (
+    select distinct l_orderkey, l_suppkey from li where is_late
+)
+select s.s_suppkey, s.s_name, count(*) as numwait
+from late_pairs lp
+join per_order po on po.l_orderkey = lp.l_orderkey
+                 and po.n_supp >= 2 and po.n_late_supp = 1
+join supplier s on s.s_suppkey = lp.l_suppkey
+group by s.s_suppkey, s.s_name
+"""
+
+    return {
+        "forecast": forecast,
+        "volume": volume,
+        "mkt_share": mkt_share,
+        "profit": profit,
+        "value_conc": value_conc,
+        "late_modes": late_modes,
+        "order_dist": order_dist,
+        "promo": promo,
+        "top_supplier": top_supplier,
+        "diversity": diversity,
+        "disjunctive": disjunctive,
+        "excess": excess,
+        "waiting": waiting,
+    }
+
+
+_TPCH_REST = _tpch_remaining_shape_sqls()
+LINEITEM_REVENUE_FORECAST = _TPCH_REST["forecast"]
+NATION_VOLUME_SHIPPING = _TPCH_REST["volume"]
+NATION_MARKET_SHARE = _TPCH_REST["mkt_share"]
+NATION_PRODUCT_PROFIT = _TPCH_REST["profit"]
+NATION_PART_VALUE_CONCENTRATION = _TPCH_REST["value_conc"]
+LINEITEM_LATE_SHIPMENT_MODES = _TPCH_REST["late_modes"]
+CUSTOMER_ORDER_DISTRIBUTION = _TPCH_REST["order_dist"]
+PROMO_REVENUE_SHARE = _TPCH_REST["promo"]
+TOP_SUPPLIER_REVENUE = _TPCH_REST["top_supplier"]
+PART_SUPPLIER_DIVERSITY = _TPCH_REST["diversity"]
+DISJUNCTIVE_BRANCH_REVENUE = _TPCH_REST["disjunctive"]
+EXCESS_SUPPLY_CANDIDATES = _TPCH_REST["excess"]
+SUPPLIERS_KEPT_ORDERS_WAITING = _TPCH_REST["waiting"]

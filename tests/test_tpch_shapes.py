@@ -298,3 +298,177 @@ def test_returned_revenue_topk_planted(spark, tmp_path):
     assert [
         (r.c_custkey, r.n_returned_items, r.returned_rev_e4) for r in rows
     ] == [(7, 1, 10000 * 100), (8, 1, 3000 * 100)]
+
+
+def test_order_distribution_planted(spark, tmp_path):
+    """The Q13 capability: a customer with NO qualifying orders must
+    survive the outer join as count 0; excluded-priority orders don't
+    count."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        customer_order_distribution,
+    )
+
+    t = datetime(1997, 6, 1)
+    spark.createDataFrame(
+        [(7,), (8,), (9,)], "c_custkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (1, 7, "1-URGENT", t),
+            (2, 7, "3-MEDIUM", t),
+            (3, 8, "5-LOW", t),     # excluded: cust 8 counts as 0
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.c_count: r.custdist
+        for r in customer_order_distribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: 1, 0: 2}  # cust 7 has 2; custs 8 and 9 have 0
+
+
+def test_kept_orders_waiting_planted(spark, tmp_path):
+    """The Q21 capability: a supplier scores only on finalized
+    multi-supplier orders where it is the ONLY late supplier."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        suppliers_kept_orders_waiting,
+    )
+
+    od = datetime(1997, 1, 1)
+    late = datetime(1997, 6, 1)     # > 90 days after od
+    ok = datetime(1997, 1, 15)
+    _write_lineitem(spark, tmp_path, [
+        # order 1 (F): supp 1 late, supp 2 on time -> supp 1 scores
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", late),
+        (1, 2, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", ok),
+        # order 2 (F): both late -> nobody scores (n_late_supp = 2)
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", late),
+        (2, 2, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", late),
+        # order 3 (F): single-supplier, late -> no other supplier exists
+        (3, 1, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", late),
+        # order 4 (O, not finalized): would qualify but status filters it
+        (4, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", late),
+        (4, 2, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", ok),
+    ])
+    spark.createDataFrame(
+        [(1, "F", od), (2, "F", od), (3, "F", od), (4, "O", od)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+
+    rows = suppliers_kept_orders_waiting(spark, str(tmp_path)).collect()
+    assert [(r.s_suppkey, r.numwait) for r in rows] == [(1, 1)]
+
+
+def test_excess_supply_planted(spark, tmp_path):
+    """The Q20 dominance predicate: qty·n_supp > mult·total, on
+    name-matched parts only."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        excess_supply_candidates,
+    )
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        # part 1 ("small x"): supp 1 has 10 of 12 with 3 suppliers ->
+        # 10*3 > 2*12 dominates; supps 2,3 have 1 each (3 <= 24)
+        (1, 1, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (2, 1, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        (3, 1, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", t),
+        # part 2 (name not matching): supp 2 would dominate, filtered out
+        (4, 2, 2, 1, 99.0, 10.0, 0.0, 0.0, "N", "O", t),
+    ])
+    spark.createDataFrame(
+        [(1, "small ring"), (2, "red gear")], "p_partkey long, p_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+
+    rows = excess_supply_candidates(spark, str(tmp_path)).collect()
+    assert [(r.s_suppkey, r.s_name, r.n_dominated_parts) for r in rows] == [
+        (1, "S1", 1)
+    ]
+
+
+def test_value_concentration_planted(spark, tmp_path):
+    """The Q11 global-scalar HAVING: only parts above total/den survive,
+    and only the scoped nation's suppliers contribute."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        nation_part_value_concentration,
+    )
+
+    t = datetime(1997, 6, 1)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 96.0, 0.0, 0.0, "N", "O", t),   # part 1: 9600
+        (2, 2, 1, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", t),    # part 2: 300
+        (3, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t),    # part 3: 100
+        (4, 4, 2, 1, 1.0, 500.0, 0.0, 0.0, "N", "O", t),  # wrong nation
+    ])
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_X"), (1, "NATION_Y")], "n_nationkey int, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+
+    # total = 10000 cents; den 50 -> threshold 200: parts 1 and 2 survive
+    rows = nation_part_value_concentration(
+        spark, str(tmp_path), nation="NATION_X", fraction_den=50
+    ).collect()
+    assert {(r.p_partkey, r.value_cents) for r in rows} == {(1, 9600), (2, 300)}
+
+
+def test_late_shipment_modes_planted(spark, tmp_path):
+    """The Q12 CASE-count pair: lateness gates the join; priority
+    routes each line to exactly one of the two counters."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        lineitem_late_shipment_modes,
+    )
+
+    od = datetime(1997, 1, 1)
+    late = datetime(1997, 4, 1)     # > 60 days
+    ok = datetime(1997, 1, 15)
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", late),  # urgent, late
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", late),  # low, late
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", late),  # medium, late, O
+        (1, 2, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", ok),    # on time
+    ])
+    spark.createDataFrame(
+        [(1, "1-URGENT", od), (2, "5-LOW", od), (3, "3-MEDIUM", od)],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r.l_linestatus: (r.high_line_count, r.low_line_count)
+        for r in lineitem_late_shipment_modes(spark, str(tmp_path)).collect()
+    }
+    assert got == {"F": (1, 1), "O": (0, 1)}
+
+
+def test_top_supplier_tie_planted(spark, tmp_path):
+    """The Q15 scalar-max equality: BOTH tied suppliers surface (no
+    arbitrary limit-1), out-of-window revenue ignored."""
+    from spotify_tracks_spark.operators.tpch_shapes import top_supplier_revenue
+
+    t_in = datetime(1996, 2, 1)
+    t_out = datetime(1996, 6, 1)    # outside the 3-month window
+    _write_lineitem(spark, tmp_path, [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t_in),
+        (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t_in),
+        (3, 1, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", t_in),
+        (4, 1, 3, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", t_out),
+    ])
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2"), (3, "S3")], "s_suppkey long, s_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+
+    rows = top_supplier_revenue(spark, str(tmp_path)).collect()
+    assert {(r.s_suppkey, r.total_rev_e4) for r in rows} == {
+        (1, 10000 * 100),
+        (2, 10000 * 100),
+    }
