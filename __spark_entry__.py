@@ -221,6 +221,14 @@ def _events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_kmv(spark, sf_dir)
 
 
+def _events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register fold (availableNow drain): register-wise
+    max merge, constant-size state, hash-equal to the batch sketch."""
+    from spotify_tracks_spark.streaming import stream_events_hll
+
+    return stream_events_hll(spark, sf_dir)
+
+
 def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-incremental mart maintenance: dim_track folded forward
     per micro-batch via foreachBatch; drained result hash-equals batch Q2
@@ -576,6 +584,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
         "excess_supply_candidates": _tpch.excess_supply_candidates,
         "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
+        # HyperLogLog: the third mergeable-sketch family (register-wise
+        # max merge; deterministic trailing-zero rank, register-exact
+        # oracle like the CMS/KMV twins)
+        "events_hll_distinct": _events.events_hll_distinct,
+        # streaming HLL fold: idempotent register-max merge per batch
+        "events_stream_hll": _events_stream_hll,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -801,6 +815,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "suppliers_kept_orders_waiting": (
             oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
         ),
+        "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
+        "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

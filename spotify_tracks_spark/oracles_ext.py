@@ -4103,3 +4103,90 @@ PART_SUPPLIER_DIVERSITY = _TPCH_REST["diversity"]
 DISJUNCTIVE_BRANCH_REVENUE = _TPCH_REST["disjunctive"]
 EXCESS_SUPPLY_CANDIDATES = _TPCH_REST["excess"]
 SUPPLIERS_KEPT_ORDERS_WAITING = _TPCH_REST["waiting"]
+
+
+def _hll_distinct_sql() -> str:
+    """Register-exact HLL mirror: same bucket split, same trailing-zero
+    rank (round(log2(w & −w)) — exact-power-of-two safety, see
+    operators/events.py:_hll_rho), same DECIMAL(38,0) register sum.
+    The daily partial level is elided: register-wise max over (type,
+    day, bucket) then (type, bucket) equals one global max (the HLL
+    merge theorem), so the single-pass SQL reproduces the two-level
+    sketch bit-for-bit.  The estimate's ln() sits far inside the 6-dp
+    hash rounding; everything else is exact."""
+    from .operators.events import HLL_EST_NUMER, HLL_M, HLL_W_BITS
+
+    two61 = 1 << 61
+    mask = (1 << HLL_W_BITS) - 1
+    numer = repr(float(HLL_EST_NUMER))
+    return f"""
+with ev as (
+    select distinct event_type, {_h60('user_id::varchar')} as h from events
+),
+b as (
+    select event_type,
+           h >> {HLL_W_BITS} as bucket,
+           h & {mask} as w
+    from ev
+),
+reg as (
+    select event_type, bucket,
+           max(case when w = 0 then {HLL_W_BITS + 1}
+               else cast(round(log2(cast(w & -w as double))) as bigint) + 1
+               end) as m
+    from b group by event_type, bucket
+),
+agg as (
+    select event_type,
+           count(*) as n_present,
+           sum(cast(1::bigint << cast(61 - m as integer) as decimal(38,0)))
+             as s_present
+    from reg group by event_type
+),
+sk as (
+    select event_type,
+           cast({HLL_M} - n_present as bigint) as n_zero_regs,
+           cast(s_present
+                + cast({HLL_M} - n_present as decimal(38,0))
+                  * cast({two61} as decimal(38,0))
+                as decimal(38,0)) as reg_sum_e61
+    from agg
+)
+select s.event_type, s.n_zero_regs,
+       cast(s.reg_sum_e61 as double) as reg_sum_e61,
+       case when {numer} / cast(s.reg_sum_e61 as double) <= {2.5 * HLL_M!r}
+             and s.n_zero_regs > 0
+            then {float(HLL_M)!r} * ln({float(HLL_M)!r} / s.n_zero_regs)
+            else {numer} / cast(s.reg_sum_e61 as double) end
+         as est_distinct_users,
+       x.exact_distinct_users
+from sk s
+join (select event_type,
+             count(distinct user_id) as exact_distinct_users
+      from events group by event_type) x using (event_type)
+"""
+
+
+EVENTS_HLL_DISTINCT = _hll_distinct_sql()
+
+
+def _stream_hll_sql() -> str:
+    """The drained streaming HLL equals the batch sketch (register-wise
+    max is associative/commutative/idempotent) — the batch SQL minus
+    the exact column."""
+    base = _hll_distinct_sql()
+    return base.replace(
+        """,
+       x.exact_distinct_users
+from sk s
+join (select event_type,
+             count(distinct user_id) as exact_distinct_users
+      from events group by event_type) x using (event_type)
+""",
+        """
+from sk s
+""",
+    )
+
+
+EVENTS_STREAM_HLL = _stream_hll_sql()

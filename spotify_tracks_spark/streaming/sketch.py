@@ -251,3 +251,130 @@ def stream_events_kmv(
     return sk.select(
         "event_type", "n_kept", "kth_hash", est.alias("est_distinct_users")
     )
+
+
+def _batch_hll_registers(df: DataFrame) -> DataFrame:
+    from ..operators.events import _hll_rho, HLL_W_BITS
+
+    b = (
+        df.select("event_type", portable_hash60(F.col("user_id")).alias("h"))
+        .distinct()
+        .select(
+            "event_type",
+            F.shiftright(F.col("h"), HLL_W_BITS).alias("bucket"),
+            F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1)).alias("w"),
+        )
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.max(_hll_rho(F.col("w"))).alias("m")
+    )
+
+
+def stream_events_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain the per-type HyperLogLog registers over a micro-batched
+    event stream (availableNow drain) and return the final sketch —
+    hash-equal to the batch build (``events_hll_distinct``): HLL merge
+    is register-wise MAX, which is associative, commutative AND
+    idempotent, so the fold is insensitive to how the stream slices.
+
+    State per batch is ≤ 256 register rows per event type — constant in
+    stream length and user cardinality like the CMS/KMV folds, with the
+    same snapshot-per-batch replay idempotence (for HLL the max-merge
+    makes even a double-fold harmless; the snapshot discipline is kept
+    for uniformity and restart recovery).  Output: (event_type,
+    n_zero_regs, reg_sum_e61, est_distinct_users)."""
+    from ..operators.events import HLL_EST_NUMER, HLL_M
+
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_hll_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "kmv"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_hll_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "kmv")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_type", "user_id").repartition(n_slices).write.parquet(
+            src_path
+        )
+    schema = spark.read.parquet(src_path).schema
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = _batch_hll_registers(batch_df)
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = (
+            partial.groupBy("event_type", "bucket")
+            .agg(F.max("m").alias("m"))
+            .persist()
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    reg = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    agg = reg.groupBy("event_type").agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), cast(61 - m as int))"
+                " as decimal(38,0))"
+            )
+        ).alias("s_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    s_e61 = (
+        F.col("s_present")
+        + v.cast("decimal(38,0)") * F.lit(1 << 61).cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    raw = F.lit(HLL_EST_NUMER) / F.col("reg_sum_e61")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_regs") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero_regs")),
+    ).otherwise(raw)
+    return (
+        agg.select(
+            "event_type",
+            v.cast("long").alias("n_zero_regs"),
+            s_e61.cast("double").alias("reg_sum_e61"),
+        )
+        .withColumn("est_distinct_users", est)
+    )

@@ -420,3 +420,44 @@ def test_negative_samples_invariants(spark):
         assert q not in pos_ids | neg_ids, q
         weakest_pos = min(r.cos for r in d["positive"])
         assert all(r.cos <= weakest_pos for r in d["negative"]), q
+
+
+def test_hll_rank_is_exact_integer_math(spark):
+    """_hll_rho's trailing-zero rank on hand-picked suffixes: exact
+    powers of two, mixed bits, and the all-zero suffix — the cases
+    where a floor-of-log2 formulation would be libm-fragile."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.events import HLL_W_BITS, _hll_rho
+
+    cases = [
+        (0, HLL_W_BITS + 1),        # all-zero suffix
+        (1, 1),                     # tz 0
+        (2, 2),                     # tz 1
+        (8, 4),                     # tz 3
+        (12, 3),                    # 0b1100 -> tz 2
+        (1 << 51, 52),              # highest single bit in the field
+        ((1 << 51) | (1 << 7), 8),  # lowest set bit wins
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in cases], "w long")
+    got = {
+        r.w: r.rho
+        for r in df.select("w", _hll_rho(F.col("w")).alias("rho")).collect()
+    }
+    assert got == {w: rho for w, rho in cases}
+
+
+def test_hll_estimate_within_envelope(spark):
+    """HLL estimate lands within 5 relative standard errors
+    (1.04/sqrt(m)) of truth at the t2 scale, and the small-range
+    branch engages when most registers are empty."""
+    from spotify_tracks_spark.operators.events import HLL_M, events_hll_distinct
+    from tests.conftest import SF_T2
+
+    rows = events_hll_distinct(spark, SF_T2).collect()
+    assert rows
+    rse = 1.04 / (HLL_M ** 0.5)
+    for r in rows:
+        rel = abs(r.est_distinct_users - r.exact_distinct_users) / r.exact_distinct_users
+        assert rel < 5 * rse, (r.event_type, rel)
+        assert 0 <= r.n_zero_regs <= HLL_M
