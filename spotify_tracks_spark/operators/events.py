@@ -925,3 +925,129 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct_users",
         )
     )
+
+
+BLOOM_M_BITS = 1 << 12          # 4096 bits = 128 32-bit words
+BLOOM_K = 3                     # hash functions (seeded portable_hash60)
+BLOOM_WORD_BITS = 32            # 32-bit words: 1<<31 stays in-range in
+                                # both engines (1<<63 overflows bigint)
+
+
+def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build + membership evaluation — the join-pruning
+    primitive a 100 TB pipeline ships to the probe side instead of the
+    key set itself (the triangle counter's bloom-pruned closing-edge
+    join uses Spark's internal one; this is the explicit, mergeable,
+    oracle-checkable construction).
+
+    Build set: users with an above-mean purchase count (integer-exact
+    threshold cnt·n_users ≥ total — scale-free, ≈half the users at any
+    SF).  The filter is ``BLOOM_M_BITS`` bits as 32-bit words built
+    with bit_or — bitmaps merge by OR, so per-partition partials
+    combine losslessly (the same mergeability story as the CMS/KMV/HLL
+    sketches; words, not a single huge integer, so the state is a
+    shuffle-friendly table).  Every user then probes: predicted member
+    iff all ``BLOOM_K`` seeded-hash bits are set.  No false negatives
+    — pinned in pytest — and the measured false-positive rate rides
+    along (m, k chosen so it is visibly nonzero at test SFs).
+
+    Scale shape: one user-grain aggregate; the filter is O(m) rows max
+    regardless of corpus size; probes join the tiny word table
+    (broadcast) — never the member set.  Output: one row (n_users,
+    n_members, n_bits_set, n_predicted_members, n_false_positives,
+    fp_rate)."""
+    from ..functions.hashing import portable_hash60
+
+    n_words_shift = 5  # log2(BLOOM_WORD_BITS)
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("cnt")
+        )
+    )
+    totals = per_user.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_users")
+    )
+    flagged = per_user.crossJoin(F.broadcast(totals)).withColumn(
+        "is_member", F.col("cnt") * F.col("n_users") >= F.col("total")
+    )
+    flagged = flagged.persist()
+
+    def positions(col):
+        return [
+            portable_hash60(col, seed=i) % BLOOM_M_BITS
+            for i in range(1, BLOOM_K + 1)
+        ]
+
+    member_pos = (
+        flagged.filter("is_member")
+        .select(
+            F.explode(F.array(*positions(F.col("user_id")))).alias("pos")
+        )
+    )
+    words = member_pos.groupBy(
+        F.shiftright(F.col("pos"), n_words_shift).alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(pos % {BLOOM_WORD_BITS} as int))"
+            )
+        ).alias("bits")
+    )
+    words = words.persist()
+
+    probe = flagged.select("user_id", "is_member")
+    for i in range(1, BLOOM_K + 1):
+        p = portable_hash60(F.col("user_id"), seed=i) % BLOOM_M_BITS
+        w = words.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
+        )
+        probe = (
+            probe.withColumn(f"pos{i}", p)
+            .join(
+                F.broadcast(w),
+                F.shiftright(F.col(f"pos{i}"), n_words_shift)
+                == F.col(f"w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"hit{i}",
+                F.coalesce(
+                    F.expr(
+                        f"(b{i} & shiftleft(cast(1 as bigint), cast(pos{i}"
+                        f" % {BLOOM_WORD_BITS} as int))) != 0"
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop(f"w{i}", f"b{i}", f"pos{i}")
+        )
+    predicted = F.col("hit1") & F.col("hit2") & F.col("hit3")
+    stats = probe.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(predicted, 1).otherwise(0)).alias("n_predicted_members"),
+        F.sum(
+            F.when(predicted & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )
+    bits_set = words.agg(F.sum(F.bit_count("bits")).alias("n_bits_set"))
+    non_members = F.col("n_users") - F.col("n_members")
+    return (
+        stats.crossJoin(F.broadcast(bits_set))
+        .select(
+            "n_users",
+            "n_members",
+            "n_bits_set",
+            "n_predicted_members",
+            "n_false_positives",
+            F.when(
+                non_members > 0,
+                F.col("n_false_positives") / non_members,
+            ).otherwise(F.lit(0.0)).alias("fp_rate"),
+        )
+    )

@@ -4190,3 +4190,66 @@ from sk s
 
 
 EVENTS_STREAM_HLL = _stream_hll_sql()
+
+
+def _bloom_membership_sql() -> str:
+    """Mirror of events_bloom_membership: same seeded 60-bit hashes,
+    same 32-bit words (1<<31 is in-range bigint in both engines where
+    1<<63 is not), same bit_or build and all-bits probe."""
+    from .operators.events import BLOOM_K, BLOOM_M_BITS, BLOOM_WORD_BITS
+
+    pos_exprs = [
+        _h60(f"'{i}|' || user_id::varchar") + f" % {BLOOM_M_BITS}"
+        for i in range(1, BLOOM_K + 1)
+    ]
+    pos_union = "\n    union all\n".join(
+        f"select ({p}) as pos from members" for p in pos_exprs
+    )
+    hit_checks = " and ".join(
+        f"""coalesce((select (w.bits & (1::bigint << cast(({p}) % {BLOOM_WORD_BITS} as integer))) != 0
+            from words w where w.word = ({p}) // {BLOOM_WORD_BITS}), false)"""
+        for p in pos_exprs
+    )
+    return f"""
+with per_user as (
+    select user_id,
+           sum(case when event_type = 'purchase' then 1 else 0 end) as cnt
+    from events group by user_id
+),
+totals as (select sum(cnt) as total, count(*) as n_users from per_user),
+flagged as (
+    select p.user_id, p.cnt * t.n_users >= t.total as is_member
+    from per_user p cross join totals t
+),
+members as (select user_id from flagged where is_member),
+pos as (
+    {pos_union}
+),
+words as (
+    select pos // {BLOOM_WORD_BITS} as word,
+           bit_or(1::bigint << cast(pos % {BLOOM_WORD_BITS} as integer)) as bits
+    from pos group by pos // {BLOOM_WORD_BITS}
+),
+probe as (
+    select f.user_id, f.is_member,
+           ({hit_checks}) as predicted
+    from flagged f
+),
+stats as (
+    select count(*) as n_users,
+           cast(sum(case when is_member then 1 else 0 end) as bigint) as n_members,
+           cast(sum(case when predicted then 1 else 0 end) as bigint) as n_predicted_members,
+           cast(sum(case when predicted and not is_member then 1 else 0 end) as bigint) as n_false_positives
+    from probe
+)
+select s.n_users, s.n_members,
+       (select cast(sum(bit_count(bits)) as bigint) from words) as n_bits_set,
+       s.n_predicted_members, s.n_false_positives,
+       case when s.n_users - s.n_members > 0
+            then s.n_false_positives / (s.n_users - s.n_members)
+            else 0.0e0 end as fp_rate
+from stats s
+"""
+
+
+EVENTS_BLOOM_MEMBERSHIP = _bloom_membership_sql()

@@ -461,3 +461,24 @@ def test_hll_estimate_within_envelope(spark):
         rel = abs(r.est_distinct_users - r.exact_distinct_users) / r.exact_distinct_users
         assert rel < 5 * rse, (r.event_type, rel)
         assert 0 <= r.n_zero_regs <= HLL_M
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom guarantee: every true member is predicted (predicted =
+    members + false positives exactly), and the measured fp rate stays
+    within a loose factor of the (1-e^(-kn/m))^k design point."""
+    import math
+
+    from spotify_tracks_spark.operators.events import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        events_bloom_membership,
+    )
+    from tests.conftest import SF_T2
+
+    r = events_bloom_membership(spark, SF_T2).collect()[0]
+    assert r.n_predicted_members == r.n_members + r.n_false_positives
+    assert r.n_members > 0 and r.n_users > r.n_members  # both classes real
+    load = BLOOM_K * r.n_members / BLOOM_M_BITS
+    design = (1.0 - math.exp(-load)) ** BLOOM_K
+    assert r.fp_rate <= max(4 * design, 0.05), (r.fp_rate, design)
