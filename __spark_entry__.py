@@ -593,6 +593,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explicit Bloom filter build + membership eval (the bloom-
         # pruned-join primitive, register-exact oracle)
         "events_bloom_membership": _events.events_bloom_membership,
+        # incremental ingest-time dedup: probe a new batch against the
+        # persisted banded corpus index (new-vs-old + new-vs-new only)
+        "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -821,6 +824,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
         "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
         "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
+        "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

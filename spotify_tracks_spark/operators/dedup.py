@@ -247,6 +247,37 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return signatures_from_hash_sets(_with_shingle_hash_sets(docs))
 
 
+def band_keys(sigs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Explode a signature frame into its LSH band keys: one
+    (doc_id, band, bh) row per band, bh = md5 of the band's signature
+    slice — the join key of every LSH candidate step (and the storage
+    key of a persisted corpus index; see dedup_minhash_incremental).
+    ``extra_cols`` ride along unchanged (e.g. a batch flag)."""
+    return sigs.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", *extra_cols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def dedup_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -267,26 +298,7 @@ def dedup_minhash_lsh(
     ).persist()
     sigs = signatures_from_hash_sets(sh).persist()
     sigs.count()  # materialize both caches before the self-join (see dedup_ngram_jaccard)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    bands = band_keys(sigs)
 
     cand = (
         bands.alias("a")
@@ -1220,3 +1232,131 @@ def dedup_jaccard_exact_join(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+INCR_SPLIT_MOD = 4      # hash(doc_id) % 4 == 0 → the "incoming batch" (~25%)
+
+
+def dedup_minhash_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    split_mod: int = INCR_SPLIT_MOD,
+) -> DataFrame:
+    """Incremental dedup of an incoming batch against an EXISTING corpus
+    — the production shape ``dedup_minhash_lsh`` is the offline twin
+    of: at 100 TB you never re-pair the whole corpus per ingest; you
+    keep the banded signature table as a persisted INDEX keyed by
+    (band, bh) and probe only the new batch against it (new×old),
+    plus the new batch against itself (new×new).  Candidate volume is
+    |new|·bands + collisions — independent of corpus-pair count.
+
+    The batch split is deterministic (hash(doc_id) % ``split_mod`` == 0
+    plays the incoming slice) so the oracle reproduces it; in
+    production the index is the previously-written bands/signatures
+    table and the probe side is the ingest.  One md5 shingle pass
+    serves both sides (the shared hash-set frame also verifies exact
+    Jaccard on every candidate).  Keep policy: a new doc is dropped if
+    it verifies ≥ ``threshold`` against ANY corpus doc, or against an
+    earlier (lower doc_id) doc of its own batch — first-wins within
+    the batch, matching ``dedup_paragraph``'s discipline; chained
+    survivorship (B dropped for A ⇒ C~B kept) is dedup_clusters'
+    job, not the ingest gate's.
+
+    Output: one row per new doc — (doc_id, n_corpus_dups,
+    n_batch_dups_earlier, is_kept)."""
+    from ..functions.hashing import portable_hash60
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    sh = (
+        _with_shingle_hash_sets(docs)
+        .withColumn(
+            "is_new", portable_hash60(F.col("doc_id")) % split_mod == 0
+        )
+        .persist()
+    )
+    sigs = signatures_from_hash_sets(sh).join(
+        sh.select("doc_id", "is_new"), "doc_id"
+    ).persist()
+    sigs.count()
+    bands = band_keys(sigs, extra_cols=("is_new",)).persist()
+    index = bands.filter(~F.col("is_new")).select("doc_id", "band", "bh")
+    probe = bands.filter(F.col("is_new")).select("doc_id", "band", "bh")
+
+    cross = (
+        probe.alias("n")
+        .join(
+            index.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    intra = (
+        probe.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("old_id"), F.col("b.doc_id").alias("new_id")
+        )
+        .distinct()
+    )
+
+    def _verified(pairs: DataFrame) -> DataFrame:
+        # exact-Jaccard verification on the shared hash-set frame
+        j = (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")),
+                "new_id",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("hs_o")),
+                "old_id",
+            )
+        )
+        n_inter = F.size(F.array_intersect("hs_n", "hs_o"))
+        jac = n_inter / (F.size("hs_n") + F.size("hs_o") - n_inter)
+        return j.filter(jac >= threshold).groupBy("new_id").agg(
+            F.count("*").alias("n")
+        )
+
+    corpus_dups = _verified(cross)
+    batch_dups = _verified(intra)
+    out = (
+        sigs.filter(F.col("is_new"))
+        .select("doc_id")
+        .join(
+            corpus_dups.select(
+                F.col("new_id").alias("doc_id"), F.col("n").alias("n_corpus_dups")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            batch_dups.select(
+                F.col("new_id").alias("doc_id"),
+                F.col("n").alias("n_batch_dups_earlier"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("n_batch_dups_earlier", F.lit(0)).alias(
+                "n_batch_dups_earlier"
+            ),
+        )
+        .withColumn(
+            "is_kept",
+            (F.col("n_corpus_dups") == 0) & (F.col("n_batch_dups_earlier") == 0),
+        )
+    )
+    return out

@@ -4253,3 +4253,68 @@ from stats s
 
 
 EVENTS_BLOOM_MEMBERSHIP = _bloom_membership_sql()
+
+
+def _minhash_incremental_sql() -> str:
+    """Mirror of dedup_minhash_incremental: the LSH CTE chain with the
+    deterministic batch flag, new×old + new×new candidate sets, exact
+    Jaccard verify, first-wins keep policy."""
+    from .operators.dedup import INCR_SPLIT_MOD, N_BANDS, ROWS_PER_BAND
+
+    return (
+        _SHINGLE_CTES
+        + f""",
+base as (select doc_id, hs, list_transform(hs, h -> h & 4294967295) as vs
+         from sh),
+sigs as materialized (
+    select doc_id, hs, {_SIG} as sig,
+           {_h60('doc_id::varchar')} % {INCR_SPLIT_MOD} = 0 as is_new
+    from base),
+bands as (
+    select doc_id, is_new, b.band,
+           md5(list_aggregate(
+                 list_transform(sig[b.band*{ROWS_PER_BAND}+1 : b.band*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+                                x -> x::varchar),
+                 'string_agg', ',')) as bh
+    from sigs, (select unnest(generate_series(0, {N_BANDS - 1})) as band) b
+),
+cross_cand as (
+    select distinct n.doc_id as new_id, o.doc_id as old_id
+    from bands n join bands o on n.band = o.band and n.bh = o.bh
+    where n.is_new and not o.is_new
+),
+intra_cand as (
+    select distinct b.doc_id as new_id, a.doc_id as old_id
+    from bands a
+    join bands b on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+    where a.is_new and b.is_new
+),
+vc as (
+    select c.new_id, count(*) as n from cross_cand c
+    join sigs sn on sn.doc_id = c.new_id
+    join sigs so on so.doc_id = c.old_id
+    where len(list_intersect(sn.hs, so.hs))
+            / len(list_distinct(sn.hs || so.hs)) >= 0.5
+    group by c.new_id
+),
+vb as (
+    select c.new_id, count(*) as n from intra_cand c
+    join sigs sn on sn.doc_id = c.new_id
+    join sigs so on so.doc_id = c.old_id
+    where len(list_intersect(sn.hs, so.hs))
+            / len(list_distinct(sn.hs || so.hs)) >= 0.5
+    group by c.new_id
+)
+select s.doc_id,
+       coalesce(vc.n, 0) as n_corpus_dups,
+       coalesce(vb.n, 0) as n_batch_dups_earlier,
+       (coalesce(vc.n, 0) = 0 and coalesce(vb.n, 0) = 0) as is_kept
+from sigs s
+left join vc on vc.new_id = s.doc_id
+left join vb on vb.new_id = s.doc_id
+where s.is_new
+"""
+    )
+
+
+DEDUP_MINHASH_INCREMENTAL = _minhash_incremental_sql()

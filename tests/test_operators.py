@@ -602,3 +602,35 @@ def test_tfidf_top_terms_contract(spark):
         # ordered by tfidf desc with term-asc tie-break
         for a, b in zip(rs, rs[1:]):
             assert a.tfidf > b.tfidf or (a.tfidf == b.tfidf and a.term < b.term)
+
+
+def test_minhash_incremental_planted(spark, tmp_path):
+    """Planted batch-vs-corpus scenario: doc ids picked so the
+    deterministic split puts {1, 5, 13, 17} in the incoming batch and
+    {2, 3} in the corpus (portable_hash60(id) % 4).  A new doc equal
+    to a corpus doc is dropped as a corpus dup; of two equal new docs
+    the LOWER id survives (first-wins); a unique new doc is kept."""
+    text_a = "the quick brown fox jumps over the lazy dog " * 4
+    text_c = "pack my box with five dozen liquor jugs today " * 4
+    text_e = "sphinx of black quartz judge my vow forever more " * 4
+    rows = [
+        (2, text_a),    # corpus
+        (3, "how vexingly quick daft zebras jump over fences " * 4),  # corpus
+        (1, text_c),    # new, equal to 13 -> 1 survives (lower id)
+        (5, text_a),    # new, equal to corpus doc 2 -> dropped
+        (13, text_c),   # new, equal to 1 -> dropped (batch dup earlier)
+        (17, text_e),   # new, unique -> kept
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_corpus_dups, r.n_batch_dups_earlier, r.is_kept)
+        for r in dedup.dedup_minhash_incremental(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 5, 13, 17}
+    assert got[5] == (1, 0, False)      # corpus dup
+    assert got[13] == (0, 1, False)     # batch dup of earlier doc 1
+    assert got[1] == (0, 0, True)
+    assert got[17] == (0, 0, True)
