@@ -596,6 +596,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental ingest-time dedup: probe a new batch against the
         # persisted banded corpus index (new-vs-old + new-vs-new only)
         "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
+        # Spark-4 VARIANT: parse-once binary semi-structured extraction
+        "events_variant_props": _events.events_variant_props,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -825,6 +827,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
         "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
         "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
+        "events_variant_props": oracles_ext.EVENTS_VARIANT_PROPS,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
