@@ -1280,83 +1280,90 @@ def dedup_minhash_incremental(
     ).persist()
     sigs.count()
     bands = band_keys(sigs, extra_cols=("is_new",)).persist()
-    index = bands.filter(~F.col("is_new")).select("doc_id", "band", "bh")
-    probe = bands.filter(F.col("is_new")).select("doc_id", "band", "bh")
+    try:
+        index = bands.filter(~F.col("is_new")).select("doc_id", "band", "bh")
+        probe = bands.filter(F.col("is_new")).select("doc_id", "band", "bh")
 
-    cross = (
-        probe.alias("n")
-        .join(
-            index.alias("o"),
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bh") == F.col("o.bh")),
+        cross = (
+            probe.alias("n")
+            .join(
+                index.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bh") == F.col("o.bh")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+            )
+            .distinct()
         )
-        .select(
-            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        intra = (
+            probe.alias("a")
+            .join(
+                probe.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("old_id"), F.col("b.doc_id").alias("new_id")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    intra = (
-        probe.alias("a")
-        .join(
-            probe.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("old_id"), F.col("b.doc_id").alias("new_id")
-        )
-        .distinct()
-    )
 
-    def _verified(pairs: DataFrame) -> DataFrame:
-        # exact-Jaccard verification on the shared hash-set frame
-        j = (
-            pairs.join(
-                sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")),
-                "new_id",
+        def _verified(pairs: DataFrame) -> DataFrame:
+            # exact-Jaccard verification on the shared hash-set frame
+            j = (
+                pairs.join(
+                    sh.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_n")),
+                    "new_id",
+                )
+                .join(
+                    sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("hs_o")),
+                    "old_id",
+                )
+            )
+            n_inter = F.size(F.array_intersect("hs_n", "hs_o"))
+            jac = n_inter / (F.size("hs_n") + F.size("hs_o") - n_inter)
+            return j.filter(jac >= threshold).groupBy("new_id").agg(
+                F.count("*").alias("n")
+            )
+
+        corpus_dups = _verified(cross)
+        batch_dups = _verified(intra)
+        out = (
+            sigs.filter(F.col("is_new"))
+            .select("doc_id")
+            .join(
+                corpus_dups.select(
+                    F.col("new_id").alias("doc_id"), F.col("n").alias("n_corpus_dups")
+                ),
+                "doc_id",
+                "left",
             )
             .join(
-                sh.select(F.col("doc_id").alias("old_id"), F.col("hs").alias("hs_o")),
-                "old_id",
+                batch_dups.select(
+                    F.col("new_id").alias("doc_id"),
+                    F.col("n").alias("n_batch_dups_earlier"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+                F.coalesce("n_batch_dups_earlier", F.lit(0)).alias(
+                    "n_batch_dups_earlier"
+                ),
+            )
+            .withColumn(
+                "is_kept",
+                (F.col("n_corpus_dups") == 0) & (F.col("n_batch_dups_earlier") == 0),
             )
         )
-        n_inter = F.size(F.array_intersect("hs_n", "hs_o"))
-        jac = n_inter / (F.size("hs_n") + F.size("hs_o") - n_inter)
-        return j.filter(jac >= threshold).groupBy("new_id").agg(
-            F.count("*").alias("n")
-        )
-
-    corpus_dups = _verified(cross)
-    batch_dups = _verified(intra)
-    out = (
-        sigs.filter(F.col("is_new"))
-        .select("doc_id")
-        .join(
-            corpus_dups.select(
-                F.col("new_id").alias("doc_id"), F.col("n").alias("n_corpus_dups")
-            ),
-            "doc_id",
-            "left",
-        )
-        .join(
-            batch_dups.select(
-                F.col("new_id").alias("doc_id"),
-                F.col("n").alias("n_batch_dups_earlier"),
-            ),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
-            F.coalesce("n_batch_dups_earlier", F.lit(0)).alias(
-                "n_batch_dups_earlier"
-            ),
-        )
-        .withColumn(
-            "is_kept",
-            (F.col("n_corpus_dups") == 0) & (F.col("n_batch_dups_earlier") == 0),
-        )
-    )
-    return out
+        # one row per new doc: pin the report, then release the three
+        # caches (a production run persists bands as the stored index
+        # table instead — this operator's demo scope ends here)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in (sh, sigs, bands):
+            df.unpersist()

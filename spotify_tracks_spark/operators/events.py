@@ -975,82 +975,90 @@ def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_member", F.col("cnt") * F.col("n_users") >= F.col("total")
     )
     flagged = flagged.persist()
+    words = None
+    try:
 
-    def positions(col):
-        return [
-            portable_hash60(col, seed=i) % BLOOM_M_BITS
-            for i in range(1, BLOOM_K + 1)
-        ]
+        def positions(col):
+            return [
+                portable_hash60(col, seed=i) % BLOOM_M_BITS
+                for i in range(1, BLOOM_K + 1)
+            ]
 
-    member_pos = (
-        flagged.filter("is_member")
-        .select(
-            F.explode(F.array(*positions(F.col("user_id")))).alias("pos")
-        )
-    )
-    words = member_pos.groupBy(
-        F.shiftright(F.col("pos"), n_words_shift).alias("word")
-    ).agg(
-        F.bit_or(
-            F.expr(
-                f"shiftleft(cast(1 as bigint),"
-                f" cast(pos % {BLOOM_WORD_BITS} as int))"
+        member_pos = (
+            flagged.filter("is_member")
+            .select(
+                F.explode(F.array(*positions(F.col("user_id")))).alias("pos")
             )
-        ).alias("bits")
-    )
-    words = words.persist()
-
-    probe = flagged.select("user_id", "is_member")
-    for i in range(1, BLOOM_K + 1):
-        p = portable_hash60(F.col("user_id"), seed=i) % BLOOM_M_BITS
-        w = words.select(
-            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
         )
-        probe = (
-            probe.withColumn(f"pos{i}", p)
-            .join(
-                F.broadcast(w),
-                F.shiftright(F.col(f"pos{i}"), n_words_shift)
-                == F.col(f"w{i}"),
-                "left",
+        words = member_pos.groupBy(
+            F.shiftright(F.col("pos"), n_words_shift).alias("word")
+        ).agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint),"
+                    f" cast(pos % {BLOOM_WORD_BITS} as int))"
+                )
+            ).alias("bits")
+        )
+        words = words.persist()
+
+        probe = flagged.select("user_id", "is_member")
+        for i in range(1, BLOOM_K + 1):
+            p = portable_hash60(F.col("user_id"), seed=i) % BLOOM_M_BITS
+            w = words.select(
+                F.col("word").alias(f"w{i}"), F.col("bits").alias(f"b{i}")
             )
-            .withColumn(
-                f"hit{i}",
-                F.coalesce(
-                    F.expr(
-                        f"(b{i} & shiftleft(cast(1 as bigint), cast(pos{i}"
-                        f" % {BLOOM_WORD_BITS} as int))) != 0"
+            probe = (
+                probe.withColumn(f"pos{i}", p)
+                .join(
+                    F.broadcast(w),
+                    F.shiftright(F.col(f"pos{i}"), n_words_shift)
+                    == F.col(f"w{i}"),
+                    "left",
+                )
+                .withColumn(
+                    f"hit{i}",
+                    F.coalesce(
+                        F.expr(
+                            f"(b{i} & shiftleft(cast(1 as bigint), cast(pos{i}"
+                            f" % {BLOOM_WORD_BITS} as int))) != 0"
+                        ),
+                        F.lit(False),
                     ),
-                    F.lit(False),
-                ),
+                )
+                .drop(f"w{i}", f"b{i}", f"pos{i}")
             )
-            .drop(f"w{i}", f"b{i}", f"pos{i}")
+        predicted = F.col("hit1") & F.col("hit2") & F.col("hit3")
+        stats = probe.agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+            F.sum(F.when(predicted, 1).otherwise(0)).alias("n_predicted_members"),
+            F.sum(
+                F.when(predicted & ~F.col("is_member"), 1).otherwise(0)
+            ).alias("n_false_positives"),
         )
-    predicted = F.col("hit1") & F.col("hit2") & F.col("hit3")
-    stats = probe.agg(
-        F.count("*").alias("n_users"),
-        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
-        F.sum(F.when(predicted, 1).otherwise(0)).alias("n_predicted_members"),
-        F.sum(
-            F.when(predicted & ~F.col("is_member"), 1).otherwise(0)
-        ).alias("n_false_positives"),
-    )
-    bits_set = words.agg(F.sum(F.bit_count("bits")).alias("n_bits_set"))
-    non_members = F.col("n_users") - F.col("n_members")
-    return (
-        stats.crossJoin(F.broadcast(bits_set))
-        .select(
-            "n_users",
-            "n_members",
-            "n_bits_set",
-            "n_predicted_members",
-            "n_false_positives",
-            F.when(
-                non_members > 0,
-                F.col("n_false_positives") / non_members,
-            ).otherwise(F.lit(0.0)).alias("fp_rate"),
+        bits_set = words.agg(F.sum(F.bit_count("bits")).alias("n_bits_set"))
+        non_members = F.col("n_users") - F.col("n_members")
+        # single-row report: pin it, then release both caches
+        out = (
+            stats.crossJoin(F.broadcast(bits_set))
+            .select(
+                "n_users",
+                "n_members",
+                "n_bits_set",
+                "n_predicted_members",
+                "n_false_positives",
+                F.when(
+                    non_members > 0,
+                    F.col("n_false_positives") / non_members,
+                ).otherwise(F.lit(0.0)).alias("fp_rate"),
+            )
         )
-    )
+        return out.localCheckpoint(eager=True)
+    finally:
+        flagged.unpersist()
+        if words is not None:
+            words.unpersist()
 
 
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -781,13 +781,18 @@ def nation_part_value_concentration(
     )
     per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
     per_part = per_part.persist()  # one scan feeds both the total and the filter
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
-    out = (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_cents") * fraction_den > F.col("total_cents"))
-        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
-    )
-    return out
+    try:
+        total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+        out = (
+            per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("value_cents") * fraction_den > F.col("total_cents"))
+            .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        )
+        # survivors are bounded at fraction_den-1 rows (each holds more
+        # than a 1/fraction_den share): pin them, then drop the cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        per_part.unpersist()
 
 
 def lineitem_late_shipment_modes(
@@ -909,14 +914,19 @@ def top_supplier_revenue(
         .agg(F.sum("rev_e4").alias("total_rev_e4"))
         .persist()
     )
-    best = per_supp.agg(F.max("total_rev_e4").alias("max_rev"))
-    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        per_supp.crossJoin(F.broadcast(best))
-        .filter(F.col("total_rev_e4") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev_e4")
-    )
+    try:
+        best = per_supp.agg(F.max("total_rev_e4").alias("max_rev"))
+        supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        out = (
+            per_supp.crossJoin(F.broadcast(best))
+            .filter(F.col("total_rev_e4") == F.col("max_rev"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_rev_e4")
+        )
+        # ties only: pin the handful of max-revenue rows, drop the cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        per_supp.unpersist()
 
 
 def part_supplier_diversity(
@@ -1034,19 +1044,24 @@ def excess_supply_candidates(
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_ps"))
         .persist()
     )
-    per_part = ps.groupBy("l_partkey").agg(
-        F.sum("qty_ps").alias("qty_p"), F.count("*").alias("n_supp")
-    )
-    dominant = ps.join(per_part, "l_partkey").filter(
-        F.col("qty_ps") * F.col("n_supp") > F.lit(share_mult) * F.col("qty_p")
-    )
-    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        dominant.groupBy("l_suppkey")
-        .agg(F.count("*").alias("n_dominated_parts"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "n_dominated_parts")
-    )
+    try:
+        per_part = ps.groupBy("l_partkey").agg(
+            F.sum("qty_ps").alias("qty_p"), F.count("*").alias("n_supp")
+        )
+        dominant = ps.join(per_part, "l_partkey").filter(
+            F.col("qty_ps") * F.col("n_supp") > F.lit(share_mult) * F.col("qty_p")
+        )
+        supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        out = (
+            dominant.groupBy("l_suppkey")
+            .agg(F.count("*").alias("n_dominated_parts"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "n_dominated_parts")
+        )
+        # <= |supplier| rows: pin the report, then drop the cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        ps.unpersist()
 
 
 def suppliers_kept_orders_waiting(
