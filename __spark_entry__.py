@@ -598,6 +598,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
         # Spark-4 VARIANT: parse-once binary semi-structured extraction
         "events_variant_props": _events.events_variant_props,
+        # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
+        # the sqrt schedule between proportional and uniform)
+        "corpus_temperature_sample": _llm.corpus_temperature_sample,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -828,6 +831,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
         "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
         "events_variant_props": oracles_ext.EVENTS_VARIANT_PROPS,
+        "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

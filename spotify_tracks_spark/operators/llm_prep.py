@@ -640,3 +640,76 @@ def corpus_bpe_encode(
             (F.max("n_chars") / F.sum("n_tok")).alias("compression"),
         )
     )
+
+
+TEMPERATURE_ALPHA = 0.5         # p^alpha mixing; 1/2 = the sqrt schedule
+
+
+def corpus_temperature_sample(
+    spark: SparkSession, sf_dir: str, resolution: int = BALANCE_RESOLUTION
+) -> DataFrame:
+    """Temperature-flattened multilingual mix: sample languages toward
+    target shares ∝ n_l^α (α = 1/2) — the standard schedule between
+    proportional sampling (α=1, head languages dominate) and
+    ``corpus_language_balance``'s uniform target (α→0, tail languages
+    over-repeated), the recipe the multilingual-pretraining literature
+    converged on (exponentiated-share smoothing).
+
+    At α = 1/2 the no-upsampling-feasible budget gives each language
+    the closed-form acceptance rate √(n_min/n_l) — the smallest
+    language keeps everything, a language 4× larger keeps half.  The
+    rate is cross-engine deterministic with NO tolerance: IEEE 754
+    REQUIRES sqrt to be correctly rounded (unlike exp/ln/pow), so
+    ``⌊resolution·√(n_min/n_l)⌋`` lands on the identical integer
+    threshold in Python, Spark and DuckDB.  Acceptance itself is the
+    repo's hash-mod discipline: deterministic and join-consistent with
+    every other doc_id sample.
+
+    Scale shape: one |languages|-row aggregate (bounded collect), then
+    a scan-side literal-CASE filter and a second tiny aggregate — the
+    corpus is never shuffled.  Output: one row per language —
+    (lang, n_docs, n_kept, accept_rate, flat_share, realized_share)."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    thr = {
+        lang: int(resolution * math.sqrt(n_min / n)) for lang, n in counts.items()
+    }
+    thr_col = F.lit(0)
+    for lang, t in sorted(thr.items()):
+        thr_col = F.when(F.col("lang") == lang, F.lit(int(t))).otherwise(thr_col)
+    bucket = F.pmod(
+        portable_hash60(F.col("doc_id").cast("string")), F.lit(resolution)
+    )
+    kept = docs.filter(bucket < thr_col).groupBy("lang").agg(
+        F.count("*").alias("n_kept")
+    )
+    # summed in sorted-language order: 5-term float sums agree across
+    # engines to ~1 ulp regardless of order, far inside the 6-dp hash
+    # rounding (the thresholds — the integers that decide rows — use
+    # only correctly-rounded ops and carry NO such tolerance)
+    sum_sqrt = sum(math.sqrt(n) for _, n in sorted(counts.items()))
+    rows = []
+    for lang, n in sorted(counts.items()):
+        rows.append((lang, n, thr[lang]))
+    base = spark.createDataFrame(rows, "lang string, n_docs long, thr long")
+    total_kept = kept.agg(F.sum("n_kept").alias("total_kept"))
+    return (
+        base.join(kept, "lang", "left")
+        .crossJoin(F.broadcast(total_kept))
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("thr") / F.lit(float(resolution))).alias("accept_rate"),
+            (F.sqrt(F.col("n_docs")) / F.lit(sum_sqrt)).alias("flat_share"),
+            (F.coalesce("n_kept", F.lit(0)) / F.col("total_kept")).alias(
+                "realized_share"
+            ),
+        )
+    )

@@ -4336,3 +4336,44 @@ select event_type,
 from ev
 group by event_type, floor(k / 10.0e0)
 """
+
+
+def _temperature_sample_sql() -> str:
+    """Mirror of corpus_temperature_sample: same sqrt-closed-form
+    acceptance thresholds (sqrt is IEEE-correctly-rounded in every
+    engine, so the floor lands on the identical integer), same hash-mod
+    acceptance, same report columns."""
+    from .operators.llm_prep import BALANCE_RESOLUTION
+
+    res = BALANCE_RESOLUTION
+    return f"""
+with counts as (select lang, count(*) as n from documents group by lang),
+nmin as (select min(n) as m from counts),
+thr as (
+    select c.lang, c.n,
+           cast(floor({res} * sqrt(cast((select m from nmin) as double)
+                                   / cast(c.n as double))) as bigint) as t
+    from counts c
+),
+kept as (
+    select d.lang, count(*) as n_kept
+    from documents d
+    join thr on thr.lang = d.lang
+    where {_h60('d.doc_id::varchar')} % {res} < thr.t
+    group by d.lang
+),
+tot as (select sum(n_kept) as total_kept from kept),
+ss as (select sum(sqrt(cast(n as double))) as sum_sqrt from counts)
+select t.lang,
+       cast(t.n as bigint) as n_docs,
+       cast(coalesce(k.n_kept, 0) as bigint) as n_kept,
+       t.t / cast({res} as double) as accept_rate,
+       sqrt(cast(t.n as double)) / (select sum_sqrt from ss) as flat_share,
+       coalesce(k.n_kept, 0) / cast((select total_kept from tot) as double)
+         as realized_share
+from thr t
+left join kept k on k.lang = t.lang
+"""
+
+
+CORPUS_TEMPERATURE_SAMPLE = _temperature_sample_sql()
