@@ -229,6 +229,14 @@ def _events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_hll(spark, sf_dir)
 
 
+def _events_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership-index fold (availableNow drain):
+    idempotent bitmap-OR merge, <=m/32 word rows of constant state."""
+    from spotify_tracks_spark.streaming import stream_events_bloom
+
+    return stream_events_bloom(spark, sf_dir)
+
+
 def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-incremental mart maintenance: dim_track folded forward
     per micro-batch via foreachBatch; drained result hash-equals batch Q2
@@ -601,6 +609,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
         # the sqrt schedule between proportional and uniform)
         "corpus_temperature_sample": _llm.corpus_temperature_sample,
+        # streaming Bloom fold: the ingest-time seen-before index
+        "events_stream_bloom": _events_stream_bloom,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -832,6 +842,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
         "events_variant_props": oracles_ext.EVENTS_VARIANT_PROPS,
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
+        "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -4377,3 +4377,27 @@ left join kept k on k.lang = t.lang
 
 
 CORPUS_TEMPERATURE_SAMPLE = _temperature_sample_sql()
+
+
+def _stream_bloom_sql() -> str:
+    """The drained streaming Bloom equals one batch build over distinct
+    users (bitmap OR merge): same seeded hashes, same 32-bit words."""
+    from .operators.events import BLOOM_K, BLOOM_M_BITS, BLOOM_WORD_BITS
+
+    pos_union = "\n    union all\n".join(
+        f"select ({_h60(chr(39) + str(i) + '|' + chr(39) + ' || user_id::varchar')}"
+        f" % {BLOOM_M_BITS}) as pos from users"
+        for i in range(1, BLOOM_K + 1)
+    )
+    return f"""
+with users as (select distinct user_id from events),
+pos as (
+    {pos_union}
+)
+select pos // {BLOOM_WORD_BITS} as word,
+       bit_or(1::bigint << cast(pos % {BLOOM_WORD_BITS} as integer)) as bits
+from pos group by pos // {BLOOM_WORD_BITS}
+"""
+
+
+EVENTS_STREAM_BLOOM = _stream_bloom_sql()

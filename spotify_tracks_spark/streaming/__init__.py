@@ -2,7 +2,12 @@ from .incremental import (
     stream_dim_track_incremental,
     stream_rpt_track_counts_incremental,
 )
-from .sketch import stream_events_cms, stream_events_hll, stream_events_kmv
+from .sketch import (
+    stream_events_bloom,
+    stream_events_cms,
+    stream_events_hll,
+    stream_events_kmv,
+)
 from .ingest import stream_events_dedup
 from .joins import (
     stream_click_purchase_join,
@@ -31,6 +36,7 @@ __all__ = [
     "stream_events_enrich",
     "stream_dim_track_incremental",
     "stream_rpt_track_counts_incremental",
+    "stream_events_bloom",
     "stream_events_cms",
     "stream_events_hll",
     "stream_events_kmv",

@@ -378,3 +378,103 @@ def stream_events_hll(
         )
         .withColumn("est_distinct_users", est)
     )
+
+
+def _batch_bloom_words(df: DataFrame) -> DataFrame:
+    from ..operators.events import BLOOM_K, BLOOM_M_BITS, BLOOM_WORD_BITS
+
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    portable_hash60(F.col("user_id"), seed=i) % BLOOM_M_BITS
+                    for i in range(1, BLOOM_K + 1)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy(F.shiftright(F.col("pos"), 5).alias("word")).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(pos % {BLOOM_WORD_BITS} as int))"
+            )
+        ).alias("bits")
+    )
+
+
+def stream_events_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain a Bloom filter of every user ever seen over a
+    micro-batched event stream — the streaming MEMBERSHIP index (the
+    ingest-time "have we seen this key before?" structure;
+    ``events_bloom_membership`` is its batch/evaluation twin).  Bitmap
+    OR is associative, commutative and idempotent, so the fold is
+    insensitive to slicing and replay, like the HLL register max.
+
+    State is ≤ m/32 word rows — constant in stream length and key
+    cardinality.  Output: the final (word, bits) table, hash-equal to
+    a batch build over the distinct users."""
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_bloom_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "kmv"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_bloom_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "kmv")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_type", "user_id").repartition(n_slices).write.parquet(
+            src_path
+        )
+    schema = spark.read.parquet(src_path).schema
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: OR is idempotent anyway
+        partial = _batch_bloom_words(batch_df.select("user_id").distinct())
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = (
+            partial.groupBy("word").agg(F.bit_or("bits").alias("bits")).persist()
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.read.parquet(f"{base}/state_b{cur['batch']}")
