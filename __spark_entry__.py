@@ -611,6 +611,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": _llm.corpus_temperature_sample,
         # streaming Bloom fold: the ingest-time seen-before index
         "events_stream_bloom": _events_stream_bloom,
+        # cross-doc repeated-substring exposure (seed-gram form of
+        # exact-substring dedup; memorization-risk ranking)
+        "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -843,6 +846,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_variant_props": oracles_ext.EVENTS_VARIANT_PROPS,
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
+        "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -713,3 +713,82 @@ def corpus_temperature_sample(
             ),
         )
     )
+
+
+REPEAT_GRAM_LEN = 32            # window length (chars)
+REPEAT_GRAM_STRIDE = 8          # window stride
+
+
+def corpus_repeated_ngrams(
+    spark: SparkSession,
+    sf_dir: str,
+    gram_len: int = REPEAT_GRAM_LEN,
+    stride: int = REPEAT_GRAM_STRIDE,
+) -> DataFrame:
+    """Cross-document repeated-substring exposure — the seed-gram form
+    of exact-substring dedup (the suffix-array approach of the
+    deduplicate-training-data literature, approximated the way a
+    distributed pipeline runs it: fixed-length positional windows at a
+    stride, repeated iff the same window text occurs in ≥2 DISTINCT
+    documents).  Long verbatim overlaps necessarily cover many strided
+    windows, so per-doc repeated-window fraction ranks memorization
+    risk; within-doc repetition is ``text_repetition``'s job and is
+    deliberately not counted here.
+
+    Scale shape: the positional-window explode is |text|/stride rows
+    per doc (the inverted-index grain); ONE hash-keyed shuffle builds
+    the cross-doc document-frequency table; the flag joins back on the
+    same key.  Windows carry 60-bit hashes, never text.  A doc shorter
+    than ``gram_len`` yields one (short) window — the greatest(…, 1)
+    convention of the shingle builders (Spark ``sequence`` errors on
+    start > stop, and the single window still catches the short doc's
+    exact cross-doc duplicates).
+
+    Output: (doc_id, n_windows, n_repeated_windows, repeated_frac)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(norm) - (gram_len - 1), F.lit(1)),
+                    F.lit(stride),
+                ),
+                lambda p: portable_hash60(norm.substr(p, F.lit(gram_len))),
+            )
+        ).alias("h"),
+    )
+    wins = wins.persist()
+    try:
+        cross = (
+            wins.select("doc_id", "h")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .select("h")
+        )
+        flagged = wins.join(cross, "h", "left_semi")
+        per_doc = wins.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+        rep = flagged.groupBy("doc_id").agg(
+            F.count("*").alias("n_repeated_windows")
+        )
+        out = (
+            per_doc.join(rep, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_windows",
+                F.coalesce("n_repeated_windows", F.lit(0)).alias(
+                    "n_repeated_windows"
+                ),
+                (
+                    F.coalesce("n_repeated_windows", F.lit(0))
+                    / F.col("n_windows")
+                ).alias("repeated_frac"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        wins.unpersist()

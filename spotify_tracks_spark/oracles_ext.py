@@ -4401,3 +4401,45 @@ from pos group by pos // {BLOOM_WORD_BITS}
 
 
 EVENTS_STREAM_BLOOM = _stream_bloom_sql()
+
+
+def _repeated_ngrams_sql() -> str:
+    """Mirror of corpus_repeated_ngrams: same normalized text, same
+    strided positional windows (greatest(len-31, 1) floor), same
+    cross-doc df >= 2 flag."""
+    from .operators.llm_prep import REPEAT_GRAM_LEN, REPEAT_GRAM_STRIDE
+
+    g, st = REPEAT_GRAM_LEN, REPEAT_GRAM_STRIDE
+    h = _h60(f"substr(norm, p, {g})")
+    return f"""
+with docs as (
+    select doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) as norm
+    from documents
+),
+wins as (
+    select doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(length(norm) - {g - 1}, 1), {st}),
+               p -> {h})) as h
+    from docs
+),
+cross_rep as (
+    select h from (select distinct doc_id, h from wins)
+    group by h having count(*) >= 2
+),
+per_doc as (select doc_id, count(*) as n_windows from wins group by doc_id),
+rep as (
+    select w.doc_id, count(*) as n_rep
+    from wins w join cross_rep c on c.h = w.h
+    group by w.doc_id
+)
+select p.doc_id,
+       p.n_windows,
+       coalesce(r.n_rep, 0) as n_repeated_windows,
+       coalesce(r.n_rep, 0) / cast(p.n_windows as double) as repeated_frac
+from per_doc p
+left join rep r on r.doc_id = p.doc_id
+"""
+
+
+CORPUS_REPEATED_NGRAMS = _repeated_ngrams_sql()
