@@ -242,3 +242,26 @@ def test_bpe_encode_planted(spark, tmp_path):
     }
     assert got[0] == (2, 3, 8 / 3)   # "aaab cab" = 8 chars, 3 tokens
     assert got[1] == (1, 1, 4 / 1)
+
+
+def test_temperature_sample_invariants(spark):
+    """alpha=1/2 schedule: the smallest language keeps everything, the
+    acceptance rate decreases with language size (sqrt(n_min/n)), no
+    language is upsampled, and realized shares flatten the head."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_temperature_sample
+    from tests.conftest import SF_T2
+
+    rows = sorted(
+        corpus_temperature_sample(spark, SF_T2).collect(),
+        key=lambda r: r.n_docs,
+    )
+    assert len(rows) >= 2
+    assert rows[0].accept_rate == 1.0          # smallest keeps all
+    for a, b in zip(rows, rows[1:]):
+        assert b.accept_rate <= a.accept_rate  # monotone in size
+    for r in rows:
+        assert r.n_kept <= r.n_docs            # never upsampled
+    # the head language's realized share sits below its raw share
+    head = rows[-1]
+    raw_share = head.n_docs / sum(r.n_docs for r in rows)
+    assert head.realized_share < raw_share
