@@ -614,6 +614,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc repeated-substring exposure (seed-gram form of
         # exact-substring dedup; memorization-risk ranking)
         "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
+        # PSI drift gate over the frozen splits (data-quality family)
+        "corpus_split_drift": _llm.corpus_split_drift,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -847,6 +849,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
+        "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

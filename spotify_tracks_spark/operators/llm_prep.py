@@ -792,3 +792,84 @@ def corpus_repeated_ngrams(
         return out.localCheckpoint(eager=True)
     finally:
         wins.unpersist()
+
+
+PSI_SMOOTH = 1                  # Laplace +1 per band: no empty-band ln(0)
+
+
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the frozen train/val/test splits —
+    the Population Stability Index over document-length bands, the
+    data-quality gate run before trusting a split (a hash-mod split
+    SHOULD show near-zero drift; PSI ≥ 0.2 on a feature means the
+    split leaked structure).  PSI(q‖p) = Σ_b (q_b − p_b)·ln(q_b/p_b)
+    against the train split's distribution.
+
+    Bands are ⌊log2(n_chars)⌋ buckets — data-independent boundaries, so
+    the report needs no percentile negotiation between engines — and
+    the band index is computed as bit_length − 1 via binary-string
+    length (exact integer path in both engines; floor∘log2 on an exact
+    power of two is the libm boundary the HLL rank already dodges, and
+    here the value is a GROUPING KEY, where a one-ulp slip changes
+    rows, not decimals); counts
+    get Laplace +1 smoothing per band (no empty-band ln(0)), shares
+    are single divisions, and the ≤ handful of ln terms sit far inside
+    the 6-dp hash rounding.
+
+    Scale shape: assignment and banding are scan-side projections; one
+    (split, band) aggregate — tens of rows — then a tiny broadcast
+    self-join against the train row.  Output: (split, n_docs, n_bands,
+    psi)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.lit(None).cast("string")
+    for name, lo, hi in SPLIT_BOUNDS:
+        split = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(split)
+    banded = docs.select(
+        split.alias("split"),
+        (
+            F.length(
+                F.conv(
+                    F.greatest(F.col("n_chars"), F.lit(1)).cast("string"), 10, 2
+                )
+            )
+            - 1
+        ).cast("long").alias("band"),
+    )
+    # the band universe is shared across splits so each split's vector
+    # has the same dimensionality (smoothing fills the gaps)
+    bands = banded.select("band").distinct()
+    splits = banded.select("split").distinct()
+    grid = splits.crossJoin(F.broadcast(bands))
+    counts = (
+        banded.groupBy("split", "band")
+        .agg(F.count("*").alias("n"))
+        .join(grid, ["split", "band"], "right")
+        .select(
+            "split",
+            "band",
+            (F.coalesce("n", F.lit(0)) + F.lit(PSI_SMOOTH)).alias("n_sm"),
+        )
+    )
+    tot = counts.groupBy("split").agg(
+        F.sum("n_sm").alias("tot_sm"), F.count("*").alias("n_bands")
+    )
+    shares = counts.join(tot, "split").select(
+        "split", "band", "n_bands", (F.col("n_sm") / F.col("tot_sm")).alias("share")
+    )
+    train = shares.filter(F.col("split") == "train").select(
+        "band", F.col("share").alias("p")
+    )
+    psi_term = (F.col("share") - F.col("p")) * F.log(F.col("share") / F.col("p"))
+    per_split = (
+        shares.join(F.broadcast(train), "band")
+        .groupBy("split")
+        .agg(
+            F.max("n_bands").alias("n_bands"),
+            F.sum(psi_term).alias("psi"),
+        )
+    )
+    n_docs = banded.groupBy("split").agg(F.count("*").alias("n_docs"))
+    return per_split.join(n_docs, "split").select(
+        "split", "n_docs", "n_bands", "psi"
+    )

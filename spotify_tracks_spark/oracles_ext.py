@@ -4443,3 +4443,55 @@ left join rep r on r.doc_id = p.doc_id
 
 
 CORPUS_REPEATED_NGRAMS = _repeated_ngrams_sql()
+
+
+def _split_drift_sql() -> str:
+    """Mirror of corpus_split_drift: same hash-mod split, same exact
+    bit_length-1 length bands (binary-string length, no floor(log2)
+    boundary risk), same Laplace-smoothed PSI vs the train split."""
+    from .operators.llm_prep import PSI_SMOOTH, SPLIT_BOUNDS
+
+    cases = " ".join(
+        f"when bucket >= {lo} and bucket < {hi} then '{name}'"
+        for name, lo, hi in SPLIT_BOUNDS
+    )
+    return f"""
+with banded as (
+    select case {cases} end as split,
+           cast(length(bin(greatest(n_chars, 1))) - 1 as bigint) as band
+    from (
+        select n_chars,
+               {_h60('doc_id::varchar')} % 100 as bucket
+        from documents
+    )
+),
+bands as (select distinct band from banded),
+splits as (select distinct split from banded),
+grid as (select s.split, b.band from splits s cross join bands b),
+counts as (
+    select g.split, g.band,
+           coalesce(c.n, 0) + {PSI_SMOOTH} as n_sm
+    from grid g
+    left join (select split, band, count(*) as n
+               from banded group by split, band) c
+      on c.split = g.split and c.band = g.band
+),
+tot as (select split, sum(n_sm) as tot_sm, count(*) as n_bands
+        from counts group by split),
+shares as (
+    select c.split, c.band, t.n_bands,
+           c.n_sm / cast(t.tot_sm as double) as share
+    from counts c join tot t on t.split = c.split
+),
+train as (select band, share as p from shares where split = 'train')
+select s.split,
+       (select count(*) from banded b where b.split = s.split) as n_docs,
+       cast(max(s.n_bands) as bigint) as n_bands,
+       sum((s.share - tr.p) * ln(s.share / tr.p)) as psi
+from shares s
+join train tr on tr.band = s.band
+group by s.split
+"""
+
+
+CORPUS_SPLIT_DRIFT = _split_drift_sql()
