@@ -428,3 +428,37 @@ def test_retention_rate_offset_zero_is_one(spark):
         if r["week_offset"] == 0:
             assert r["rate"] == 1.0
         assert r["n_users"] <= r["cohort_size"]
+
+
+def test_snapshot_publish_old_or_new(spark, tmp_path):
+    """The manifest contract: a reader resolving between publishes sees
+    a complete old snapshot; after the pointer swap it sees the new
+    one; a simulated half-written snapshot (directory present, manifest
+    not yet swapped) is invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.layout import (
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "mart")
+    v0 = spark.range(5).withColumn("v", F.lit("a"))
+    assert publish_snapshot(v0, base) == 0
+    assert read_snapshot(spark, base).count() == 5
+
+    # a later, bigger version lands in its own dir...
+    v1 = spark.range(9).withColumn("v", F.lit("b"))
+    assert publish_snapshot(v1, base) == 1
+    got = read_snapshot(spark, base)
+    assert got.count() == 9 and got.select("v").distinct().collect()[0][0] == "b"
+    # ...and the old snapshot is still intact for in-flight readers
+    assert spark.read.parquet(f"{base}/snapshot-0").count() == 5
+
+    # half-written next version: directory exists, pointer not swapped
+    spark.range(2).write.parquet(f"{base}/snapshot-2")
+    assert read_snapshot(spark, base).count() == 9  # still v1
+    with open(os.path.join(base, "MANIFEST")) as fh:
+        assert fh.read().strip() == "1"
