@@ -46,6 +46,7 @@ from spotify_tracks_spark.operators.corpus import (
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
+    parts_copurchase_kcore as _graph_kcore,
     parts_copurchase_pagerank as _graph_pagerank,
     parts_copurchase_triangles,
 )
@@ -616,6 +617,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
         # PSI drift gate over the frozen splits (data-quality family)
         "corpus_split_drift": _llm.corpus_split_drift,
+        # k-core peel: the fourth classic graph primitive (dense
+        # backbone extraction; data-derived scale-free k)
+        "parts_copurchase_kcore": _graph_kcore,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -850,6 +854,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
+        "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

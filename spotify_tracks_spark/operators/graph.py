@@ -288,3 +288,86 @@ def parts_copurchase_triangles(
         .groupBy("part_id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+KCORE_DEG_NUM, KCORE_DEG_DEN = 7, 10   # k = ⌊0.7·mean degree⌋ (integer math)
+KCORE_MAX_ROUNDS = 16
+
+
+def parts_copurchase_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+) -> DataFrame:
+    """k-core of the co-purchase graph — the fourth classic graph
+    primitive (CC, triangles, PageRank are its siblings): iteratively
+    peel nodes of degree < k until a fixpoint; survivors form the
+    maximal subgraph where everyone keeps ≥ k neighbors (the dense
+    backbone recommenders and spam-ring hunts extract).
+
+    k is data-derived scale-free: ⌊0.7·mean degree⌋ in pure integer
+    arithmetic ((7·|sym|) // (10·|nodes|)) — a fixed absolute k goes
+    vacuous (all-in or empty) as SF changes the degree scale.  The
+    peel loop is a driver loop of bounded rounds; each round is one
+    degree aggregate + two semi-joins, localCheckpointed so lineage
+    stays flat.  Convergence within ``max_rounds`` is ASSERTED
+    (ValueError otherwise — the dedup_clusters_sql discipline); the
+    oracle unrolls exactly ``max_rounds`` rounds, which is safe
+    BECAUSE peeling is idempotent at the fixpoint, so over-unrolling
+    is a no-op.
+
+    Scale shape: every round's degree count is a map-side-combinable
+    aggregate on the current edge set, and the edge filter is two
+    same-key semi-joins; the graph only SHRINKS, so round cost is
+    monotone decreasing.  Output: (part_id, core_degree) for k-core
+    members."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    sym = edges.select(F.col("x").alias("s"), F.col("y").alias("d")).unionByName(
+        edges.select(F.col("y").alias("s"), F.col("x").alias("d"))
+    ).localCheckpoint(eager=True)
+    n_sym = sym.count()
+    n_nodes = sym.select("s").distinct().count()
+    k = (KCORE_DEG_NUM * n_sym) // (KCORE_DEG_DEN * n_nodes)
+
+    cur = sym
+    prev_alive = -1
+    for _ in range(max_rounds):
+        keep = cur.groupBy("s").agg(F.count("*").alias("dg")).filter(
+            F.col("dg") >= k
+        ).select("s")
+        alive = keep.count()
+        if alive == prev_alive:
+            break
+        prev_alive = alive
+        cur = (
+            cur.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(
+            f"k-core (k={k}) did not converge within {max_rounds} rounds; "
+            "raise max_rounds (and the oracle unroll) for this graph"
+        )
+    return (
+        cur.groupBy("s")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("s").alias("part_id"), "core_degree")
+    )

@@ -4495,3 +4495,60 @@ group by s.split
 
 
 CORPUS_SPLIT_DRIFT = _split_drift_sql()
+
+
+def _kcore_sql() -> str:
+    """Unrolled k-core peel mirroring parts_copurchase_kcore: the same
+    edge construction as the triangles/pagerank oracles, k from the
+    same integer mean-degree formula, and KCORE_MAX_ROUNDS peel rounds
+    — over-unrolling past the fixpoint is a no-op because peeling is
+    idempotent there.  Every round is materialized: each r_i is
+    referenced three times (two keep joins + next round), and DuckDB
+    inlines multiply-referenced CTEs, which would go exponential over
+    16 levels."""
+    from .operators.graph import (
+        KCORE_DEG_DEN,
+        KCORE_DEG_NUM,
+        KCORE_MAX_ROUNDS,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    rounds = []
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        rounds.append(
+            f"""k{i} as materialized (
+    select s from r{i - 1} group by s having count(*) >= (select k from kv)
+),
+r{i} as materialized (
+    select c.s, c.d from r{i - 1} c
+    join k{i} a on a.s = c.s
+    join k{i} b on b.s = c.d
+)"""
+        )
+    joined = ",\n".join(rounds)
+    last = f"r{KCORE_MAX_ROUNDS}"
+    return f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}),
+li2 as (select li.* from li join ok using (o)),
+edges as (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+r0 as materialized (
+    select x as s, y as d from edges
+    union all
+    select y as s, x as d from edges
+),
+kv as (
+    select ({KCORE_DEG_NUM} * (select count(*) from r0))
+           // ({KCORE_DEG_DEN} * (select count(distinct s) from r0)) as k
+),
+{joined}
+select s as part_id, count(*) as core_degree
+from {last}
+group by s
+"""
+
+
+PARTS_COPURCHASE_KCORE = _kcore_sql()

@@ -243,3 +243,38 @@ def test_pagerank_planted(spark, tmp_path):
     assert abs(sum(x[1] for x in got.values()) - 1.0) < 1e-9
     # the hub of the star must outrank every leaf
     assert got[1][1] == max(x[1] for x in got.values())
+
+
+def test_kcore_planted(spark, tmp_path):
+    """Two 4-cliques + one pendant node: 13 edges over 9 nodes gives
+    the data-derived k = (7*26)//(10*9) = 2, so the pendant (degree 1)
+    peels and every clique member survives with core degree 3."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.graph import parts_copurchase_kcore
+
+    cliq1 = [1, 2, 3, 4]
+    cliq2 = [5, 6, 7, 8]
+    edges = (
+        [(a, b) for i, a in enumerate(cliq1) for b in cliq1[i + 1:]]
+        + [(a, b) for i, a in enumerate(cliq2) for b in cliq2[i + 1:]]
+        + [(1, 9)]                       # pendant
+    )
+    t = datetime(1997, 6, 1)
+    rows = []
+    for o, (x, y) in enumerate(edges, start=1):
+        rows.append((o, x, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+        rows.append((o, y, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.part_id: r.core_degree
+        for r in parts_copurchase_kcore(spark, str(tmp_path)).collect()
+    }
+    assert got == {p: 3 for p in cliq1 + cliq2}
