@@ -620,6 +620,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core peel: the fourth classic graph primitive (dense
         # backbone extraction; data-derived scale-free k)
         "parts_copurchase_kcore": _graph_kcore,
+        # temporal PSI monitor: weekly event-mix drift vs first week
+        "events_weekly_drift": _ts.events_weekly_drift,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -855,6 +857,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
         "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
+        "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -607,3 +607,58 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_daily",
         (F.col("total_events") / F.sum("total_events").over(w)).alias("share"),
     )
+
+
+DRIFT_SMOOTH = 1                # Laplace +1 per (week, type) cell
+
+
+def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-baseline drift of the event-type mix — the temporal
+    PSI monitor (``corpus_split_drift``'s time-axis twin): each week's
+    event-type distribution scored against the FIRST week's, the
+    metric a pipeline alerts on when upstream product changes shift
+    the event mix under a trained model.
+
+    The bands are the event types themselves — categorical, so there
+    is no bucket-boundary math at all; counts are Laplace-smoothed on
+    the full week×type grid, shares are single divisions, and the
+    |types|-term ln sum sits far inside the 6-dp rounding.
+
+    Scale shape: one (week, type) aggregate — tens of rows — then
+    broadcast joins of the baseline row; the fact is scanned once.
+    Output: (week, n_events, psi_vs_first)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    )
+    cell = ev.groupBy("week", "event_type").agg(F.count("*").alias("n"))
+    weeks = cell.select("week").distinct()
+    types = cell.select("event_type").distinct()
+    grid = weeks.crossJoin(F.broadcast(types))
+    sm = grid.join(cell, ["week", "event_type"], "left").select(
+        "week",
+        "event_type",
+        (F.coalesce("n", F.lit(0)) + F.lit(DRIFT_SMOOTH)).alias("n_sm"),
+        F.coalesce("n", F.lit(0)).alias("n_raw"),
+    )
+    tot = sm.groupBy("week").agg(
+        F.sum("n_sm").alias("tot_sm"), F.sum("n_raw").alias("n_events")
+    )
+    shares = sm.join(tot, "week").select(
+        "week",
+        "event_type",
+        "n_events",
+        (F.col("n_sm") / F.col("tot_sm")).alias("share"),
+    )
+    first = shares.join(
+        F.broadcast(weeks.agg(F.min("week").alias("week"))), "week"
+    ).select("event_type", F.col("share").alias("p"))
+    psi_term = (F.col("share") - F.col("p")) * F.log(F.col("share") / F.col("p"))
+    return (
+        shares.join(F.broadcast(first), "event_type")
+        .groupBy("week")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.sum(psi_term).alias("psi_vs_first"),
+        )
+    )

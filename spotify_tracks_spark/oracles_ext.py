@@ -4552,3 +4552,47 @@ group by s
 
 
 PARTS_COPURCHASE_KCORE = _kcore_sql()
+
+
+def _weekly_drift_sql() -> str:
+    """Mirror of events_weekly_drift: same Monday week truncation,
+    same Laplace-smoothed categorical PSI vs the first week."""
+    from .operators.timeseries import DRIFT_SMOOTH
+
+    return f"""
+with ev as (
+    select cast(date_trunc('week', ts) as date) as week, event_type
+    from events
+),
+cell as (select week, event_type, count(*) as n from ev group by week, event_type),
+weeks as (select distinct week from cell),
+types as (select distinct event_type from cell),
+grid as (select w.week, t.event_type from weeks w cross join types t),
+sm as (
+    select g.week, g.event_type,
+           coalesce(c.n, 0) + {DRIFT_SMOOTH} as n_sm,
+           coalesce(c.n, 0) as n_raw
+    from grid g
+    left join cell c on c.week = g.week and c.event_type = g.event_type
+),
+tot as (select week, sum(n_sm) as tot_sm, sum(n_raw) as n_events
+        from sm group by week),
+shares as (
+    select s.week, s.event_type, t.n_events,
+           s.n_sm / cast(t.tot_sm as double) as share
+    from sm s join tot t on t.week = s.week
+),
+first as (
+    select event_type, share as p from shares
+    where week = (select min(week) from weeks)
+)
+select s.week,
+       cast(max(s.n_events) as bigint) as n_events,
+       sum((s.share - f.p) * ln(s.share / f.p)) as psi_vs_first
+from shares s
+join first f on f.event_type = s.event_type
+group by s.week
+"""
+
+
+EVENTS_WEEKLY_DRIFT = _weekly_drift_sql()
