@@ -622,6 +622,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_kcore": _graph_kcore,
         # temporal PSI monitor: weekly event-mix drift vs first week
         "events_weekly_drift": _ts.events_weekly_drift,
+        # curation leaderboard: Wilson 95% lower bound on pass rate
+        "source_quality_wilson": _text.source_quality_wilson,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -858,6 +860,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
         "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
+        "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -392,3 +392,57 @@ def documents_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("n_docs") / F.col("src_docs")).alias("doc_share"),
     )
+
+
+WILSON_Z = 1.96                 # 95% two-sided normal quantile (literal)
+
+
+def source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality leaderboard with a WILSON 95% lower bound —
+    the ranking a data-curation pass actually sorts by: a source with
+    3/3 passing docs must NOT outrank one with 900/1000, which a raw
+    pass-rate does and the Wilson lower confidence bound corrects
+    (small n drags the bound toward zero).
+
+    pass = the corpus gate's own criterion (quality_score ≥
+    CORPUS_MIN_QUALITY, operators/corpus.py).  The bound
+    (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is built from
+    counts, literals, one sqrt and divisions — every operation either
+    exact or IEEE-correctly-rounded (sqrt included), so the oracle is
+    tolerance-free like the temperature sampler's thresholds.
+
+    Scale shape: the quality signals are scan-side projections; one
+    |sources|-row aggregate.  Output: (source, n_docs, n_pass,
+    pass_rate, wilson_lower)."""
+    from .text_analysis import text_quality  # self-import safe at runtime
+
+    from ..operators.corpus import CORPUS_MIN_QUALITY
+
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source"
+    )
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= CORPUS_MIN_QUALITY).alias("ok")
+    )
+    agg = (
+        docs.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_pass"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pass") / n
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    lower = (p + z2 / (2 * n) - z * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (
+        1 + z2 / n
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        p.alias("pass_rate"),
+        lower.alias("wilson_lower"),
+    )

@@ -4596,3 +4596,39 @@ group by s.week
 
 
 EVENTS_WEEKLY_DRIFT = _weekly_drift_sql()
+
+
+def _wilson_sql() -> str:
+    """Mirror of source_quality_wilson: the proven TEXT_QUALITY CTE,
+    the corpus gate's threshold, and the Wilson bound with the
+    IDENTICAL operation order and e0-suffixed literals (sqrt is
+    IEEE-correctly-rounded, so the bound is tolerance-free)."""
+    from .operators.corpus import CORPUS_MIN_QUALITY
+
+    return f"""
+with q as ({TEXT_QUALITY}),
+flagged as (
+    select d.source, (q.quality_score >= {CORPUS_MIN_QUALITY}) as ok
+    from documents d join q using (doc_id)
+),
+agg as (
+    select source, count(*) as n_docs,
+           cast(sum(case when ok then 1 else 0 end) as bigint) as n_pass
+    from flagged group by source
+),
+w as (
+    select source, n_docs, n_pass,
+           cast(n_docs as double) as n,
+           n_pass / cast(n_docs as double) as p
+    from agg
+)
+select source, n_docs, n_pass,
+       p as pass_rate,
+       (p + (1.96e0*1.96e0)/(2e0*n)
+          - 1.96e0*sqrt(p*(1e0-p)/n + (1.96e0*1.96e0)/(4e0*n*n)))
+         / (1e0 + (1.96e0*1.96e0)/n) as wilson_lower
+from w
+"""
+
+
+SOURCE_QUALITY_WILSON = _wilson_sql()
