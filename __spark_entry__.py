@@ -624,6 +624,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly_drift": _ts.events_weekly_drift,
         # curation leaderboard: Wilson 95% lower bound on pass rate
         "source_quality_wilson": _text.source_quality_wilson,
+        # BM25 retrieval scoring (saturated, length-normalized lexical
+        # ranking; integer-exact scored set, no float-ordered LIMIT)
+        "text_bm25_scores": _text.text_bm25_scores,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -861,6 +864,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
+        "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -446,3 +446,83 @@ def source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("pass_rate"),
         lower.alias("wilson_lower"),
     )
+
+
+BM25_K1 = 1.2                   # literals of the standard Robertson form
+BM25_B = 0.75
+BM25_N_QUERY_TERMS = 3          # query = top-df non-stopword terms
+
+
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the ranking function a RAG data-prep
+    pipeline runs over its corpus (TF-IDF's operator sibling upgraded
+    with the saturation (k1) and length-normalization (b) terms that
+    made BM25 the lexical-retrieval standard).
+
+    The query is data-derived deterministically: the top
+    ``BM25_N_QUERY_TERMS`` corpus terms by document frequency,
+    stopwords excluded, total tie-break (df desc, term asc) — integer
+    selection, no float boundary.  Scored set = every doc containing
+    ≥ 1 query term — an integer-exact membership condition, so the row
+    SET is deterministic and no float-ordered LIMIT can flip rows
+    between engines (the idf ln() only perturbs decimals, which the
+    6-dp rounding absorbs; a top-k would let a 1-ulp ln difference
+    swap the k-th row).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln((N−df+0.5)/(df+0.5) + 1).
+
+    Scale shape: df and tf come from one token-keyed aggregate each
+    (the tf one pre-filtered to the 3 query terms — a broadcast
+    semi-probe); dl is a scan-side projection; avgdl one scalar.
+    Output: (doc_id, n_query_terms_hit, dl, score)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    toks = toks.persist()
+    try:
+        all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+        df_tbl = (
+            toks.distinct()
+            .groupBy("t")
+            .agg(F.count("*").alias("df"))
+        )
+        n_docs = docs.count()
+        query = (
+            df_tbl.filter(~F.col("t").isin(*all_stop))
+            .orderBy(F.desc("df"), F.asc("t"))
+            .limit(BM25_N_QUERY_TERMS)
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        avgdl = dl.agg(
+            (F.sum("dl") / F.count("*")).alias("avgdl")
+        )
+        tf = (
+            toks.join(F.broadcast(query.select("t", "df")), "t")
+            .groupBy("doc_id", "t", "df")
+            .agg(F.count("*").alias("tf"))
+        )
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = F.col("tf") + F.lit(BM25_K1) * (
+            F.lit(1.0)
+            - F.lit(BM25_B)
+            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+        return (
+            tf.join(dl, "doc_id")
+            .crossJoin(F.broadcast(avgdl))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_query_terms_hit"),
+                F.max("dl").alias("dl"),
+                F.sum(term_score).alias("score"),
+            )
+        )
+    finally:
+        toks.unpersist()

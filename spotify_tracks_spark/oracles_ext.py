@@ -4632,3 +4632,59 @@ from w
 
 
 SOURCE_QUALITY_WILSON = _wilson_sql()
+
+
+def _bm25_sql() -> str:
+    """Mirror of text_bm25_scores: same whitespace tokens, same
+    integer-exact query selection (df desc, term asc), same Robertson
+    form with identical operation order; the ln() sits inside the
+    6-dp rounding."""
+    from .operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_N_QUERY_TERMS,
+    )
+
+    k1 = f"{BM25_K1}e0"
+    b = f"{BM25_B}e0"
+    return f"""
+with toks as (
+    select doc_id, unnest(string_split(lower(text), ' ')) as t
+    from documents
+),
+df_tbl as (
+    select t, count(*) as df
+    from (select distinct doc_id, t from toks) group by t
+),
+query as (
+    select t, df from df_tbl
+    where t not in ({_ALL_STOP})
+    order by df desc, t asc limit {BM25_N_QUERY_TERMS}
+),
+dl as (select doc_id, count(*) as dl from toks group by doc_id),
+avgdl as (
+    select cast(sum(dl) as bigint) / count(*) as avgdl from dl
+),
+nd as (select cast(count(*) as double) as n_docs from documents),
+tf as (
+    select k.doc_id, k.t, q.df, count(*) as tf
+    from toks k join query q on q.t = k.t
+    group by k.doc_id, k.t, q.df
+)
+select tf.doc_id,
+       count(*) as n_query_terms_hit,
+       cast(max(dl.dl) as bigint) as dl,
+       sum(
+         ln((nd.n_docs - tf.df + 0.5e0) / (tf.df + 0.5e0) + 1.0e0)
+         * (tf.tf * ({k1} + 1.0e0))
+         / (tf.tf + {k1} * (1.0e0 - {b} + {b} * dl.dl / avgdl.avgdl))
+       ) as score
+from tf
+join dl on dl.doc_id = tf.doc_id
+cross join avgdl
+cross join nd
+group by tf.doc_id
+"""
+
+
+TEXT_BM25_SCORES = _bm25_sql()
