@@ -605,8 +605,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental ingest-time dedup: probe a new batch against the
         # persisted banded corpus index (new-vs-old + new-vs-new only)
         "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
-        # Spark-4 VARIANT: parse-once binary semi-structured extraction
-        "events_variant_props": _events.events_variant_props,
         # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
         # the sqrt schedule between proportional and uniform)
         "corpus_temperature_sample": _llm.corpus_temperature_sample,
@@ -856,7 +854,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
         "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
         "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
-        "events_variant_props": oracles_ext.EVENTS_VARIANT_PROPS,
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,

@@ -1060,41 +1060,3 @@ def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         if words is not None:
             words.unpersist()
 
-
-def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props via Spark 4's VARIANT type: parse the JSON
-    ONCE into the binary variant encoding, then extract typed paths
-    with ``variant_get`` — versus ``events_summary``'s
-    ``get_json_object``, which re-parses the raw string per expression
-    per row.  At 100 TB the parse-once binary encoding is the
-    difference between one decode pass and one per referenced field
-    (and shreds into columnar storage in the lakehouse formats).
-
-    The profile: distribution of the ``k`` payload per (event_type,
-    k-decade bucket) with exact integer sums; a ``try_variant_get`` on
-    an absent path rides along to pin the null (not error) semantics
-    of missing-path extraction under ANSI mode.
-
-    Output: (event_type, k_decade, n_events, n_missing_path, sum_k)."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", F.parse_json(F.col("props")).alias("v")
-    )
-    k = F.variant_get("v", "$.k", "long")
-    absent = F.try_variant_get("v", "$.absent", "long")
-    return (
-        ev.select(
-            "event_type",
-            k.alias("k"),
-            absent.alias("absent"),
-        )
-        .groupBy(
-            "event_type", F.floor(F.col("k") / 10).cast("long").alias("k_decade")
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
-                "n_missing_path"
-            ),
-            F.sum("k").alias("sum_k"),
-        )
-    )

@@ -4320,24 +4320,6 @@ where s.is_new
 DEDUP_MINHASH_INCREMENTAL = _minhash_incremental_sql()
 
 
-# VARIANT-path mirror: DuckDB extracts the same typed path from the raw
-# JSON; floor-div bucket on bigint matches Spark's floor(k/10).
-EVENTS_VARIANT_PROPS = """
-with ev as (
-    select event_type,
-           cast(json_extract(props, '$.k') as bigint) as k
-    from events
-)
-select event_type,
-       cast(floor(k / 10.0e0) as bigint) as k_decade,
-       count(*) as n_events,
-       count(*) as n_missing_path,
-       cast(sum(k) as bigint) as sum_k
-from ev
-group by event_type, floor(k / 10.0e0)
-"""
-
-
 def _temperature_sample_sql() -> str:
     """Mirror of corpus_temperature_sample: same sqrt-closed-form
     acceptance thresholds (sqrt is IEEE-correctly-rounded in every
