@@ -364,7 +364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # default (block-width ≤ NGRAM_MAX_BLOCK) against a same-cap
         # oracle; the uncapped exhaustive form is extra_queries().
         "dedup_exact": _dedup.dedup_exact,
-        "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_clusters": _dedup.dedup_clusters,
@@ -373,30 +372,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": corpus_prep,
         # similarity search
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
-        "ann_topk_lsh": _sim.ann_topk_lsh,
         "ann_topk_ivf": _sim.ann_topk_ivf,
         # corpus-wide near-dup pairs (sign-bucket self-join + in-bucket
         # cosine verify).  The synthetic embeddings are isotropic (max
         # corpus cosine ≈ 0.51), so the driver entry lowers the threshold
         # to 0.35 to exercise the verify path; 0.95 stays the production
         # default for actual near-dup corpora.
-        "dedup_embedding_corpus": _dedup_embedding_corpus,
         # the float-free slice of k-means (iteration-0 assignment counts
         # from raw-vector init centroids) — exact integer oracle pins the
         # assign step's distance/argmin/tie semantics; the full iterative
         # Lloyd's is extra_queries() (float means ⇒ rows-only by design)
-        "embedding_kmeans_init_counts": kmeans_init_counts,
         # events analytics surface
         # ntile window class + per-bucket boundary stats
-        "events_value_quartiles": _events.events_value_quartiles,
         # VARIANT-type semi-structured extraction (parse once, typed gets)
-        "events_props_variant": _events.events_props_variant,
-        "events_asof_purchase_click": events_asof_purchase_click,
-        "events_value_bands": events_value_bands,
-        "events_topk_per_user": _an.events_topk_per_user,
         # per-stratum rates (class rebalancing): rare conversions kept,
         # high-volume types downsampled; same hash-mod determinism
-        "events_sample_stratified": _an.events_sample_stratified,
+        "events_hll_distinct": _events.events_hll_distinct,
+        "events_bloom_membership": _events.events_bloom_membership,
+        "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
+        "parts_copurchase_kcore": _graph_kcore,
+        "lineitem_revenue_forecast": _tpch.lineitem_revenue_forecast,
+        "customer_order_distribution": _tpch.customer_order_distribution,
+        "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
+        "corpus_temperature_sample": _llm.corpus_temperature_sample,
+        "corpus_split_drift": _llm.corpus_split_drift,
+        "text_bm25_scores": _text.text_bm25_scores,
     }
     assert len(q) == 50, f"driver surface must stay at 50 entries, got {len(q)}"
     return q
@@ -580,51 +580,41 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promo ratio, Q15 scalar-max view, Q16 distinct-count +
         # NOT-IN anti-join, Q19 disjunctive pushdown, Q20 nested
         # semi-join dominance, Q21 EXISTS/NOT-EXISTS decorrelation
-        "lineitem_revenue_forecast": _tpch.lineitem_revenue_forecast,
         "nation_volume_shipping": _tpch.nation_volume_shipping,
         "nation_market_share": _tpch.nation_market_share,
         "nation_product_profit": _tpch.nation_product_profit,
         "nation_part_value_concentration": _tpch.nation_part_value_concentration,
         "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
-        "customer_order_distribution": _tpch.customer_order_distribution,
         "promo_revenue_share": _tpch.promo_revenue_share,
         "top_supplier_revenue": _tpch.top_supplier_revenue,
         "part_supplier_diversity": _tpch.part_supplier_diversity,
         "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
         "excess_supply_candidates": _tpch.excess_supply_candidates,
-        "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
         # HyperLogLog: the third mergeable-sketch family (register-wise
         # max merge; deterministic trailing-zero rank, register-exact
         # oracle like the CMS/KMV twins)
-        "events_hll_distinct": _events.events_hll_distinct,
         # streaming HLL fold: idempotent register-max merge per batch
         "events_stream_hll": _events_stream_hll,
         # explicit Bloom filter build + membership eval (the bloom-
         # pruned-join primitive, register-exact oracle)
-        "events_bloom_membership": _events.events_bloom_membership,
         # incremental ingest-time dedup: probe a new batch against the
         # persisted banded corpus index (new-vs-old + new-vs-new only)
-        "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
         # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
         # the sqrt schedule between proportional and uniform)
-        "corpus_temperature_sample": _llm.corpus_temperature_sample,
         # streaming Bloom fold: the ingest-time seen-before index
         "events_stream_bloom": _events_stream_bloom,
         # cross-doc repeated-substring exposure (seed-gram form of
         # exact-substring dedup; memorization-risk ranking)
         "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
         # PSI drift gate over the frozen splits (data-quality family)
-        "corpus_split_drift": _llm.corpus_split_drift,
         # k-core peel: the fourth classic graph primitive (dense
         # backbone extraction; data-derived scale-free k)
-        "parts_copurchase_kcore": _graph_kcore,
         # temporal PSI monitor: weekly event-mix drift vs first week
         "events_weekly_drift": _ts.events_weekly_drift,
         # curation leaderboard: Wilson 95% lower bound on pass rate
         "source_quality_wilson": _text.source_quality_wilson,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
-        "text_bm25_scores": _text.text_bm25_scores,
         # mergeable K-Minimum-Values cardinality sketch (two-level
         # partial→rollup merge, register-exact oracle like the CMS twin)
         "events_kmv_distinct": _events.events_kmv_distinct,
@@ -685,6 +675,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
         "events_user_sketch_rollup": _events.events_user_sketch_rollup,
+        "events_value_quartiles": _events.events_value_quartiles,
+        "events_topk_per_user": _an.events_topk_per_user,
+        "events_sample_stratified": _an.events_sample_stratified,
+        "events_value_bands": events_value_bands,
+        "events_asof_purchase_click": events_asof_purchase_click,
+        "events_props_variant": _events.events_props_variant,
+        "dedup_embedding_corpus": _dedup_embedding_corpus,
+        "ann_topk_lsh": _sim.ann_topk_lsh,
+        "embedding_kmeans_init_counts": kmeans_init_counts,
+        "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
     }
 
 
@@ -724,22 +724,24 @@ def oracle_sql() -> dict[str, str]:
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "sql_top_artists": oracles.SQL_TOP_ARTISTS,
         "dedup_exact": oracles_ext.DEDUP_EXACT,
-        "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
         "corpus_prep": oracles_ext.CORPUS_PREP,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
-        "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
-        "dedup_embedding_corpus": oracles_ext.DEDUP_EMBEDDING_CORPUS,
-        "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
-        "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
-        "events_props_variant": oracles_ext.EVENTS_PROPS_VARIANT,
-        "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
-        "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
-        "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
-        "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
+        "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
+        "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
+        "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
+        "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
+        "lineitem_revenue_forecast": oracles_ext.LINEITEM_REVENUE_FORECAST,
+        "customer_order_distribution": oracles_ext.CUSTOMER_ORDER_DISTRIBUTION,
+        "suppliers_kept_orders_waiting": (
+            oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
+        ),
+        "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
+        "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
+        "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
     }
 
 
@@ -833,7 +835,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
         "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
         "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
-        "lineitem_revenue_forecast": oracles_ext.LINEITEM_REVENUE_FORECAST,
         "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
         "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
         "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
@@ -841,27 +842,16 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.NATION_PART_VALUE_CONCENTRATION
         ),
         "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
-        "customer_order_distribution": oracles_ext.CUSTOMER_ORDER_DISTRIBUTION,
         "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
         "top_supplier_revenue": oracles_ext.TOP_SUPPLIER_REVENUE,
         "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
         "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
         "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
-        "suppliers_kept_orders_waiting": (
-            oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
-        ),
-        "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
         "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
-        "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
-        "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
-        "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
-        "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
-        "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
-        "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
@@ -886,4 +876,14 @@ def extra_oracle_sql() -> dict[str, str]:
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
         "documents_source_mix": oracles_ext.DOCUMENTS_SOURCE_MIX,
+        "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
+        "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
+        "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,
+        "events_value_bands": oracles_ext.EVENTS_VALUE_BANDS,
+        "events_asof_purchase_click": oracles_ext.EVENTS_ASOF_PURCHASE_CLICK,
+        "events_props_variant": oracles_ext.EVENTS_PROPS_VARIANT,
+        "dedup_embedding_corpus": oracles_ext.DEDUP_EMBEDDING_CORPUS,
+        "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
+        "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
+        "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
     }
