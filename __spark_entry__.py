@@ -613,6 +613,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly_drift": _ts.events_weekly_drift,
         # curation leaderboard: Wilson 95% lower bound on pass rate
         "source_quality_wilson": _text.source_quality_wilson,
+        # experimentation readout: pooled two-proportion z on a
+        # deterministic hash-split (A/A-calibrated)
+        "events_ab_test": _an.events_ab_test,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -852,6 +855,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
+        "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -1163,3 +1163,76 @@ def events_dedup_windowed(
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts", "value")
     )
+
+
+AB_SPLIT_MOD = 2                # hash(user) % 2 → arm A / arm B
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment analysis — the A/B readout every
+    event pipeline ends at: users split deterministically into two
+    arms (hash-mod, the same discipline as every sample here, so the
+    assignment is reproducible and join-consistent), conversion =
+    ABOVE-MEAN purchase count (integer-exact cnt·n ≥ Σ, the bloom
+    operator's scale-free threshold — a has-any-purchase metric is
+    vacuously 100% on this data at every SF), and the pooled
+    two-proportion z statistic
+    z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)).
+
+    On a hash split of identical populations the true lift is zero,
+    so |z| should sit inside ±3 — the null-calibration property the
+    pytest pins (a pipeline whose A/A test rejects is miswired).  All
+    inputs are integer counts; the statistic is divisions and one
+    IEEE-exact sqrt — tolerance-free cross-engine, like the Wilson
+    bound.
+
+    Scale shape: one user-grain aggregate, then a 2-row arm aggregate
+    and a 1-row report.  Output: (n_a, n_b, conv_a, conv_b, rate_a,
+    rate_b, lift, z_score)."""
+    from ..functions.hashing import portable_hash60
+
+    counts = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("cnt")
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_users")
+    )
+    per_user = counts.crossJoin(F.broadcast(totals)).select(
+        (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias("arm_a"),
+        F.when(
+            F.col("cnt") * F.col("n_users") >= F.col("total"), 1
+        ).otherwise(0).alias("converted"),
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        (p_a - p_b).alias("lift"),
+        F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0)).alias("z_score"),
+    )

@@ -4670,3 +4670,51 @@ group by tf.doc_id
 
 
 TEXT_BM25_SCORES = _bm25_sql()
+
+
+def _ab_test_sql() -> str:
+    """Mirror of events_ab_test: same hash-mod arm assignment, same
+    pooled two-proportion z with identical operation order (divisions
+    + one IEEE-exact sqrt — tolerance-free)."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with counts as (
+    select user_id,
+           sum(case when event_type = 'purchase' then 1 else 0 end) as cnt
+    from events group by user_id
+),
+totals as (select sum(cnt) as total, count(*) as n_users from counts),
+per_user as (
+    select {_h60('c.user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a,
+           case when c.cnt * t.n_users >= t.total then 1 else 0 end
+             as converted
+    from counts c cross join totals t
+),
+agg as (
+    select cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b,
+           cast(sum(case when arm_a then converted else 0 end) as bigint)
+             as conv_a,
+           cast(sum(case when not arm_a then converted else 0 end) as bigint)
+             as conv_b
+    from per_user
+)
+select n_a, n_b, conv_a, conv_b,
+       conv_a / cast(n_a as double) as rate_a,
+       conv_b / cast(n_b as double) as rate_b,
+       conv_a / cast(n_a as double) - conv_b / cast(n_b as double) as lift,
+       case when sqrt((conv_a + conv_b) / cast(n_a + n_b as double)
+                      * (1.0e0 - (conv_a + conv_b) / cast(n_a + n_b as double))
+                      * (1.0e0 / n_a + 1.0e0 / n_b)) > 0
+            then (conv_a / cast(n_a as double) - conv_b / cast(n_b as double))
+                 / sqrt((conv_a + conv_b) / cast(n_a + n_b as double)
+                        * (1.0e0 - (conv_a + conv_b)
+                                   / cast(n_a + n_b as double))
+                        * (1.0e0 / n_a + 1.0e0 / n_b))
+            else 0.0e0 end as z_score
+from agg
+"""
+
+
+EVENTS_AB_TEST = _ab_test_sql()

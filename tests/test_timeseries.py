@@ -239,3 +239,18 @@ def test_weekday_profile_iso_numbering(spark, tmp_path):
     assert (got[1].n_days, got[1].total_events, got[1].avg_daily) == (2, 3, 1.5)
     assert (got[7].n_days, got[7].total_events) == (1, 1)
     assert got[1].share == 0.75 and got[7].share == 0.25
+
+
+def test_ab_test_null_calibration(spark):
+    """A hash split of one population is an A/A test: the true lift is
+    zero, so |z| must sit inside +-3 and both arms' rates must be in
+    (0, 1) (a degenerate all-convert metric would zero the variance
+    and hide a miswired pipeline)."""
+    from spotify_tracks_spark.operators.analytics import events_ab_test
+    from tests.conftest import SF_T2
+
+    r = events_ab_test(spark, SF_T2).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0.0 < r.rate_a < 1.0 and 0.0 < r.rate_b < 1.0
+    assert abs(r.z_score) < 3.0, r.z_score
+    assert r.conv_a + r.conv_b < r.n_a + r.n_b
