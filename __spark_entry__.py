@@ -616,6 +616,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # experimentation readout: pooled two-proportion z on a
         # deterministic hash-split (A/A-calibrated)
         "events_ab_test": _an.events_ab_test,
+        # CUPED variance reduction: pre-period covariate rho^2 from
+        # exact integer moment sums
+        "events_cuped": _an.events_cuped,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -856,6 +859,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
+        "events_cuped": oracles_ext.EVENTS_CUPED,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -1236,3 +1236,65 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_a - p_b).alias("lift"),
         F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0)).alias("z_score"),
     )
+
+
+CUPED_SPLIT_DATE = "2024-01-16"     # pre-period < split <= post-period
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the production experimentation
+    technique layered on ``events_ab_test``: regress each user's
+    post-period outcome (purchases) on their PRE-period activity
+    (all events before the split date) and report how much outcome
+    variance the covariate removes (ρ², the fraction CUPED would
+    shrink confidence intervals by, since var(Y_adj) = var(Y)(1−ρ²)).
+
+    All moments are EXACT integer sums over per-user counts
+    (Σx, Σy, Σxy, Σx², Σy², n — the events_type_correlation
+    discipline; never var()/corr(), whose float accumulation is
+    partial-order-dependent).  θ and ρ² are divisions of exact bigint
+    components, cast to double only at the final step with fixed
+    operation order — the centered products stay in bigint (they fit:
+    n·Σxy ≤ 10⁶·10⁶ at these scales) and only their squares move to
+    double.
+
+    Scale shape: one user-grain aggregate, one 1-row moment fold.
+    Output: (n_users, sxy_c, sxx_c, syy_c, theta, rho2)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.to_date("ts") < F.lit(CUPED_SPLIT_DATE).cast("date")).alias("pre"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(
+                ~F.col("pre") & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxy_c = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    sxx_c = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = F.when(sxx_c > 0, sxy_c / sxx_c).otherwise(F.lit(0.0))
+    rho2 = F.when(
+        (sxx_c > 0) & (syy_c > 0),
+        (sxy_c.cast("double") * sxy_c.cast("double"))
+        / (sxx_c.cast("double") * syy_c.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("n").alias("n_users"),
+        sxy_c.alias("sxy_c"),
+        sxx_c.alias("sxx_c"),
+        syy_c.alias("syy_c"),
+        theta.alias("theta"),
+        rho2.alias("rho2"),
+    )

@@ -4718,3 +4718,47 @@ from agg
 
 
 EVENTS_AB_TEST = _ab_test_sql()
+
+
+def _cuped_sql() -> str:
+    """Mirror of events_cuped: exact integer moment sums, identical
+    final-step double arithmetic."""
+    from .operators.analytics import CUPED_SPLIT_DATE
+
+    return f"""
+with per_user as (
+    select user_id,
+           sum(case when cast(ts as date) < date '{CUPED_SPLIT_DATE}'
+                    then 1 else 0 end) as x,
+           sum(case when cast(ts as date) >= date '{CUPED_SPLIT_DATE}'
+                     and event_type = 'purchase'
+                    then 1 else 0 end) as y
+    from events group by user_id
+),
+m as (
+    select cast(count(*) as bigint) as n,
+           cast(sum(x) as bigint) as sx,
+           cast(sum(y) as bigint) as sy,
+           cast(sum(x * y) as bigint) as sxy,
+           cast(sum(x * x) as bigint) as sxx,
+           cast(sum(y * y) as bigint) as syy
+    from per_user
+)
+select n as n_users,
+       cast(n * sxy - sx * sy as bigint) as sxy_c,
+       cast(n * sxx - sx * sx as bigint) as sxx_c,
+       cast(n * syy - sy * sy as bigint) as syy_c,
+       case when n * sxx - sx * sx > 0
+            then (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)
+            else 0.0e0 end as theta,
+       case when n * sxx - sx * sx > 0 and n * syy - sy * sy > 0
+            then (cast(n * sxy - sx * sy as double)
+                  * cast(n * sxy - sx * sy as double))
+                 / (cast(n * sxx - sx * sx as double)
+                    * cast(n * syy - sy * sy as double))
+            else 0.0e0 end as rho2
+from m
+"""
+
+
+EVENTS_CUPED = _cuped_sql()

@@ -254,3 +254,17 @@ def test_ab_test_null_calibration(spark):
     assert 0.0 < r.rate_a < 1.0 and 0.0 < r.rate_b < 1.0
     assert abs(r.z_score) < 3.0, r.z_score
     assert r.conv_a + r.conv_b < r.n_a + r.n_b
+
+
+def test_cuped_moment_invariants(spark):
+    """Exact-moment identities: centered sums obey Cauchy-Schwarz
+    (sxy_c^2 <= sxx_c * syy_c, so rho2 in [0, 1]) and theta's sign
+    matches the covariance's."""
+    from spotify_tracks_spark.operators.analytics import events_cuped
+    from tests.conftest import SF_T2
+
+    r = events_cuped(spark, SF_T2).collect()[0]
+    assert r.sxx_c >= 0 and r.syy_c >= 0
+    assert r.sxy_c * r.sxy_c <= r.sxx_c * r.syy_c
+    assert 0.0 <= r.rho2 <= 1.0
+    assert (r.theta >= 0) == (r.sxy_c >= 0)
