@@ -619,6 +619,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CUPED variance reduction: pre-period covariate rho^2 from
         # exact integer moment sums
         "events_cuped": _an.events_cuped,
+        # Holt double-exponential smoothing: dyadic sequential fold
+        "events_holt_daily": _ts.events_holt_daily,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -860,6 +862,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,
+        "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -662,3 +662,73 @@ def events_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(psi_term).alias("psi_vs_first"),
         )
     )
+
+
+HOLT_ALPHA = 0.5                # dyadic level weight (exact in binary)
+HOLT_BETA = 0.25                # dyadic trend weight
+
+
+def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the daily event series —
+    EWMA's trend-aware sibling (level + trend state, 1-step-ahead
+    forecast), the workhorse short-horizon forecaster.
+
+    The recursion l' = α·x + (1−α)(l+t); t' = β(l'−l) + (1−β)t is a
+    SEQUENTIAL left fold — not window-expressible — so it runs as a
+    higher-order ``aggregate`` over each type's zero-filled ordered
+    daily array (30 values here).  With DYADIC α=1/2, β=1/4 every
+    multiply is an exact binary scaling and every sum a dyadic
+    rational: the fold is bit-identical cross-engine, like the EWMA's
+    dyadic weights (DuckDB's ``list_reduce`` seeds the accumulator
+    with the first element, so the Spark fold initializes level to
+    x₀, trend to 0 and folds the remainder — the same trajectory).
+
+    Scale shape: the fact collapses to (type, day) counts first; the
+    per-type fold touches |days| values.  A 100 TB deployment folds
+    per (entity, window) key in parallel — same plan, wider key.
+    Output: (event_type, n_days, level, trend, forecast_next)."""
+    daily0 = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = daily0.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = daily0.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    daily = grid.join(daily0, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("sd")
+    )
+    arr = F.transform(F.col("sd"), lambda s: s["n"].cast("double"))
+    a, b1 = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+    bt, bt1 = HOLT_BETA, 1.0 - HOLT_BETA
+
+    def step(acc, x):
+        lvl = F.lit(a) * x + F.lit(b1) * (acc[0] + acc[1])
+        lvl2 = F.lit(a) * x + F.lit(b1) * (acc[0] + acc[1])
+        trend = F.lit(bt) * (lvl2 - acc[0]) + F.lit(bt1) * acc[1]
+        return F.array(lvl, trend)
+
+    folded = series.select(
+        "event_type",
+        F.size(arr).alias("n_days"),
+        F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.array(F.element_at(arr, 1), F.lit(0.0)),
+            step,
+        ).alias("lt"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("lt")[0].alias("level"),
+        F.col("lt")[1].alias("trend"),
+        (F.col("lt")[0] + F.col("lt")[1]).alias("forecast_next"),
+    )

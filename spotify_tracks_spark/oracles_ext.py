@@ -4762,3 +4762,58 @@ from m
 
 
 EVENTS_CUPED = _cuped_sql()
+
+
+def _holt_sql() -> str:
+    """Mirror of events_holt_daily: same zero-filled grid, same dyadic
+    left fold (list_reduce seeds with the first [x0, 0] pair — the
+    Spark side initializes identically and folds the tail)."""
+    from .operators.timeseries import HOLT_ALPHA, HOLT_BETA
+
+    a = f"{HOLT_ALPHA}e0"
+    b1 = f"{1.0 - HOLT_ALPHA}e0"
+    bt = f"{HOLT_BETA}e0"
+    bt1 = f"{1.0 - HOLT_BETA}e0"
+    lvl = f"{a}*b[1] + {b1}*(acc[1]+acc[2])"
+    return f"""
+with daily0 as (
+    select event_type, cast(ts as date) as day, count(*) as n
+    from events group by event_type, cast(ts as date)
+),
+bounds as (select min(day) as lo, max(day) as hi from daily0),
+spine as (
+    select cast(unnest(generate_series(
+        (select lo from bounds), (select hi from bounds),
+        interval 1 day)) as date) as day
+),
+grid as (
+    select t.event_type, s.day
+    from (select distinct event_type from daily0) t cross join spine s
+),
+daily as (
+    select g.event_type, g.day, coalesce(d.n, 0) as n
+    from grid g
+    left join daily0 d on d.event_type = g.event_type and d.day = g.day
+),
+series as (
+    select event_type, list(cast(n as double) order by day) as l
+    from daily group by event_type
+),
+folded as (
+    select event_type, len(l) as n_days,
+           list_reduce(
+               list_transform(l, x -> [x, 0.0e0]),
+               (acc, b) -> [
+                   {lvl},
+                   {bt}*(({lvl}) - acc[1]) + {bt1}*acc[2]
+               ]) as lt
+    from series
+)
+select event_type, cast(n_days as bigint) as n_days,
+       lt[1] as level, lt[2] as trend,
+       lt[1] + lt[2] as forecast_next
+from folded
+"""
+
+
+EVENTS_HOLT_DAILY = _holt_sql()

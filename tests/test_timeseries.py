@@ -268,3 +268,33 @@ def test_cuped_moment_invariants(spark):
     assert r.sxy_c * r.sxy_c <= r.sxx_c * r.syy_c
     assert 0.0 <= r.rho2 <= 1.0
     assert (r.theta >= 0) == (r.sxy_c >= 0)
+
+
+def test_holt_planted_trajectory(spark, tmp_path):
+    """Hand-computed dyadic fold on a 4-day series [8, 4, 6, 10]:
+    init (8, 0); then
+    d2: l=.5*4+.5*8=6,      t=.25*(6-8)+.75*0=-0.5
+    d3: l=.5*6+.5*5.5=5.75, t=.25*(-.25)+.75*(-.5)=-0.4375
+    d4: l=.5*10+.5*5.3125=7.65625,
+        t=.25*1.90625+.75*(-0.4375)=0.1484375"""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.timeseries import events_holt_daily
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 8), (2, 4), (3, 6), (4, 10)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, datetime(2024, 3, day, 12), 1, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = events_holt_daily(spark, str(tmp_path)).collect()[0]
+    assert r.n_days == 4
+    assert r.level == 7.65625
+    assert r.trend == 0.1484375
+    assert r.forecast_next == 7.8046875
