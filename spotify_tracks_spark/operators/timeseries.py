@@ -732,3 +732,69 @@ def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lt")[1].alias("trend"),
         (F.col("lt")[0] + F.col("lt")[1]).alias("forecast_next"),
     )
+
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise daily slopes, the estimator that shrugs off the outlier
+    days that wreck OLS (``events_user_trend``'s least-squares is the
+    fragile sibling; MAD outliers are the detection side, this is the
+    robust fit).
+
+    Exactness: every slope is the RATIONAL (n_j−n_i)/(j−i) with small
+    integer parts; the min gap between distinct such rationals is
+    ≫ double ulp at these magnitudes, so ordering by the double
+    quotient is provably exact ordering of the rationals, and the
+    LOWER median under the total order (slope, num, den, i, j) is
+    engine-deterministic.  The median is reported as the exact
+    (num, den) pair plus the quotient.
+
+    Scale shape: the fact collapses to (type, day) first; the pairwise
+    self-join is |days|²/2 per type (435 pairs over 30 days) — at
+    production horizon the classic subsample variant (random pairs)
+    bounds this; here the full estimator fits easily.
+    Output: (event_type, n_pairs, med_num, med_den, theil_slope)."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+                "i"
+            ),
+            "n",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.n") - F.col("a.n")).alias("num"),
+            (F.col("b.i") - F.col("a.i")).alias("den"),
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+        )
+        .withColumn("slope", F.col("num") / F.col("den"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("slope"), F.asc("num"), F.asc("den"), F.asc("i"), F.asc("j")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    counts = pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+    return (
+        ranked.join(counts, "event_type")
+        .filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("num").alias("med_num"),
+            F.col("den").alias("med_den"),
+            F.col("slope").alias("theil_slope"),
+        )
+    )

@@ -4817,3 +4817,36 @@ from folded
 
 
 EVENTS_HOLT_DAILY = _holt_sql()
+
+
+EVENTS_THEIL_SEN = """
+with daily as (
+    select event_type,
+           cast(cast(ts as date) - date '1970-01-01' as bigint) as i,
+           count(*) as n
+    from events group by event_type, cast(ts as date)
+),
+pairs as (
+    select a.event_type,
+           b.n - a.n as num,
+           b.i - a.i as den,
+           a.i as i, b.i as j,
+           (b.n - a.n) / cast(b.i - a.i as double) as slope
+    from daily a
+    join daily b on b.event_type = a.event_type and a.i < b.i
+),
+ranked as (
+    select *,
+           row_number() over (partition by event_type
+                              order by slope, num, den, i, j) as rn,
+           count(*) over (partition by event_type) as n_pairs
+    from pairs
+)
+select event_type,
+       cast(n_pairs as bigint) as n_pairs,
+       cast(num as bigint) as med_num,
+       cast(den as bigint) as med_den,
+       slope as theil_slope
+from ranked
+where rn = floor((n_pairs + 1) / 2)
+"""

@@ -298,3 +298,28 @@ def test_holt_planted_trajectory(spark, tmp_path):
     assert r.level == 7.65625
     assert r.trend == 0.1484375
     assert r.forecast_next == 7.8046875
+
+
+def test_theil_sen_planted_outlier_robustness(spark, tmp_path):
+    """Series [10, 12, 14, 100, 18]: OLS is dragged by the day-4 spike;
+    the pairwise-slope median stays at 2 (the true trend). Lower
+    median over 10 pairs = 5th ranked slope."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.timeseries import events_theil_sen
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 10), (2, 12), (3, 14), (4, 100), (5, 18)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, datetime(2024, 3, day, 12), 1, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    r = events_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 10
+    assert r.theil_slope == 2.0, (r.med_num, r.med_den)
