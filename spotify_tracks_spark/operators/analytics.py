@@ -1298,3 +1298,75 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         rho2.alias("rho2"),
     )
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the two hash-split arms on
+    per-user purchase counts — the NONPARAMETRIC sibling of
+    ``events_ab_test`` (no normality assumption; the test a skewed
+    heavy-user metric actually calls for).
+
+    Exactness: midranks are computed per VALUE GROUP (cum_before +
+    (t+1)/2 — an exact half-integer, not a float average of row
+    numbers), so the rank sum R_A is an exact sum of halves; U_A =
+    R_A − n_A(n_A+1)/2 is exact.  The normal approximation uses the
+    tie-corrected variance n_A·n_B/12·((n+1) − Σ(t³−t)/(n(n−1))) —
+    integer ingredients, fixed-order double arithmetic, one IEEE-exact
+    sqrt.  On an A/A hash split |z| < 3 (pinned in pytest alongside
+    the parametric twin).
+
+    Scale shape: user-grain aggregate → value-grain rank table
+    (|distinct counts| rows) → 1-row fold; the fact is scanned once.
+    Output: (n_a, n_b, u_a, mu_u, z_score)."""
+    from ..functions.hashing import portable_hash60
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+        .select(
+            "x",
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    vals = per_user.groupBy("x").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("t_a"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    ).withColumn(
+        "midrank",
+        F.col("cum_before") + (F.col("t") + F.lit(1)) / F.lit(2.0),
+    )
+    agg = ranked.agg(
+        F.sum("t_a").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).alias("n_b"),
+        F.sum(F.col("t_a") * F.col("midrank")).alias("r_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    var = (
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * ((n + 1) - F.col("tie_sum") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        mu.alias("mu_u"),
+        F.when(var > 0, (u_a - mu) / F.sqrt(var)).otherwise(F.lit(0.0)).alias(
+            "z_score"
+        ),
+    )

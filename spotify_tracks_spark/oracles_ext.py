@@ -4850,3 +4850,51 @@ select event_type,
 from ranked
 where rn = floor((n_pairs + 1) / 2)
 """
+
+
+def _mann_whitney_sql() -> str:
+    """Mirror of events_mann_whitney: same value-group midranks, same
+    tie-corrected variance with identical operation order."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with per_user as (
+    select sum(case when event_type = 'purchase' then 1 else 0 end) as x,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events group by user_id
+),
+vals as (
+    select x, count(*) as t,
+           sum(case when arm_a then 1 else 0 end) as t_a
+    from per_user group by x
+),
+ranked as (
+    select x, t, t_a,
+           coalesce(sum(t) over (order by x
+                                 rows between unbounded preceding
+                                 and 1 preceding), 0) as cum_before
+    from vals
+),
+agg as (
+    select cast(sum(t_a) as bigint) as n_a,
+           cast(sum(t - t_a) as bigint) as n_b,
+           sum(t_a * (cum_before + (t + 1) / 2.0e0)) as r_a,
+           cast(sum(t * t * t - t) as bigint) as tie_sum
+    from ranked
+)
+select n_a, n_b,
+       r_a - n_a * (n_a + 1) / 2.0e0 as u_a,
+       n_a * n_b / 2.0e0 as mu_u,
+       case when n_a * n_b / 12.0e0
+                 * ((n_a + n_b + 1)
+                    - tie_sum / ((n_a + n_b) * (n_a + n_b - 1))) > 0
+            then (r_a - n_a * (n_a + 1) / 2.0e0 - n_a * n_b / 2.0e0)
+                 / sqrt(n_a * n_b / 12.0e0
+                        * ((n_a + n_b + 1)
+                           - tie_sum / ((n_a + n_b) * (n_a + n_b - 1))))
+            else 0.0e0 end as z_score
+from agg
+"""
+
+
+EVENTS_MANN_WHITNEY = _mann_whitney_sql()

@@ -323,3 +323,19 @@ def test_theil_sen_planted_outlier_robustness(spark, tmp_path):
     r = events_theil_sen(spark, str(tmp_path)).collect()[0]
     assert r.n_pairs == 10
     assert r.theil_slope == 2.0, (r.med_num, r.med_den)
+
+
+def test_mann_whitney_null_calibration(spark):
+    """A/A property for the rank-sum twin: U centered near mu, |z|<3,
+    and the U identity U_A + U_B = n_A*n_B holds exactly (U_B follows
+    from total rank sum n(n+1)/2)."""
+    from spotify_tracks_spark.operators.analytics import events_mann_whitney
+    from tests.conftest import SF_T2
+
+    r = events_mann_whitney(spark, SF_T2).collect()[0]
+    n = r.n_a + r.n_b
+    total_ranks = n * (n + 1) / 2.0
+    r_b = total_ranks - (r.u_a + r.n_a * (r.n_a + 1) / 2.0)
+    u_b = r_b - r.n_b * (r.n_b + 1) / 2.0
+    assert r.u_a + u_b == r.n_a * r.n_b
+    assert abs(r.z_score) < 3.0, r.z_score
