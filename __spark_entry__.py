@@ -625,6 +625,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen": _ts.events_theil_sen,
         # nonparametric AB sibling: rank-sum test with exact midranks
         "events_mann_whitney": _an.events_mann_whitney,
+        # one-number inequality summary of the pareto curve
+        "events_gini": _an.events_gini,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -869,6 +871,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
         "events_theil_sen": oracles_ext.EVENTS_THEIL_SEN,
         "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
+        "events_gini": oracles_ext.EVENTS_GINI,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -1370,3 +1370,30 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of user activity — the one-number inequality
+    summary of ``events_pareto``'s curve (load-concentration / key-skew
+    exposure in a single comparable metric).
+
+    Exact integer formulation: with per-user counts x sorted ascending
+    under the total order (x, user_id) and i = 1..n,
+    G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — every sum an exact bigint,
+    one final IEEE division.  Output: (n_users, total_events, gini)."""
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("user_id"))
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    gini = (
+        F.lit(2) * F.col("ix") - (F.col("n_users") + 1) * F.col("total_events")
+    ) / (F.col("n_users") * F.col("total_events"))
+    return agg.select("n_users", "total_events", gini.alias("gini"))

@@ -4898,3 +4898,23 @@ from agg
 
 
 EVENTS_MANN_WHITNEY = _mann_whitney_sql()
+
+
+EVENTS_GINI = """
+with per_user as (
+    select user_id, count(*) as x from events group by user_id
+),
+ranked as (
+    select x, row_number() over (order by x, user_id) as i from per_user
+),
+agg as (
+    select cast(count(*) as bigint) as n_users,
+           cast(sum(x) as bigint) as total_events,
+           cast(sum(i * x) as bigint) as ix
+    from ranked
+)
+select n_users, total_events,
+       (2 * ix - (n_users + 1) * total_events)
+         / cast(n_users * total_events as double) as gini
+from agg
+"""

@@ -339,3 +339,27 @@ def test_mann_whitney_null_calibration(spark):
     u_b = r_b - r.n_b * (r.n_b + 1) / 2.0
     assert r.u_a + u_b == r.n_a * r.n_b
     assert abs(r.z_score) < 3.0, r.z_score
+
+
+def test_gini_planted_extremes(spark, tmp_path):
+    """Perfect equality scores 0; with counts [1, 1, 18] over three
+    users G = (2*58 - 4*20) / (3*20) = 0.6 by the exact formula."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.analytics import events_gini
+
+    t = datetime(2024, 3, 1, 12)
+    rows = []
+    eid = 0
+    for uid, n in [(1, 1), (2, 1), (3, 18)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t, uid, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    r = events_gini(spark, str(tmp_path)).collect()[0]
+    # i*x: 1*1 + 2*1 + 3*18 = 57 -> (2*57 - 4*20)/(3*20) = 34/60
+    assert r.gini == 34 / 60
