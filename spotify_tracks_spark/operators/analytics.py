@@ -1397,3 +1397,75 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2) * F.col("ix") - (F.col("n_users") + 1) * F.col("total_events")
     ) / (F.col("n_users") * F.col("total_events"))
     return agg.select("n_users", "total_events", gini.alias("gini"))
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the hash-split
+    arms' per-user purchase-count distributions — the third member of
+    the test trio (z compares rates, U compares ranks, KS compares the
+    WHOLE distribution: it catches a variance or shape change the
+    other two miss).
+
+    Exactness: D = max_v |F_A(v) − F_B(v)| is located by maximizing
+    the INTEGER |cum_A(v)·n_B − cum_B(v)·n_A| over the value-grain
+    cumulative table — the argmax involves no floats at all — and only
+    the final D and the scaled statistic √(n_A·n_B/(n_A+n_B))·D touch
+    doubles (divisions + one IEEE-exact sqrt).  On an A/A split the
+    scaled statistic sits well below the α=0.05 critical value 1.358
+    (pinned in pytest).
+
+    Scale shape: user-grain aggregate → value-grain cumulative table
+    (|distinct counts| rows) → 1-row max.  Output: (n_a, n_b,
+    d_num, d_den, ks_d, ks_scaled)."""
+    from ..functions.hashing import portable_hash60
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+        .select(
+            "x",
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    vals = per_user.groupBy("x").agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("b"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        F.sum("a").over(w).alias("cum_a"), F.sum("b").over(w).alias("cum_b")
+    )
+    totals = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    diff = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    agg = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(diff).alias("d_num"),
+    )
+    d = F.col("d_num") / (F.col("n_a") * F.col("n_b"))
+    scaled = (
+        F.sqrt(
+            F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+        )
+        * d
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).alias("d_den"),
+        d.alias("ks_d"),
+        scaled.alias("ks_scaled"),
+    )

@@ -4918,3 +4918,50 @@ select n_users, total_events,
          / cast(n_users * total_events as double) as gini
 from agg
 """
+
+
+def _ks_test_sql() -> str:
+    """Mirror of events_ks_test: integer argmax of the cumulative
+    difference, identical final double arithmetic."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with per_user as (
+    select sum(case when event_type = 'purchase' then 1 else 0 end) as x,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events group by user_id
+),
+vals as (
+    select x,
+           sum(case when arm_a then 1 else 0 end) as a,
+           sum(case when not arm_a then 1 else 0 end) as b
+    from per_user group by x
+),
+cum as (
+    select sum(a) over (order by x rows between unbounded preceding
+                        and current row) as cum_a,
+           sum(b) over (order by x rows between unbounded preceding
+                        and current row) as cum_b
+    from vals
+),
+totals as (
+    select cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b
+    from per_user
+),
+agg as (
+    select max(t.n_a) as n_a, max(t.n_b) as n_b,
+           cast(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) as bigint)
+             as d_num
+    from cum c cross join totals t
+)
+select n_a, n_b, d_num,
+       cast(n_a * n_b as bigint) as d_den,
+       d_num / cast(n_a * n_b as double) as ks_d,
+       sqrt(n_a * n_b / cast(n_a + n_b as double))
+         * (d_num / cast(n_a * n_b as double)) as ks_scaled
+from agg
+"""
+
+
+EVENTS_KS_TEST = _ks_test_sql()

@@ -363,3 +363,16 @@ def test_gini_planted_extremes(spark, tmp_path):
     r = events_gini(spark, str(tmp_path)).collect()[0]
     # i*x: 1*1 + 2*1 + 3*18 = 57 -> (2*57 - 4*20)/(3*20) = 34/60
     assert r.gini == 34 / 60
+
+
+def test_ks_test_null_calibration(spark):
+    """A/A property for the distribution test: the scaled KS statistic
+    stays below the alpha=0.05 critical value 1.358, and the exact
+    fraction reproduces the double (d_num/d_den == ks_d)."""
+    from spotify_tracks_spark.operators.analytics import events_ks_test
+    from tests.conftest import SF_T2
+
+    r = events_ks_test(spark, SF_T2).collect()[0]
+    assert 0 <= r.ks_d <= 1
+    assert r.ks_d == r.d_num / r.d_den
+    assert r.ks_scaled < 1.358, r.ks_scaled
