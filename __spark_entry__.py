@@ -629,6 +629,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gini": _an.events_gini,
         # KS two-sample distance: integer argmax, whole-distribution test
         "events_ks_test": _an.events_ks_test,
+        # Benford first-digit screen (fabricated/truncated-data audit)
+        "events_benford_audit": _profile.events_benford_audit,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -875,6 +877,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
         "events_gini": oracles_ext.EVENTS_GINI,
         "events_ks_test": oracles_ext.EVENTS_KS_TEST,
+        "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -138,3 +138,53 @@ def events_value_histogram(
         (F.col("lo") + (F.col("bucket") + 1) * F.col("w")).alias("bucket_hi"),
         "n_events",
     )
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of the value column — the
+    classic anomaly screen for fabricated or truncated numeric data
+    (organic multiplicative quantities follow P(d) = log10(1+1/d);
+    uniform or clipped data does not — the DEVIATION is the signal,
+    and this synthetic column deviates, which the report shows
+    honestly).
+
+    Exact digit extraction: values ride the repo's integer-cents
+    discipline (round(v·100) bigint), and the first digit of an
+    INTEGER via its string form is deterministic in both engines —
+    float-to-string formatting is not, and floor(log10(v)) has the
+    exact-power boundary hazard.  Zeros/negatives are excluded and
+    counted.  Benford shares are e0 literals; the per-digit excess is
+    one subtraction of two single divisions.
+
+    Output: (digit, n_obs, obs_share, benford_share, excess), 9 rows."""
+    import math
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    pos = ev.filter(F.col("c") > 0)
+    digits = pos.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    benford = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, benford_share double",
+    )
+    return (
+        benford.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            (F.coalesce("n_obs", F.lit(0)) / F.col("n_total")).alias(
+                "obs_share"
+            ),
+            "benford_share",
+            (
+                F.coalesce("n_obs", F.lit(0)) / F.col("n_total")
+                - F.col("benford_share")
+            ).alias("excess"),
+        )
+    )

@@ -4965,3 +4965,37 @@ from agg
 
 
 EVENTS_KS_TEST = _ks_test_sql()
+
+
+def _benford_sql() -> str:
+    """Mirror of events_benford_audit: integer-cents digit via string
+    form, python-repr Benford literals (identical doubles)."""
+    import math
+
+    rows = ", ".join(
+        f"({d}, {math.log10(1.0 + 1.0 / d)!r})" for d in range(1, 10)
+    )
+    return f"""
+with cents as (
+    select cast(round(value * 100) as bigint) as c from events
+),
+digits as (
+    select cast(substr(cast(c as varchar), 1, 1) as int) as digit
+    from cents where c > 0
+),
+counts as (select digit, count(*) as n_obs from digits group by digit),
+total as (select cast(sum(n_obs) as bigint) as n_total from counts),
+benford(digit, benford_share) as (values {rows})
+select b.digit,
+       cast(coalesce(c.n_obs, 0) as bigint) as n_obs,
+       coalesce(c.n_obs, 0) / cast(t.n_total as double) as obs_share,
+       b.benford_share,
+       coalesce(c.n_obs, 0) / cast(t.n_total as double) - b.benford_share
+         as excess
+from benford b
+left join counts c on c.digit = b.digit
+cross join total t
+"""
+
+
+EVENTS_BENFORD_AUDIT = _benford_sql()
