@@ -631,6 +631,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": _an.events_ks_test,
         # Benford first-digit screen (fabricated/truncated-data audit)
         "events_benford_audit": _profile.events_benford_audit,
+        # cohort LTV triangle: cumulative value twin of retention
+        "events_cohort_ltv": _an.events_cohort_ltv,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -878,6 +880,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_gini": oracles_ext.EVENTS_GINI,
         "events_ks_test": oracles_ext.EVENTS_KS_TEST,
         "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
+        "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -1469,3 +1469,59 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("ks_d"),
         scaled.alias("ks_scaled"),
     )
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users grouped by first-seen week, purchase
+    revenue accumulated per week offset — the cumulative-value twin of
+    ``events_retention`` (retention counts heads, this sums value; the
+    triangle's rightmost column per cohort is the LTV estimate a
+    payback model reads).
+
+    Revenue rides the integer-cents discipline (a raw double sum would
+    be partial-order-dependent); the cumulative column is a window sum
+    over the tiny cohort×offset grid, and per-user averaging is one
+    division of exact operands.
+
+    Scale shape: one user-grain pass for cohorts (broadcast back), one
+    fact pass for weekly revenue, then windows over ≤ weeks² rows.
+    Output: (cohort_week, week_offset, n_users, revenue_cents,
+    cum_revenue_cents, cum_ltv_per_user)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "revenue_cents",
+            "cum_revenue_cents",
+            (F.col("cum_revenue_cents") / F.col("n_users")).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )

@@ -4999,3 +4999,40 @@ cross join total t
 
 
 EVENTS_BENFORD_AUDIT = _benford_sql()
+
+
+EVENTS_COHORT_LTV = """
+with ev as (
+    select user_id, event_type,
+           cast(date_trunc('week', ts) as date) as week,
+           cast(round(value * 100) as bigint) as cents
+    from events
+),
+cohorts as (select user_id, min(week) as cohort_week from ev group by user_id),
+sizes as (select cohort_week, count(*) as n_users from cohorts group by cohort_week),
+rev as (
+    select c.cohort_week,
+           cast(floor((e.week - c.cohort_week) / 7.0e0) as bigint)
+             as week_offset,
+           cast(sum(e.cents) as bigint) as revenue_cents
+    from ev e
+    join cohorts c on c.user_id = e.user_id
+    where e.event_type = 'purchase'
+    group by c.cohort_week, floor((e.week - c.cohort_week) / 7.0e0)
+)
+select r.cohort_week, r.week_offset,
+       cast(s.n_users as bigint) as n_users,
+       r.revenue_cents,
+       cast(sum(r.revenue_cents) over (partition by r.cohort_week
+                                       order by r.week_offset
+                                       rows between unbounded preceding
+                                       and current row) as bigint)
+         as cum_revenue_cents,
+       cast(sum(r.revenue_cents) over (partition by r.cohort_week
+                                       order by r.week_offset
+                                       rows between unbounded preceding
+                                       and current row) as bigint)
+         / cast(s.n_users as double) as cum_ltv_per_user
+from rev r
+join sizes s on s.cohort_week = r.cohort_week
+"""
