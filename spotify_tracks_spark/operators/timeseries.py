@@ -798,3 +798,83 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slope").alias("theil_slope"),
         )
     )
+
+
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-REPEAT-purchase with RIGHT
+    CENSORING — real survival analysis (``corpus_survival`` is a
+    pipeline funnel; this is the estimator): users who never repurchase
+    inside the observation window are censored at window end, not
+    dropped (dropping them is the classic churn-analysis bias).
+
+    Duration = days from first to second purchase; censor time = days
+    from first purchase to the global window end.  All risk-set and
+    event counts are integers (ties resolve events-before-censors, the
+    standard convention); S(t) = Π(1 − d/n) is evaluated as
+    exp(Σ ln(·)) over ≤|window| ordered event times — the ~ulp-scale
+    libm drift sits far inside the 6-dp hash rounding (ln/cos/sqrt
+    precedent).  Output rows at event times only (the KM steps).
+
+    Scale shape: one user-grain pass builds (duration, is_event); the
+    time-grain table is ≤ window-days rows; windows run on it, never
+    the fact.  Output: (t_days, n_risk, n_events, n_censored,
+    km_survival)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+    )
+    window_end = ev.agg(F.max("day").alias("end_day"))
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("day")
+    firsts = (
+        purch.select("user_id", "day")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("day"))).alias("t2"),
+        )
+    )
+    obs = firsts.crossJoin(F.broadcast(window_end)).select(
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        ).otherwise(F.datediff("end_day", "t1")).alias("t"),
+        F.col("t2").isNotNull().alias("is_event"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(~F.col("is_event"), 1).otherwise(0)).alias("c"),
+    )
+    total = obs.count()  # bounded scalar: |users with a purchase|
+    w_t = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = times.withColumn(
+        "n_risk",
+        F.lit(int(total))
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_t), F.lit(0)),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # a time where every remaining subject events (d = n_risk) drives
+    # survival to EXACT zero — handled as a flag, not ln(0)
+    hit_zero = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    log_sum = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    km = at_risk.withColumn(
+        "km_survival",
+        F.when(hit_zero == 1, F.lit(0.0)).otherwise(F.exp(log_sum)),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "km_survival",
+    )

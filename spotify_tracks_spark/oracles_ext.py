@@ -5036,3 +5036,60 @@ select r.cohort_week, r.week_offset,
 from rev r
 join sizes s on s.cohort_week = r.cohort_week
 """
+
+
+EVENTS_KAPLAN_MEIER = """
+with ev as (
+    select user_id, event_type, cast(ts as date) as day from events
+),
+window_end as (select max(day) as end_day from ev),
+pd as (
+    select distinct user_id, day from ev where event_type = 'purchase'
+),
+firsts as (
+    select user_id, min(day) as t1,
+           max(case when rn = 2 then day end) as t2
+    from (select user_id, day,
+                 row_number() over (partition by user_id order by day) as rn
+          from pd)
+    where rn <= 2
+    group by user_id
+),
+obs as (
+    select case when t2 is not null then t2 - t1
+                else (select end_day from window_end) - t1 end as t,
+           t2 is not null as is_event
+    from firsts
+),
+times as (
+    select t,
+           cast(sum(case when is_event then 1 else 0 end) as bigint) as d,
+           cast(sum(case when not is_event then 1 else 0 end) as bigint) as c
+    from obs group by t
+),
+at_risk as (
+    select t, d, c,
+           (select count(*) from obs)
+             - coalesce(sum(d + c) over (order by t
+                                         rows between unbounded preceding
+                                         and 1 preceding), 0) as n_risk
+    from times
+),
+km as (
+    select t, d, c, n_risk,
+           max(case when d = n_risk then 1 else 0 end)
+             over (order by t rows between unbounded preceding
+                   and current row) as hit_zero,
+           sum(case when d > 0 and d < n_risk
+                    then ln(1.0e0 - d / cast(n_risk as double))
+                    else 0.0e0 end)
+             over (order by t rows between unbounded preceding
+                   and current row) as log_sum
+    from at_risk
+)
+select cast(t as bigint) as t_days,
+       cast(n_risk as bigint) as n_risk,
+       d as n_events, c as n_censored,
+       case when hit_zero = 1 then 0.0e0 else exp(log_sum) end as km_survival
+from km where d > 0
+"""

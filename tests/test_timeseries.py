@@ -376,3 +376,36 @@ def test_ks_test_null_calibration(spark):
     assert 0 <= r.ks_d <= 1
     assert r.ks_d == r.d_num / r.d_den
     assert r.ks_scaled < 1.358, r.ks_scaled
+
+
+def test_kaplan_meier_planted(spark, tmp_path):
+    """Textbook KM hand-check with censoring: durations
+    event@2 (n=4 -> S=3/4), censored@3, event@5 (n=2 -> S=3/8),
+    censored-at-window-end user never drops S to 0."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.timeseries import events_kaplan_meier
+
+    def p(uid, day):
+        return (uid * 100 + day, datetime(2024, 3, day, 12), uid,
+                "purchase", 1.0, "{}")
+
+    rows = [
+        # window end anchor: a view on day 10 fixes end_day
+        (9999, datetime(2024, 3, 10, 12), 99, "view", 0.0, "{}"),
+        p(1, 1), p(1, 3),    # event at t=2
+        p(2, 1),             # censored at t=9 (end 10 - t1 1)
+        p(3, 2), p(3, 7),    # event at t=5
+        p(4, 7),             # censored at t=3
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.t_days: (r.n_risk, r.n_events, round(r.km_survival, 9))
+        for r in events_kaplan_meier(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (4, 1, 0.75), 5: (2, 1, 0.375)}
