@@ -635,6 +635,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": _an.events_cohort_ltv,
         # Kaplan-Meier time-to-repeat-purchase with right censoring
         "events_kaplan_meier": _ts.events_kaplan_meier,
+        # log-rank test: censored-time-to-event arm comparison
+        "events_log_rank": _ts.events_log_rank,
         # BM25 retrieval scoring (saturated, length-normalized lexical
         # ranking; integer-exact scored set, no float-ordered LIMIT)
         # mergeable K-Minimum-Values cardinality sketch (two-level
@@ -884,6 +886,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
         "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
         "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
+        "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,

@@ -878,3 +878,97 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         "km_survival",
     )
+
+
+def events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two hash-split arms' repeat-purchase
+    survival curves — the capstone of the experiment-test family (z on
+    rates, U on ranks, KS on distributions, log-rank on CENSORED
+    time-to-event: the only one of the four that compares churn
+    honestly).
+
+    At every joint event time: O₁ += d₁, E₁ += d·n₁/n, and the
+    hypergeometric variance V += d·(n₁/n)·(n₂/n)·(n−d)/(n−1); the
+    statistic is (O₁−E₁)/√V.  Every count is an exact integer from
+    the same right-censored observation table as ``events_kaplan_meier``
+    (events-before-censors ties); the divisions are fixed-order and the
+    sqrt IEEE-exact, so the oracle carries no tolerance beyond the
+    final decimals.  A/A calibration (|z| < 3) pinned in pytest.
+
+    Scale shape: user-grain observations → joint time-grain table
+    (≤ window-days rows) → 1-row fold.
+    Output: (n_a, n_b, o_a, e_a, v, z_score)."""
+    from ..functions.hashing import portable_hash60
+    from ..operators.analytics import AB_SPLIT_MOD
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    window_end = ev.agg(F.max("day").alias("end_day"))
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("day")
+    firsts = (
+        purch.select("user_id", "day")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("t1"),
+            F.max(F.when(F.col("rn") == 2, F.col("day"))).alias("t2"),
+        )
+    )
+    obs = firsts.crossJoin(F.broadcast(window_end)).select(
+        (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias("arm_a"),
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        ).otherwise(F.datediff("end_day", "t1")).alias("t"),
+        F.col("t2").isNotNull().alias("is_event"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("arm_a") & F.col("is_event"), 1).otherwise(0)).alias(
+            "d1"
+        ),
+        F.sum(
+            F.when(~F.col("arm_a") & F.col("is_event"), 1).otherwise(0)
+        ).alias("d2"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("r1"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("r2"),
+    )
+    tot = obs.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    w_t = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = times.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (F.col("n_a") - F.coalesce(F.sum("r1").over(w_t), F.lit(0))).alias(
+            "n1"
+        ),
+        (F.col("n_b") - F.coalesce(F.sum("r2").over(w_t), F.lit(0))).alias(
+            "n2"
+        ),
+    )
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = d * F.col("n1") / n
+    v = F.when(
+        n > 1,
+        d
+        * (F.col("n1") / n)
+        * (F.col("n2") / n)
+        * (n - d)
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.filter(d > 0).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("d1").alias("o_a"),
+        F.sum(e1).alias("e_a"),
+        F.sum(v).alias("v"),
+    )
+    z = F.when(
+        F.col("v") > 0,
+        (F.col("o_a") - F.col("e_a")) / F.sqrt(F.col("v")),
+    ).otherwise(F.lit(0.0))
+    return agg.select("n_a", "n_b", "o_a", "e_a", "v", z.alias("z_score"))

@@ -5093,3 +5093,75 @@ select cast(t as bigint) as t_days,
        case when hit_zero = 1 then 0.0e0 else exp(log_sum) end as km_survival
 from km where d > 0
 """
+
+
+def _log_rank_sql() -> str:
+    """Mirror of events_log_rank: same censored observation table, same
+    hypergeometric O/E/V fold (few-term float sums sit inside the 6-dp
+    rounding)."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with ev as (
+    select user_id, event_type, cast(ts as date) as day from events
+),
+window_end as (select max(day) as end_day from ev),
+pd as (
+    select distinct user_id, day from ev where event_type = 'purchase'
+),
+firsts as (
+    select user_id, min(day) as t1,
+           max(case when rn = 2 then day end) as t2
+    from (select user_id, day,
+                 row_number() over (partition by user_id order by day) as rn
+          from pd)
+    where rn <= 2
+    group by user_id
+),
+obs as (
+    select {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a,
+           case when t2 is not null then t2 - t1
+                else (select end_day from window_end) - t1 end as t,
+           t2 is not null as is_event
+    from firsts
+),
+times as (
+    select t,
+           cast(sum(case when arm_a and is_event then 1 else 0 end) as bigint) as d1,
+           cast(sum(case when not arm_a and is_event then 1 else 0 end) as bigint) as d2,
+           cast(sum(case when arm_a then 1 else 0 end) as bigint) as r1,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as r2
+    from obs group by t
+),
+tot as (
+    select cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b
+    from obs
+),
+risk as (
+    select ti.*, tt.n_a, tt.n_b,
+           tt.n_a - coalesce(sum(r1) over (order by t
+                rows between unbounded preceding and 1 preceding), 0) as n1,
+           tt.n_b - coalesce(sum(r2) over (order by t
+                rows between unbounded preceding and 1 preceding), 0) as n2
+    from times ti cross join tot tt
+),
+agg as (
+    select max(n_a) as n_a, max(n_b) as n_b,
+           cast(sum(d1) as bigint) as o_a,
+           sum((d1 + d2) * n1 / cast(n1 + n2 as double)) as e_a,
+           sum(case when n1 + n2 > 1
+                    then (d1 + d2) * (n1 / cast(n1 + n2 as double))
+                         * (n2 / cast(n1 + n2 as double))
+                         * (n1 + n2 - (d1 + d2))
+                         / (n1 + n2 - 1)
+                    else 0.0e0 end) as v
+    from risk where d1 + d2 > 0
+)
+select n_a, n_b, o_a, e_a, v,
+       case when v > 0 then (o_a - e_a) / sqrt(v) else 0.0e0 end as z_score
+from agg
+"""
+
+
+EVENTS_LOG_RANK = _log_rank_sql()

@@ -409,3 +409,14 @@ def test_kaplan_meier_planted(spark, tmp_path):
         for r in events_kaplan_meier(spark, str(tmp_path)).collect()
     }
     assert got == {2: (4, 1, 0.75), 5: (2, 1, 0.375)}
+
+
+def test_log_rank_null_calibration(spark):
+    """A/A property for the censored-time test: O close to E (|z|<3)
+    and the variance positive with both arms populated."""
+    from spotify_tracks_spark.operators.timeseries import events_log_rank
+    from tests.conftest import SF_T2
+
+    r = events_log_rank(spark, SF_T2).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0 and r.v > 0
+    assert abs(r.z_score) < 3.0, r.z_score
