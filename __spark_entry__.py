@@ -286,7 +286,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_inflation, dedup_clusters_sql); rotated OUT 10 entries
     driver-green ≥2 rounds (events_retention/funnel/set_ops/
     active_users/sessionize/rollup, text_tokens/quality/fingerprint,
-    multimodal_frames)."""
+    multimodal_frames).
+
+    ROUND-6 ROTATION (same policy): the 13 statistics/survival
+    operators that landed after the round-5 capture and so never had a
+    driver row rotated IN (wilson, ab_test, cuped, holt, theil_sen,
+    mann_whitney, gini, ks_test, benford, cohort_ltv, kaplan_meier,
+    log_rank, kmv_distinct); rotated OUT 13 entries driver-green ≥2
+    rounds (the 10 round-4 rotations — scd2, pit_join, merge_upsert,
+    growth_accounting, dedup_paragraph, dedup_keep_list, tfidf,
+    contamination, corpus_split, markov — plus dedup_exact,
+    ann_topk_bruteforce, corpus_prep, each green r2–r5)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -295,27 +305,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_dim_track": _model("dim_track"),
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
-        # --- rotated IN round 4: first-ever driver rows, fronted ---
-        # SCD Type-2 user-state history (gaps-and-islands, one shuffle)
-        "events_scd2_user_state": _an.events_scd2_user_state,
-        # point-in-time feature lookup over the SCD2 history
-        "events_pit_join": _an.events_pit_join,
-        # MERGE INTO semantics (last-day batch upserts/deletes snapshot)
-        "events_merge_upsert": _an.events_merge_upsert,
-        # weekly new/retained/resurrected/churned ledger
-        "events_growth_accounting": _an.events_growth_accounting,
-        # sub-document dedup (paragraph-grain first-wins)
-        "dedup_paragraph": _dedup.dedup_paragraph,
-        # canonical-doc selection inside near-dup clusters
-        "dedup_keep_list": _dedup.dedup_keep_list,
-        # corpus-statistics join: per-doc term counts x broadcast DF table
-        "text_tfidf_top_terms": _text.text_tfidf_top_terms,
-        # benchmark-contamination sweep (broadcast benchmark shingles)
-        "corpus_contamination": _llm.corpus_contamination,
-        # frozen hash-mod train/val/test split (disjoint, exhaustive)
-        "corpus_split": _llm.corpus_split,
-        # first-order Markov transition matrix over per-user sequences
-        "events_markov": _an.events_markov_transitions,
+        # --- rotated IN round 6: first-ever driver rows, fronted ---
+        # curation leaderboard: Wilson 95% lower bound on pass rate
+        "source_quality_wilson": _text.source_quality_wilson,
+        # pooled two-proportion z on a deterministic hash-split
+        "events_ab_test": _an.events_ab_test,
+        # CUPED variance reduction (pre-period covariate rho^2)
+        "events_cuped": _an.events_cuped,
+        # Holt double-exponential smoothing (dyadic sequential fold)
+        "events_holt_daily": _ts.events_holt_daily,
+        # Theil-Sen robust trend (exact rational median of pair slopes)
+        "events_theil_sen": _ts.events_theil_sen,
+        # rank-sum test with exact midranks (nonparametric AB sibling)
+        "events_mann_whitney": _an.events_mann_whitney,
+        # Gini inequality of user activity (two-level global rank)
+        "events_gini": _an.events_gini,
+        # KS two-sample distance (integer argmax over cumulative table)
+        "events_ks_test": _an.events_ks_test,
+        # Benford first-digit audit screen
+        "events_benford_audit": _profile.events_benford_audit,
+        # cohort LTV triangle (cumulative value twin of retention)
+        "events_cohort_ltv": _an.events_cohort_ltv,
+        # Kaplan-Meier time-to-repeat-purchase with right censoring
+        "events_kaplan_meier": _ts.events_kaplan_meier,
+        # log-rank test: censored time-to-event arm comparison
+        "events_log_rank": _ts.events_log_rank,
+        # mergeable K-Minimum-Values cardinality sketch
+        "events_kmv_distinct": _events.events_kmv_distinct,
         # --- rotated IN round 5: first-ever driver rows, fronted ---
         # degree-oriented triangle counting (size-gated closing probe)
         "parts_copurchase_triangles": parts_copurchase_triangles,
@@ -360,18 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_roundtrip": publish_roundtrip,
         # SQL surface: ad-hoc spark.sql over registered mart views
         "sql_top_artists": sql_top_artists,
-        # dedup family.  dedup_ngram_jaccard runs the scale-safe capped
-        # default (block-width ≤ NGRAM_MAX_BLOCK) against a same-cap
-        # oracle; the uncapped exhaustive form is extra_queries().
-        "dedup_exact": _dedup.dedup_exact,
+        # dedup family (dedup_exact rotated to pytest tier round 6;
+        # dedup_ngram_jaccard's capped driver run rotated round 5)
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,
         "dedup_clusters": _dedup.dedup_clusters,
-        # end-to-end corpus cleaning: lang gate -> quality gate -> exact
-        # dedup -> deterministic sample, one scan + one shuffle
-        "corpus_prep": corpus_prep,
-        # similarity search
-        "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
+        # similarity search (bruteforce baseline rotated round 6; the
+        # recall evals pin it against ivf/lsh/pq every pytest run)
         "ann_topk_ivf": _sim.ann_topk_ivf,
         # corpus-wide near-dup pairs (sign-bucket self-join + in-bucket
         # cosine verify).  The synthetic embeddings are isotropic (max
@@ -424,6 +435,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _an.events_gap_fill,
         "events_dedup_latest": _an.events_dedup_latest,
         "text_langid": _text.text_langid,
+        # --- rotated OUT of the driver surface in round 6 (driver-green
+        # ≥2 rounds; identical hash-compare continues here every run) ---
+        "events_scd2_user_state": _an.events_scd2_user_state,
+        "events_pit_join": _an.events_pit_join,
+        "events_merge_upsert": _an.events_merge_upsert,
+        "events_growth_accounting": _an.events_growth_accounting,
+        "dedup_paragraph": _dedup.dedup_paragraph,
+        "dedup_keep_list": _dedup.dedup_keep_list,
+        "text_tfidf_top_terms": _text.text_tfidf_top_terms,
+        "corpus_contamination": _llm.corpus_contamination,
+        "corpus_split": _llm.corpus_split,
+        "events_markov": _an.events_markov_transitions,
+        "dedup_exact": _dedup.dedup_exact,
+        "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
+        "corpus_prep": corpus_prep,
         # --- rotated OUT of the driver surface in round 5 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
         "events_retention": _an.events_retention,
@@ -611,37 +637,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backbone extraction; data-derived scale-free k)
         # temporal PSI monitor: weekly event-mix drift vs first week
         "events_weekly_drift": _ts.events_weekly_drift,
-        # curation leaderboard: Wilson 95% lower bound on pass rate
-        "source_quality_wilson": _text.source_quality_wilson,
-        # experimentation readout: pooled two-proportion z on a
-        # deterministic hash-split (A/A-calibrated)
-        "events_ab_test": _an.events_ab_test,
-        # CUPED variance reduction: pre-period covariate rho^2 from
-        # exact integer moment sums
-        "events_cuped": _an.events_cuped,
-        # Holt double-exponential smoothing: dyadic sequential fold
-        "events_holt_daily": _ts.events_holt_daily,
-        # Theil-Sen robust trend: exact rational median of pair slopes
-        "events_theil_sen": _ts.events_theil_sen,
-        # nonparametric AB sibling: rank-sum test with exact midranks
-        "events_mann_whitney": _an.events_mann_whitney,
-        # one-number inequality summary of the pareto curve
-        "events_gini": _an.events_gini,
-        # KS two-sample distance: integer argmax, whole-distribution test
-        "events_ks_test": _an.events_ks_test,
-        # Benford first-digit screen (fabricated/truncated-data audit)
-        "events_benford_audit": _profile.events_benford_audit,
-        # cohort LTV triangle: cumulative value twin of retention
-        "events_cohort_ltv": _an.events_cohort_ltv,
-        # Kaplan-Meier time-to-repeat-purchase with right censoring
-        "events_kaplan_meier": _ts.events_kaplan_meier,
-        # log-rank test: censored-time-to-event arm comparison
-        "events_log_rank": _ts.events_log_rank,
-        # BM25 retrieval scoring (saturated, length-normalized lexical
-        # ranking; integer-exact scored set, no float-ordered LIMIT)
-        # mergeable K-Minimum-Values cardinality sketch (two-level
-        # partial→rollup merge, register-exact oracle like the CMS twin)
-        "events_kmv_distinct": _events.events_kmv_distinct,
+        # production-horizon Theil-Sen: deterministic hash-mod pair
+        # subsample (exact form is the driver entry; mod=1 pytest-pinned)
+        "events_theil_sen_sampled": _ts.events_theil_sen_sampled,
         # streaming KMV fold: constant-size distinct-count state
         "events_stream_kmv": _events_stream_kmv,
         # multi-touch linear attribution (equal split across in-window
@@ -719,16 +717,19 @@ def oracle_sql() -> dict[str, str]:
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
-        "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
-        "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
-        "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
-        "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
-        "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
-        "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
-        "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
-        "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
-        "corpus_split": oracles_ext.CORPUS_SPLIT,
-        "events_markov": oracles_ext.EVENTS_MARKOV,
+        "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
+        "events_ab_test": oracles_ext.EVENTS_AB_TEST,
+        "events_cuped": oracles_ext.EVENTS_CUPED,
+        "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
+        "events_theil_sen": oracles_ext.EVENTS_THEIL_SEN,
+        "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
+        "events_gini": oracles_ext.EVENTS_GINI,
+        "events_ks_test": oracles_ext.EVENTS_KS_TEST,
+        "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
+        "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
+        "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
+        "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
+        "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
@@ -747,12 +748,9 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "sql_top_artists": oracles.SQL_TOP_ARTISTS,
-        "dedup_exact": oracles_ext.DEDUP_EXACT,
         "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
         "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
-        "corpus_prep": oracles_ext.CORPUS_PREP,
-        "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
         "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
@@ -776,6 +774,19 @@ def extra_oracle_sql() -> dict[str, str]:
         "q4_dim_album": oracles.Q4_DIM_ALBUM,
         "q5_fct_played_track": oracles.Q5_FCT,
         "q7_rpt_artist_counts": oracles.Q7_RPT_ARTIST_COUNTS,
+        "events_scd2_user_state": oracles_ext.EVENTS_SCD2_USER_STATE,
+        "events_pit_join": oracles_ext.EVENTS_PIT_JOIN,
+        "events_merge_upsert": oracles_ext.EVENTS_MERGE_UPSERT,
+        "events_growth_accounting": oracles_ext.EVENTS_GROWTH_ACCOUNTING,
+        "dedup_paragraph": oracles_ext.DEDUP_PARAGRAPH,
+        "dedup_keep_list": oracles_ext.DEDUP_KEEP_LIST,
+        "text_tfidf_top_terms": oracles_ext.TEXT_TFIDF_TOP_TERMS,
+        "corpus_contamination": oracles_ext.CORPUS_CONTAMINATION,
+        "corpus_split": oracles_ext.CORPUS_SPLIT,
+        "events_markov": oracles_ext.EVENTS_MARKOV,
+        "dedup_exact": oracles_ext.DEDUP_EXACT,
+        "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
+        "corpus_prep": oracles_ext.CORPUS_PREP,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_pivot": oracles_ext.EVENTS_PIVOT,
@@ -875,19 +886,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
-        "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
-        "events_ab_test": oracles_ext.EVENTS_AB_TEST,
-        "events_cuped": oracles_ext.EVENTS_CUPED,
-        "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
-        "events_theil_sen": oracles_ext.EVENTS_THEIL_SEN,
-        "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
-        "events_gini": oracles_ext.EVENTS_GINI,
-        "events_ks_test": oracles_ext.EVENTS_KS_TEST,
-        "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
-        "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
-        "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
-        "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
-        "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
+        "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,

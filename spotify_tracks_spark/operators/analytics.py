@@ -827,17 +827,22 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a named segment.
 
     Plan: the log collapses to entity grain (one row per user: max ts,
-    count, sum) in a single shuffle; the three ``ntile(4)`` windows then
-    run over |users| rows.  The global NTILE is a single-partition sort
-    of the *aggregate* — fine into the hundreds of millions of users; at
-    the extreme, swap in quantile-threshold bucketing (approx_percentile
-    boundaries broadcast back), same output contract.
+    count, sum) in a single shuffle.  Each quartile score is then
+    derived from a TWO-LEVEL global rank (``functions/ranking.py``:
+    range partition on the score's sort keys + partitioned local
+    row_number + broadcast per-partition offsets) and the driver-side
+    ``ntile_from_rank`` bucket formula — reproducing Spark's NTILE
+    contract exactly (first ``n%4`` buckets get the extra row) with NO
+    partition-less WindowExec, so the per-user frame never serializes
+    through one task at any user count.
 
-    Determinism: every NTILE ordering tie-breaks on user_id, so bucket
+    Determinism: every rank ordering tie-breaks on user_id, so bucket
     assignment is total-ordered in both engines.  ``monetary`` is one
     per-user double sum; engines may differ in the last ulp, but ordering
     flips would need two users within ~1e-10 of each other — the
     tie-break handles exact equality, the output hash rounds to 1e-6."""
+    from ..functions.ranking import ntile_from_rank, two_level_prefix
+
     ev = read_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("day"), "value")
     per_user = ev.groupBy("user_id").agg(
         F.max("day").alias("last_day"),
@@ -851,12 +856,17 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    scored = base.select(
-        "*",
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.col("user_id"))).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.col("user_id"))).alias("m_q"),
-    )
+    orders = {
+        "r_q": [F.asc("recency_days"), F.asc("user_id")],
+        "f_q": [F.desc("frequency"), F.asc("user_id")],
+        "m_q": [F.desc("monetary"), F.asc("user_id")],
+    }
+    scored = base
+    for name, order_cols in orders.items():
+        ranked, totals = two_level_prefix(scored, order_cols, rank_col="__r")
+        scored = ranked.withColumn(
+            name, ntile_from_rank(F.col("__r"), totals["__r"], 4)
+        ).drop("__r")
     expr = None
     for name, cond in RFM_SEGMENTS:
         expr = F.when(F.expr(cond), name) if expr is None else expr.when(F.expr(cond), name)
@@ -1380,14 +1390,23 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer formulation: with per-user counts x sorted ascending
     under the total order (x, user_id) and i = 1..n,
     G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — every sum an exact bigint,
-    one final IEEE division.  Output: (n_users, total_events, gini)."""
+    one final IEEE division.  Output: (n_users, total_events, gini).
+
+    Scale shape: the rank i over the FULL per-user population comes from
+    the two-level prefix primitive (range partition + partitioned local
+    rank + broadcast offsets, ``functions/ranking.py``) — no
+    partition-less WindowExec anywhere in the plan, so the entity-grain
+    frame never serializes through one task at 100× user counts."""
+    from ..functions.ranking import two_level_prefix
+
     per_user = (
         read_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("x"))
     )
-    w = Window.orderBy(F.asc("x"), F.asc("user_id"))
-    ranked = per_user.withColumn("i", F.row_number().over(w))
+    ranked, _ = two_level_prefix(
+        per_user, [F.asc("x"), F.asc("user_id")], rank_col="i"
+    )
     agg = ranked.agg(
         F.count("*").alias("n_users"),
         F.sum("x").alias("total_events"),

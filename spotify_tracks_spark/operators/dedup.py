@@ -656,43 +656,58 @@ def dedup_containment(
     sh = _with_shingle_hash_sets(
         read_table(spark, sf_dir, "documents", spread=True)
     ).persist()
-    sh.count()
-    post = sh.select("doc_id", F.explode("hs").alias("h"))
-    wide = post.groupBy("h").agg(F.count("*").alias("df")).filter(
-        F.col("df") > max_df
-    )
-    kept = post.join(F.broadcast(wide.select("h")), "h", "left_anti").persist()
-    kept.count()
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    a = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_a"))
-    b = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b"))
-    pairs = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    out = (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")),
-            "doc_a",
+    try:
+        sh.count()
+        post = sh.select("doc_id", F.explode("hs").alias("h"))
+        wide = post.groupBy("h").agg(F.count("*").alias("df")).filter(
+            F.col("df") > max_df
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            (F.col("n_shared") / F.col("na")).alias("contain_a_in_b"),
-            (F.col("n_shared") / F.col("nb")).alias("contain_b_in_a"),
-        )
-        .filter(
-            F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
-        )
-    )
-    return out
+        kept = post.join(
+            F.broadcast(wide.select("h")), "h", "left_anti"
+        ).persist()
+        try:
+            kept.count()
+            sizes = kept.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+            a = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_a"))
+            b = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b"))
+            pairs = (
+                a.join(b, "h")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_shared"))
+            )
+            out = (
+                pairs.join(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")
+                    ),
+                    "doc_a",
+                )
+                .join(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")
+                    ),
+                    "doc_b",
+                )
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    "n_shared",
+                    (F.col("n_shared") / F.col("na")).alias("contain_a_in_b"),
+                    (F.col("n_shared") / F.col("nb")).alias("contain_b_in_a"),
+                )
+                .filter(
+                    F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
+                )
+            )
+            # pair-grain result is tiny; cut it loose from the cached
+            # lineage so the corpus-sized caches can release (the
+            # dedup_recall_eval / dedup_edit_distance discipline)
+            return out.localCheckpoint(eager=True)
+        finally:
+            kept.unpersist()
+    finally:
+        sh.unpersist()
 
 
 STAR_MAX_ROUNDS = 20
@@ -1186,7 +1201,17 @@ def dedup_jaccard_exact_join(
     sh = _with_shingle_hash_sets(
         read_table(spark, sf_dir, "documents", spread=True)
     ).persist()
-    sh.count()
+    try:
+        return _jaccard_exact_join_from(sh, threshold)
+    finally:
+        sh.unpersist()
+
+
+def _jaccard_exact_join_from(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter join body over a persisted (doc_id, hs) frame; the
+    pair-grain result is localCheckpointed so the corpus-sized cache can
+    release when the caller unpersists (the dedup_recall_eval
+    discipline)."""
     post = sh.select("doc_id", F.explode("hs").alias("tok"))
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
     ranked = (
@@ -1231,6 +1256,7 @@ def dedup_jaccard_exact_join(
         .join(jb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
 
 

@@ -81,7 +81,20 @@ def _edge_bloom_predicate(closing: DataFrame, n_edges: int):
             expr_of(F.lit(blob)), expr_of(F.expr("xxhash64(v, w)"))
         )
         return Column(eu.column(mc))
-    except Exception:  # pragma: no cover - depends on Spark build internals
+    except Exception as exc:  # pragma: no cover - Spark build internals
+        # Loudly degrade: a Spark version bump that moves these internal
+        # classes would otherwise silently drop the pruning path forever
+        # (semantics survive — the plain semi-join is exact — but the
+        # wedge-side row reduction is the whole point of this branch).
+        import warnings
+
+        warnings.warn(
+            "edge-bloom construction failed "
+            f"({type(exc).__name__}: {exc}); falling back to the plain "
+            "shuffle semi-join without wedge-side bloom pruning",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
 
 
@@ -344,6 +357,12 @@ def parts_copurchase_kcore(
     ).localCheckpoint(eager=True)
     n_sym = sym.count()
     n_nodes = sym.select("s").distinct().count()
+    if n_nodes == 0:
+        # empty filtered graph: no cores by definition (mirrors the
+        # other graph operators' empty-result contract, not a crash)
+        return sym.select(
+            F.col("s").alias("part_id"), F.lit(0).cast("long").alias("core_degree")
+        )
     k = (KCORE_DEG_NUM * n_sym) // (KCORE_DEG_DEN * n_nodes)
 
     cur = sym

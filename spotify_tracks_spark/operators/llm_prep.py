@@ -54,8 +54,6 @@ BENCHMARK_MOD = 97
 # sequence packing capacity in whitespace tokens (a real pipeline uses the
 # tokenizer's token count — same plan, different counter column)
 PACK_CAPACITY = 512
-# docs per prefix-sum bucket (two-level scan; see corpus_pack_sequences)
-PACK_BUCKET = 1024
 
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,46 +157,33 @@ def corpus_pack_sequences(
     exactly like LLM pretraining's packed-example loader; the loader
     slices chunks from this assignment).
 
-    The global running token count is a two-level prefix sum — the
-    distributed scan shape, NOT a single-partition window:
-    level 1 partitions docs into ``PACK_BUCKET``-wide doc_id buckets and
-    cumsums within each (parallel, one shuffle on bucket); level 2 cumsums
-    the per-bucket totals (|buckets| rows — driver-scale tiny) and
-    broadcasts the bucket base offsets back.  At 100 TB the fact-side work
-    is one bounded-width window per bucket; the only global state is one
-    long per bucket.
+    The global running token count is the shared TWO-LEVEL prefix-sum
+    primitive (``functions/ranking.py``): range partition on doc_id,
+    partition-local running sums, broadcast per-partition offsets — no
+    partition-less window at ANY level (the earlier bucket-based
+    formulation still funneled the |buckets|-grain level-2 cumsum
+    through one task; the offsets collect here is ``num_partitions``
+    rows regardless of corpus size).
 
     Output: (doc_id, n_tokens, pack_id, pack_offset)."""
+    from ..functions.ranking import two_level_prefix
+
     docs = read_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        (F.floor(F.col("doc_id") / PACK_BUCKET)).alias("bucket"),
     )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked, _ = two_level_prefix(
+        docs,
+        [F.asc("doc_id")],
+        measures={"cum_incl": F.col("n_tokens")},
+        rank_col="__rk",
     )
-    with_local = docs.withColumn(
-        "cum_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    )
-    totals = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
-    w_b = (
-        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    )  # |buckets| rows: single-partition window over a tiny aggregate
-    bases = totals.select(
-        "bucket", F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0)).alias("bucket_base")
-    )
-    cum = (F.col("bucket_base") + F.col("cum_local")).alias("cum_excl")
-    return (
-        with_local.join(F.broadcast(bases), "bucket")
-        .select("doc_id", "n_tokens", cum)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(F.col("cum_excl") / capacity).cast("long").alias("pack_id"),
-            (F.col("cum_excl") % capacity).cast("long").alias("pack_offset"),
-        )
+    cum_excl = F.col("cum_incl") - F.col("n_tokens")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_excl / capacity).cast("long").alias("pack_id"),
+        (cum_excl % capacity).cast("long").alias("pack_offset"),
     )
 
 

@@ -822,7 +822,10 @@ def embedding_truncation_recall(
                 "query_id",
                 "n_exact",
                 "n_hits",
-                (F.col("n_hits") / F.lit(float(k))).alias("recall"),
+                # n_exact, not k: when a probe has fewer than k exact
+                # neighbors, hits/k would cap below 1.0 even for a
+                # perfect ablation — recall is hits over TRUTH size
+                (F.col("n_hits") / F.col("n_exact")).alias("recall"),
             )
         )
     out = parts[0]

@@ -491,32 +491,36 @@ def events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "does 20% of the base drive 80% of the load" answer, which is also
     the key-skew exposure in entity terms.
 
-    Entity-grain aggregate first (one fact shuffle); the ordered
-    cumulative window then runs over |users| rows (the same
-    single-partition-over-aggregate trade documented on events_rfm —
-    swap in the two-level prefix sum at extreme user counts).
+    Entity-grain aggregate first (one fact shuffle); the global rank and
+    cumulative sum then come from the TWO-LEVEL prefix primitive
+    (``functions/ranking.py``: range partition on (n_events desc,
+    user_id) + partitioned local running sums + broadcast per-partition
+    offsets) — no partition-less WindowExec, so the per-user frame never
+    serializes through one task at extreme user counts.  The grand total
+    falls out of the same bounded offsets collect (no separate
+    broadcast-total join or second pass).
 
     Output: (user_id, n_events, user_rank, cum_share, in_head)."""
+    from ..functions.ranking import two_level_prefix
+
     per_user = (
         read_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    total = per_user.agg(F.sum("n_events").alias("n_total"))
-    w = Window.orderBy(F.desc("n_events"), F.col("user_id"))
-    ranked = (
-        per_user.join(F.broadcast(total))
-        .withColumn("user_rank", F.row_number().over(w))
-        .withColumn(
-            "cum", F.sum("n_events").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
+    ranked, totals = two_level_prefix(
+        per_user,
+        [F.desc("n_events"), F.asc("user_id")],
+        measures={"cum": F.col("n_events")},
+        rank_col="user_rank",
     )
+    n_total = totals["cum"]
     return ranked.select(
         "user_id",
         "n_events",
         F.col("user_rank").cast("long").alias("user_rank"),
-        (F.col("cum") / F.col("n_total")).alias("cum_share"),
-        (F.col("cum") - F.col("n_events") < F.col("n_total") * PARETO_SHARE).alias(
+        (F.col("cum") / F.lit(n_total)).alias("cum_share"),
+        (F.col("cum") - F.col("n_events") < F.lit(n_total) * PARETO_SHARE).alias(
             "in_head"
         ),
     )
@@ -535,12 +539,19 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     creep in (integer powers of 0.5 are exact in any pow
     implementation).
 
-    Decay is CALENDAR-aware: the exponent is the day gap, so a missing
-    day decays the history exactly as if a zero-count day sat there —
-    the same gap discipline as the RANGE-frame in ``events_rolling_7d``
-    (a row-position recurrence would decay gaps wrong).  The lookback
-    truncates at ``EWMA_LOOKBACK_DAYS`` (weights < 2⁻²⁸), identically
-    in the oracle.
+    Decay is CALENDAR-aware: the exponent is the day GAP, not the row
+    position, so history loses weight by elapsed days — the same gap
+    discipline as the RANGE-frame in ``events_rolling_7d`` (a
+    row-position recurrence would decay gaps wrong).  Note the estimator
+    is OBSERVED-DAYS-NORMALIZED: both the numerator and the weight sum
+    run over observed days only, so a missing day shrinks numerator AND
+    denominator (a weighted mean of observed values) — this is NOT the
+    zero-fill model, where a missing day would contribute weight but no
+    value and pull the estimate toward zero.  Zero-fill needs the
+    ``dim_calendar`` spine joined in first; this operator deliberately
+    reports the observed-days mean (the "average when active" reading).
+    The lookback truncates at ``EWMA_LOOKBACK_DAYS`` (weights < 2⁻²⁸),
+    identically in the oracle.
 
     Scale shape: the fact log collapses to the (type, day) grain FIRST
     (the shared `_daily_counts` shuffle); the windowed self-join then
@@ -751,9 +762,43 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact collapses to (type, day) first; the pairwise
     self-join is |days|²/2 per type (435 pairs over 30 days) — at
-    production horizon the classic subsample variant (random pairs)
-    bounds this; here the full estimator fits easily.
+    production horizon ``events_theil_sen_sampled`` bounds this with
+    deterministic hash-mod pair subsampling; here the full estimator
+    fits easily.
     Output: (event_type, n_pairs, med_num, med_den, theil_slope)."""
+    return _theil_sen(spark, sf_dir, sample_mod=None)
+
+
+# pair-subsample modulus for the production-horizon variant: keeps
+# ~1/mod of the |days|²/2 slope pairs, selected by the portable pair
+# hash (deterministic, oracle-reproducible — the hash-mod discipline of
+# corpus_split / events_sample, applied at PAIR grain)
+THEIL_SAMPLE_MOD = 3
+
+
+def events_theil_sen_sampled(
+    spark: SparkSession, sf_dir: str, sample_mod: int = THEIL_SAMPLE_MOD
+) -> DataFrame:
+    """Subsampled Theil–Sen — the production-horizon form the exact
+    estimator's docstring promises: the |days|²/2 pair blow-up is
+    bounded by keeping only pairs with
+    ``portable_hash60(type|i|j) % sample_mod == 0`` (expected |pairs|/
+    mod, deterministic and engine-reproducible, so the oracle computes
+    the IDENTICAL subsample — no RNG seed drift).  The median over a
+    uniform pair subsample is the classic consistent estimator
+    (Matoušek's randomized Theil–Sen); at ``sample_mod=1`` this is
+    bit-identical to ``events_theil_sen`` (pytest-pinned).
+
+    Output: (event_type, n_pairs, med_num, med_den, theil_slope) where
+    n_pairs counts the SAMPLED pairs the median ranks over."""
+    return _theil_sen(spark, sf_dir, sample_mod=sample_mod)
+
+
+def _theil_sen(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> DataFrame:
+    from ..functions.hashing import portable_hash60
+
     daily = (
         read_table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -782,6 +827,14 @@ def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("slope", F.col("num") / F.col("den"))
     )
+    if sample_mod is not None:  # mod 1 keeps every pair (the pinned twin)
+        pair_key = F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.col("i").cast("string"),
+            F.col("j").cast("string"),
+        )
+        pairs = pairs.filter(portable_hash60(pair_key) % sample_mod == 0)
     w = Window.partitionBy("event_type").orderBy(
         F.asc("slope"), F.asc("num"), F.asc("den"), F.asc("i"), F.asc("j")
     )

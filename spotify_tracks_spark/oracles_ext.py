@@ -3274,7 +3274,7 @@ hits as (
 dims as (select unnest([{dims_list}]) as n_dims)
 select cast(dims.n_dims as bigint) as n_dims, b.query_id, b.n_exact,
        cast(coalesce(h.n_hits, 0) as bigint) as n_hits,
-       coalesce(h.n_hits, 0) / {float(k)} as recall
+       coalesce(h.n_hits, 0) / b.n_exact as recall
 from dims
 cross join base b
 left join hits h on h.n_dims = dims.n_dims and h.query_id = b.query_id
@@ -4850,6 +4850,52 @@ select event_type,
 from ranked
 where rn = floor((n_pairs + 1) / 2)
 """
+
+
+def _theil_sen_sampled_sql() -> str:
+    """Mirror of events_theil_sen_sampled: identical pair table, then
+    the SAME deterministic hash-mod pair subsample before ranking."""
+    from .operators.timeseries import THEIL_SAMPLE_MOD
+
+    key = "event_type || '|' || i::varchar || '|' || j::varchar"
+    return f"""
+with daily as (
+    select event_type,
+           cast(cast(ts as date) - date '1970-01-01' as bigint) as i,
+           count(*) as n
+    from events group by event_type, cast(ts as date)
+),
+pairs as (
+    select a.event_type,
+           b.n - a.n as num,
+           b.i - a.i as den,
+           a.i as i, b.i as j,
+           (b.n - a.n) / cast(b.i - a.i as double) as slope
+    from daily a
+    join daily b on b.event_type = a.event_type and a.i < b.i
+),
+sampled as (
+    select * from pairs
+    where {_h60(key)} % {THEIL_SAMPLE_MOD} = 0
+),
+ranked as (
+    select *,
+           row_number() over (partition by event_type
+                              order by slope, num, den, i, j) as rn,
+           count(*) over (partition by event_type) as n_pairs
+    from sampled
+)
+select event_type,
+       cast(n_pairs as bigint) as n_pairs,
+       cast(num as bigint) as med_num,
+       cast(den as bigint) as med_den,
+       slope as theil_slope
+from ranked
+where rn = floor((n_pairs + 1) / 2)
+"""
+
+
+EVENTS_THEIL_SEN_SAMPLED = _theil_sen_sampled_sql()
 
 
 def _mann_whitney_sql() -> str:

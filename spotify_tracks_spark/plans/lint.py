@@ -1,0 +1,156 @@
+"""Physical-plan linter: the scale anti-pattern gate.
+
+Every round's manual ``.explain`` audit looked for the same three
+100-TB killers; this module turns that audit into a programmatic check
+that tests can run over the WHOLE registered query surface:
+
+1. **Partition-less WindowExec** — ``Window.orderBy(...)`` with no
+   ``partitionBy`` funnels the entire frame through ONE task (Spark
+   warns ``No Partition Defined for Window operation``).  Benign only
+   when (a) the frame is provably tiny (value-grain / distinct-days
+   grain — the caller allow-lists those queries), or (b) a bounding
+   node sits BELOW the window — Spark's rank-limit pushdown
+   (``WindowGroupLimitExec``), a ``TakeOrderedAndProject``, or a global
+   limit — so each upstream partition pre-prunes before the single
+   merge (the global top-k shape).
+2. **CartesianProductExec** — an unkeyed join that materializes |L|·|R|
+   pairs across every executor pair.  Benign only as a one-row spine
+   (scalar broadcast), which Spark plans as BroadcastNestedLoopJoin,
+   not CartesianProduct — so any CartesianProduct at all is flagged
+   unless explicitly allow-listed.
+3. **Forced fact-scale broadcast** — a join whose EXPLICITLY HINTED
+   (``F.broadcast``) side scans a fact-scale table with no intervening
+   aggregate/limit that reduces grain.  Only HINTED broadcasts are
+   flagged: a stats-driven auto-broadcast at test SF is Spark doing its
+   job (the same plan falls back to a shuffle join once the estimate
+   crosses ``autoBroadcastJoinThreshold`` at scale), but an explicit
+   hint stays forced at 100 TB — that is the "collect the fact table to
+   the driver and ship it everywhere" bomb this rule exists for.  The
+   hint survives only on the optimized LOGICAL plan's Join nodes
+   (EliminateResolvedHint folds it there), so rule 3 walks
+   ``optimizedPlan`` while rules 1–2 walk the physical plan.
+
+Rules 1–2 walk the pre-AQE physical plan (``sparkPlan``) via py4j.  No
+job execution is needed and the result is stable across adaptive
+re-plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Tables whose unreduced broadcast is a scale bug.  The dimension-side
+#: tables (region/nation/customer/supplier/part at TPC-H-ish ratios, and
+#: the mart dims) stay broadcastable by design.
+FACT_TABLES = ("events", "lineitem", "documents", "embeddings")
+
+#: Logical node classes that reduce grain between a scan and a hinted
+#: broadcast: an aggregate collapses to group keys, a limit bounds rows.
+_REDUCING = (
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Limit",
+    "Distinct",
+    "Deduplicate",
+    # per-batch Arrow transforms emit metadata-grain rows (multimodal)
+    "MapInPandas",
+    "MapInArrow",
+    "PythonMapInArrow",
+)
+
+#: Nodes that bound the row count feeding a global window (the top-k /
+#: rank-limit shapes): the single merge task sees at most k rows per
+#: upstream partition, not the whole frame.
+_BOUNDING = (
+    "WindowGroupLimitExec",
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+)
+
+
+def _children(jnode):
+    seq = jnode.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _walk(jnode):
+    yield jnode
+    for c in _children(jnode):
+        yield from _walk(c)
+
+
+def _name(jnode) -> str:
+    return jnode.getClass().getSimpleName()
+
+
+def _subtree_scans_fact(jnode) -> bool:
+    """True if this LOGICAL subtree scans a fact-scale parquet table
+    with no grain-reducing node between the scan and the subtree root."""
+    if _name(jnode) in _REDUCING:
+        return False
+    if _name(jnode) in ("LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation"):
+        # toString omits the file path — read the relation's rootPaths
+        try:
+            paths = jnode.relation().location().rootPaths()
+            desc = " ".join(
+                paths.apply(i).toString() for i in range(paths.length())
+            )
+        except Exception:  # non-file relations (views, in-memory)
+            desc = jnode.toString()
+        return any(f"{t}.parquet" in desc for t in FACT_TABLES)
+    return any(_subtree_scans_fact(c) for c in _children(jnode))
+
+
+def _hinted_broadcast_sides(jnode):
+    """Yield the logical child subtrees an explicit broadcast hint pins
+    to the build side of this Join node (empty for un-hinted joins)."""
+    if _name(jnode) != "Join":
+        return
+    hint = jnode.hint()
+    for opt, idx in ((hint.leftHint(), 0), (hint.rightHint(), 1)):
+        if opt.isDefined() and opt.get().strategy().isDefined():
+            if "BROADCAST" in opt.get().strategy().get().toString().upper():
+                yield _children(jnode)[idx]
+
+
+def lint_plan(
+    df: DataFrame,
+    *,
+    allow_global_window: bool = False,
+    allow_cartesian: bool = False,
+    allow_fact_broadcast: bool = False,
+) -> list[str]:
+    """Return a list of human-readable violations (empty = clean).
+
+    The allow flags encode per-query adjudications ("this global window
+    runs over a distinct-days frame"), so the test layer keeps ONE
+    explicit allow-list per rule instead of silent exemptions.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    violations: list[str] = []
+    for node in _walk(plan):
+        kind = _name(node)
+        if kind == "WindowExec" and node.partitionSpec().isEmpty():
+            bounded = any(
+                _name(n) in _BOUNDING for n in _walk(node.child())
+            )
+            if allow_global_window or bounded:
+                continue
+            violations.append(
+                "partition-less WindowExec (whole frame through one task): "
+                + node.nodeName()
+            )
+        elif kind == "CartesianProductExec" and not allow_cartesian:
+            violations.append("CartesianProductExec (unkeyed |L|x|R| join)")
+    if not allow_fact_broadcast:
+        logical = df._jdf.queryExecution().optimizedPlan()
+        for node in _walk(logical):
+            for side in _hinted_broadcast_sides(node):
+                if _subtree_scans_fact(side):
+                    violations.append(
+                        "explicit broadcast hint over an unreduced "
+                        "fact-table subtree (stays forced at scale)"
+                    )
+    return violations

@@ -325,6 +325,42 @@ def test_theil_sen_planted_outlier_robustness(spark, tmp_path):
     assert r.theil_slope == 2.0, (r.med_num, r.med_den)
 
 
+def test_theil_sen_sampled_pins_to_exact_at_mod_one(spark):
+    """The subsampled variant at sample_mod=1 keeps every pair through
+    the SAME hash-filter code path, so it must be bit-identical to the
+    exact estimator; and at the registered mod it must still rank over
+    a nonempty sample per type (the estimator never goes vacuous)."""
+    from spotify_tracks_spark.operators.timeseries import (
+        THEIL_SAMPLE_MOD,
+        events_theil_sen,
+        events_theil_sen_sampled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.event_type: r for r in events_theil_sen(spark, sf).collect()}
+    pinned = {
+        r.event_type: r
+        for r in events_theil_sen_sampled(spark, sf, sample_mod=1).collect()
+    }
+    assert set(exact) == set(pinned)
+    for t, r in exact.items():
+        p = pinned[t]
+        assert (p.n_pairs, p.med_num, p.med_den, p.theil_slope) == (
+            r.n_pairs,
+            r.med_num,
+            r.med_den,
+            r.theil_slope,
+        ), t
+
+    sampled = events_theil_sen_sampled(spark, sf).collect()
+    assert {r.event_type for r in sampled} == set(exact)
+    for r in sampled:
+        assert 0 < r.n_pairs < exact[r.event_type].n_pairs, (
+            f"{r.event_type}: mod={THEIL_SAMPLE_MOD} sample should be a "
+            "strict nonempty subset of the pair set at this SF"
+        )
+
+
 def test_mann_whitney_null_calibration(spark):
     """A/A property for the rank-sum twin: U centered near mu, |z|<3,
     and the U identity U_A + U_B = n_A*n_B holds exactly (U_B follows
