@@ -247,6 +247,16 @@ def _dim_track_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     return stream_dim_track_incremental(spark, sf_dir)
 
 
+def _rpt_discovery_rate_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-incremental two-DISTINCT weekly mart: rpt_discovery_rate
+    maintained as exact distinct-set state + first-played minima per
+    micro-batch; drained result hash-equals batch Q8
+    (streaming/incremental.py)."""
+    from spotify_tracks_spark.streaming import stream_rpt_discovery_rate_incremental
+
+    return stream_rpt_discovery_rate_incremental(spark, sf_dir)
+
+
 def _rpt_track_counts_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-incremental TRAILING-WINDOW mart: rpt_track_counts kept
     at (track_id, play_date) grain with per-batch window eviction;
@@ -467,6 +477,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-incremental trailing-window mart (eviction state;
         # same Q6 oracle as the batch build)
         "q6_rpt_track_counts_streaming_incremental": _rpt_track_counts_streaming_incremental,
+        # streaming-incremental two-DISTINCT weekly mart (exact set-state
+        # at (year, week, track) grain; same Q8 oracle as the batch build)
+        "q8_rpt_discovery_rate_streaming_incremental": _rpt_discovery_rate_streaming_incremental,
         # built-in session_window formulation of events_sessionize
         "events_sessionize_native": _events.events_sessionize_native,
         # two-phase salted top-k: skew-proof twin, byte-identical result
@@ -805,6 +818,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
         "q6_rpt_track_counts_streaming_incremental": oracles.Q6_RPT_TRACK_COUNTS,
+        "q8_rpt_discovery_rate_streaming_incremental": oracles.Q8_RPT_DISCOVERY_RATE,
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,

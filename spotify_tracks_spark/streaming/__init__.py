@@ -1,5 +1,6 @@
 from .incremental import (
     stream_dim_track_incremental,
+    stream_rpt_discovery_rate_incremental,
     stream_rpt_track_counts_incremental,
 )
 from .sketch import (
@@ -35,6 +36,7 @@ __all__ = [
     "stream_click_purchase_join_outer",
     "stream_events_enrich",
     "stream_dim_track_incremental",
+    "stream_rpt_discovery_rate_incremental",
     "stream_rpt_track_counts_incremental",
     "stream_events_bloom",
     "stream_events_cms",

@@ -285,6 +285,166 @@ def _rpt_remerge(u: DataFrame) -> DataFrame:
     )
 
 
+def _q8_partials(stg: DataFrame) -> DataFrame:
+    """Three-grain partials of one staged micro-batch for the Q8 fold.
+
+    Q8's hard incremental problem is its two COUNT(DISTINCT)s per week
+    (uniq_tracks, uniq_artists): a week-grain running aggregate cannot
+    merge distinct counts, so the state keeps the DISTINCT SET itself at
+    (year, week, track_id) grain — "WK" rows, the exact set-state whose
+    merge is just the keyed groupBy (sets union by key collision; plays
+    sum; week_dt maxes).  "TRK" rows (track grain) carry the corpus-wide
+    first-played min plus the min-folded artists attribute — the
+    incremental dim_track slice Q8's broadcast join and new_tracks count
+    need.  "ART" rows (artist-string grain) carry the artist
+    first-played min for new_artists.  All three grains are entity- or
+    week×entity-scale, never play-scale, and every aggregate is
+    associative/commutative (sum/min/max) so the snapshot fold replays
+    idempotently like the other marts."""
+    wk = stg.groupBy(
+        F.year("played_at_mtn").cast("long").alias("year_played"),
+        F.weekofyear("played_at_mtn").cast("long").alias("week_played"),
+        "track_id",
+    ).agg(
+        F.count("*").alias("plays"),
+        F.max(F.col("played_at_mtn").cast("date")).alias("week_dt"),
+        F.lit(None).cast("string").alias("artists"),
+        F.lit(None).cast("timestamp").alias("first_played"),
+        F.lit("wk").alias("grain"),
+    )
+    trk = stg.groupBy("track_id").agg(
+        F.lit(None).cast("long").alias("year_played"),
+        F.lit(None).cast("long").alias("week_played"),
+        F.lit(0).cast("long").alias("plays"),
+        F.lit(None).cast("date").alias("week_dt"),
+        F.min("track_artists").alias("artists"),
+        F.min("played_at_mtn").alias("first_played"),
+        F.lit("trk").alias("grain"),
+    )
+    art = stg.groupBy(F.col("track_artists").alias("artists")).agg(
+        F.lit(None).cast("long").alias("year_played"),
+        F.lit(None).cast("long").alias("week_played"),
+        F.lit(None).cast("string").alias("track_id"),
+        F.lit(0).cast("long").alias("plays"),
+        F.lit(None).cast("date").alias("week_dt"),
+        F.min("played_at_mtn").alias("first_played"),
+        F.lit("art").alias("grain"),
+    )
+    cols = [
+        "grain", "year_played", "week_played", "track_id", "artists",
+        "plays", "week_dt", "first_played",
+    ]
+    return (
+        wk.select(*cols).unionByName(trk.select(*cols)).unionByName(
+            art.select(*cols)
+        )
+    )
+
+
+def _q8_remerge(u: DataFrame) -> DataFrame:
+    """Fold state ∪ partials per grain.  The wk groupBy deliberately
+    EXCLUDES the artists attribute (it converges to the corpus min only
+    on trk rows; keeping a possibly-different per-batch value in the wk
+    key would split a track's week row).  No eviction: Q8 reports all
+    weeks, and state is bounded by weeks × tracks + tracks + artists —
+    entity-scale, not play-scale."""
+    folded = u.groupBy(
+        "grain",
+        "year_played",
+        "week_played",
+        "track_id",
+        F.when(F.col("grain") == "art", F.col("artists")).alias("artists"),
+    ).agg(
+        F.sum("plays").alias("plays"),
+        F.max("week_dt").alias("week_dt"),
+        F.min("first_played").alias("first_played"),
+        F.min(
+            F.when(F.col("grain") == "trk", F.col("artists"))
+        ).alias("trk_artists"),
+    )
+    return folded.select(
+        "grain",
+        "year_played",
+        "week_played",
+        "track_id",
+        F.coalesce("trk_artists", "artists").alias("artists"),
+        "plays",
+        "week_dt",
+        "first_played",
+    )
+
+
+def stream_rpt_discovery_rate_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain ``rpt_discovery_rate`` (Q8) incrementally — the mart
+    whose incremental-maintenance problem neither sibling has: weekly
+    COUNT(DISTINCT) pairs (tracks, artists) plus "new this week" counts
+    that depend on a corpus-wide first-played minimum.  The fold keeps
+    the distinct sets as (year, week, track_id) state rows and the
+    first-played minima as track-/artist-grain rows (see
+    ``_q8_partials``); the drained read then reproduces the batch Q8
+    plan shape over entity-grain state: week rollup with the two
+    distincts, broadcast dim join for artists, first-played week counts
+    for new_tracks/new_artists, same safe_divide rates — hash-equal to
+    the batch build (same Q8 oracle)."""
+    from ..functions.math_utils import safe_divide
+
+    state = _drain_fold(
+        spark, sf_dir, base, _q8_partials, _q8_remerge, n_slices,
+        prefix="incr_q8_",
+    )
+    wk = state.filter(F.col("grain") == "wk").drop("artists")
+    trk = state.filter(F.col("grain") == "trk").select(
+        "track_id", "artists", "first_played"
+    )
+    art = state.filter(F.col("grain") == "art").select(
+        "artists", "first_played"
+    )
+    base_rpt = (
+        wk.join(F.broadcast(trk.select("track_id", "artists")), "track_id", "left")
+        .groupBy("year_played", "week_played")
+        .agg(
+            F.max("week_dt").alias("week_dt"),
+            F.sum("plays").alias("plays"),
+            F.countDistinct("artists").alias("uniq_artists"),
+            F.countDistinct("track_id").alias("uniq_tracks"),
+        )
+    )
+    first_date = F.col("first_played").cast("date")
+    new_tracks = trk.groupBy(
+        F.year(first_date).cast("long").alias("year_played"),
+        F.weekofyear(first_date).cast("long").alias("week_played"),
+    ).agg(F.count("*").alias("new_tracks"))
+    new_artists = art.groupBy(
+        F.year(first_date).cast("long").alias("year_played"),
+        F.weekofyear(first_date).cast("long").alias("week_played"),
+    ).agg(F.count("*").alias("new_artists"))
+    return (
+        base_rpt.join(F.broadcast(new_tracks), ["year_played", "week_played"], "left")
+        .join(F.broadcast(new_artists), ["year_played", "week_played"], "left")
+        .select(
+            "year_played",
+            "week_played",
+            "week_dt",
+            "plays",
+            "uniq_artists",
+            "uniq_tracks",
+            "new_tracks",
+            "new_artists",
+            safe_divide(F.col("new_tracks"), F.col("uniq_tracks")).alias(
+                "track_discovery_rate"
+            ),
+            safe_divide(F.col("new_artists"), F.col("uniq_artists")).alias(
+                "artist_discovery_rate"
+            ),
+        )
+    )
+
+
 def stream_rpt_track_counts_incremental(
     spark: SparkSession,
     sf_dir: str,

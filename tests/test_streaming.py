@@ -245,6 +245,38 @@ def test_incremental_rpt_state_is_window_bounded(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_q8_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """The two-DISTINCT weekly mart's incremental contract: the drained
+    fold equals the batch rpt_discovery_rate exactly (distinct sets kept
+    as (year, week, track) state rows; first-played minima at track /
+    artist grain), and a re-run against the same base resumes from the
+    snapshot log without double-counting (replay idempotence — the
+    at-least-once hazard matters MORE here than for the sum-only marts,
+    because a replayed batch would silently inflate plays while leaving
+    the distinct counts fixed, a corruption no row-count check sees)."""
+    from spotify_tracks_spark.pipeline import run_models
+    from spotify_tracks_spark.streaming.incremental import (
+        stream_rpt_discovery_rate_incremental,
+    )
+
+    base = str(tmp_path / "incr_q8")
+    from collections import Counter
+
+    got = stream_rpt_discovery_rate_incremental(spark, SF_SMOKE, base=base)
+    want = run_models(spark, SF_SMOKE)["rpt_discovery_rate"]
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    # Counter, not sorted(): the NULL discovery rates (safe_divide) make
+    # the tuples unorderable in Python
+    got_rows = Counter(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = Counter(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows
+
+    resumed = stream_rpt_discovery_rate_incremental(spark, SF_SMOKE, base=base)
+    again = Counter(tuple(r[c] for c in cols) for r in resumed.collect())
+    assert again == got_rows
+
+
 def test_unpivot_roundtrips_pivot(spark):
     """unpivot(pivot(events)) equals the direct long-form count table with
     zero-filled (day × type) combinations."""
