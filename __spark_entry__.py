@@ -653,6 +653,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production-horizon Theil-Sen: deterministic hash-mod pair
         # subsample (exact form is the driver entry; mod=1 pytest-pinned)
         "events_theil_sen_sampled": _ts.events_theil_sen_sampled,
+        # Welch unequal-variance t-test: the mean-comparison member of
+        # the z/U/KS test family (exact per-arm integer moments)
+        "events_welch_ttest": _an.events_welch_ttest,
+        # curriculum ordering: corpus-grain global position + stage via
+        # the two-level prefix primitive (easy-to-hard training schedule)
+        "corpus_curriculum_order": _llm.corpus_curriculum_order,
         # streaming KMV fold: constant-size distinct-count state
         "events_stream_kmv": _events_stream_kmv,
         # multi-touch linear attribution (equal split across in-window
@@ -901,6 +907,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
+        "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
+        "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,

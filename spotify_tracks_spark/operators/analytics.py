@@ -1310,6 +1310,90 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the hash-split arms' per-user
+    purchase counts — the fourth (and in practice most-used) member of
+    the test family: z compares RATES (events_ab_test), U compares RANKS
+    (events_mann_whitney), KS compares the WHOLE distribution
+    (events_ks_test); Welch compares MEANS without assuming equal arm
+    variances, the default mean test when arm sizes or spreads differ.
+
+    Exactness (the events_cuped moment discipline): per arm only n, Σx,
+    Σx² accumulate — exact bigints in any partition order.  The sample
+    variance is the exact-integer form (n·Σx² − (Σx)²) / (n·(n−1)) —
+    one division of exact operands; t and the Welch–Satterthwaite df
+    then apply a FIXED number of IEEE ops in an order the oracle
+    mirrors literally.  On the A/A hash split |t| sits well below 1.96
+    (pytest calibration pin, like the z/U/KS siblings).
+
+    Scale shape: one user-grain aggregate → a 1-row two-arm moment fold.
+    Output: (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, df)."""
+    from ..functions.hashing import portable_hash60
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+        .select(
+            "x",
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0)).alias("sx_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("x")).otherwise(0)).alias("sx_b"),
+        F.sum(
+            F.when(F.col("arm_a"), F.col("x") * F.col("x")).otherwise(0)
+        ).alias("sxx_a"),
+        F.sum(
+            F.when(~F.col("arm_a"), F.col("x") * F.col("x")).otherwise(0)
+        ).alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    # every division ANSI-guarded: an empty or single-user arm yields 0.0
+    # (the oracle mirrors the same CASE WHEN guards)
+    mean_a = F.when(n_a > 0, F.col("sx_a") / n_a).otherwise(F.lit(0.0))
+    mean_b = F.when(n_b > 0, F.col("sx_b") / n_b).otherwise(F.lit(0.0))
+    var_a = F.when(
+        n_a > 1,
+        (n_a * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a"))
+        / (n_a * (n_a - 1)),
+    ).otherwise(F.lit(0.0))
+    var_b = F.when(
+        n_b > 1,
+        (n_b * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b"))
+        / (n_b * (n_b - 1)),
+    ).otherwise(F.lit(0.0))
+    va = F.when(n_a > 0, var_a / n_a).otherwise(F.lit(0.0))
+    vb = F.when(n_b > 0, var_b / n_b).otherwise(F.lit(0.0))
+    se2 = va + vb
+    t_stat = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2)).otherwise(
+        F.lit(0.0)
+    )
+    df = F.when(
+        (se2 > 0) & (n_a > 1) & (n_b > 1),
+        (se2 * se2) / (va * va / (n_a - 1) + vb * vb / (n_b - 1)),
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        t_stat.alias("t_stat"),
+        df.alias("df"),
+    )
+
+
 def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U rank-sum test between the two hash-split arms on
     per-user purchase counts — the NONPARAMETRIC sibling of

@@ -858,3 +858,47 @@ def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split.join(n_docs, "split").select(
         "split", "n_docs", "n_bands", "psi"
     )
+
+
+CURRICULUM_STAGES = 10
+
+
+def corpus_curriculum_order(
+    spark: SparkSession, sf_dir: str, n_stages: int = CURRICULUM_STAGES
+) -> DataFrame:
+    """Curriculum ordering: every document's GLOBAL training position
+    under (quality_score desc, doc_id), plus its curriculum stage
+    (``n_stages`` NTILE buckets) — the easy-to-hard schedule a
+    curriculum-learning data loader consumes (highest-quality documents
+    first; the stage column is what a stage-gated sampler reads).
+
+    The global position is the two-level prefix primitive
+    (``functions/ranking.py``) — the same no-partition-less-window
+    discipline as events_gini/rfm/pareto, because the frame here is
+    CORPUS grain, the largest in the repo.  Stages derive from the rank
+    driver-side (``ntile_from_rank``), so the whole plan stays free of
+    single-task sorts at any corpus size.
+
+    Ordering determinism: quality_score is the text_quality expression —
+    two integer-ratio divisions and one fixed-order combine, bit-equal
+    across engines (text_quality is hash-green), with doc_id as the
+    total-order tie-break.
+
+    Output: (doc_id, quality_score, position, stage)."""
+    from ..functions.ranking import ntile_from_rank, two_level_prefix
+    from .text_analysis import text_quality
+
+    scored = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    ranked, totals = two_level_prefix(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        rank_col="position",
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        "position",
+        ntile_from_rank(F.col("position"), totals["position"], n_stages).alias(
+            "stage"
+        ),
+    )

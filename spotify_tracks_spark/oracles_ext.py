@@ -4946,6 +4946,80 @@ from agg
 EVENTS_MANN_WHITNEY = _mann_whitney_sql()
 
 
+def _welch_ttest_sql() -> str:
+    """Mirror of events_welch_ttest: same exact integer moments (n, Σx,
+    Σx² per arm), same CASE WHEN guards, same IEEE operation order for
+    mean / variance / t / Welch–Satterthwaite df."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with per_user as (
+    select sum(case when event_type = 'purchase' then 1 else 0 end) as x,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events group by user_id
+),
+m as (
+    select cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b,
+           cast(sum(case when arm_a then x else 0 end) as bigint) as sx_a,
+           cast(sum(case when not arm_a then x else 0 end) as bigint) as sx_b,
+           cast(sum(case when arm_a then x * x else 0 end) as bigint) as sxx_a,
+           cast(sum(case when not arm_a then x * x else 0 end) as bigint) as sxx_b
+    from per_user
+),
+d1 as (
+    select *,
+           case when n_a > 0 then sx_a / n_a else 0.0e0 end as mean_a,
+           case when n_b > 0 then sx_b / n_b else 0.0e0 end as mean_b,
+           case when n_a > 1
+                then (n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1))
+                else 0.0e0 end as var_a,
+           case when n_b > 1
+                then (n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1))
+                else 0.0e0 end as var_b
+    from m
+),
+d2 as (
+    select *,
+           case when n_a > 0 then var_a / n_a else 0.0e0 end as va,
+           case when n_b > 0 then var_b / n_b else 0.0e0 end as vb
+    from d1
+)
+select n_a, n_b, mean_a, mean_b, var_a, var_b,
+       case when va + vb > 0
+            then (mean_a - mean_b) / sqrt(va + vb)
+            else 0.0e0 end as t_stat,
+       case when va + vb > 0 and n_a > 1 and n_b > 1
+            then ((va + vb) * (va + vb))
+                 / (va * va / (n_a - 1) + vb * vb / (n_b - 1))
+            else 0.0e0 end as df
+from d2
+"""
+
+
+EVENTS_WELCH_TTEST = _welch_ttest_sql()
+
+
+CORPUS_CURRICULUM_ORDER = f"""
+with t as (
+    select doc_id, string_split(lower(text), ' ') as toks
+    from documents
+),
+scored as (
+    select doc_id,
+           (len(list_filter(toks, x -> x in ({_ALL_STOP}))) / len(toks)) * 2.0
+             + (len(list_distinct(toks)) / len(toks)) as quality_score
+    from t
+)
+select doc_id, quality_score,
+       cast(row_number() over (order by quality_score desc, doc_id)
+            as bigint) as position,
+       cast(ntile(10) over (order by quality_score desc, doc_id)
+            as int) as stage
+from scored
+"""
+
+
 EVENTS_GINI = """
 with per_user as (
     select user_id, count(*) as x from events group by user_id

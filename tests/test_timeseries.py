@@ -377,6 +377,22 @@ def test_mann_whitney_null_calibration(spark):
     assert abs(r.z_score) < 3.0, r.z_score
 
 
+def test_welch_ttest_null_calibration_and_invariants(spark):
+    """A/A property for the mean-comparison member of the test family:
+    |t| < 3 on the null hash split, variances nonnegative, and the
+    Welch-Satterthwaite df lands in its provable range
+    [min(n_a, n_b) - 1, n_a + n_b - 2]."""
+    from spotify_tracks_spark.operators.analytics import events_welch_ttest
+    from tests.conftest import SF_T2
+
+    r = events_welch_ttest(spark, SF_T2).collect()[0]
+    assert r.n_a > 1 and r.n_b > 1
+    assert r.var_a >= 0 and r.var_b >= 0
+    assert abs(r.t_stat) < 3.0, r.t_stat
+    lo, hi = min(r.n_a, r.n_b) - 1, r.n_a + r.n_b - 2
+    assert lo - 1e-9 <= r.df <= hi + 1e-9, (r.df, lo, hi)
+
+
 def test_gini_planted_extremes(spark, tmp_path):
     """Perfect equality scores 0; with counts [1, 1, 18] over three
     users G = (2*58 - 4*20) / (3*20) = 0.6 by the exact formula."""
