@@ -101,6 +101,12 @@ def _dedup_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.dedup_embedding_corpus(spark, sf_dir, near_dup_threshold=0.35)
 
 
+def _dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked (SemDeDup-shape) semantic dedup at the same 0.35
+    isotropic-fixture operating point as the sign-bucket twin."""
+    return _sim.dedup_semantic_ivf(spark, sf_dir, near_dup_threshold=0.35)
+
+
 
 def _ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search at nprobe=2 — the recall/cost knob of a deployed IVF
@@ -659,6 +665,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curriculum ordering: corpus-grain global position + stage via
         # the two-level prefix primitive (easy-to-hard training schedule)
         "corpus_curriculum_order": _llm.corpus_curriculum_order,
+        # SemDeDup-shape cluster-blocked semantic dedup (IVF-cell twin of
+        # the sign-bucket corpus dedup)
+        "dedup_semantic_ivf": _dedup_semantic_ivf,
         # streaming KMV fold: constant-size distinct-count state
         "events_stream_kmv": _events_stream_kmv,
         # multi-touch linear attribution (equal split across in-window
@@ -909,6 +918,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
         "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
+        "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,

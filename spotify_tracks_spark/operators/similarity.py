@@ -285,6 +285,64 @@ def dedup_embedding_corpus(
     )
 
 
+def dedup_semantic_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup_threshold: float = 0.95,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Cluster-blocked semantic dedup — the SemDeDup shape (Abbas et al.,
+    arXiv:2303.09540): k-means-cluster the embedding space, then look
+    for near-duplicate pairs ONLY within each cluster.  This is the
+    other practical blocking geometry next to ``dedup_embedding_corpus``'s
+    sign-bucket: sign-buckets cut the space by fixed hyperplanes through
+    the origin (cheap, data-oblivious), IVF cells follow the data's own
+    density (centroid Voronoi regions), which is why the deployed
+    semantic-dedup pipelines block on cluster assignment.
+
+    Plan shape: cell assignment is the shared IVF projection — the k×d
+    centroid matrix rides a ONE-ROW broadcast relation, the argmax is an
+    array_max over struct (cos, -cent_id), zero corpus shuffle — then
+    one self-equi-join on cell with exact cosine verify: Σ_c |cell_c|²
+    candidate pairs instead of N².  Recall < 1 by blocking design
+    (near-dups straddling a Voronoi boundary are missed — production
+    mitigates with nprobe-style multi-assignment); the oracle applies
+    the identical deterministic assignment so the emitted set
+    hash-matches exactly.
+
+    Output: (cell, vec_a, vec_b, cos), vec_a < vec_b, cos ≥ threshold."""
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
+    cent_df = _ivf_centroid_relation(emb, n_centroids)
+    cells = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            _ivf_cell(F.col("embedding")).alias("cell"),
+        )
+        .persist()
+    )
+    try:
+        cells.count()  # pin one computation before the self-join
+        a, b = cells.alias("a"), cells.alias("b")
+        cos = cosine(F.col("a.e"), F.col("b.e"))
+        pairs = a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (cos >= near_dup_threshold),
+        ).select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        # pair-grain result; release the corpus-sized cell cache
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        cells.unpersist()
+
+
 def ann_recall_eval(
     spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100, dims: int = SIG_DIMS
 ) -> DataFrame:

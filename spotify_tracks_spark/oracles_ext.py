@@ -381,6 +381,32 @@ from ranked where rank <= 5
 
 
 ANN_TOPK_IVF = _ann_topk_ivf_sql(1)
+
+
+# Mirror of dedup_semantic_ivf (registered wrapper threshold 0.35, the
+# isotropic-synthetic-embeddings operating point also used by
+# dedup_embedding_corpus): identical deterministic cell assignment as
+# the IVF oracle, then in-cell pairs with exact cosine verify.
+DEDUP_SEMANTIC_IVF = f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+centroids as materialized (
+    select vec_id as cent_id, e as c_emb from emb order by vec_id limit 16
+),
+cells as (
+    select vec_id, e, cent_id as cell from (
+        select emb.vec_id, emb.e, c.cent_id,
+               row_number() over (
+                   partition by emb.vec_id
+                   order by {_cos('emb.e', 'c.c_emb')} desc, c.cent_id
+               ) as rn
+        from emb cross join centroids c
+    ) where rn = 1
+)
+select a.cell as cell, a.vec_id as vec_a, b.vec_id as vec_b,
+       round({_cos('a.e', 'b.e')}, 6) as cos
+from cells a join cells b on a.cell = b.cell and a.vec_id < b.vec_id
+where {_cos('a.e', 'b.e')} >= 0.35
+"""
 ANN_TOPK_IVF_NPROBE = _ann_topk_ivf_sql(2)
 
 _TOP1 = _ann_sql(1, 10)
