@@ -687,6 +687,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
+        # mergeable histogram quantiles (the QUANTILE sketch member):
+        # p50/p90/p99 by interpolation in the cumulative bin walk
+        "events_quantile_hist": _profile.events_quantile_hist,
         # top-k session opening paths (multi-step sequence mining)
         "events_session_paths": _events.events_session_paths,
         # per-user type entropy (fixed-order IEEE expression, byte-exact)
@@ -925,6 +928,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
+        "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,

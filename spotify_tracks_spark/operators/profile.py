@@ -10,7 +10,7 @@ computes it for any table as a single aggregate, not one scan per column
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.time_utils import epoch_micros
 from ..sources.tables import read_table
@@ -137,6 +137,80 @@ def events_value_histogram(
         (F.col("lo") + F.col("bucket") * F.col("w")).alias("bucket_lo"),
         (F.col("lo") + (F.col("bucket") + 1) * F.col("w")).alias("bucket_hi"),
         "n_events",
+    )
+
+
+QUANTILE_HIST_PS = (0.5, 0.9, 0.99)
+
+
+def events_quantile_hist(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bins: int = HIST_BINS,
+    ps: tuple[float, ...] = QUANTILE_HIST_PS,
+) -> DataFrame:
+    """Mergeable histogram quantiles — the QUANTILE member of the sketch
+    family (CMS counts, KMV/HLL distincts, Bloom membership all have
+    register-exact entries; this adds p50/p90/p99 the same way): the
+    equi-width bin counts of ``events_value_histogram`` ARE a mergeable
+    sketch (bin vectors add), and a quantile estimate is linear
+    interpolation inside the first bin whose cumulative count crosses
+    p·n.  Unlike KLL/t-digest, the equi-width sketch is fully
+    DETERMINISTIC (no sampling, no merge-order sensitivity), so it is
+    hash-checkable against a SQL oracle — the honest trade is a
+    value-domain error bound (≤ one bin width) instead of a rank bound.
+
+    Scale shape: the two-pass histogram plan (bounds broadcast back,
+    one map-side-combined shuffle into |types|×n_bins rows); the
+    cumulative walk and the per-p selection run at that tiny grain
+    (partitioned windows, never the fact log).
+
+    Output: (event_type, p, n_total, est), est exact-IEEE-mirrored.
+    Pytest pins |est − percentile_disc| ≤ bin width per (type, p): the
+    discrete quantile (the crossing-rank order statistic) provably
+    shares the estimate's bin; the continuous percentile interpolates
+    toward the NEXT order statistic, which can sit across empty bins,
+    so the guarantee is stated — and tested — against the disc form."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "w", (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    )
+    bucket = F.when(F.col("w") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / F.col("w")),
+            F.lit(n_bins - 1),
+        ).cast("long")
+    )
+    hist = j.groupBy(
+        "event_type", bucket.alias("bucket"), F.col("lo"), F.col("w")
+    ).agg(F.count("*").alias("n"))
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(run)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    probs = cum.join(F.broadcast(totals), "event_type").select(
+        "*", F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+    )
+    target = F.col("p") * F.col("n_total")
+    hit = probs.filter(F.col("cum") >= target)
+    pick = Window.partitionBy("event_type", "p").orderBy("bucket")
+    est = F.when(F.col("w") == 0, F.col("lo")).otherwise(
+        F.col("lo")
+        + F.col("w")
+        * (F.col("bucket") + (target - F.col("cum_before")) / F.col("n"))
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "p", "n_total", est.alias("est"))
     )
 
 

@@ -2469,6 +2469,58 @@ from grouped
 EVENTS_VALUE_HISTOGRAM = _histogram_sql()
 
 
+def _quantile_hist_sql() -> str:
+    """Mirror of events_quantile_hist: identical two-pass histogram,
+    identical cumulative walk, identical interpolation operand order
+    (p·n_total − cum_before, then lo + w·(bucket + frac))."""
+    from .operators.profile import HIST_BINS, QUANTILE_HIST_PS
+
+    nb = HIST_BINS
+    ps = ", ".join(f"{p}e0" for p in QUANTILE_HIST_PS)
+    return f"""
+with bounds as (
+    select event_type, min(value) as lo, max(value) as hi
+    from events group by 1
+),
+j as (
+    select e.event_type, e.value, b.lo, (b.hi - b.lo) / {float(nb)} as w
+    from events e join bounds b using (event_type)
+),
+hist as (
+    select event_type, lo, w,
+           cast(case when w = 0 then 0
+                     else least(floor((value - lo) / w), {nb - 1})
+                end as bigint) as bucket,
+           count(*) as n
+    from j group by 1, 2, 3, 4
+),
+cum as (
+    select *,
+           cast(sum(n) over (partition by event_type order by bucket) as bigint) as cum
+    from hist
+),
+tot as (select event_type, cast(sum(n) as bigint) as n_total from hist group by 1),
+plist as (select unnest([{ps}]) as p),
+probs as (
+    select c.*, t.n_total, pl.p
+    from cum c join tot t using (event_type) cross join plist pl
+),
+hit as (
+    select *,
+           row_number() over (partition by event_type, p order by bucket) as rn
+    from probs where cum >= p * n_total
+)
+select event_type, p, n_total,
+       case when w = 0 then lo
+            else lo + w * (bucket + (p * n_total - (cum - n)) / n)
+       end as est
+from hit where rn = 1
+"""
+
+
+EVENTS_QUANTILE_HIST = _quantile_hist_sql()
+
+
 def _session_paths_sql() -> str:
     from .operators.events import PATH_LEN, PATH_TOP_K
 

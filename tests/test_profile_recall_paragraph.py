@@ -244,3 +244,51 @@ def test_jaccard_exact_join_is_complete(spark):
     }
     sh.unpersist()
     assert got == brute and len(brute) > 0
+
+
+def test_quantile_hist_error_bound(spark):
+    """The histogram-quantile sketch's value-domain guarantee: the
+    DISCRETE p-quantile (percentile_disc — the smallest value whose
+    cume_dist ≥ p, i.e. the order statistic at the crossing rank) lies
+    in the bin whose cumulative count crosses p·n, and the interpolated
+    estimate lies in the SAME bin — so |est − percentile_disc| ≤ one
+    bin width, per (type, p).  (The CONTINUOUS percentile interpolates
+    toward the next order statistic, which can sit bins away across an
+    empty stretch, so no fixed value bound exists for it — the reason
+    the pin targets the discrete form.)"""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.profile import (
+        HIST_BINS,
+        QUANTILE_HIST_PS,
+        events_quantile_hist,
+    )
+    from spotify_tracks_spark.sources.tables import read_table
+
+    from .conftest import SF_SMOKE
+
+    est = {
+        (r.event_type, r.p): r.est
+        for r in events_quantile_hist(spark, SF_SMOKE).collect()
+    }
+    ev = read_table(spark, SF_SMOKE, "events")
+    exact_rows = ev.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) within group (order by value)"
+            ).alias(f"q{i}")
+            for i, p in enumerate(QUANTILE_HIST_PS)
+        ],
+        ((F.max("value") - F.min("value")) / HIST_BINS).alias("w"),
+    ).collect()
+    assert est, "no estimates emitted"
+    for row in exact_rows:
+        for i, p in enumerate(QUANTILE_HIST_PS):
+            got = est[(row.event_type, p)]
+            assert abs(got - row[f"q{i}"]) <= row.w + 1e-9, (
+                row.event_type,
+                p,
+                got,
+                row[f"q{i}"],
+                row.w,
+            )
