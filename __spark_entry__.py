@@ -218,6 +218,16 @@ def _events_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_cms(spark, sf_dir)
 
 
+def _events_stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch fold: equi-width bin vectors added per
+    micro-batch (constant |types|xn_bins state), bounds supplied from
+    the prior profile; drained estimates hash-equal the batch sketch
+    (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_quantile_hist
+
+    return stream_events_quantile_hist(spark, sf_dir)
+
+
 def _events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV maintenance: the distinct-count registers folded
     forward per micro-batch by union-and-retake (constant <=k rows per
@@ -690,6 +700,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable histogram quantiles (the QUANTILE sketch member):
         # p50/p90/p99 by interpolation in the cumulative bin walk
         "events_quantile_hist": _profile.events_quantile_hist,
+        # streaming fold of the quantile sketch (bin vectors add;
+        # bounds from the prior profile; constant-size state)
+        "events_stream_quantile_hist": _events_stream_quantile_hist,
         # top-k session opening paths (multi-step sequence mining)
         "events_session_paths": _events.events_session_paths,
         # per-user type entropy (fixed-order IEEE expression, byte-exact)
@@ -929,6 +942,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
+        "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,

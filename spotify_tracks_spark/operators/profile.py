@@ -187,6 +187,17 @@ def events_quantile_hist(
     hist = j.groupBy(
         "event_type", bucket.alias("bucket"), F.col("lo"), F.col("w")
     ).agg(F.count("*").alias("n"))
+    return quantiles_from_hist(hist, ps)
+
+
+def quantiles_from_hist(
+    hist: DataFrame, ps: tuple[float, ...] = QUANTILE_HIST_PS
+) -> DataFrame:
+    """The cumulative walk + interpolation over a (event_type, bucket,
+    lo, w, n) bin table — shared by the batch sketch above and the
+    streaming fold (``streaming/sketch.py::stream_events_quantile_hist``),
+    so both produce byte-identical estimates from identical bins.  Runs
+    entirely at |types|×n_bins grain (partitioned windows)."""
     run = (
         Window.partitionBy("event_type")
         .orderBy("bucket")

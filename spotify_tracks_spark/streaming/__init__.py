@@ -8,6 +8,7 @@ from .sketch import (
     stream_events_cms,
     stream_events_hll,
     stream_events_kmv,
+    stream_events_quantile_hist,
 )
 from .ingest import stream_events_dedup
 from .joins import (
@@ -42,4 +43,5 @@ __all__ = [
     "stream_events_cms",
     "stream_events_hll",
     "stream_events_kmv",
+    "stream_events_quantile_hist",
 ]

@@ -478,3 +478,117 @@ def stream_events_bloom(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.read.parquet(f"{base}/state_b{cur['batch']}")
+
+
+def stream_events_quantile_hist(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance: the equi-width bin vector
+    of ``operators/profile.py::events_quantile_hist`` folded forward per
+    micro-batch (bin vectors ADD — the mergeable-sketch property), then
+    the shared cumulative-walk/interpolation at drain.  Hash-equal to
+    the batch sketch (same EVENTS_QUANTILE_HIST oracle).
+
+    The binning BOUNDS are computed from the static source before the
+    stream starts and broadcast into every batch's bin assignment —
+    the production contract for streaming histograms: bounds come from
+    the PREVIOUS profile (yesterday's min/max), because a one-pass
+    stream cannot both discover the domain and bin exactly into it.
+    This is also why the truly bounds-free streaming quantile sketches
+    (KLL, t-digest) are sampling- or merge-order-sensitive and thus not
+    oracle-checkable; the fixed-bounds fold is the exact-contract
+    member of the family.  State per batch stays ≤ |types|×n_bins rows
+    — constant in stream length, like the CMS/KMV/HLL/Bloom folds.
+    Replay-idempotent via the shared per-batch snapshot discipline."""
+    from ..operators.profile import HIST_BINS, quantiles_from_hist
+
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_qhist_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "qhist"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_qhist_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "qhist")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("event_type", "value").repartition(n_slices).write.parquet(
+            src_path
+        )
+    schema = spark.read.parquet(src_path).schema
+
+    # bounds from the static source = "the previous profile" (see
+    # docstring); a |types|-row broadcast relation for every batch
+    bounds = (
+        spark.read.parquet(src_path)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _batch_bins(df: DataFrame) -> DataFrame:
+        j = df.join(F.broadcast(bounds), "event_type").withColumn(
+            "w", (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+        )
+        bucket = F.when(F.col("w") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / F.col("w")),
+                F.lit(HIST_BINS - 1),
+            ).cast("long")
+        )
+        return j.groupBy(
+            "event_type", bucket.alias("bucket"), F.col("lo"), F.col("w")
+        ).agg(F.count("*").alias("n"))
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = _batch_bins(batch_df)
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = (
+            partial.groupBy("event_type", "bucket", "lo", "w")
+            .agg(F.sum("n").alias("n"))
+            .persist()
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    final = spark.read.parquet(f"{base}/state_b{cur['batch']}").withColumn(
+        "n", F.col("n").cast("long")
+    )
+    return quantiles_from_hist(final)
