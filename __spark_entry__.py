@@ -672,6 +672,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Welch unequal-variance t-test: the mean-comparison member of
         # the z/U/KS test family (exact per-arm integer moments)
         "events_welch_ttest": _an.events_welch_ttest,
+        # Poisson bootstrap CI: the distributed bootstrap (per-row
+        # Poisson(1) multiplicities, no shared resample index),
+        # deterministic via hash-derived uniforms -> exact oracle
+        "events_bootstrap_ci": _an.events_bootstrap_ci,
         # curriculum ordering: corpus-grain global position + stage via
         # the two-level prefix primitive (easy-to-hard training schedule)
         "corpus_curriculum_order": _llm.corpus_curriculum_order,
@@ -933,6 +937,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
+        "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
         "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
         "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,

@@ -1310,6 +1310,116 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_REPLICAS = 40
+
+# Poisson(1) CDF thresholds for k = 0..5 (multiplicities above 6 have
+# probability < 1e-4 and truncate to 6).  Computed ONCE here and embedded
+# as identical double literals in both engines — the determinism hinge:
+# a runtime exp() would reopen the libm cross-engine gap.
+def _poisson1_cdf(kmax: int = 6) -> tuple[float, ...]:
+    import math
+
+    acc, term, out = 0.0, math.exp(-1.0), []
+    for k in range(kmax):
+        acc += term
+        out.append(acc)
+        term /= k + 1
+    return tuple(out)
+
+
+POISSON1_CDF = _poisson1_cdf()
+
+
+def events_bootstrap_ci(
+    spark: SparkSession,
+    sf_dir: str,
+    n_replicas: int = BOOT_REPLICAS,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean per-user
+    purchase count — THE distributed bootstrap (each row independently
+    receives a Poisson(1)-distributed multiplicity per replica, so no
+    shared resample index ever exists; the classic multinomial bootstrap
+    needs a global draw of n indices, which does not shard).
+
+    Deterministic where bootstraps are usually random: replica ``b``'s
+    multiplicity for a user is the Poisson(1) inverse-CDF applied to the
+    uniform ``portable_hash60(user, seed=b) / 2^60`` — an exact
+    power-of-two scaling of an exact integer, compared against the
+    module-level CDF literals, so BOTH engines draw the identical
+    pseudo-resamples and the CI is hash-checkable.
+
+    Exactness: each replica mean is Σ(mult·x) / Σ(mult) — two exact
+    bigint sums, one IEEE division.  The CI avoids float SUMMATION
+    entirely: the ``n_replicas`` replica means are sorted into an array
+    and the bounds are ORDER STATISTICS (ranks ⌈0.025·B⌉ and
+    ⌈0.975·B⌉ — with B=40 that is min and 39th, the honest small-B
+    quantization of the percentile bootstrap; production raises B, same
+    plan).  Scale shape: one user-grain aggregate → a B× explode of the
+    ENTITY frame (map-side combinable into B partial rows) → a B-row
+    fold → one output row.
+
+    Output: (n_users, n_replicas, mean_obs, boot_median, ci_lo, ci_hi)."""
+    from ..functions.hashing import portable_hash60
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+    )
+
+    def mult(b: int):
+        u = portable_hash60(F.col("user_id"), seed=b) / F.lit(float(2**60))
+        expr = None
+        for k, t in enumerate(POISSON1_CDF):
+            expr = F.when(u < F.lit(t), k) if expr is None else expr.when(
+                u < F.lit(t), k
+            )
+        return expr.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
+
+    reps = per_user.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), mult(b).alias("m"))
+                    for b in range(n_replicas)
+                ]
+            )
+        ).alias("r"),
+    ).select("x", "r.b", "r.m")
+    boot = reps.groupBy("b").agg(
+        F.sum(F.col("m") * F.col("x")).alias("s"),
+        F.sum("m").alias("n"),
+    )
+    means = boot.select(
+        F.when(F.col("n") > 0, F.col("s") / F.col("n"))
+        .otherwise(F.lit(0.0))
+        .alias("boot_mean")
+    )
+    lo_rank = max(1, -(-25 * n_replicas // 1000))   # ceil(0.025 B)
+    hi_rank = -(-975 * n_replicas // 1000)          # ceil(0.975 B)
+    med_rank = (n_replicas + 1) // 2                # lower median
+    arr = means.agg(F.sort_array(F.collect_list("boot_mean")).alias("a"))
+    obs = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.when(F.count("*") > 0, F.sum("x") / F.count("*"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_obs"),
+    )
+    return obs.join(F.broadcast(arr)).select(
+        "n_users",
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+        "mean_obs",
+        F.try_element_at("a", F.lit(med_rank)).alias("boot_median"),
+        F.try_element_at("a", F.lit(lo_rank)).alias("ci_lo"),
+        F.try_element_at("a", F.lit(hi_rank)).alias("ci_hi"),
+    )
+
+
 def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test on the hash-split arms' per-user
     purchase counts — the fourth (and in practice most-used) member of

@@ -5024,6 +5024,59 @@ from agg
 EVENTS_MANN_WHITNEY = _mann_whitney_sql()
 
 
+def _bootstrap_ci_sql() -> str:
+    """Mirror of events_bootstrap_ci: identical hash-derived uniforms
+    (same md5 seed-prefix chain, same exact 2^60 scaling), the SAME
+    Poisson(1) CDF literals (module constants, e0-suffixed so DuckDB
+    parses doubles, not DECIMALs), identical order-statistic ranks."""
+    from .operators.analytics import BOOT_REPLICAS, POISSON1_CDF
+
+    b = BOOT_REPLICAS
+    lo_rank = max(1, -(-25 * b // 1000))
+    hi_rank = -(-975 * b // 1000)
+    med_rank = (b + 1) // 2
+    case = " ".join(
+        f"when u < {repr(t)}e0 then {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    h = "('0x' || substr(md5(g.b::varchar || '|' || p.user_id::varchar), 1, 15))::bigint"
+    return f"""
+with per_user as (
+    select user_id,
+           sum(case when event_type = 'purchase' then 1 else 0 end) as x
+    from events group by user_id
+),
+reps as (
+    select p.x, g.b,
+           {h} / 1152921504606846976e0 as u
+    from per_user p
+    cross join (select unnest(generate_series(0, {b - 1})) as b) g
+),
+mults as (
+    select x, b, cast(case {case} else {len(POISSON1_CDF)} end as bigint) as m
+    from reps
+),
+boot as (
+    select b, cast(sum(m * x) as bigint) as s, cast(sum(m) as bigint) as n
+    from mults group by b
+),
+means as (
+    select case when n > 0 then s / n else 0.0e0 end as bm from boot
+),
+arr as (select list_sort(list(bm)) as a from means),
+obs as (
+    select cast(count(*) as bigint) as n_users,
+           case when count(*) > 0 then sum(x) / count(*) else 0.0e0 end as mean_obs
+    from per_user
+)
+select n_users, cast({b} as bigint) as n_replicas, mean_obs,
+       a[{med_rank}] as boot_median, a[{lo_rank}] as ci_lo, a[{hi_rank}] as ci_hi
+from obs cross join arr
+"""
+
+
+EVENTS_BOOTSTRAP_CI = _bootstrap_ci_sql()
+
+
 def _welch_ttest_sql() -> str:
     """Mirror of events_welch_ttest: same exact integer moments (n, Σx,
     Σx² per arm), same CASE WHEN guards, same IEEE operation order for

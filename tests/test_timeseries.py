@@ -393,6 +393,20 @@ def test_welch_ttest_null_calibration_and_invariants(spark):
     assert lo - 1e-9 <= r.df <= hi + 1e-9, (r.df, lo, hi)
 
 
+def test_bootstrap_ci_brackets_the_observed_mean(spark):
+    """Poisson-bootstrap sanity: replica means are centered on the
+    observed mean, so the percentile CI must bracket it (and its own
+    median), with strictly positive width on non-degenerate data."""
+    from spotify_tracks_spark.operators.analytics import events_bootstrap_ci
+    from tests.conftest import SF_T2
+
+    r = events_bootstrap_ci(spark, SF_T2).collect()[0]
+    assert r.n_users > 0 and r.n_replicas == 40
+    assert r.ci_lo <= r.boot_median <= r.ci_hi
+    assert r.ci_lo <= r.mean_obs <= r.ci_hi, (r.ci_lo, r.mean_obs, r.ci_hi)
+    assert r.ci_hi > r.ci_lo
+
+
 def test_gini_planted_extremes(spark, tmp_path):
     """Perfect equality scores 0; with counts [1, 1, 18] over three
     users G = (2*58 - 4*20) / (3*20) = 0.6 by the exact formula."""
