@@ -676,6 +676,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Poisson(1) multiplicities, no shared resample index),
         # deterministic via hash-derived uniforms -> exact oracle
         "events_bootstrap_ci": _an.events_bootstrap_ci,
+        # CUPED-adjusted A/B readout: variance-reduced z from exact
+        # integer moments (the composition events_cuped measures for)
+        "events_cuped_ab_test": _an.events_cuped_ab_test,
+        # bootstrap of the TREATMENT EFFECT (joint per-replica resample)
+        "events_bootstrap_ab": _an.events_bootstrap_ab,
         # curriculum ordering: corpus-grain global position + stage via
         # the two-level prefix primitive (easy-to-hard training schedule)
         "corpus_curriculum_order": _llm.corpus_curriculum_order,
@@ -938,6 +943,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
         "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
+        "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
+        "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
         "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
         "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,

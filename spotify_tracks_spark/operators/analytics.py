@@ -1310,6 +1310,116 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED A/B readout — the composition the two standalone
+    operators exist for: ``events_cuped`` measures how much outcome
+    variance the pre-period covariate removes; this operator APPLIES the
+    adjustment and reports the variance-reduced two-sample z on the
+    adjusted outcome y' = y − θ·(x − x̄) (θ pooled, x̄ the pooled
+    pre-period mean — the standard CUPED estimator; adding the constant
+    θ·x̄ changes no variance and keeps y' unbiased for E[y]).
+
+    Exactness — no per-user float ever materializes: every adjusted-arm
+    statistic expands into the EXACT bigint moments (n, Σx, Σy, Σxy,
+    Σx², Σy² per arm):
+      mean' = Σy/n − θ(Σx/n − x̄)
+      Σ(y−θx)  = Σy − θΣx ;  Σ(y−θx)² = Σy² − 2θΣxy + θ²Σx²
+      var' = (n·Σ(y−θx)² − (Σ(y−θx))²) / (n(n−1))
+    so both engines apply the identical fixed-order IEEE ops to
+    identical integers.  z' mirrors events_welch_ttest's form on the
+    adjusted moments.  A pytest pins |z'| < 3 on the A/A split AND that
+    the adjusted variance never exceeds the raw variance (the CUPED
+    guarantee var' = var·(1−ρ²)).
+
+    Scale shape: one user-grain aggregate → one 1-row moment fold.
+    Output: (n_a, n_b, theta, mean_adj_a, mean_adj_b, var_adj_a,
+    var_adj_b, z_adj)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.to_date("ts") < F.lit(CUPED_SPLIT_DATE).cast("date")).alias("pre"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(
+                ~F.col("pre") & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("y"),
+    ).select(
+        "x",
+        "y",
+        (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias("arm_a"),
+    )
+
+    def arm(col, flag):
+        return F.sum(F.when(flag, col).otherwise(0))
+
+    a_flag, b_flag = F.col("arm_a"), ~F.col("arm_a")
+    m = per_user.agg(
+        F.count("*").alias("n_t"),
+        F.sum("x").alias("sx_t"),
+        F.sum("y").alias("sy_t"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_t"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_t"),
+        F.sum(F.when(a_flag, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(b_flag, 1).otherwise(0)).alias("n_b"),
+        arm(F.col("x"), a_flag).alias("sx_a"),
+        arm(F.col("x"), b_flag).alias("sx_b"),
+        arm(F.col("y"), a_flag).alias("sy_a"),
+        arm(F.col("y"), b_flag).alias("sy_b"),
+        arm(F.col("x") * F.col("y"), a_flag).alias("sxy_a"),
+        arm(F.col("x") * F.col("y"), b_flag).alias("sxy_b"),
+        arm(F.col("x") * F.col("x"), a_flag).alias("sxx_a"),
+        arm(F.col("x") * F.col("x"), b_flag).alias("sxx_b"),
+        arm(F.col("y") * F.col("y"), a_flag).alias("syy_a"),
+        arm(F.col("y") * F.col("y"), b_flag).alias("syy_b"),
+    )
+    sxx_c = F.col("n_t") * F.col("sxx_t") - F.col("sx_t") * F.col("sx_t")
+    sxy_c = F.col("n_t") * F.col("sxy_t") - F.col("sx_t") * F.col("sy_t")
+    theta = F.when(sxx_c > 0, sxy_c / sxx_c).otherwise(F.lit(0.0))
+    xbar = F.when(
+        F.col("n_t") > 0, F.col("sx_t") / F.col("n_t")
+    ).otherwise(F.lit(0.0))
+
+    def adjusted(side):
+        n = F.col(f"n_{side}")
+        sx, sy = F.col(f"sx_{side}"), F.col(f"sy_{side}")
+        sxy, sxx, syy = (
+            F.col(f"sxy_{side}"),
+            F.col(f"sxx_{side}"),
+            F.col(f"syy_{side}"),
+        )
+        mean = F.when(
+            n > 0, sy / n - theta * (sx / n - xbar)
+        ).otherwise(F.lit(0.0))
+        s1 = sy - theta * sx                      # Σ(y − θx), double
+        s2 = syy - 2 * theta * sxy + theta * theta * sxx  # Σ(y − θx)²
+        var = F.when(n > 1, (n * s2 - s1 * s1) / (n * (n - 1))).otherwise(
+            F.lit(0.0)
+        )
+        return mean, var
+
+    mean_a, var_a = adjusted("a")
+    mean_b, var_b = adjusted("b")
+    va = F.when(F.col("n_a") > 0, var_a / F.col("n_a")).otherwise(F.lit(0.0))
+    vb = F.when(F.col("n_b") > 0, var_b / F.col("n_b")).otherwise(F.lit(0.0))
+    se2 = va + vb
+    z = F.when(se2 > 0, (mean_a - mean_b) / F.sqrt(se2)).otherwise(F.lit(0.0))
+    return m.select(
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        mean_a.alias("mean_adj_a"),
+        mean_b.alias("mean_adj_b"),
+        var_a.alias("var_adj_a"),
+        var_b.alias("var_adj_b"),
+        z.alias("z_adj"),
+    )
+
+
 BOOT_REPLICAS = 40
 
 # Poisson(1) CDF thresholds for k = 0..5 (multiplicities above 6 have
@@ -1328,6 +1438,33 @@ def _poisson1_cdf(kmax: int = 6) -> tuple[float, ...]:
 
 
 POISSON1_CDF = _poisson1_cdf()
+
+
+def _poisson_mult(b: int):
+    """Replica ``b``'s Poisson(1) multiplicity for the current row's
+    user_id: inverse-CDF on the hash-derived uniform (see POISSON1_CDF)."""
+    from ..functions.hashing import portable_hash60
+
+    u = portable_hash60(F.col("user_id"), seed=b) / F.lit(float(2**60))
+    expr = None
+    for k, t in enumerate(POISSON1_CDF):
+        expr = F.when(u < F.lit(t), k) if expr is None else expr.when(
+            u < F.lit(t), k
+        )
+    return expr.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
+
+
+def _poisson_replicas(n_replicas: int):
+    """Exploded (b, m) replica structs — the B× fan-out of the ENTITY
+    frame shared by the bootstrap operators."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), _poisson_mult(b).alias("m"))
+                for b in range(n_replicas)
+            ]
+        )
+    )
 
 
 def events_bootstrap_ci(
@@ -1359,8 +1496,6 @@ def events_bootstrap_ci(
     fold → one output row.
 
     Output: (n_users, n_replicas, mean_obs, boot_median, ci_lo, ci_hi)."""
-    from ..functions.hashing import portable_hash60
-
     per_user = (
         read_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1370,26 +1505,8 @@ def events_bootstrap_ci(
             ).alias("x")
         )
     )
-
-    def mult(b: int):
-        u = portable_hash60(F.col("user_id"), seed=b) / F.lit(float(2**60))
-        expr = None
-        for k, t in enumerate(POISSON1_CDF):
-            expr = F.when(u < F.lit(t), k) if expr is None else expr.when(
-                u < F.lit(t), k
-            )
-        return expr.otherwise(F.lit(len(POISSON1_CDF))).cast("long")
-
     reps = per_user.select(
-        "x",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), mult(b).alias("m"))
-                    for b in range(n_replicas)
-                ]
-            )
-        ).alias("r"),
+        "x", _poisson_replicas(n_replicas).alias("r")
     ).select("x", "r.b", "r.m")
     boot = reps.groupBy("b").agg(
         F.sum(F.col("m") * F.col("x")).alias("s"),
@@ -1414,6 +1531,89 @@ def events_bootstrap_ci(
         "n_users",
         F.lit(n_replicas).cast("long").alias("n_replicas"),
         "mean_obs",
+        F.try_element_at("a", F.lit(med_rank)).alias("boot_median"),
+        F.try_element_at("a", F.lit(lo_rank)).alias("ci_lo"),
+        F.try_element_at("a", F.lit(hi_rank)).alias("ci_hi"),
+    )
+
+
+def events_bootstrap_ab(
+    spark: SparkSession,
+    sf_dir: str,
+    n_replicas: int = BOOT_REPLICAS,
+) -> DataFrame:
+    """Poisson-bootstrap CI on the TREATMENT EFFECT — the experimentation
+    readout the plain bootstrap exists for: each replica resamples both
+    arms jointly (every user keeps its hash-assigned arm and carries the
+    same Poisson(1) multiplicity, so the replica is one coherent
+    pseudo-dataset) and contributes diff_b = mean_A,b − mean_B,b; the CI
+    is the order-statistic band over the sorted diffs.  Where the z / t
+    tests buy their intervals with a normality assumption, this prices
+    the same uncertainty from the resampling distribution itself — the
+    cross-check experimentation platforms run when metrics are skewed.
+
+    Same determinism and exactness as ``events_bootstrap_ci``: shared
+    hash-derived multiplicities (``_poisson_replicas``), per-arm replica
+    means as exact bigint-sum divisions, CI as order statistics of the
+    sorted diff array (no float summation), everything mirrored in the
+    oracle.  Output: (n_users, n_replicas, diff_obs, boot_median,
+    ci_lo, ci_hi)."""
+    from ..functions.hashing import portable_hash60
+
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+        .select(
+            "user_id",
+            "x",
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    reps = per_user.select(
+        "x", "arm_a", _poisson_replicas(n_replicas).alias("r")
+    ).select("x", "arm_a", "r.b", "r.m")
+    boot = reps.groupBy("b").agg(
+        F.sum(F.when(F.col("arm_a"), F.col("m") * F.col("x")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("m")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("m") * F.col("x")).otherwise(0)).alias("s_b"),
+        F.sum(F.when(~F.col("arm_a"), F.col("m")).otherwise(0)).alias("n_b"),
+    )
+    mean_a = F.when(F.col("n_a") > 0, F.col("s_a") / F.col("n_a")).otherwise(
+        F.lit(0.0)
+    )
+    mean_b = F.when(F.col("n_b") > 0, F.col("s_b") / F.col("n_b")).otherwise(
+        F.lit(0.0)
+    )
+    diffs = boot.select((mean_a - mean_b).alias("diff"))
+    lo_rank = max(1, -(-25 * n_replicas // 1000))
+    hi_rank = -(-975 * n_replicas // 1000)
+    med_rank = (n_replicas + 1) // 2
+    arr = diffs.agg(F.sort_array(F.collect_list("diff")).alias("a"))
+    obs_ma = F.when(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)) > 0,
+        F.sum(F.when(F.col("arm_a"), F.col("x")).otherwise(0))
+        / F.sum(F.when(F.col("arm_a"), 1).otherwise(0)),
+    ).otherwise(F.lit(0.0))
+    obs_mb = F.when(
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)) > 0,
+        F.sum(F.when(~F.col("arm_a"), F.col("x")).otherwise(0))
+        / F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)),
+    ).otherwise(F.lit(0.0))
+    obs = per_user.agg(
+        F.count("*").alias("n_users"),
+        (obs_ma - obs_mb).alias("diff_obs"),
+    )
+    return obs.join(F.broadcast(arr)).select(
+        "n_users",
+        F.lit(n_replicas).cast("long").alias("n_replicas"),
+        "diff_obs",
         F.try_element_at("a", F.lit(med_rank)).alias("boot_median"),
         F.try_element_at("a", F.lit(lo_rank)).alias("ci_lo"),
         F.try_element_at("a", F.lit(hi_rank)).alias("ci_hi"),

@@ -5024,6 +5024,95 @@ from agg
 EVENTS_MANN_WHITNEY = _mann_whitney_sql()
 
 
+def _cuped_ab_test_sql() -> str:
+    """Mirror of events_cuped_ab_test: identical exact bigint moments,
+    identical operator-precedence expansion of the adjusted mean /
+    variance (left-assoc, * before +/-), identical CASE guards."""
+    from .operators.analytics import AB_SPLIT_MOD, CUPED_SPLIT_DATE
+
+    def adj(side: str) -> tuple[str, str]:
+        n, sx, sy = f"n_{side}", f"sx_{side}", f"sy_{side}"
+        sxy, sxx, syy = f"sxy_{side}", f"sxx_{side}", f"syy_{side}"
+        mean = (
+            f"case when {n} > 0 then {sy} / {n} - theta * ({sx} / {n} - xbar) "
+            f"else 0.0e0 end"
+        )
+        var = (
+            f"case when {n} > 1 then "
+            f"({n} * ({syy} - 2 * theta * {sxy} + theta * theta * {sxx}) "
+            f"- ({sy} - theta * {sx}) * ({sy} - theta * {sx})) "
+            f"/ ({n} * ({n} - 1)) else 0.0e0 end"
+        )
+        return mean, var
+
+    mean_a, var_a = adj("a")
+    mean_b, var_b = adj("b")
+    return f"""
+with ev as (
+    select user_id, event_type,
+           cast(ts as date) < date '{CUPED_SPLIT_DATE}' as pre
+    from events
+),
+per_user as (
+    select sum(case when pre then 1 else 0 end) as x,
+           sum(case when not pre and event_type = 'purchase' then 1 else 0 end) as y,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from ev group by user_id
+),
+m as (
+    select cast(count(*) as bigint) as n_t,
+           cast(sum(x) as bigint) as sx_t,
+           cast(sum(y) as bigint) as sy_t,
+           cast(sum(x * y) as bigint) as sxy_t,
+           cast(sum(x * x) as bigint) as sxx_t,
+           cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b,
+           cast(sum(case when arm_a then x else 0 end) as bigint) as sx_a,
+           cast(sum(case when not arm_a then x else 0 end) as bigint) as sx_b,
+           cast(sum(case when arm_a then y else 0 end) as bigint) as sy_a,
+           cast(sum(case when not arm_a then y else 0 end) as bigint) as sy_b,
+           cast(sum(case when arm_a then x * y else 0 end) as bigint) as sxy_a,
+           cast(sum(case when not arm_a then x * y else 0 end) as bigint) as sxy_b,
+           cast(sum(case when arm_a then x * x else 0 end) as bigint) as sxx_a,
+           cast(sum(case when not arm_a then x * x else 0 end) as bigint) as sxx_b,
+           cast(sum(case when arm_a then y * y else 0 end) as bigint) as syy_a,
+           cast(sum(case when not arm_a then y * y else 0 end) as bigint) as syy_b
+    from per_user
+),
+d1 as (
+    select *,
+           case when n_t * sxx_t - sx_t * sx_t > 0
+                then (n_t * sxy_t - sx_t * sy_t)
+                     / (n_t * sxx_t - sx_t * sx_t)
+                else 0.0e0 end as theta,
+           case when n_t > 0 then sx_t / n_t else 0.0e0 end as xbar
+    from m
+),
+d2 as (
+    select *,
+           {mean_a} as mean_adj_a,
+           {mean_b} as mean_adj_b,
+           {var_a} as var_adj_a,
+           {var_b} as var_adj_b
+    from d1
+),
+d3 as (
+    select *,
+           case when n_a > 0 then var_adj_a / n_a else 0.0e0 end as va,
+           case when n_b > 0 then var_adj_b / n_b else 0.0e0 end as vb
+    from d2
+)
+select n_a, n_b, theta, mean_adj_a, mean_adj_b, var_adj_a, var_adj_b,
+       case when va + vb > 0
+            then (mean_adj_a - mean_adj_b) / sqrt(va + vb)
+            else 0.0e0 end as z_adj
+from d3
+"""
+
+
+EVENTS_CUPED_AB_TEST = _cuped_ab_test_sql()
+
+
 def _bootstrap_ci_sql() -> str:
     """Mirror of events_bootstrap_ci: identical hash-derived uniforms
     (same md5 seed-prefix chain, same exact 2^60 scaling), the SAME
@@ -5075,6 +5164,77 @@ from obs cross join arr
 
 
 EVENTS_BOOTSTRAP_CI = _bootstrap_ci_sql()
+
+
+def _bootstrap_ab_sql() -> str:
+    """Mirror of events_bootstrap_ab: identical joint resampling (same
+    per-(user, replica) multiplicities, users keep their hash arm),
+    identical per-arm guarded divisions and order-statistic ranks."""
+    from .operators.analytics import (
+        AB_SPLIT_MOD,
+        BOOT_REPLICAS,
+        POISSON1_CDF,
+    )
+
+    b = BOOT_REPLICAS
+    lo_rank = max(1, -(-25 * b // 1000))
+    hi_rank = -(-975 * b // 1000)
+    med_rank = (b + 1) // 2
+    case = " ".join(
+        f"when u < {repr(t)}e0 then {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    h = "('0x' || substr(md5(g.b::varchar || '|' || p.user_id::varchar), 1, 15))::bigint"
+    return f"""
+with per_user as (
+    select user_id,
+           sum(case when event_type = 'purchase' then 1 else 0 end) as x,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events group by user_id
+),
+reps as (
+    select p.x, p.arm_a, g.b,
+           {h} / 1152921504606846976e0 as u
+    from per_user p
+    cross join (select unnest(generate_series(0, {b - 1})) as b) g
+),
+mults as (
+    select x, arm_a, b,
+           cast(case {case} else {len(POISSON1_CDF)} end as bigint) as m
+    from reps
+),
+boot as (
+    select b,
+           cast(sum(case when arm_a then m * x else 0 end) as bigint) as s_a,
+           cast(sum(case when arm_a then m else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then m * x else 0 end) as bigint) as s_b,
+           cast(sum(case when not arm_a then m else 0 end) as bigint) as n_b
+    from mults group by b
+),
+diffs as (
+    select (case when n_a > 0 then s_a / n_a else 0.0e0 end)
+           - (case when n_b > 0 then s_b / n_b else 0.0e0 end) as d
+    from boot
+),
+arr as (select list_sort(list(d)) as a from diffs),
+obs as (
+    select cast(count(*) as bigint) as n_users,
+           (case when sum(case when arm_a then 1 else 0 end) > 0
+                 then sum(case when arm_a then x else 0 end)
+                      / sum(case when arm_a then 1 else 0 end)
+                 else 0.0e0 end)
+           - (case when sum(case when not arm_a then 1 else 0 end) > 0
+                   then sum(case when not arm_a then x else 0 end)
+                        / sum(case when not arm_a then 1 else 0 end)
+                   else 0.0e0 end) as diff_obs
+    from per_user
+)
+select n_users, cast({b} as bigint) as n_replicas, diff_obs,
+       a[{med_rank}] as boot_median, a[{lo_rank}] as ci_lo, a[{hi_rank}] as ci_hi
+from obs cross join arr
+"""
+
+
+EVENTS_BOOTSTRAP_AB = _bootstrap_ab_sql()
 
 
 def _welch_ttest_sql() -> str:

@@ -393,6 +393,26 @@ def test_welch_ttest_null_calibration_and_invariants(spark):
     assert lo - 1e-9 <= r.df <= hi + 1e-9, (r.df, lo, hi)
 
 
+def test_cuped_ab_test_calibration_and_variance_reduction(spark):
+    """A/A calibration for the variance-reduced readout (|z'| < 3), plus
+    the CUPED guarantee itself: the adjusted per-arm variance never
+    exceeds the raw outcome variance (var' = var·(1−ρ²) ≤ var), checked
+    against events_welch_ttest's raw moments on the same split."""
+    from spotify_tracks_spark.operators.analytics import (
+        events_cuped_ab_test,
+        events_welch_ttest,
+    )
+    from tests.conftest import SF_T2
+
+    adj = events_cuped_ab_test(spark, SF_T2).collect()[0]
+    raw = events_welch_ttest(spark, SF_T2).collect()[0]
+    assert (adj.n_a, adj.n_b) == (raw.n_a, raw.n_b)
+    assert abs(adj.z_adj) < 3.0, adj.z_adj
+    # CUPED can only remove variance (up to FP slack on the last ulp)
+    assert adj.var_adj_a <= raw.var_a * (1 + 1e-12), (adj.var_adj_a, raw.var_a)
+    assert adj.var_adj_b <= raw.var_b * (1 + 1e-12), (adj.var_adj_b, raw.var_b)
+
+
 def test_bootstrap_ci_brackets_the_observed_mean(spark):
     """Poisson-bootstrap sanity: replica means are centered on the
     observed mean, so the percentile CI must bracket it (and its own
@@ -405,6 +425,20 @@ def test_bootstrap_ci_brackets_the_observed_mean(spark):
     assert r.ci_lo <= r.boot_median <= r.ci_hi
     assert r.ci_lo <= r.mean_obs <= r.ci_hi, (r.ci_lo, r.mean_obs, r.ci_hi)
     assert r.ci_hi > r.ci_lo
+
+
+def test_bootstrap_ab_brackets_the_observed_diff(spark):
+    """Treatment-effect bootstrap sanity: the CI brackets the observed
+    arm difference (replica diffs are centered on it) and, on the A/A
+    hash split, also straddles zero — the no-effect reading."""
+    from spotify_tracks_spark.operators.analytics import events_bootstrap_ab
+    from tests.conftest import SF_T2
+
+    r = events_bootstrap_ab(spark, SF_T2).collect()[0]
+    assert r.n_users > 0 and r.n_replicas == 40
+    assert r.ci_lo <= r.boot_median <= r.ci_hi
+    assert r.ci_lo <= r.diff_obs <= r.ci_hi, (r.ci_lo, r.diff_obs, r.ci_hi)
+    assert r.ci_lo <= 0.0 <= r.ci_hi, "A/A effect CI should straddle zero"
 
 
 def test_gini_planted_extremes(spark, tmp_path):
