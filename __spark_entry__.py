@@ -681,6 +681,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped_ab_test": _an.events_cuped_ab_test,
         # bootstrap of the TREATMENT EFFECT (joint per-replica resample)
         "events_bootstrap_ab": _an.events_bootstrap_ab,
+        # SRM health gate: chi-square on arm counts (exact (na-nb)^2/n)
+        "events_srm_check": _an.events_srm_check,
         # curriculum ordering: corpus-grain global position + stage via
         # the two-level prefix primitive (easy-to-hard training schedule)
         "corpus_curriculum_order": _llm.corpus_curriculum_order,
@@ -945,6 +947,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
         "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
         "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
+        "events_srm_check": oracles_ext.EVENTS_SRM_CHECK,
         "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
         "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,

@@ -1310,6 +1310,54 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chi-square(1) critical value at alpha = 0.05 — the standard SRM alarm
+# threshold, embedded as a literal (no runtime distribution function)
+SRM_CHI2_CRIT = 3.841458820694124
+
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch check — the experiment HEALTH gate that runs
+    before any effect readout: if the hash split assigns users to arms
+    at a ratio significantly off the designed 50/50, every downstream
+    test (z / t / U / KS / CUPED / bootstrap, all sharing this split) is
+    reading a broken randomization, not an effect.  The statistic is the
+    chi-square goodness-of-fit on arm COUNTS, which for two equal-share
+    arms collapses to the exact form (n_a − n_b)² / n — one division of
+    exact bigints, compared against the α=0.05 critical literal.
+
+    Scale shape: one user-grain aggregate → a 1-row count fold (the
+    cheapest query in the experimentation family, as a health gate
+    should be).  Output: (n_users, n_a, n_b, chi2_stat, srm_detected)."""
+    from ..functions.hashing import portable_hash60
+
+    arms = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            )
+        )
+    )
+    m = arms.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = F.when(
+        F.col("n_users") > 0, (d * d) / F.col("n_users")
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_stat"),
+        (chi2 > F.lit(SRM_CHI2_CRIT)).alias("srm_detected"),
+    )
+
+
 def events_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-ADJUSTED A/B readout — the composition the two standalone
     operators exist for: ``events_cuped`` measures how much outcome

@@ -5024,6 +5024,37 @@ from agg
 EVENTS_MANN_WHITNEY = _mann_whitney_sql()
 
 
+def _srm_check_sql() -> str:
+    """Mirror of events_srm_check: same distinct-user arm counts, same
+    exact (n_a − n_b)²/n statistic and critical literal."""
+    from .operators.analytics import AB_SPLIT_MOD, SRM_CHI2_CRIT
+
+    return f"""
+with arms as (
+    select distinct user_id,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events
+),
+m as (
+    select cast(count(*) as bigint) as n_users,
+           cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b
+    from arms
+)
+select n_users, n_a, n_b,
+       case when n_users > 0
+            then (n_a - n_b) * (n_a - n_b) / n_users
+            else 0.0e0 end as chi2_stat,
+       (case when n_users > 0
+             then (n_a - n_b) * (n_a - n_b) / n_users
+             else 0.0e0 end) > {SRM_CHI2_CRIT!r}e0 as srm_detected
+from m
+"""
+
+
+EVENTS_SRM_CHECK = _srm_check_sql()
+
+
 def _cuped_ab_test_sql() -> str:
     """Mirror of events_cuped_ab_test: identical exact bigint moments,
     identical operator-precedence expansion of the adjusted mean /

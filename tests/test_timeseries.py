@@ -427,6 +427,41 @@ def test_bootstrap_ci_brackets_the_observed_mean(spark):
     assert r.ci_hi > r.ci_lo
 
 
+def test_srm_check_passes_on_healthy_split_and_fires_when_planted(spark, tmp_path):
+    """The health gate must stay quiet on the healthy hash split and
+    ALARM on a planted broken randomization (9:1 assignment): a health
+    check that can't fire is vacuous."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.analytics import events_srm_check
+    from tests.conftest import SF_T2
+
+    healthy = events_srm_check(spark, SF_T2).collect()[0]
+    assert healthy.n_a + healthy.n_b == healthy.n_users
+    assert not healthy.srm_detected, (healthy.chi2_stat, healthy.n_a, healthy.n_b)
+
+    # plant a 9:1 split: user ids chosen so the portable hash lands
+    # ~half/half, then 90% of users collapsed onto arm-A ids — simulate
+    # by synthesizing many more users on one hash side via rejection
+    from spotify_tracks_spark.functions.hashing import portable_hash60
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, 4000).select(F.col("id").alias("user_id"))
+    arm = (portable_hash60(F.col("user_id")) % 2 == 0)
+    skewed = ids.filter(arm).union(ids.filter(~arm).limit(120))
+    rows = skewed.select(
+        F.col("user_id").alias("event_id"),
+        F.lit(datetime(2024, 3, 1, 12)).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    rows.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    planted = events_srm_check(spark, str(tmp_path)).collect()[0]
+    assert planted.srm_detected, (planted.chi2_stat, planted.n_a, planted.n_b)
+
+
 def test_bootstrap_ab_brackets_the_observed_diff(spark):
     """Treatment-effect bootstrap sanity: the CI brackets the observed
     arm difference (replica diffs are centered on it) and, on the A/A
