@@ -45,6 +45,13 @@ from pyspark.sql.window import Window
 #: Internal partition-id column (dropped before returning).
 _PID = "__tlr_pid"
 
+#: Above this partition count the per-pid offsets ride a broadcast
+#: DataFrame join instead of literal ``create_map`` expressions: at
+#: production settings (thousands of shuffle partitions) one literal
+#: map per measure plus the rank bloats the plan / codegen, while a
+#: broadcast relation of ``num_partitions`` rows is O(1) in plan size.
+_OFFSET_MAP_MAX_PARTITIONS = 256
+
 
 def _offset_map(pairs: list[tuple[int, int]]) -> Column:
     """Literal ``map<int,bigint>`` of (pid -> exclusive prefix total)."""
@@ -82,9 +89,11 @@ def two_level_prefix(
     """
     measures = dict(measures or {})
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            num_partitions = int(raw)
+        except (TypeError, ValueError):  # e.g. "auto" under some resellers
+            num_partitions = 200
 
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
@@ -116,26 +125,45 @@ def two_level_prefix(
 
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    out = ranged.withColumn(
-        rank_col,
-        (
-            F.coalesce(
-                F.try_element_at(_offset_map(offset_pairs[rank_col]), F.col(_PID)),
-                F.lit(0),
-            )
-            + F.row_number().over(w)
-        ).cast("long"),
-    )
-    for name, col in measures.items():
-        out = out.withColumn(
-            name,
-            F.coalesce(
+
+    if num_partitions <= _OFFSET_MAP_MAX_PARTITIONS:
+        # Small partition count: literal map lookup, zero extra joins.
+        def _off(name: str) -> Column:
+            return F.coalesce(
                 F.try_element_at(_offset_map(offset_pairs[name]), F.col(_PID)),
                 F.lit(0),
             )
-            + F.sum(col).over(run),
+
+        out = ranged
+    else:
+        # Production partition counts: offsets ride one broadcast
+        # relation keyed on pid (plan size O(1) in num_partitions).
+        names = [rank_col, *measures]
+        off_cols = [f"__off_{i}" for i in range(len(names))]
+        by_pid = {pid: [off] for pid, off in offset_pairs[rank_col]}
+        for name in measures:
+            for pid, off in offset_pairs[name]:
+                by_pid[pid].append(off)
+        offsets_df = df.sparkSession.createDataFrame(
+            [(pid, *offs) for pid, offs in by_pid.items()],
+            schema=f"{_PID} int, " + ", ".join(f"{c} long" for c in off_cols),
         )
-    return out.drop(_PID), totals
+        ranged = ranged.join(F.broadcast(offsets_df), _PID, "left")
+
+        def _off(name: str, _idx={n: i for i, n in enumerate(names)}) -> Column:
+            return F.coalesce(F.col(off_cols[_idx[name]]), F.lit(0))
+
+        out = ranged
+
+    out = out.withColumn(
+        rank_col, (_off(rank_col) + F.row_number().over(w)).cast("long")
+    )
+    for name, col in measures.items():
+        out = out.withColumn(name, _off(name) + F.sum(col).over(run))
+    drop = [_PID] if num_partitions <= _OFFSET_MAP_MAX_PARTITIONS else [
+        _PID, *[c for c in out.columns if c.startswith("__off_")]
+    ]
+    return out.drop(*drop), totals
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:

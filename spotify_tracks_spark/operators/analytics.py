@@ -1345,7 +1345,13 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
     )
-    d = F.col("n_a") - F.col("n_b")
+    # d is squared as DOUBLE: a severely broken split at extreme user
+    # counts (|d| > ~3.03e9) would overflow exact int64 multiplication
+    # and, under ANSI mode, FAIL the health gate instead of alarming.
+    # Precision is irrelevant at that magnitude — the threshold
+    # comparison is coarse — so the gate trades 53-bit mantissa rounding
+    # for guaranteed availability.
+    d = (F.col("n_a") - F.col("n_b")).cast("double")
     chi2 = F.when(
         F.col("n_users") > 0, (d * d) / F.col("n_users")
     ).otherwise(F.lit(0.0))

@@ -18,6 +18,14 @@ that tests can run over the WHOLE registered query surface:
    (scalar broadcast), which Spark plans as BroadcastNestedLoopJoin,
    not CartesianProduct — so any CartesianProduct at all is flagged
    unless explicitly allow-listed.
+4. **Row-at-a-time Python UDF** — a ``BatchEvalPythonExec`` node means
+   a plain ``F.udf`` runs one pickled Python call PER ROW (no Arrow,
+   no vectorization; ~10-100x slower than a pandas UDF on the same
+   logic).  The Arrow-batched operators (``ArrowEvalPythonExec`` for
+   ``@pandas_udf``, the ``MapInPandas``/``MapInArrow``/
+   ``FlatMapGroupsInPandas`` family) are the sanctioned Python paths
+   and are NOT flagged.  The repo was row-UDF-free by discipline; this
+   rule makes it row-UDF-free by gate.
 3. **Forced fact-scale broadcast** — a join whose EXPLICITLY HINTED
    (``F.broadcast``) side scans a fact-scale table with no intervening
    aggregate/limit that reduces grain.  Only HINTED broadcasts are
@@ -75,6 +83,23 @@ def _children(jnode):
     return [seq.apply(i) for i in range(seq.length())]
 
 
+def _input_chain(jnode):
+    """Walk only the UNARY input chain below a node: project / filter /
+    sort / exchange / limit nodes preserve-or-reduce the row count, so a
+    bounding node found here genuinely bounds the window's input.  The
+    walk STOPS at any multi-child node (joins, unions): a limit on one
+    branch of a join does not bound the merged frame (the join can
+    re-inflate rows, and a limit on the build side says nothing about
+    the probe side) — descending past them was rule 1's false-negative
+    hole (round-6 advice)."""
+    yield jnode
+    kids = _children(jnode)
+    while len(kids) == 1:
+        node = kids[0]
+        yield node
+        kids = _children(node)
+
+
 def _walk(jnode):
     yield jnode
     for c in _children(jnode):
@@ -121,6 +146,7 @@ def lint_plan(
     allow_global_window: bool = False,
     allow_cartesian: bool = False,
     allow_fact_broadcast: bool = False,
+    allow_row_python_udf: bool = False,
 ) -> list[str]:
     """Return a list of human-readable violations (empty = clean).
 
@@ -134,7 +160,7 @@ def lint_plan(
         kind = _name(node)
         if kind == "WindowExec" and node.partitionSpec().isEmpty():
             bounded = any(
-                _name(n) in _BOUNDING for n in _walk(node.child())
+                _name(n) in _BOUNDING for n in _input_chain(node.child())
             )
             if allow_global_window or bounded:
                 continue
@@ -144,6 +170,11 @@ def lint_plan(
             )
         elif kind == "CartesianProductExec" and not allow_cartesian:
             violations.append("CartesianProductExec (unkeyed |L|x|R| join)")
+        elif kind == "BatchEvalPythonExec" and not allow_row_python_udf:
+            violations.append(
+                "BatchEvalPythonExec (row-at-a-time Python UDF; use a "
+                "pandas UDF / mapInPandas — Arrow-batched — instead)"
+            )
     if not allow_fact_broadcast:
         logical = df._jdf.queryExecution().optimizedPlan()
         for node in _walk(logical):

@@ -588,6 +588,14 @@ def stream_events_quantile_hist(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+    if cur["batch"] < 0:
+        # Fresh base whose source yielded ZERO micro-batches: no state
+        # snapshot exists, so reading state_b-1 would raise an opaque
+        # AnalysisException.  Return the empty sketch with the batch
+        # operator's schema instead (its empty-input behavior).
+        return spark.createDataFrame(
+            [], "event_type string, p double, n_total bigint, est double"
+        )
     final = spark.read.parquet(f"{base}/state_b{cur['batch']}").withColumn(
         "n", F.col("n").cast("long")
     )

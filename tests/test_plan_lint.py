@@ -142,6 +142,21 @@ def test_lint_catches_planted_violations(spark):
     )
     assert any("fact-table" in v for v in lint_plan(planted_broadcast))
 
+    # rule 4: a plain F.udf plans as BatchEvalPythonExec (row-at-a-time)
+    plain_udf = F.udf(lambda v: v + 1.0, "double")
+    planted_udf = ev.select(plain_udf(F.col("value")).alias("v2"))
+    assert any("BatchEvalPython" in v for v in lint_plan(planted_udf))
+
+    # rule 1 false-negative fix (round-6 advice): a limit on the SMALL
+    # SIDE of a join must NOT mark a global window over the merged frame
+    # as bounded — the limit bounds one branch, not the join output.
+    small = ev.select("user_id").distinct().limit(5)
+    merged = ev.join(small, "user_id")
+    planted_joined_window = merged.withColumn(
+        "r", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    assert any("WindowExec" in v for v in lint_plan(planted_joined_window))
+
     # and the benign shapes stay clean: a bounded global top-k window
     # (TakeOrderedAndProject below it) and a dimension broadcast
     topk = ev.orderBy(F.desc("value")).limit(5).withColumn(
@@ -153,3 +168,13 @@ def test_lint_catches_planted_violations(spark):
         ev.user_id == F.col("n_nationkey"),
     )
     assert lint_plan(dim) == []
+
+    # the sanctioned Arrow-batched Python paths stay clean under rule 4
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _plus_one(s):
+        return s + 1.0
+
+    arrow_udf = ev.select(_plus_one(F.col("value")).alias("v2"))
+    assert lint_plan(arrow_udf) == []

@@ -81,13 +81,38 @@ def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
     assert dict(got.dtypes)["b"] == "int"
 
 
-def test_two_level_prefix_empty_frame(spark):
+@pytest.mark.parametrize("nparts", [None, 1000])
+def test_two_level_prefix_empty_frame(spark, nparts):
     """Empty input: no rows, zero totals, schema intact (no div-by-zero
-    or missing-key map errors under ANSI mode)."""
+    or missing-key map errors under ANSI mode) — on both the literal-map
+    path (default nparts) and the broadcast-offsets path (1000)."""
     df = _per_user(spark).filter(F.lit(False))
     got, totals = two_level_prefix(
-        df, [F.asc("x"), F.asc("user_id")], measures={"cum": F.col("x")}, rank_col="rk"
+        df,
+        [F.asc("x"), F.asc("user_id")],
+        measures={"cum": F.col("x")},
+        rank_col="rk",
+        num_partitions=nparts,
     )
     assert got.count() == 0
     assert totals == {"rk": 0, "cum": 0}
     assert {"rk", "cum"} <= set(got.columns)
+
+
+def test_two_level_prefix_broadcast_path_plan_is_small(spark):
+    """Above _OFFSET_MAP_MAX_PARTITIONS the offsets must ride a
+    broadcast relation, not per-partition literal maps: the plan string
+    must not grow with the partition count (the round-6 advice item —
+    thousands of shuffle partitions would bloat codegen otherwise)."""
+    df = _per_user(spark)
+    got, _ = two_level_prefix(
+        df,
+        [F.asc("x"), F.asc("user_id")],
+        measures={"cum": F.col("x")},
+        rank_col="rk",
+        num_partitions=1000,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # No create_map literal of pid offsets in the optimized plan.
+    assert "map(0," not in got._jdf.queryExecution().optimizedPlan().toString()
