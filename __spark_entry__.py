@@ -322,7 +322,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rounds (the 10 round-4 rotations — scd2, pit_join, merge_upsert,
     growth_accounting, dedup_paragraph, dedup_keep_list, tfidf,
     contamination, corpus_split, markov — plus dedup_exact,
-    ann_topk_bruteforce, corpus_prep, each green r2–r5)."""
+    ann_topk_bruteforce, corpus_prep, each green r2–r5).
+
+    ROUND-7 ROTATION (same policy): 13 never-driver-rowed operators
+    IN (pagerank, jaccard_exact_join, containment, clusters_star,
+    semantic_ivf, welch_ttest, bootstrap_ci, bootstrap_ab, srm_check,
+    cuped_ab_test, curriculum_order, quantile_hist batch+stream — the
+    round-6 additions plus the heaviest pytest-only plans); rotated
+    OUT the 13 longest-green: the whole round-5 rotation cohort
+    (triangles, doc_similarity, cms_heavy_hitters, stream_cms,
+    dedup_recall_eval, supplier_nation_share, sales_by_region_quarter,
+    dedup_windowed, dup_inflation, clusters_sql — each green r5–r6)
+    plus sql_top_artists, dedup_minhash_lsh, dedup_simhash (green
+    since r2).  The round-6 cohort stays (1 driver round so far;
+    policy is ≥2 before rotating out)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -358,27 +371,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_log_rank": _ts.events_log_rank,
         # mergeable K-Minimum-Values cardinality sketch
         "events_kmv_distinct": _events.events_kmv_distinct,
-        # --- rotated IN round 5: first-ever driver rows, fronted ---
-        # degree-oriented triangle counting (size-gated closing probe)
-        "parts_copurchase_triangles": parts_copurchase_triangles,
-        # per-doc top-k lexical neighbors (inverted-index cosine join)
-        "text_doc_similarity": _text.text_doc_similarity,
-        # Count-Min heavy hitters (deterministic mergeable sketch)
-        "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
-        # streaming CMS maintenance (constant-size sketch state fold)
-        "events_stream_cms": _events_stream_cms,
-        # pair recall/precision of every fuzzy dedup family vs pooled truth
-        "dedup_recall_eval": _dedup.dedup_recall_eval,
-        # share-of-segment: aggregate-first then nation-partitioned windows
-        "supplier_nation_share": _an.supplier_nation_share,
-        # star-schema rollup through the customer->nation->region chain
-        "sales_by_region_quarter": _an.sales_by_region_quarter,
-        # trailing-edge burst debounce (retry-storm compaction)
-        "events_dedup_windowed": _an.events_dedup_windowed,
-        # duplicate-token inflation: the number that motivates dedup
-        "corpus_dup_inflation": corpus_dup_inflation,
-        # WITH RECURSIVE (Spark 4) twin of the dup-cluster operator
-        "dedup_clusters_sql": _dedup.dedup_clusters_sql,
+        # --- rotated IN round 7: first-ever driver rows, fronted ---
+        # fixed-depth power iteration over the co-purchase graph
+        "parts_copurchase_pagerank": _graph_pagerank,
+        # EXACT set-similarity join (prefix filtering, AllPairs/PPJoin)
+        "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
+        # asymmetric shingle containment (excerpt/quote detection)
+        "dedup_containment": _dedup.dedup_containment,
+        # alternating large-star/small-star connected components
+        "dedup_clusters_star": _dedup.dedup_clusters_star,
+        # SemDeDup-shape cluster-blocked (IVF-cell) semantic dedup
+        "dedup_semantic_ivf": _dedup_semantic_ivf,
+        # Welch unequal-variance t-test (exact per-arm integer moments)
+        "events_welch_ttest": _an.events_welch_ttest,
+        # Poisson bootstrap CI (hash-deterministic multiplicities)
+        "events_bootstrap_ci": _an.events_bootstrap_ci,
+        # bootstrap of the treatment effect (joint per-replica resample)
+        "events_bootstrap_ab": _an.events_bootstrap_ab,
+        # SRM assignment-health chi-square gate
+        "events_srm_check": _an.events_srm_check,
+        # CUPED-adjusted variance-reduced A/B readout
+        "events_cuped_ab_test": _an.events_cuped_ab_test,
+        # curriculum ordering via the two-level prefix primitive
+        "corpus_curriculum_order": _llm.corpus_curriculum_order,
+        # mergeable equi-width quantile sketch (batch + streaming fold)
+        "events_quantile_hist": _profile.events_quantile_hist,
+        "events_stream_quantile_hist": _events_stream_quantile_hist,
         # --- entries the round-2 harness never recorded, fronted ---
         "idempotent_append": _idempotent_append,
         # multimodal plumbing (binary columns + Arrow-batched metadata)
@@ -400,12 +418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- green-in-round-2 batch surface ---
         # publish sink round-trip (sqlite copy → dump → payloads → readback)
         "publish_roundtrip": publish_roundtrip,
-        # SQL surface: ad-hoc spark.sql over registered mart views
-        "sql_top_artists": sql_top_artists,
-        # dedup family (dedup_exact rotated to pytest tier round 6;
-        # dedup_ngram_jaccard's capped driver run rotated round 5)
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_simhash": _dedup.dedup_simhash,
+        # (sql_top_artists, dedup_minhash_lsh, dedup_simhash — driver-
+        # green r2–r6 — rotated to the pytest tier round 7; the
+        # declarative-SQL-UDF surface keeps a driver slot via
+        # publish_roundtrip's SQL-view chain, and the dedup family keeps
+        # five driver slots: clusters, clusters_star, containment,
+        # jaccard_exact_join, semantic_ivf, minhash_incremental)
         "dedup_clusters": _dedup.dedup_clusters,
         # similarity search (bruteforce baseline rotated round 6; the
         # recall evals pin it against ivf/lsh/pq every pytest run)
@@ -476,6 +494,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.dedup_exact,
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "corpus_prep": corpus_prep,
+        # --- rotated OUT of the driver surface in round 7 (driver-green
+        # ≥2 rounds; identical hash-compare continues here every run) ---
+        "parts_copurchase_triangles": parts_copurchase_triangles,
+        "text_doc_similarity": _text.text_doc_similarity,
+        "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
+        "events_stream_cms": _events_stream_cms,
+        "dedup_recall_eval": _dedup.dedup_recall_eval,
+        "supplier_nation_share": _an.supplier_nation_share,
+        "sales_by_region_quarter": _an.sales_by_region_quarter,
+        "events_dedup_windowed": _an.events_dedup_windowed,
+        "corpus_dup_inflation": corpus_dup_inflation,
+        "dedup_clusters_sql": _dedup.dedup_clusters_sql,
+        "sql_top_artists": sql_top_artists,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_simhash": _dedup.dedup_simhash,
         # --- rotated OUT of the driver surface in round 5 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
         "events_retention": _an.events_retention,
@@ -669,51 +702,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # production-horizon Theil-Sen: deterministic hash-mod pair
         # subsample (exact form is the driver entry; mod=1 pytest-pinned)
         "events_theil_sen_sampled": _ts.events_theil_sen_sampled,
-        # Welch unequal-variance t-test: the mean-comparison member of
-        # the z/U/KS test family (exact per-arm integer moments)
-        "events_welch_ttest": _an.events_welch_ttest,
-        # Poisson bootstrap CI: the distributed bootstrap (per-row
-        # Poisson(1) multiplicities, no shared resample index),
-        # deterministic via hash-derived uniforms -> exact oracle
-        "events_bootstrap_ci": _an.events_bootstrap_ci,
-        # CUPED-adjusted A/B readout: variance-reduced z from exact
-        # integer moments (the composition events_cuped measures for)
-        "events_cuped_ab_test": _an.events_cuped_ab_test,
-        # bootstrap of the TREATMENT EFFECT (joint per-replica resample)
-        "events_bootstrap_ab": _an.events_bootstrap_ab,
-        # SRM health gate: chi-square on arm counts (exact (na-nb)^2/n)
-        "events_srm_check": _an.events_srm_check,
-        # curriculum ordering: corpus-grain global position + stage via
-        # the two-level prefix primitive (easy-to-hard training schedule)
-        "corpus_curriculum_order": _llm.corpus_curriculum_order,
-        # SemDeDup-shape cluster-blocked semantic dedup (IVF-cell twin of
-        # the sign-bucket corpus dedup)
-        "dedup_semantic_ivf": _dedup_semantic_ivf,
+        # (welch_ttest, bootstrap_ci, cuped_ab_test, bootstrap_ab,
+        # srm_check, curriculum_order, semantic_ivf rotated INTO the
+        # driver surface round 7)
         # streaming KMV fold: constant-size distinct-count state
         "events_stream_kmv": _events_stream_kmv,
         # multi-touch linear attribution (equal split across in-window
         # touches; the as-of op is its last-touch sibling)
         "events_attribution_linear": _events.events_attribution_linear,
-        # fixed-depth power iteration over the co-purchase graph: the
-        # third classic graph primitive (CC and triangles are above)
-        "parts_copurchase_pagerank": _graph_pagerank,
-        # alternating large-star/small-star connected components — the
-        # O(log²)-round CC whose convergence survives any diameter
-        "dedup_clusters_star": _dedup.dedup_clusters_star,
-        # sixth dedup family: asymmetric shingle containment (excerpt /
-        # quote / wrapper detection — the case Jaccard is blind to)
-        "dedup_containment": _dedup.dedup_containment,
-        # EXACT set-similarity join (prefix filtering, AllPairs/PPJoin):
-        # lossless J>=t pairs — the completeness-guaranteed family
-        "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
+        # (pagerank, clusters_star, containment, jaccard_exact_join,
+        # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
-        # mergeable histogram quantiles (the QUANTILE sketch member):
-        # p50/p90/p99 by interpolation in the cumulative bin walk
-        "events_quantile_hist": _profile.events_quantile_hist,
-        # streaming fold of the quantile sketch (bin vectors add;
-        # bounds from the prior profile; constant-size state)
-        "events_stream_quantile_hist": _events_stream_quantile_hist,
         # top-k session opening paths (multi-step sequence mining)
         "events_session_paths": _events.events_session_paths,
         # per-user type entropy (fixed-order IEEE expression, byte-exact)
@@ -785,16 +785,19 @@ def oracle_sql() -> dict[str, str]:
         "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
         "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
         "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
-        "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
-        "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
-        "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
-        "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
-        "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
-        "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
-        "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
-        "events_dedup_windowed": oracles_ext.EVENTS_DEDUP_WINDOWED,
-        "corpus_dup_inflation": oracles_ext.CORPUS_DUP_INFLATION,
-        "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
+        "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
+        "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
+        "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
+        "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
+        "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
+        "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
+        "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
+        "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
+        "events_srm_check": oracles_ext.EVENTS_SRM_CHECK,
+        "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
+        "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
+        "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
+        "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
         "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
         "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
         "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
@@ -802,9 +805,6 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
         "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
-        "sql_top_artists": oracles.SQL_TOP_ARTISTS,
-        "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
-        "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
         "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
         "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
@@ -842,6 +842,19 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "corpus_prep": oracles_ext.CORPUS_PREP,
+        "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
+        "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
+        "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
+        "events_stream_cms": oracles_ext.EVENTS_STREAM_CMS,
+        "dedup_recall_eval": oracles_ext.DEDUP_RECALL_EVAL,
+        "supplier_nation_share": oracles_ext.SUPPLIER_NATION_SHARE,
+        "sales_by_region_quarter": oracles_ext.SALES_BY_REGION_QUARTER,
+        "events_dedup_windowed": oracles_ext.EVENTS_DEDUP_WINDOWED,
+        "corpus_dup_inflation": oracles_ext.CORPUS_DUP_INFLATION,
+        "dedup_clusters_sql": oracles_ext.DEDUP_CLUSTERS_SQL,
+        "sql_top_artists": oracles.SQL_TOP_ARTISTS,
+        "dedup_minhash_lsh": oracles_ext.DEDUP_MINHASH_LSH,
+        "dedup_simhash": oracles_ext.DEDUP_SIMHASH,
         "events_summary": oracles_ext.EVENTS_SUMMARY,
         "events_percentiles": oracles_ext.EVENTS_PERCENTILES,
         "events_pivot": oracles_ext.EVENTS_PIVOT,
@@ -913,9 +926,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
         "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
-        "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
-        "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
-        "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
         "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
         "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
         "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
@@ -943,21 +953,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
-        "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
-        "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
-        "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
-        "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
-        "events_srm_check": oracles_ext.EVENTS_SRM_CHECK,
-        "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
-        "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
-        "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
-        "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
-        "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,

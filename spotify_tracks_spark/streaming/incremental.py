@@ -293,10 +293,20 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
     merge distinct counts, so the state keeps the DISTINCT SET itself at
     (year, week, track_id) grain — "WK" rows, the exact set-state whose
     merge is just the keyed groupBy (sets union by key collision; plays
-    sum; week_dt maxes).  "TRK" rows (track grain) carry the corpus-wide
-    first-played min plus the min-folded artists attribute — the
-    incremental dim_track slice Q8's broadcast join and new_tracks count
-    need.  "ART" rows (artist-string grain) carry the artist
+    sum; week_dt maxes).  "TRK" rows live at (track_id, artists) grain
+    — the SAME key the batch ``dim_track``'s trailing ``.distinct()``
+    de-duplicates on for these two columns — so a source whose artists
+    string is inconsistent within a track yields one state row per
+    distinct pair, exactly like the batch dim, instead of silently
+    min-folding to one (the round-6 advice divergence).  They carry the
+    first-played min per pair; the read step re-derives the corpus-wide
+    per-TRACK min (the batch dim's ``dttm_first_played`` is track-grain)
+    by a bounded track-grain re-aggregate.  Remaining contract: the
+    OTHER dim attributes (album, track_name) are assumed consistent per
+    track — they never enter this mart's output, but a source dirty in
+    those columns would split batch dim rows and inflate the batch
+    new_tracks count in a way week-grain state cannot see.  "ART" rows
+    (artist-string grain) carry the artist
     first-played min for new_artists.  All three grains are entity- or
     week×entity-scale, never play-scale, and every aggregate is
     associative/commutative (sum/min/max) so the snapshot fold replays
@@ -312,12 +322,13 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
         F.lit(None).cast("timestamp").alias("first_played"),
         F.lit("wk").alias("grain"),
     )
-    trk = stg.groupBy("track_id").agg(
+    trk = stg.groupBy(
+        "track_id", F.col("track_artists").alias("artists")
+    ).agg(
         F.lit(None).cast("long").alias("year_played"),
         F.lit(None).cast("long").alias("week_played"),
         F.lit(0).cast("long").alias("plays"),
         F.lit(None).cast("date").alias("week_dt"),
-        F.min("track_artists").alias("artists"),
         F.min("played_at_mtn").alias("first_played"),
         F.lit("trk").alias("grain"),
     )
@@ -342,32 +353,32 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
 
 
 def _q8_remerge(u: DataFrame) -> DataFrame:
-    """Fold state ∪ partials per grain.  The wk groupBy deliberately
-    EXCLUDES the artists attribute (it converges to the corpus min only
-    on trk rows; keeping a possibly-different per-batch value in the wk
-    key would split a track's week row).  No eviction: Q8 reports all
-    weeks, and state is bounded by weeks × tracks + tracks + artists —
-    entity-scale, not play-scale."""
+    """Fold state ∪ partials per grain.  The artists column is a GROUP
+    KEY for trk and art rows (trk state is (track_id, artists)-grain —
+    mirroring dim_track's distinct — and art state is artists-grain)
+    but stays NULL in the wk key (wk rows never carry it; a per-batch
+    attribute there would split a track's week row).  No eviction: Q8
+    reports all weeks, and state is bounded by weeks × tracks +
+    track-artists pairs + artists — entity-scale, not play-scale."""
     folded = u.groupBy(
         "grain",
         "year_played",
         "week_played",
         "track_id",
-        F.when(F.col("grain") == "art", F.col("artists")).alias("artists"),
+        F.when(
+            F.col("grain").isin("art", "trk"), F.col("artists")
+        ).alias("artists"),
     ).agg(
         F.sum("plays").alias("plays"),
         F.max("week_dt").alias("week_dt"),
         F.min("first_played").alias("first_played"),
-        F.min(
-            F.when(F.col("grain") == "trk", F.col("artists"))
-        ).alias("trk_artists"),
     )
     return folded.select(
         "grain",
         "year_played",
         "week_played",
         "track_id",
-        F.coalesce("trk_artists", "artists").alias("artists"),
+        "artists",
         "plays",
         "week_dt",
         "first_played",
@@ -398,8 +409,18 @@ def stream_rpt_discovery_rate_incremental(
         prefix="incr_q8_",
     )
     wk = state.filter(F.col("grain") == "wk").drop("artists")
-    trk = state.filter(F.col("grain") == "trk").select(
+    # trk state is (track_id, artists)-grain; the batch dim's
+    # dttm_first_played is TRACK-grain, so restore the corpus-wide
+    # per-track min with a bounded track-grain re-aggregate before the
+    # new_tracks week rollup (one extra entity-scale shuffle at read).
+    trk_pairs = state.filter(F.col("grain") == "trk").select(
         "track_id", "artists", "first_played"
+    )
+    trk_first = trk_pairs.groupBy("track_id").agg(
+        F.min("first_played").alias("first_played")
+    )
+    trk = trk_pairs.select("track_id", "artists").join(
+        F.broadcast(trk_first), "track_id"
     )
     art = state.filter(F.col("grain") == "art").select(
         "artists", "first_played"

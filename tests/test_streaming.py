@@ -277,6 +277,47 @@ def test_incremental_q8_matches_batch_and_replays_idempotently(spark, tmp_path):
     assert again == got_rows
 
 
+def test_incremental_q8_trk_state_mirrors_dim_distinct_on_dirty_source(spark):
+    """A source whose artists string is INCONSISTENT within a track must
+    yield one trk state row per distinct (track_id, artists) pair —
+    mirroring the batch dim_track's trailing .distinct() — not a single
+    min-folded row (the round-6 advice divergence).  Exercises the fold
+    helpers directly with a planted dirty fixture."""
+    from spotify_tracks_spark.streaming.incremental import (
+        _q8_partials,
+        _q8_remerge,
+    )
+
+    stg = spark.createDataFrame(
+        [
+            ("t1", "Artist A", "2024-01-01 10:00:00"),
+            ("t1", "Artist B", "2024-01-08 10:00:00"),  # dirty: same track
+            ("t2", "Artist A", "2024-01-02 10:00:00"),
+        ],
+        "track_id string, track_artists string, played_at_mtn_s string",
+    ).withColumn("played_at_mtn", F.to_timestamp("played_at_mtn_s"))
+
+    # two micro-batches folded, as the stream would
+    b1 = _q8_partials(stg.limit(2))
+    b2 = _q8_partials(stg.subtract(stg.limit(2)))
+    state = _q8_remerge(_q8_remerge(b1).unionByName(b2))
+
+    trk = state.filter(F.col("grain") == "trk").select(
+        "track_id", "artists", "first_played"
+    )
+    rows = {(r.track_id, r.artists) for r in trk.collect()}
+    # one row per distinct pair — t1 keeps BOTH artist variants
+    assert rows == {("t1", "Artist A"), ("t1", "Artist B"), ("t2", "Artist A")}
+    # per-track first-played min is recoverable track-grain (what the
+    # read step re-aggregates for new_tracks)
+    t1_min = (
+        trk.filter(F.col("track_id") == "t1")
+        .agg(F.min("first_played"))
+        .collect()[0][0]
+    )
+    assert str(t1_min).startswith("2024-01-01")
+
+
 def test_unpivot_roundtrips_pivot(spark):
     """unpivot(pivot(events)) equals the direct long-form count table with
     zero-filled (day × type) combinations."""
