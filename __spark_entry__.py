@@ -46,6 +46,7 @@ from spotify_tracks_spark.operators.corpus import (
 from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
+    parts_copurchase_communities as _graph_communities,
     parts_copurchase_kcore as _graph_kcore,
     parts_copurchase_pagerank as _graph_pagerank,
     parts_copurchase_triangles,
@@ -748,6 +749,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_rate": _an.events_retention_rate,
         # corpus composition by (source, lang) with per-source shares
         "documents_source_mix": _text.documents_source_mix,
+        # --- round-7 additions ---
+        # frequency-based label propagation (Raghavan 2007): community
+        # detection, distinct from the dedup family's min-label CC
+        "parts_copurchase_communities": _graph_communities,
+        # lag-1..7 autocorrelation of daily counts (seasonality probe)
+        "events_autocorrelation": _ts.events_autocorrelation,
+        # integer-exact CUSUM single change-point per type
+        "events_cusum_changepoint": _ts.events_cusum_changepoint,
+        # Spearman rank correlation (robust twin of type_correlation)
+        "events_spearman_corr": _ts.events_spearman_corr,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -975,6 +986,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
         "documents_source_mix": oracles_ext.DOCUMENTS_SOURCE_MIX,
+        "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
+        "events_autocorrelation": oracles_ext.EVENTS_AUTOCORRELATION,
+        "events_cusum_changepoint": oracles_ext.EVENTS_CUSUM_CHANGEPOINT,
+        "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,

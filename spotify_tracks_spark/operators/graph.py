@@ -390,3 +390,106 @@ def parts_copurchase_kcore(
         .agg(F.count("*").alias("core_degree"))
         .select(F.col("s").alias("part_id"), "core_degree")
     )
+
+
+# Community LPA: synchronous rounds are fixed (both engines unroll the
+# same depth); 4 rounds stabilizes the fixture graph and keeps the
+# oracle's unrolled CTE chain readable.
+LPA_ROUNDS = 4
+
+
+def parts_copurchase_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = LPA_ROUNDS,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """Community detection over the part co-purchase graph: synchronous
+    frequency-based LABEL PROPAGATION (Raghavan et al. 2007) — the
+    fourth classic graph primitive here, next to PageRank / triangles /
+    k-core.  Distinct from the dedup family's connected components: CC
+    propagates the MIN label until each connected blob is one cluster;
+    community LPA adopts each node's most COMMON neighbor label, so
+    dense regions keep distinct labels inside one connected component
+    (product "aisles" in the co-purchase graph, topic pockets in a
+    similarity graph).
+
+    Determinism (cross-engine): synchronous updates with a fixed round
+    count and a two-key tie-break — adopt the label with the highest
+    neighbor frequency, breaking count ties on the SMALLEST label — so
+    every round is a pure function of the previous labeling (the
+    classic async/random-order LPA is irreproducible by design; the
+    synchronous min-tie-break variant is the oracle-checkable one).
+    Labels and counts are integers throughout; the oracle unrolls the
+    same ``n_rounds`` as materialized CTEs.
+
+    Scale shape: per round, one E-sized join (labels onto the pinned
+    adjacency) and two keyed aggregates — (dst, label) frequency, then
+    per-dst argmax via max-struct — all map-side-combinable; the label
+    vector alone (|V| rows) moves between rounds while the adjacency
+    stays partitioned in place, exactly the PageRank loop discipline.
+    Label oscillation (bipartite-ish flip-flop) is bounded by the fixed
+    round count rather than a convergence test, so no nondeterministic
+    early exit.
+
+    Output: (part_id, community, community_size), one row per node."""
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+    )
+    edges = edges.persist()
+    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    # hash-partition the pinned adjacency ON THE ROUND JOIN KEY (dst):
+    # the cached layout then satisfies every round's join requirement,
+    # so only the |V|-row label vector re-shuffles per round — the same
+    # stationary-adjacency discipline as the PageRank loop (there the
+    # deg-join's exchange provides it; the union here has no exchange,
+    # so it is requested explicitly)
+    adj = sym.repartition(F.col("dst")).persist()
+    adj.count()  # materialize once; rounds reuse this layout
+    try:
+        labels = adj.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(n_rounds):
+            freq = (
+                adj.join(labels, adj.dst == labels.node)
+                .groupBy(F.col("src"), F.col("label"))
+                .agg(F.count("*").alias("cnt"))
+            )
+            # argmax by (cnt desc, label asc) via one max-of-struct:
+            # max((cnt, -label)) picks highest count, then smallest label
+            labels = (
+                freq.groupBy(F.col("src").alias("node"))
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+                .select("node", (-F.col("m.neg")).alias("label"))
+            )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+        out = (
+            labels.join(F.broadcast(sizes), "label")
+            .select(
+                F.col("node").alias("part_id"),
+                F.col("label").alias("community"),
+                "community_size",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        adj.unpersist()
+        edges.unpersist()
+    return out

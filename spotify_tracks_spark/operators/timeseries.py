@@ -1025,3 +1025,232 @@ def events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_a") - F.col("e_a")) / F.sqrt(F.col("v")),
     ).otherwise(F.lit(0.0))
     return agg.select("n_a", "n_b", "o_a", "e_a", "v", z.alias("z_score"))
+
+
+ACF_MAX_LAG = 7
+
+
+def events_autocorrelation(
+    spark: SparkSession, sf_dir: str, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Lag-k autocorrelation (ACF) of each event type's daily-count
+    series, k = 1..``max_lag`` — the diagnostic behind seasonality
+    detection (weekly traffic shows a lag-7 spike) and forecast-model
+    order selection.
+
+    Exactness discipline (same as events_type_correlation): never a
+    float mean in the hot math.  With D = n_days, S = Σx, the centered
+    products scale through by D²::
+
+        num_k = Σ_{t≤D-k} (D·x_t − S)(D·x_{t+k} − S)   (exact bigint)
+        den   = Σ_t      (D·x_t − S)²                  (exact bigint)
+        r_k   = num_k / den                            (one IEEE divide)
+
+    so both engines compute identical integers and one division.  The
+    series is the ZERO-FILLED dense day spine per type (a missing day is
+    a 0 observation — without filling, lags skip calendar days and the
+    "lag" loses meaning).
+
+    Plan: one fact shuffle to (type, day) grain; spine fill, lead()
+    windows (partitioned by type) and the lag aggregate all run at
+    |types|×|days|×|lags| grain — thousands of rows at any corpus size.
+
+    Output: (event_type, lag, n_terms, acf), acf NULL for a constant
+    series (den = 0)."""
+    daily = _daily_counts(spark, sf_dir)
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("d"), F.sum("x").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    leads = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        (F.col("d") * F.col("x") - F.col("s")).alias("c0"),
+        *[
+            (F.col("d") * F.lead("x", k).over(w) - F.col("s")).alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    den_tbl = leads.groupBy("event_type").agg(
+        F.sum(F.col("c0") * F.col("c0")).alias("den")
+    )
+    lagged = leads.join(F.broadcast(den_tbl), "event_type").select(
+        "event_type",
+        "den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("c0") * F.col(f"c{k}")).alias("prod"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("kp"),
+    )
+    return (
+        lagged.groupBy("event_type", F.col("kp.lag").alias("lag"))
+        .agg(
+            F.count(F.col("kp.prod")).alias("n_terms"),
+            F.sum(F.col("kp.prod")).alias("num"),
+            F.first("den").alias("den"),
+        )
+        .select(
+            "event_type",
+            "lag",
+            "n_terms",
+            F.when(F.col("den") > 0, F.col("num") / F.col("den")).alias("acf"),
+        )
+    )
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation of the daily-count series from its overall
+    mean peaks in magnitude — the classic single-change-point estimator
+    (a level shift at day τ makes |S_i| a tent function peaking at τ).
+
+    Integer-exact CUSUM: with D days, total T and cumulative C_i, the
+    mean-centered partial sum scales through by D::
+
+        S_i = D·C_i − i·T          (exact bigint; S_D = 0 identically)
+
+    The change point is argmax |S_i| (ties → earliest day), found with
+    a max-of-struct aggregate, not a sort.  The magnitude is reported
+    normalized (|S|/D² = the classic max|Σ(x−x̄)|/D in exact form ÷ D)
+    as one terminal IEEE division.
+
+    Plan: fact shuffle to (type, day); the cumulative window is
+    partitioned by type; everything after runs at |types|×|days| grain.
+    Zero-filled spine for the same calendar-integrity reason as the ACF.
+
+    Output: (event_type, n_days, change_day, cusum_stat) — one row per
+    type."""
+    daily = _daily_counts(spark, sf_dir)
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = dense.groupBy("event_type").agg(
+        F.count("*").alias("d"), F.sum("x").alias("t")
+    )
+    s = dense.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "d",
+        (
+            F.col("d") * F.sum("x").over(run)
+            - F.row_number().over(w) * F.col("t")
+        ).alias("s_i"),
+    )
+    # argmax |S_i| with earliest-day tie-break via one max-of-struct:
+    # day encodes as a negated epoch-day so bigger struct = earlier day
+    day_num = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    picked = s.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("s_i")).alias("mag"),
+                (-day_num).cast("long").alias("neg_day"),
+            )
+        ).alias("m"),
+        F.first("d").alias("n_days"),
+    )
+    return picked.select(
+        "event_type",
+        "n_days",
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")), (-F.col("m.neg_day")).cast("int")
+        ).alias("change_day"),
+        (
+            F.col("m.mag")
+            / (F.col("n_days").cast("double") * F.col("n_days").cast("double"))
+        ).alias("cusum_stat"),
+    )
+
+
+def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation of the daily-count series
+    between event types — the robust sibling of
+    ``events_type_correlation``: invariant to monotone transforms and
+    insensitive to heavy-tailed spikes, so the pair (Pearson, Spearman)
+    separates "linear co-movement" from "any monotone co-movement".
+
+    Exactness: Spearman = Pearson over MIDRANKS, and midranks of an
+    integer series are exact half-integers (the events_mann_whitney
+    argument), so the op carries DOUBLED midranks as exact bigints::
+
+        2·midrank = rank_first + rank_last
+                  = 2·rank() + (tie_count − 1)
+
+    The constant factor cancels inside the correlation, leaving the
+    identical integer-moment assembly as the Pearson op (n, Σr, Σr',
+    Σrr', Σr², Σr'²) and two terminal sqrt/divide IEEE ops.
+
+    Plan: identical shape to events_type_correlation — one fact
+    shuffle, then |types|×|days| spine, per-type rank windows
+    (partitioned), |types|²/2 pair join.
+
+    Output: (type_a, type_b, n_days, rho), one row per unordered pair
+    a < b."""
+    daily = _daily_counts(spark, sf_dir)
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    dense = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("x"))
+    )
+    wv = Window.partitionBy("event_type").orderBy("x")
+    ranked = dense.select(
+        "event_type",
+        "day",
+        (
+            F.lit(2) * F.rank().over(wv)
+            + F.count("*").over(
+                Window.partitionBy("event_type", "x")
+            )
+            - F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"), "day", F.col("r2").alias("ra")
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"), "day", F.col("r2").alias("rb")
+    )
+    sums = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("ra").alias("sx"),
+            F.sum("rb").alias("sy"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+        )
+    )
+    n = F.col("n_days")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        (cov / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))).alias("rho"),
+    )

@@ -5607,3 +5607,177 @@ from agg
 
 
 EVENTS_LOG_RANK = _log_rank_sql()
+
+
+EVENTS_AUTOCORRELATION = """
+with daily as (
+    select event_type, ts::date as day, count(*) as n
+    from events group by 1, 2
+),
+dense as (
+    select t.event_type, d.day, coalesce(c.n, 0) as x
+    from (select distinct day from daily) d
+    cross join (select distinct event_type from daily) t
+    left join daily c on c.event_type = t.event_type and c.day = d.day
+),
+tot as (
+    select event_type, count(*) as d, cast(sum(x) as bigint) as s
+    from dense group by 1
+),
+centered as (
+    select dense.event_type, dense.day, tot.d,
+           cast(tot.d * dense.x - tot.s as bigint) as c0
+    from dense join tot on tot.event_type = dense.event_type
+),
+leads as (
+    select event_type, d, c0,
+           lead(c0, 1) over w as c1, lead(c0, 2) over w as c2,
+           lead(c0, 3) over w as c3, lead(c0, 4) over w as c4,
+           lead(c0, 5) over w as c5, lead(c0, 6) over w as c6,
+           lead(c0, 7) over w as c7
+    from centered
+    window w as (partition by event_type order by day)
+),
+den_tbl as (
+    select event_type, cast(sum(c0 * c0) as bigint) as den
+    from leads group by 1
+),
+prods as (
+    -- parallel unnest zips positionally (the posexplode mirror)
+    select l.event_type, den_tbl.den,
+           unnest([1, 2, 3, 4, 5, 6, 7]) as lag,
+           l.c0 * unnest([l.c1, l.c2, l.c3, l.c4, l.c5, l.c6, l.c7]) as prod
+    from leads l
+    join den_tbl on den_tbl.event_type = l.event_type
+)
+select event_type, cast(lag as int) as lag,
+       count(prod) as n_terms,
+       case when den > 0
+            then cast(sum(prod) as bigint) / den
+       end as acf
+from prods
+group by event_type, lag, den
+"""
+
+
+EVENTS_CUSUM_CHANGEPOINT = """
+with daily as (
+    select event_type, ts::date as day, count(*) as n
+    from events group by 1, 2
+),
+dense as (
+    select t.event_type, d.day, coalesce(c.n, 0) as x
+    from (select distinct day from daily) d
+    cross join (select distinct event_type from daily) t
+    left join daily c on c.event_type = t.event_type and c.day = d.day
+),
+tot as (
+    select event_type, count(*) as d, cast(sum(x) as bigint) as t
+    from dense group by 1
+),
+s as (
+    select dense.event_type, dense.day, tot.d,
+           cast(tot.d * cast(sum(dense.x) over (partition by dense.event_type
+                                                order by dense.day
+                                                rows between unbounded preceding
+                                                and current row) as bigint)
+                - row_number() over (partition by dense.event_type
+                                     order by dense.day) * tot.t
+                as bigint) as s_i
+    from dense join tot on tot.event_type = dense.event_type
+)
+select event_type, d as n_days, day as change_day,
+       abs(s_i) / (cast(d as double) * cast(d as double)) as cusum_stat
+from s
+qualify row_number() over (partition by event_type
+                           order by abs(s_i) desc, day asc) = 1
+"""
+
+
+EVENTS_SPEARMAN_CORR = """
+with daily as (
+    select event_type, ts::date as day, count(*) as n
+    from events group by 1, 2
+),
+dense as (
+    select t.event_type, d.day, coalesce(c.n, 0) as x
+    from (select distinct day from daily) d
+    cross join (select distinct event_type from daily) t
+    left join daily c on c.event_type = t.event_type and c.day = d.day
+),
+ranked as (
+    select event_type, day,
+           cast(2 * rank() over (partition by event_type order by x)
+                + count(*) over (partition by event_type, x) - 1
+                as bigint) as r2
+    from dense
+),
+sums as (
+    select a.event_type as type_a, b.event_type as type_b,
+           count(*) as n_days,
+           cast(sum(a.r2) as bigint) as sx,
+           cast(sum(b.r2) as bigint) as sy,
+           cast(sum(a.r2 * b.r2) as bigint) as sxy,
+           cast(sum(a.r2 * a.r2) as bigint) as sxx,
+           cast(sum(b.r2 * b.r2) as bigint) as syy
+    from ranked a join ranked b on a.day = b.day and a.event_type < b.event_type
+    group by 1, 2
+)
+select type_a, type_b, n_days,
+       (n_days * sxy - sx * sy)
+         / nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0.0)
+         as rho
+from sums
+"""
+
+
+def _lpa_communities_sql(n_rounds: int = 4) -> str:
+    """Unrolled synchronous label propagation: one materialized CTE per
+    round mirroring the operator's fixed-depth loop (same argmax tie-
+    break: highest neighbor-label frequency, then smallest label)."""
+    head = """
+with li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+keep as (
+    select o from li group by o having count(*) <= 16
+),
+li2 as (
+    select li.o, li.p from li join keep on keep.o = li.o
+),
+edges as materialized (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+adj as materialized (
+    select x as src, y as dst from edges
+    union all
+    select y as src, x as dst from edges
+),
+l0 as materialized (
+    select distinct src as node, src as label from adj
+)"""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f""",
+f{i} as (
+    select adj.src, l{i - 1}.label, count(*) as cnt
+    from adj join l{i - 1} on l{i - 1}.node = adj.dst
+    group by 1, 2
+),
+l{i} as materialized (
+    select src as node, label
+    from f{i}
+    qualify row_number() over (partition by src
+                               order by cnt desc, label asc) = 1
+)""")
+    tail = f"""
+select l.node as part_id, l.label as community, s.community_size
+from l{n_rounds} l
+join (select label, count(*) as community_size
+      from l{n_rounds} group by 1) s on s.label = l.label
+"""
+    return head + "".join(rounds) + tail
+
+
+PARTS_COPURCHASE_COMMUNITIES = _lpa_communities_sql()

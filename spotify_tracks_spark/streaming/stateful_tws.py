@@ -34,6 +34,17 @@ ModuleNotFoundError — neither ``protobuf`` nor any ``google`` namespace
 package is present, and installs are disallowed, so the gate stands:
 verified-impossible in this container, exercised by the skip-gated test
 only.
+
+Probe result (round 7, exhaustive): ``import google.protobuf`` still
+ModuleNotFoundError; ``pip download protobuf --no-deps`` fails with
+``NewConnectionError: [Errno -2] Name or service not known`` (no
+network route to any index), and a filesystem sweep finds only typeshed
+STUBS (``jedi/third_party/typeshed/stubs/protobuf`` — type annotations,
+no runtime), no vendorable wheel or site-packages copy anywhere on
+disk.  Unlock recipe for a real cluster: ``pip install 'protobuf>=4'``
+matches this pyspark 4.1 dist's generated ``*_pb2.py`` modules; the
+gated test (tests/test_streaming.py::test_stream_sessionize_tws_matches_batch)
+then pins TWS hash-equal to the applyInPandasWithState sessionization.
 """
 
 from __future__ import annotations

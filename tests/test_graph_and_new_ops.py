@@ -278,3 +278,35 @@ def test_kcore_planted(spark, tmp_path):
         for r in parts_copurchase_kcore(spark, str(tmp_path)).collect()
     }
     assert got == {p: 3 for p in cliq1 + cliq2}
+
+
+def test_communities_two_cliques_with_bridge(spark, tmp_path):
+    """Two 4-cliques joined by a single bridge edge: frequency-based
+    LPA must keep them as TWO communities (each clique converges to its
+    own min node id), where min-label connected components would merge
+    everything into one — the distinction the operator exists for."""
+    from spotify_tracks_spark.operators.graph import (
+        parts_copurchase_communities,
+    )
+
+    c1, c2 = [1, 2, 3, 4], [11, 12, 13, 14]
+    edges = (
+        [(a, b) for a in c1 for b in c1 if a < b]
+        + [(a, b) for a in c2 for b in c2 if a < b]
+        + [(4, 11)]  # bridge
+    )
+    rows = [(i + 1, p) for i, e in enumerate(edges) for p in e]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.part_id: (r.community, r.community_size)
+        for r in parts_copurchase_communities(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(c1) | set(c2)
+    labels_c1 = {got[v][0] for v in c1}
+    labels_c2 = {got[v][0] for v in c2}
+    assert len(labels_c1) == 1 and len(labels_c2) == 1
+    assert labels_c1 != labels_c2, "cliques must keep distinct communities"
+    assert all(got[v][1] == 4 for v in c1 + c2)

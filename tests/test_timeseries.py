@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from spotify_tracks_spark.operators.timeseries import (
     events_anomaly,
     events_interpolate,
@@ -555,3 +557,95 @@ def test_log_rank_null_calibration(spark):
     r = events_log_rank(spark, SF_T2).collect()[0]
     assert r.n_a > 0 and r.n_b > 0 and r.v > 0
     assert abs(r.z_score) < 3.0, r.z_score
+
+
+def test_cusum_changepoint_finds_planted_level_shift(spark, tmp_path):
+    """10 quiet days (1 event/day) then 10 loud days (5 events/day): the
+    integer-exact CUSUM statistic must peak at the last pre-shift day
+    (the tent function's apex for a level shift)."""
+    from datetime import datetime, timedelta
+
+    from spotify_tracks_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+
+    rows, eid = [], 0
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    for d in range(20):
+        for k in range(1 if d < 10 else 5):
+            rows.append((eid, base + timedelta(days=d), 1, "click", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = events_cusum_changepoint(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 20
+    # |S_i| = |D*C_i - i*T| peaks at i=10 (day index 9): the shift edge
+    assert str(r.change_day) == "2024-03-10"
+    # S_10 = 20*10 - 10*60 = -400 -> stat = 400/400 = 1.0 exactly
+    assert r.cusum_stat == 1.0
+
+
+def test_autocorrelation_periodic_and_constant_series(spark, tmp_path):
+    """A period-2 alternating series has ACF(-1 at lag 1, +1 at lag 2);
+    a constant series has zero variance -> NULL acf at every lag."""
+    from datetime import datetime, timedelta
+
+    from spotify_tracks_spark.operators.timeseries import (
+        events_autocorrelation,
+    )
+
+    rows, eid = [], 0
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    for d in range(14):
+        # 'click' alternates 1,3,1,3,...; 'view' constant 2/day
+        for k in range(1 if d % 2 == 0 else 3):
+            rows.append((eid, base + timedelta(days=d), 1, "click", 1.0))
+            eid += 1
+        for k in range(2):
+            rows.append((eid, base + timedelta(days=d), 1, "view", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.lag): (r.n_terms, r.acf)
+        for r in events_autocorrelation(spark, sf).collect()
+    }
+    assert got[("click", 1)][0] == 13
+    # centered series is +-1 scaled by D: lag-1 products all negative
+    assert got[("click", 1)][1] == pytest.approx(-13 / 14)
+    assert got[("click", 2)][1] == pytest.approx(12 / 14)
+    for k in range(1, 8):
+        assert got[("view", k)][1] is None  # constant -> den = 0 -> NULL
+
+
+def test_spearman_is_monotone_invariant_and_matches_signs(spark, tmp_path):
+    """Spearman rho = 1 for any strictly increasing pair of series
+    (here y = x^2-ish via repeated counts), -1 for reversed ranks."""
+    from datetime import datetime, timedelta
+
+    from spotify_tracks_spark.operators.timeseries import (
+        events_spearman_corr,
+    )
+
+    rows, eid = [], 0
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    up = [1, 2, 4, 8, 16]       # strictly increasing
+    down = [9, 7, 5, 3, 1]      # strictly decreasing
+    for d in range(5):
+        for k in range(up[d]):
+            rows.append((eid, base + timedelta(days=d), 1, "click", 1.0))
+            eid += 1
+        for k in range(up[d] * up[d]):  # monotone transform of up
+            rows.append((eid, base + timedelta(days=d), 1, "purchase", 1.0))
+            eid += 1
+        for k in range(down[d]):
+            rows.append((eid, base + timedelta(days=d), 1, "view", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.type_a, r.type_b): r.rho
+        for r in events_spearman_corr(spark, sf).collect()
+    }
+    assert got[("click", "purchase")] == pytest.approx(1.0)
+    assert got[("click", "view")] == pytest.approx(-1.0)
+    assert got[("purchase", "view")] == pytest.approx(-1.0)
