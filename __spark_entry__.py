@@ -759,6 +759,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": _ts.events_cusum_changepoint,
         # Spearman rank correlation (robust twin of type_correlation)
         "events_spearman_corr": _ts.events_spearman_corr,
+        # paired difference-in-differences across the calendar midpoint
+        "events_did": _an.events_did,
+        # MDE power planning at 1x/2x/4x/8x population horizons
+        "events_power_mde": _an.events_power_mde,
+        # trained multinomial-NB language ID (confusion-matrix eval)
+        "text_naive_bayes_langid": _text.text_naive_bayes_langid,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -990,6 +996,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_autocorrelation": oracles_ext.EVENTS_AUTOCORRELATION,
         "events_cusum_changepoint": oracles_ext.EVENTS_CUSUM_CHANGEPOINT,
         "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
+        "events_did": oracles_ext.EVENTS_DID,
+        "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
+        "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,

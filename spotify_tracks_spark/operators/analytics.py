@@ -1992,3 +1992,195 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout on the hash-split arms — the
+    pre/post member of the experimentation family (z/t/U/KS/CUPED/
+    bootstrap compare arms at one point; DiD nets out a level shift
+    common to both arms across a launch boundary).
+
+    Formulation: PAIRED DiD.  Each user's outcome is the per-user
+    purchase-count CHANGE d = x_post − x_pre across the split day (the
+    data-derived calendar midpoint — deterministic integer date math,
+    broadcast as a one-row spine).  The estimate is then a two-sample
+    mean comparison of d between arms — per-user pairing absorbs user
+    level effects, and the whole op reduces to the Welch moment
+    discipline over d: per arm only (n, Σd, Σd²) accumulate (exact
+    bigints), then a fixed handful of IEEE ops the oracle mirrors.
+
+    Scale shape: one user-grain aggregate (two conditional sums per
+    user — the period split never shuffles twice) → a 1-row fold.
+    On the A/A hash split the effect is null by construction (pytest
+    calibration pin, like the sibling tests).
+
+    Output: (split_day, n_a, n_b, mean_diff_a, mean_diff_b, did_effect,
+    se, z_stat) — one row."""
+    from ..functions.hashing import portable_hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d_lo"), F.to_date(F.max("ts")).alias("d_hi")
+    ).select(
+        F.date_add(
+            F.col("d_lo"),
+            (F.datediff(F.col("d_hi"), F.col("d_lo")) / 2).cast("int"),
+        ).alias("split_day")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "split_day")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") > F.col("split_day")),
+                    1,
+                ).otherwise(0)
+            ).alias("x_post"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") <= F.col("split_day")),
+                    1,
+                ).otherwise(0)
+            ).alias("x_pre"),
+        )
+        .select(
+            "split_day",
+            (F.col("x_post") - F.col("x_pre")).alias("d"),
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    m = per_user.groupBy("split_day").agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm_a"), F.col("d")).otherwise(0)).alias("sd_a"),
+        F.sum(F.when(~F.col("arm_a"), F.col("d")).otherwise(0)).alias("sd_b"),
+        F.sum(
+            F.when(F.col("arm_a"), F.col("d") * F.col("d")).otherwise(0)
+        ).alias("sdd_a"),
+        F.sum(
+            F.when(~F.col("arm_a"), F.col("d") * F.col("d")).otherwise(0)
+        ).alias("sdd_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = F.when(n_a > 0, F.col("sd_a") / n_a).otherwise(F.lit(0.0))
+    mean_b = F.when(n_b > 0, F.col("sd_b") / n_b).otherwise(F.lit(0.0))
+    var_a = F.when(
+        n_a > 1,
+        (n_a * F.col("sdd_a") - F.col("sd_a") * F.col("sd_a"))
+        / (n_a * (n_a - 1)),
+    ).otherwise(F.lit(0.0))
+    var_b = F.when(
+        n_b > 1,
+        (n_b * F.col("sdd_b") - F.col("sd_b") * F.col("sd_b"))
+        / (n_b * (n_b - 1)),
+    ).otherwise(F.lit(0.0))
+    d1 = m.select(
+        "split_day", "n_a", "n_b",
+        mean_a.alias("mean_diff_a"), mean_b.alias("mean_diff_b"),
+        var_a.alias("var_a"), var_b.alias("var_b"),
+    )
+    va = F.when(n_a > 0, F.col("var_a") / n_a).otherwise(F.lit(0.0))
+    vb = F.when(n_b > 0, F.col("var_b") / n_b).otherwise(F.lit(0.0))
+    d2 = d1.select(
+        "*", va.alias("va"), vb.alias("vb"),
+        (F.col("mean_diff_a") - F.col("mean_diff_b")).alias("did_effect"),
+    )
+    se = F.when(
+        F.col("va") + F.col("vb") > 0, F.sqrt(F.col("va") + F.col("vb"))
+    ).otherwise(F.lit(0.0))
+    return d2.select(
+        "split_day", "n_a", "n_b", "mean_diff_a", "mean_diff_b",
+        "did_effect",
+        se.alias("se"),
+        F.when(se > 0, F.col("did_effect") / se).otherwise(F.lit(0.0)).alias(
+            "z_stat"
+        ),
+    )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, embedded once as
+# module literals (the events_bootstrap_ci discipline: runtime quantile
+# functions would reopen the cross-engine libm gap)
+POWER_Z_ALPHA = 1.959963984540054
+POWER_Z_BETA = 0.8416212335729143
+POWER_HORIZONS = (1, 2, 4, 8)
+
+
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: the minimal detectable effect (MDE)
+    of the standard two-arm mean test on per-user purchase counts, at
+    the CURRENT population size and at 2x/4x/8x horizons — the
+    "how long must this test run" readout every experimentation
+    platform serves next to its significance tests.
+
+    MDE(n) = (z_{α/2} + z_β) · √(2σ²/n_arm), α=0.05 two-sided,
+    power 0.80 — the classic closed form; σ² is the OBSERVED per-user
+    outcome variance in its exact-integer formulation
+    (n·Σx² − (Σx)²)/(n·(n−1)), z constants are module literals (never
+    runtime quantile calls), and each horizon's arm size is driver-side
+    integer math n·m/2, so both engines perform the identical two
+    IEEE ops per row.
+
+    Scale shape: one user-grain aggregate → a 1-row moment fold →
+    |horizons| output rows.  Output: (horizon_x, n_arm, mean_outcome,
+    var_outcome, mde_abs, mde_rel)."""
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("x")
+        )
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    mean = F.when(n > 0, F.col("sx") / n).otherwise(F.lit(0.0))
+    var = F.when(
+        n > 1,
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    base = m.select(
+        "n", mean.alias("mean_outcome"), var.alias("var_outcome")
+    )
+    horizons = base.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(h) for h in POWER_HORIZONS])
+        ).alias("horizon_x"),
+    ).select(
+        "horizon_x",
+        # floor division explicitly: Spark's double->long cast TRUNCATES
+        # where DuckDB's rounds, so x.5 arm sizes would diverge
+        F.floor((F.col("n") * F.col("horizon_x")) / F.lit(2)).cast(
+            "long"
+        ).alias("n_arm"),
+        "mean_outcome",
+        "var_outcome",
+    )
+    mde = F.when(
+        F.col("n_arm") > 0,
+        F.lit(POWER_Z_ALPHA + POWER_Z_BETA)
+        * F.sqrt(
+            F.lit(2.0) * F.col("var_outcome") / F.col("n_arm")
+        ),
+    ).otherwise(F.lit(0.0))
+    return horizons.select(
+        "horizon_x",
+        "n_arm",
+        "mean_outcome",
+        "var_outcome",
+        mde.alias("mde_abs"),
+        F.when(
+            F.col("mean_outcome") > 0, mde / F.col("mean_outcome")
+        ).alias("mde_rel"),
+    )

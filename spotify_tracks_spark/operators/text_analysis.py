@@ -526,3 +526,98 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         toks.unpersist()
+
+
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification: multinomial Naive Bayes over
+    character bigrams, fit on the corpus's own labels and evaluated as
+    a confusion matrix — the learned counterpart to the heuristic
+    ``text_langid`` (fixed marker n-grams): same task, opposite
+    regime, and the pair shows the engine running a full train+predict
+    loop as two DataFrame passes.
+
+    Model: P(lang) = docs_l/N; P(g|lang) = (n_gl + 1)/(T_l + V)
+    (add-one smoothing over the corpus-wide bigram vocabulary V).
+    Prediction: argmax_lang [ln P(lang) + Σ_g c_g·ln P(g|lang)],
+    with the Σ over the DOC's distinct bigrams weighted by their
+    in-doc counts c_g, so scoring joins the (per-doc distinct-gram)
+    table — not the raw gram stream — against the model.
+
+    Determinism: all model counts are exact integers; the per-(doc,
+    lang) score is a sum of ln() terms (the text_bigram_lm_score
+    precedent — summation-order noise sits ~6 orders under the 6-dp
+    hash), and the argmax tie-breaks on the LARGEST lang string via
+    one max-of-struct (no sort, no window) — mirrored by the oracle's
+    (score desc, lang desc) ordering.
+
+    Scale shape: the model is |langs|×|bigrams| rows (a few thousand)
+    built in one pass and BROADCAST; scoring is the per-doc gram table
+    fanned out |langs|× and re-aggregated to (doc, lang) then doc
+    grain — linear in corpus size, model never shuffles.
+
+    Output: (lang_actual, lang_pred, n_docs), the confusion matrix."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.lower(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(2)),
+    )
+    doc_grams = (
+        docs.select("doc_id", "lang", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    # --- train: per-(lang, gram) counts, per-lang totals, priors, vocab
+    model = doc_grams.groupBy(F.col("lang").alias("ml"), "g").agg(
+        F.sum("c").alias("n_gl")
+    ).persist()
+    model.count()
+    lang_tot = model.groupBy("ml").agg(F.sum("n_gl").alias("t_l"))
+    priors = docs.groupBy(F.col("lang").alias("ml")).agg(
+        F.count("*").alias("docs_l")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    vocab = model.select("g").distinct().agg(F.count("*").alias("v"))
+    langs = (
+        priors.join(F.broadcast(lang_tot), "ml")
+        .join(F.broadcast(vocab))
+        .join(F.broadcast(n_docs))
+    )
+    # --- predict: fan each doc's gram table out across the langs spine,
+    # left-join the model (unseen (g, lang) smooths to ln(1/(T_l+V)))
+    scored = (
+        doc_grams.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(model), ["ml", "g"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "ml",
+            F.log(F.col("docs_l") / F.col("n_docs")).alias("prior_ll"),
+            (
+                F.col("c")
+                * F.log(
+                    (F.coalesce("n_gl", F.lit(0)) + F.lit(1.0))
+                    / (F.col("t_l") + F.col("v"))
+                )
+            ).alias("ll"),
+        )
+    )
+    per_lang = scored.groupBy("doc_id", "lang", "ml").agg(
+        (F.first("prior_ll") + F.sum("ll")).alias("score")
+    )
+    # argmax via max-of-struct; an exact score tie (continuous floats —
+    # effectively impossible) resolves to the LARGEST lang string, and
+    # the oracle orders (score desc, lang desc) to match
+    picked = per_lang.groupBy("doc_id", "lang").agg(
+        F.max(
+            F.struct(F.col("score"), F.col("ml").alias("lang_pred"))
+        ).alias("m")
+    )
+    out = picked.select(
+        F.col("lang").alias("lang_actual"), F.col("m.lang_pred").alias("lang_pred")
+    )
+    result = out.groupBy("lang_actual", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    ).localCheckpoint(eager=True)
+    model.unpersist()
+    return result

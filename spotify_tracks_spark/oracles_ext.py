@@ -5781,3 +5781,175 @@ join (select label, count(*) as community_size
 
 
 PARTS_COPURCHASE_COMMUNITIES = _lpa_communities_sql()
+
+
+def _did_sql() -> str:
+    """Mirror of events_did: same calendar-midpoint split, same paired
+    per-user diff, same exact Welch-style moments and IEEE op order."""
+    from .operators.analytics import AB_SPLIT_MOD
+
+    return f"""
+with bounds as (
+    select (min(ts)::date + cast(date_diff('day', min(ts)::date,
+                                           max(ts)::date) // 2 as integer))
+           as split_day
+    from events
+),
+per_user as (
+    select b.split_day,
+           cast(sum(case when e.event_type = 'purchase'
+                          and e.ts::date > b.split_day then 1 else 0 end)
+                - sum(case when e.event_type = 'purchase'
+                            and e.ts::date <= b.split_day then 1 else 0 end)
+                as bigint) as d,
+           {_h60('e.user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events e cross join bounds b
+    group by e.user_id, b.split_day
+),
+m as (
+    select split_day,
+           cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b,
+           cast(sum(case when arm_a then d else 0 end) as bigint) as sd_a,
+           cast(sum(case when not arm_a then d else 0 end) as bigint) as sd_b,
+           cast(sum(case when arm_a then d * d else 0 end) as bigint) as sdd_a,
+           cast(sum(case when not arm_a then d * d else 0 end) as bigint) as sdd_b
+    from per_user group by split_day
+),
+d1 as (
+    select *,
+           case when n_a > 0 then sd_a / n_a else 0.0e0 end as mean_diff_a,
+           case when n_b > 0 then sd_b / n_b else 0.0e0 end as mean_diff_b,
+           case when n_a > 1
+                then (n_a * sdd_a - sd_a * sd_a) / (n_a * (n_a - 1))
+                else 0.0e0 end as var_a,
+           case when n_b > 1
+                then (n_b * sdd_b - sd_b * sd_b) / (n_b * (n_b - 1))
+                else 0.0e0 end as var_b
+    from m
+),
+d2 as (
+    select *,
+           case when n_a > 0 then var_a / n_a else 0.0e0 end as va,
+           case when n_b > 0 then var_b / n_b else 0.0e0 end as vb,
+           mean_diff_a - mean_diff_b as did_effect
+    from d1
+),
+d3 as (
+    select *,
+           case when va + vb > 0 then sqrt(va + vb) else 0.0e0 end as se
+    from d2
+)
+select split_day, n_a, n_b, mean_diff_a, mean_diff_b, did_effect, se,
+       case when se > 0 then did_effect / se else 0.0e0 end as z_stat
+from d3
+"""
+
+
+EVENTS_DID = _did_sql()
+
+
+def _power_mde_sql() -> str:
+    from .operators.analytics import (
+        POWER_HORIZONS,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    hs = ", ".join(str(h) for h in POWER_HORIZONS)
+    return f"""
+with per_user as (
+    select sum(case when event_type = 'purchase' then 1 else 0 end) as x
+    from events group by user_id
+),
+m as (
+    select cast(count(*) as bigint) as n,
+           cast(sum(x) as bigint) as sx,
+           cast(sum(x * x) as bigint) as sxx
+    from per_user
+),
+base as (
+    select n,
+           case when n > 0 then sx / n else 0.0e0 end as mean_outcome,
+           case when n > 1 then (n * sxx - sx * sx) / (n * (n - 1))
+                else 0.0e0 end as var_outcome
+    from m
+),
+h as (
+    select base.*, unnest([{hs}]) as horizon_x from base
+),
+rows_ as (
+    select cast(horizon_x as int) as horizon_x,
+           cast((n * horizon_x) // 2 as bigint) as n_arm,
+           mean_outcome, var_outcome
+    from h
+),
+mde_t as (
+    select *,
+           case when n_arm > 0
+                then {POWER_Z_ALPHA + POWER_Z_BETA!r}e0
+                     * sqrt(2.0e0 * var_outcome / n_arm)
+                else 0.0e0 end as mde_abs
+    from rows_
+)
+select horizon_x, n_arm, mean_outcome, var_outcome, mde_abs,
+       case when mean_outcome > 0 then mde_abs / mean_outcome end as mde_rel
+from mde_t
+"""
+
+
+EVENTS_POWER_MDE = _power_mde_sql()
+
+
+TEXT_NAIVE_BAYES_LANGID = """
+with ex as (
+    select doc_id, lang,
+           unnest(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 1, 1)),
+               i -> substr(lower(text), i, 2))) as g
+    from documents
+),
+doc_grams as (
+    select doc_id, lang, g, count(*) as c from ex group by 1, 2, 3
+),
+model as (
+    select lang as ml, g, cast(sum(c) as bigint) as n_gl
+    from doc_grams group by 1, 2
+),
+lang_tot as (
+    select ml, cast(sum(n_gl) as bigint) as t_l from model group by 1
+),
+priors as (
+    select lang as ml, cast(count(*) as bigint) as docs_l
+    from documents group by 1
+),
+consts as (
+    select (select cast(count(*) as bigint) from documents) as n_docs,
+           (select cast(count(distinct g) as bigint) from model) as v
+),
+langs as (
+    select priors.ml, priors.docs_l, lang_tot.t_l, consts.n_docs, consts.v
+    from priors join lang_tot on lang_tot.ml = priors.ml
+    cross join consts
+),
+scored as (
+    select dg.doc_id, dg.lang, l.ml,
+           ln(l.docs_l / l.n_docs) as prior_ll,
+           dg.c * ln((coalesce(m.n_gl, 0) + 1.0e0) / (l.t_l + l.v)) as ll
+    from doc_grams dg
+    cross join langs l
+    left join model m on m.ml = l.ml and m.g = dg.g
+),
+per_lang as (
+    select doc_id, lang, ml, any_value(prior_ll) + sum(ll) as score
+    from scored group by 1, 2, 3
+),
+picked as (
+    select lang as lang_actual, ml as lang_pred
+    from per_lang
+    qualify row_number() over (partition by doc_id
+                               order by score desc, ml desc) = 1
+)
+select lang_actual, lang_pred, count(*) as n_docs
+from picked group by 1, 2
+"""

@@ -292,3 +292,36 @@ def test_quantile_hist_error_bound(spark):
                 row[f"q{i}"],
                 row.w,
             )
+
+
+def test_naive_bayes_langid_separates_planted_languages(spark, tmp_path):
+    """On a planted corpus whose three languages use disjoint character
+    inventories the trained NB classifier must recover every label
+    perfectly.  (The sf fixture can NOT support this pin: its documents
+    share one vocabulary across all lang labels — lang is statistically
+    independent of text there, so ~chance accuracy is the ceiling for
+    ANY classifier; the oracle-parity test covers that corpus.)"""
+    from spotify_tracks_spark.operators.text_analysis import (
+        text_naive_bayes_langid,
+    )
+
+    vocab = {
+        "aa": ["abad", "bace", "cafe", "dade"],
+        "bb": ["wuxy", "xyzu", "yuwz", "zxvw"],
+        "cc": ["mnop", "nopq", "opqm", "pqmn"],
+    }
+    rows = []
+    doc_id = 0
+    for lang, words in vocab.items():
+        for i in range(8):
+            text = " ".join(words[(i + j) % 4] for j in range(12))
+            rows.append((doc_id, text, lang, "planted", len(text)))
+            doc_id += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = text_naive_bayes_langid(spark, str(tmp_path)).collect()
+    assert {(r.lang_actual, r.lang_pred, r.n_docs) for r in out} == {
+        ("aa", "aa", 8), ("bb", "bb", 8), ("cc", "cc", 8)
+    }

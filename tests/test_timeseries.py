@@ -649,3 +649,40 @@ def test_spearman_is_monotone_invariant_and_matches_signs(spark, tmp_path):
     assert got[("click", "purchase")] == pytest.approx(1.0)
     assert got[("click", "view")] == pytest.approx(-1.0)
     assert got[("purchase", "view")] == pytest.approx(-1.0)
+
+
+def test_did_null_calibration(spark):
+    """On the A/A hash split (no real treatment) the DiD z-statistic
+    must sit inside +-1.96; structure checks pin the paired-diff
+    moment identities (effect = mean_a - mean_b, se > 0)."""
+    from spotify_tracks_spark.operators.analytics import events_did
+
+    from .conftest import SF_SMOKE
+
+    r = events_did(spark, SF_SMOKE).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert abs(r.z_stat) < 1.96, "A/A DiD fired — split or math broken"
+    assert r.did_effect == pytest.approx(r.mean_diff_a - r.mean_diff_b)
+    assert r.se > 0
+
+
+def test_power_mde_scales_inverse_sqrt_n(spark):
+    """MDE(n) ~ 1/sqrt(n_arm): each horizon's MDE must equal the base
+    MDE scaled by sqrt(n_arm_base / n_arm_h), and mde_rel must be
+    mde_abs / mean."""
+    import math
+
+    from spotify_tracks_spark.operators.analytics import events_power_mde
+
+    from .conftest import SF_SMOKE
+
+    rows = {r.horizon_x: r for r in events_power_mde(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    base = rows[1]
+    assert base.mde_abs > 0 and base.var_outcome > 0
+    for h in (2, 4, 8):
+        want = base.mde_abs * math.sqrt(base.n_arm / rows[h].n_arm)
+        assert rows[h].mde_abs == pytest.approx(want, rel=1e-12)
+        assert rows[h].mde_rel == pytest.approx(
+            rows[h].mde_abs / rows[h].mean_outcome
+        )
