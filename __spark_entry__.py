@@ -765,6 +765,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power_mde": _an.events_power_mde,
         # trained multinomial-NB language ID (confusion-matrix eval)
         "text_naive_bayes_langid": _text.text_naive_bayes_langid,
+        # group-sequential conversion monitoring (OBF-shape boundary)
+        "events_sequential_ab": _an.events_sequential_ab,
+        # trimmed + winsorized per-type means (order-statistic pair)
+        "events_robust_mean": _events.events_robust_mean,
+        # kNN majority-vote classification eval over the embeddings
+        "embedding_knn_classifier": _sim.embedding_knn_classifier,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -999,6 +1005,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_did": oracles_ext.EVENTS_DID,
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
         "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
+        "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
+        "embedding_knn_classifier": oracles_ext.EMBEDDING_KNN_CLASSIFIER,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,
         "events_sample_stratified": oracles_ext.EVENTS_SAMPLE_STRATIFIED,

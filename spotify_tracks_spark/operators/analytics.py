@@ -2184,3 +2184,114 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_outcome") > 0, mde / F.col("mean_outcome")
         ).alias("mde_rel"),
     )
+
+
+# O'Brien-Fleming-shape sequential boundary scale: the two-sided 0.05
+# fixed-horizon quantile stretched by sqrt(1/t) information fraction.
+SEQ_Z_ALPHA = 1.959963984540054
+
+
+def events_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring: the day-by-day cumulative
+    conversion z-statistic against an O'Brien-Fleming-shape boundary
+    z_α·√(D/d) — the "peeking problem" member of the experimentation
+    family (the fixed-horizon tests above are valid ONCE; a dashboard
+    recomputing them daily inflates false positives, which is exactly
+    what the widening early boundary corrects).
+
+    Outcome is cumulative CONVERSION (user has ≥1 purchase by day d) —
+    deliberately Bernoulli, because that makes the day-d moments
+    sparse-computable: a 0/1 outcome has Σx² = Σx, so the whole
+    triangular "per-user state at every day" recompute collapses to
+    each user's FIRST-purchase day, a day-grain cumulative sum per arm.
+    (A count outcome's Σx² cannot fold this way — that readout belongs
+    to the fixed-horizon tests.)
+
+    Exactness: converter counts are exact bigint cumulative sums over
+    the zero-filled day spine; z and the boundary apply a fixed IEEE
+    sequence per row with z_α embedded as a module literal.
+
+    Scale shape: one user-grain aggregate (arm + first-purchase day),
+    one |days|-grain zero-filled cumulative window per arm, |days|
+    output rows.  Output: (day, day_idx, n_days, n_a, n_b, conv_a,
+    conv_b, z_stat, obf_bound, crosses)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = read_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("fp_day")
+        )
+        .select(
+            "fp_day",
+            (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+                "arm_a"
+            ),
+        )
+    )
+    arms = users.groupBy().agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    per_day = users.filter(F.col("fp_day").isNotNull()).groupBy(
+        F.col("fp_day").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("fp_a"),
+        F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("fp_b"),
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    n_days_tbl = days.agg(F.count("*").cast("long").alias("n_days"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # |days|-grain global windows: value-grain tiny frame (the
+    # events_kaplan_meier adjudication) — allow-listed in the lint gate
+    dense = (
+        days.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("fp_a", F.lit(0)).alias("fp_a"),
+            F.coalesce("fp_b", F.lit(0)).alias("fp_b"),
+        )
+        .select(
+            "day",
+            F.sum("fp_a").over(w).alias("conv_a"),
+            F.sum("fp_b").over(w).alias("conv_b"),
+            F.row_number().over(Window.orderBy("day")).cast("long").alias(
+                "day_idx"
+            ),
+        )
+    )
+    j = dense.crossJoin(F.broadcast(arms)).crossJoin(F.broadcast(n_days_tbl))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    p_a = F.when(n_a > 0, F.col("conv_a") / n_a).otherwise(F.lit(0.0))
+    p_b = F.when(n_b > 0, F.col("conv_b") / n_b).otherwise(F.lit(0.0))
+    pool = F.when(
+        n_a + n_b > 0, (F.col("conv_a") + F.col("conv_b")) / (n_a + n_b)
+    ).otherwise(F.lit(0.0))
+    d2 = j.select(
+        "day", "day_idx", "n_days", "n_a", "n_b", "conv_a", "conv_b",
+        F.when(
+            (n_a > 0) & (n_b > 0),
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / n_a + F.lit(1.0) / n_b),
+        ).otherwise(F.lit(0.0)).alias("v"),
+        (p_a - p_b).alias("diff"),
+    )
+    z = F.when(F.col("v") > 0, F.col("diff") / F.sqrt("v")).otherwise(
+        F.lit(0.0)
+    )
+    bound = F.lit(SEQ_Z_ALPHA) * F.sqrt(
+        F.col("n_days") / F.col("day_idx").cast("double")
+    )
+    return d2.select(
+        "day", "day_idx", "n_days",
+        "n_a", "n_b", "conv_a", "conv_b",
+        z.alias("z_stat"),
+        bound.alias("obf_bound"),
+        (F.abs(z) > bound).alias("crosses"),
+    )

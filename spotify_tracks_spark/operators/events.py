@@ -1060,3 +1060,73 @@ def events_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         if words is not None:
             words.unpersist()
 
+
+
+TRIM_PCT = 5  # percent trimmed/winsorized from EACH tail
+
+
+def events_robust_mean(
+    spark: SparkSession, sf_dir: str, trim_pct: int = TRIM_PCT
+) -> DataFrame:
+    """Robust per-type means of ``value``: the ``trim_pct``%-TRIMMED
+    mean (drop each tail) and the WINSORIZED mean (clamp each tail to
+    the boundary order statistic) — the outlier-resistant metric pair
+    every metrics platform publishes next to the raw mean (a single
+    corrupt 1e9 reading moves the mean arbitrarily; it moves neither of
+    these).
+
+    Order-statistic discipline (the events_median shape): one shuffle
+    + one per-key sort gives rank and group count on the same
+    (event_type) partitioning; the tail size is exact integer math
+    k = floor(n·pct/100) (floor of a /100 rational is float-safe: the
+    true quotient is ≥1/100 away from any integer it doesn't equal);
+    the boundary values are the rows AT ranks k+1 and n−k, carried to
+    the group by a conditional max — no second shuffle, no broadcast
+    join back.  Value sums are doubles (6-dp hash tolerance, the
+    events_summary precedent).
+
+    Output: (event_type, n, n_trimmed, trimmed_mean, winsorized_mean)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n") * F.lit(trim_pct) / F.lit(100)).cast("long")
+    )
+    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    agg = ranked.groupBy("event_type").agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(F.when(kept, F.col("value"))).alias("s_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.max(
+            F.when(F.col("rn") == F.col("k") + 1, F.col("value"))
+        ).alias("v_lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("value"))
+        ).alias("v_hi"),
+    )
+    trimmed = F.when(
+        F.col("n_kept") > 0, F.col("s_kept") / F.col("n_kept")
+    ).otherwise(F.lit(0.0))
+    winsor = F.when(
+        F.col("n") > 0,
+        (
+            F.col("s_kept")
+            + F.col("k") * F.col("v_lo")
+            + F.col("k") * F.col("v_hi")
+        )
+        / F.col("n"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n",
+        F.col("n_kept").cast("long").alias("n_trimmed"),
+        trimmed.alias("trimmed_mean"),
+        winsor.alias("winsorized_mean"),
+    )

@@ -959,3 +959,62 @@ def embedding_negative_samples(
         "cos",
     )
     return positives.unionByName(negs)
+
+
+KNN_VOTE_K = 5
+
+
+def embedding_knn_classifier(
+    spark: SparkSession, sf_dir: str, k: int = KNN_VOTE_K, probe_mod: int = 100
+) -> DataFrame:
+    """k-NN classification over the embedding corpus: each probe vector
+    (the standard ``vec_id % probe_mod`` probe slice) takes the
+    majority label of its k exact-cosine nearest neighbors, evaluated
+    against its own label as a confusion matrix — similarity search
+    powering the classic label-propagation eval (the "is this
+    embedding space good enough to classify with" readout that
+    accompanies every recall@k report).
+
+    Determinism: the neighbor list is the exact bruteforce top-k with
+    the (cos desc, neighbor_id) tie order the ANN family pins; the
+    vote is integer counts with a two-key argmax (count desc, then
+    SMALLEST label via max-of-struct on (cnt, -label)) — no float
+    enters the decision after the rank filter.
+
+    Scale shape: identical to ann_topk_bruteforce (probe-broadcast
+    scored join + per-probe rank window) plus one |probes×k| label
+    join and two tiny aggregates.  The IVF/PQ variants drop in for the
+    scored join at larger corpora; the eval contract stays the same.
+
+    Output: (label_actual, label_pred, n_probes)."""
+    topk = ann_topk_bruteforce(spark, sf_dir, k=k, probe_mod=probe_mod)
+    labels = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    picked = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg"))
+        ).alias("m")
+    ).select("query_id", (-F.col("m.neg")).alias("label_pred"))
+    return (
+        picked.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("label_actual"),
+            ),
+            "query_id",
+        )
+        .groupBy("label_actual", "label_pred")
+        .agg(F.count("*").alias("n_probes"))
+    )

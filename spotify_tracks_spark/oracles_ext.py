@@ -5953,3 +5953,139 @@ picked as (
 select lang_actual, lang_pred, count(*) as n_docs
 from picked group by 1, 2
 """
+
+
+def _sequential_ab_sql() -> str:
+    from .operators.analytics import AB_SPLIT_MOD, SEQ_Z_ALPHA
+
+    return f"""
+with users as (
+    select min(case when event_type = 'purchase' then ts::date end) as fp_day,
+           {_h60('user_id::varchar')} % {AB_SPLIT_MOD} = 0 as arm_a
+    from events group by user_id
+),
+arms as (
+    select cast(sum(case when arm_a then 1 else 0 end) as bigint) as n_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as n_b
+    from users
+),
+per_day as (
+    select fp_day as day,
+           cast(sum(case when arm_a then 1 else 0 end) as bigint) as fp_a,
+           cast(sum(case when not arm_a then 1 else 0 end) as bigint) as fp_b
+    from users where fp_day is not null group by 1
+),
+days as (select distinct ts::date as day from events),
+nd as (select cast(count(*) as bigint) as n_days from days),
+dense as (
+    select d.day,
+           cast(sum(coalesce(p.fp_a, 0)) over w as bigint) as conv_a,
+           cast(sum(coalesce(p.fp_b, 0)) over w as bigint) as conv_b,
+           cast(row_number() over (order by d.day) as bigint) as day_idx
+    from days d left join per_day p on p.day = d.day
+    window w as (order by d.day rows between unbounded preceding
+                 and current row)
+),
+j as (
+    select dense.*, arms.n_a, arms.n_b, nd.n_days
+    from dense cross join arms cross join nd
+),
+d2 as (
+    select day, day_idx, n_days, n_a, n_b, conv_a, conv_b,
+           case when n_a > 0 and n_b > 0
+                then ((conv_a + conv_b) / (n_a + n_b))
+                     * (1.0e0 - (conv_a + conv_b) / (n_a + n_b))
+                     * (1.0e0 / n_a + 1.0e0 / n_b)
+                else 0.0e0 end as v,
+           (case when n_a > 0 then conv_a / n_a else 0.0e0 end)
+             - (case when n_b > 0 then conv_b / n_b else 0.0e0 end) as diff
+    from j
+),
+d3 as (
+    select *,
+           case when v > 0 then diff / sqrt(v) else 0.0e0 end as z_stat,
+           {SEQ_Z_ALPHA!r}e0 * sqrt(n_days / cast(day_idx as double))
+             as obf_bound
+    from d2
+)
+select day, day_idx, n_days, n_a, n_b, conv_a, conv_b,
+       z_stat, obf_bound, abs(z_stat) > obf_bound as crosses
+from d3
+"""
+
+
+EVENTS_SEQUENTIAL_AB = _sequential_ab_sql()
+
+
+def _robust_mean_sql() -> str:
+    from .operators.events import TRIM_PCT
+
+    return f"""
+with ranked as (
+    select event_type, value,
+           row_number() over (partition by event_type
+                              order by value, event_id) as rn,
+           cast(count(*) over (partition by event_type) as bigint) as n
+    from events
+),
+kt as (select *, (n * {TRIM_PCT}) // 100 as k from ranked),
+agg as (
+    select event_type,
+           any_value(n) as n, any_value(k) as k,
+           sum(case when rn > k and rn <= n - k then value end) as s_kept,
+           cast(sum(case when rn > k and rn <= n - k then 1 else 0 end)
+                as bigint) as n_kept,
+           max(case when rn = k + 1 then value end) as v_lo,
+           max(case when rn = n - k then value end) as v_hi
+    from kt group by 1
+)
+select event_type, n, n_kept as n_trimmed,
+       case when n_kept > 0 then s_kept / n_kept else 0.0e0 end
+         as trimmed_mean,
+       case when n > 0 then (s_kept + k * v_lo + k * v_hi) / n
+            else 0.0e0 end as winsorized_mean
+from agg
+"""
+
+
+EVENTS_ROBUST_MEAN = _robust_mean_sql()
+
+
+def _knn_classifier_sql(k: int = 5, probe_mod: int = 100) -> str:
+    return f"""
+with emb as (select vec_id, {_EMB} as e from embeddings),
+probes as (select vec_id as query_id, e as qe from emb
+           where vec_id % {probe_mod} = 0),
+scored as (
+    select p.query_id, emb.vec_id as neighbor_id,
+           list_sum(list_transform(generate_series(1, len(emb.e)),
+                                   i -> p.qe[i] * emb.e[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x -> x*x)))
+                * sqrt(list_sum(list_transform(emb.e, x -> x*x)))) as cos
+    from emb cross join probes p
+    where emb.vec_id != p.query_id
+),
+topk as (
+    select query_id, neighbor_id
+    from scored
+    qualify row_number() over (partition by query_id
+                               order by cos desc, neighbor_id) <= {k}
+),
+votes as (
+    select t.query_id, l.label as nbr_label, count(*) as cnt
+    from topk t join embeddings l on l.vec_id = t.neighbor_id
+    group by 1, 2
+),
+picked as (
+    select query_id, nbr_label as label_pred
+    from votes
+    qualify row_number() over (partition by query_id
+                               order by cnt desc, nbr_label asc) = 1
+)
+select a.label as label_actual, p.label_pred, count(*) as n_probes
+from picked p join embeddings a on a.vec_id = p.query_id
+group by 1, 2
+"""
+
+
+EMBEDDING_KNN_CLASSIFIER = _knn_classifier_sql()

@@ -310,3 +310,29 @@ def test_communities_two_cliques_with_bridge(spark, tmp_path):
     assert len(labels_c1) == 1 and len(labels_c2) == 1
     assert labels_c1 != labels_c2, "cliques must keep distinct communities"
     assert all(got[v][1] == 4 for v in c1 + c2)
+
+
+def test_knn_classifier_planted_clusters(spark, tmp_path):
+    """Two tight embedding clusters with distinct labels: every probe's
+    k=5 neighbors are its own cluster, so classification is perfect."""
+    import random
+
+    from spotify_tracks_spark.operators.similarity import (
+        embedding_knn_classifier,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        label = i % 2
+        center = [10.0, 0.0, 0.0, 0.0] if label == 0 else [0.0, 10.0, 0.0, 0.0]
+        vec = [c + rng.uniform(-0.5, 0.5) for c in center]
+        # vec_id multiples of 100 become probes (probe_mod contract)
+        rows.append((i * 100 if i < 6 else i * 100 + 1, vec, label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = embedding_knn_classifier(spark, str(tmp_path)).collect()
+    assert {(r.label_actual, r.label_pred) for r in got} == {(0, 0), (1, 1)}
+    assert sum(r.n_probes for r in got) == 6

@@ -36,6 +36,8 @@ ALLOW_GLOBAL_WINDOW = {
     "events_mann_whitney",
     # fixed handful of pipeline gates / funnel stages
     "corpus_survival",
+    # |distinct event-days| grain cumulative-conversion monitor
+    "events_sequential_ab",
 }
 
 #: Queries allowed a CartesianProduct (none: one-row spines plan as
@@ -62,6 +64,7 @@ ALLOW_FACT_BROADCAST: set[str] = {
     "ann_topk_lsh",
     "ann_topk_pq",
     "dedup_embedding",
+    "embedding_knn_classifier",
     "embedding_negative_samples",
     "embedding_truncation_recall",
     # med/mad are |event_type|-grain by construction: a per-type median

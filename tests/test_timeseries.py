@@ -686,3 +686,54 @@ def test_power_mde_scales_inverse_sqrt_n(spark):
         assert rows[h].mde_rel == pytest.approx(
             rows[h].mde_abs / rows[h].mean_outcome
         )
+
+
+def test_sequential_ab_boundary_and_monotonicity(spark):
+    """Sequential monitor invariants on the fixture: cumulative
+    converter counts are monotone, the OBF-shape boundary is strictly
+    decreasing and lands exactly on z_alpha at the final look, and the
+    crosses flag is consistent with |z| vs bound on every row."""
+    from spotify_tracks_spark.operators.analytics import (
+        SEQ_Z_ALPHA,
+        events_sequential_ab,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = sorted(
+        events_sequential_ab(spark, SF_SMOKE).collect(),
+        key=lambda r: r.day_idx,
+    )
+    assert rows and rows[0].day_idx == 1
+    assert rows[-1].day_idx == rows[-1].n_days
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.conv_a >= prev.conv_a and cur.conv_b >= prev.conv_b
+        assert cur.obf_bound < prev.obf_bound
+    assert rows[-1].obf_bound == pytest.approx(SEQ_Z_ALPHA)
+    for r in rows:
+        assert r.crosses == (abs(r.z_stat) > r.obf_bound)
+    # A/A split: the final fixed-horizon look must not fire
+    assert not rows[-1].crosses
+
+
+def test_robust_mean_ignores_planted_outlier(spark, tmp_path):
+    """21 values 1..21 plus one 1e9 corruption: the raw mean explodes,
+    the 5%-trimmed mean (k=1 each side) and the winsorized mean must
+    stay at hand-computed small values."""
+    from datetime import datetime as d
+
+    from spotify_tracks_spark.operators.events import events_robust_mean
+
+    vals = [float(v) for v in range(1, 22)] + [1e9]
+    rows = [
+        (i, d(2024, 3, 1 + i % 20, 12), 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_robust_mean(spark, sf).collect()[0]
+    # n=22, k = floor(22*5/100) = 1: drop min (1.0) and max (1e9)
+    assert (r.n, r.n_trimmed) == (22, 20)
+    kept = sorted(vals)[1:-1]
+    assert r.trimmed_mean == pytest.approx(sum(kept) / 20)
+    # winsorize: clamp 1.0 -> 2.0 and 1e9 -> 21.0
+    assert r.winsorized_mean == pytest.approx((sum(kept) + 2.0 + 21.0) / 22)
