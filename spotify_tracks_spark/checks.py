@@ -39,6 +39,51 @@ def check_unique_not_null(df: DataFrame, table: str, column: str) -> list[CheckR
     ]
 
 
+def check_accepted_values(
+    df: DataFrame, table: str, column: str, values: tuple[str, ...]
+) -> CheckResult:
+    """dbt's ``accepted_values`` schema test: every non-null value of
+    ``column`` must be in ``values``.  The reference declares none, but
+    a dbt user switching engines brings the generic test suite — one
+    conditional-count aggregate, no collect of data rows."""
+    bad = df.agg(
+        F.sum(
+            F.when(
+                F.col(column).isNotNull() & ~F.col(column).isin(*values), 1
+            ).otherwise(0)
+        ).alias("n_bad")
+    ).collect()[0].n_bad
+    return CheckResult(
+        table, column, "accepted_values", bad == 0,
+        f"{bad} rows outside {sorted(values)}",
+    )
+
+
+def check_relationships(
+    child: DataFrame, child_table: str, column: str,
+    parent: DataFrame, parent_column: str,
+) -> CheckResult:
+    """dbt's ``relationships`` schema test (referential integrity):
+    every non-null child value must exist in the parent column.  One
+    left-anti join against the DISTINCT parent keys — at scale the
+    aggregated parent side is the broadcast/bloom-prunable side, and no
+    data row reaches the driver."""
+    orphans = (
+        child.select(F.col(column).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .join(
+            parent.select(F.col(parent_column).alias("k")).distinct(),
+            "k",
+            "left_anti",
+        )
+        .count()
+    )
+    return CheckResult(
+        child_table, column, "relationships", orphans == 0,
+        f"{orphans} child keys missing from parent.{parent_column}",
+    )
+
+
 # (table, key) pairs from _spotify__models.yml.
 REFERENCE_CHECKS = (
     ("dim_album", "album_id"),
@@ -52,4 +97,18 @@ def run_reference_checks(models: dict[str, DataFrame]) -> list[CheckResult]:
     results: list[CheckResult] = []
     for table, column in REFERENCE_CHECKS:
         results.extend(check_unique_not_null(models[table], table, column))
+    # the two generic dbt test classes the reference doesn't declare but
+    # the mart DAG satisfies by construction — run as regression guards
+    results.append(
+        check_relationships(
+            models["fct_played_track"], "fct_played_track", "track_id",
+            models["dim_track"], "track_id",
+        )
+    )
+    results.append(
+        check_relationships(
+            models["fct_played_track"], "fct_played_track", "album_id",
+            models["dim_album"], "album_id",
+        )
+    )
     return results

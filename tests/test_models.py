@@ -163,3 +163,26 @@ def test_docs_site_renders_every_model_and_column():
     for doc in MODEL_DOCS.values():
         for col in doc.get("columns", {}):
             assert f"<code>{col}</code>" in html_out, col
+
+
+def test_generic_checks_fire_on_planted_violations(spark):
+    """accepted_values / relationships must actually detect violations
+    (not just pass vacuously on the healthy marts)."""
+    from spotify_tracks_spark.checks import (
+        check_accepted_values,
+        check_relationships,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("zz", 3)], "status string, k int"
+    )
+    ok = check_accepted_values(df, "t", "status", ("a", "b", "zz"))
+    assert ok.passed
+    bad = check_accepted_values(df, "t", "status", ("a", "b"))
+    assert not bad.passed and "1 rows" in bad.detail
+
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    good = check_relationships(df.select("k").filter("k <= 2"), "t", "k", parent, "k")
+    assert good.passed
+    orphan = check_relationships(df, "t", "k", parent, "k")
+    assert not orphan.passed and "1 child keys" in orphan.detail
