@@ -219,6 +219,16 @@ def _events_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_cms(spark, sf_dir)
 
 
+def _events_stream_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming group-sequential monitor: per-user first-purchase +
+    observed-day state folded per micro-batch; the drain hands the
+    state to the batch operator's shared report tail (hash-equal —
+    same EVENTS_SEQUENTIAL_AB oracle)."""
+    from spotify_tracks_spark.streaming import stream_events_sequential_ab
+
+    return stream_events_sequential_ab(spark, sf_dir)
+
+
 def _events_stream_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quantile-sketch fold: equi-width bin vectors added per
     micro-batch (constant |types|xn_bins state), bounds supplied from
@@ -771,6 +781,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_mean": _events.events_robust_mean,
         # kNN majority-vote classification eval over the embeddings
         "embedding_knn_classifier": _sim.embedding_knn_classifier,
+        # streaming fold of the sequential monitor (always-on looks)
+        "events_stream_sequential_ab": _events_stream_sequential_ab,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -1006,6 +1018,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
         "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
         "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
         "embedding_knn_classifier": oracles_ext.EMBEDDING_KNN_CLASSIFIER,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,

@@ -2234,6 +2234,16 @@ def events_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    return sequential_ab_report(users, days)
+
+
+def sequential_ab_report(users: DataFrame, days: DataFrame) -> DataFrame:
+    """The monitor's report tail over (fp_day, arm_a) user rows and the
+    observation-day spine — shared by the batch operator above and the
+    streaming state fold (``streaming/sketch.py::
+    stream_events_sequential_ab``), so both produce byte-identical
+    looks from identical state (the incremental-mart twin contract)."""
     arms = users.groupBy().agg(
         F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("n_b"),
@@ -2244,7 +2254,6 @@ def events_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("fp_a"),
         F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).alias("fp_b"),
     )
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
     n_days_tbl = days.agg(F.count("*").cast("long").alias("n_days"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     # |days|-grain global windows: value-grain tiny frame (the

@@ -9,6 +9,7 @@ from .sketch import (
     stream_events_hll,
     stream_events_kmv,
     stream_events_quantile_hist,
+    stream_events_sequential_ab,
 )
 from .ingest import stream_events_dedup
 from .joins import (
@@ -44,4 +45,5 @@ __all__ = [
     "stream_events_hll",
     "stream_events_kmv",
     "stream_events_quantile_hist",
+    "stream_events_sequential_ab",
 ]

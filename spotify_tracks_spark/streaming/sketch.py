@@ -600,3 +600,128 @@ def stream_events_quantile_hist(
         "n", F.col("n").cast("long")
     )
     return quantiles_from_hist(final)
+
+
+def stream_events_sequential_ab(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of the group-sequential A/B monitor: the
+    always-on form of ``operators/analytics.py::events_sequential_ab``
+    — exactly the op whose POINT is to be recomputed as data arrives
+    (each micro-batch advances the cumulative-conversion looks; a
+    dashboard reads the drained table).  Hash-equal to the batch
+    monitor (same EVENTS_SEQUENTIAL_AB oracle).
+
+    State is TWO grains, both bounded: one row per user (grain 'u':
+    arm + min-folded first-purchase day — min is associative, so the
+    fold replays idempotently) and one row per observed day (grain
+    'd').  Entity-grain like the incremental-mart states, never
+    event-grain; per-batch snapshots give the same at-least-once
+    replay detection as the other folds here.  The drain hands the
+    state to the SHARED report tail (``sequential_ab_report``), so
+    batch and stream produce byte-identical looks from identical
+    state."""
+    from ..operators.analytics import AB_SPLIT_MOD, sequential_ab_report
+
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_seq_ab_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "seq_ab"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_seq_ab_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "seq_ab")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).select("user_id", "event_type", "ts").repartition(
+            n_slices
+        ).write.parquet(src_path)
+    schema = spark.read.parquet(src_path).schema
+
+    def _partials(df: DataFrame) -> DataFrame:
+        u = df.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+            ).alias("day"),
+        ).select(
+            F.lit("u").alias("grain"), "user_id", "day"
+        )
+        d = df.select(F.to_date("ts").alias("day")).distinct().select(
+            F.lit("d").alias("grain"),
+            F.lit(None).cast("long").alias("user_id"),
+            "day",
+        )
+        return u.unionByName(d)
+
+    def _remerge(u: DataFrame) -> DataFrame:
+        # 'u' rows: min-fold fp_day per user (nulls stay null until the
+        # first purchase arrives); 'd' rows: day IS the key, min is a
+        # no-op on it
+        return u.groupBy(
+            "grain",
+            "user_id",
+            F.when(F.col("grain") == "d", F.col("day")).alias("day_key"),
+        ).agg(F.min("day").alias("day")).select(
+            "grain", "user_id", "day"
+        )
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = _partials(batch_df)
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = _remerge(partial).persist()
+        merged.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = merged
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    if cur["batch"] < 0:
+        return spark.createDataFrame(
+            [],
+            "day date, day_idx bigint, n_days bigint, n_a bigint, "
+            "n_b bigint, conv_a bigint, conv_b bigint, z_stat double, "
+            "obf_bound double, crosses boolean",
+        )
+    state = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    users = state.filter(F.col("grain") == "u").select(
+        F.col("day").alias("fp_day"),
+        (portable_hash60(F.col("user_id")) % AB_SPLIT_MOD == 0).alias(
+            "arm_a"
+        ),
+    )
+    days = state.filter(F.col("grain") == "d").select("day")
+    return sequential_ab_report(users, days)

@@ -37,7 +37,9 @@ ALLOW_GLOBAL_WINDOW = {
     # fixed handful of pipeline gates / funnel stages
     "corpus_survival",
     # |distinct event-days| grain cumulative-conversion monitor
+    # (batch + the streaming fold's shared report tail)
     "events_sequential_ab",
+    "events_stream_sequential_ab",
 }
 
 #: Queries allowed a CartesianProduct (none: one-row spines plan as

@@ -414,3 +414,24 @@ def test_rocksdb_state_store_provider_is_result_invariant(spark):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks_rows == default_rows
     assert rocks_rows, "drained stream produced no windows"
+
+
+def test_stream_sequential_ab_matches_batch_and_replays(spark, tmp_path):
+    """The streaming monitor fold must equal the batch monitor exactly
+    (shared report tail over identical state) and resume from its
+    snapshots without double-counting converters."""
+    from spotify_tracks_spark.operators.analytics import events_sequential_ab
+    from spotify_tracks_spark.streaming import stream_events_sequential_ab
+
+    base = str(tmp_path / "seq_ab")
+    got = stream_events_sequential_ab(spark, SF_SMOKE, base=base)
+    want = events_sequential_ab(spark, SF_SMOKE)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows
+
+    resumed = stream_events_sequential_ab(spark, SF_SMOKE, base=base)
+    again = sorted(tuple(r[c] for c in cols) for r in resumed.collect())
+    assert again == got_rows
