@@ -47,6 +47,7 @@ from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
     parts_copurchase_communities as _graph_communities,
+    parts_copurchase_substitutes as _graph_substitutes,
     parts_copurchase_kcore as _graph_kcore,
     parts_copurchase_pagerank as _graph_pagerank,
     parts_copurchase_triangles,
@@ -783,6 +784,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_classifier": _sim.embedding_knn_classifier,
         # streaming fold of the sequential monitor (always-on looks)
         "events_stream_sequential_ab": _events_stream_sequential_ab,
+        # neighborhood-cosine substitute candidates (structural twin of
+        # the co-occurrence complement miners)
+        "parts_copurchase_substitutes": _graph_substitutes,
+        # T5-style span corruption (input/target denoising pairs)
+        "corpus_span_corruption": _llm.corpus_span_corruption,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -1019,6 +1025,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
         "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
         "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
+        "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
         "embedding_knn_classifier": oracles_ext.EMBEDDING_KNN_CLASSIFIER,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,

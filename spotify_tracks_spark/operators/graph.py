@@ -18,7 +18,7 @@ is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import read_table
 
@@ -492,4 +492,131 @@ def parts_copurchase_communities(
     finally:
         adj.unpersist()
         edges.unpersist()
+    return out
+
+
+# wedge-center degree cap for the neighborhood-similarity op: a center
+# of degree d contributes d(d-1)/2 candidate pairs, so hubs are the
+# quadratic hazard; centers above the cap are EXCLUDED (deterministic,
+# mirrored by the oracle) and their count is surfaced via a warning.
+SIM_MAX_CENTER_DEG = 64
+SIM_TOP_K = 5
+
+
+def parts_copurchase_substitutes(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SIM_TOP_K,
+    max_center_deg: int = SIM_MAX_CENTER_DEG,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """SUBSTITUTE candidates from graph structure: parts whose
+    co-purchase NEIGHBORHOODS overlap — cosine of binary adjacency
+    vectors, sim(x,y) = |N(x)∩N(y)| / √(deg x · deg y) — ranked top-k
+    per part.  The structural complement of the basket family:
+    co-occurrence/lift (orders_basket_rules, session_cooccurrence)
+    finds items bought TOGETHER (complements); items bought INSTEAD of
+    each other rarely share an order but do share neighbors, which is
+    exactly what this measures (the Amazon substitutes/complements
+    distinction).
+
+    Plan: common-neighbor counts are wedge enumeration — each center z
+    emits its adjacency pairs, Σ deg(z)² total, so the quadratic hazard
+    is hubs.  Centers above ``max_center_deg`` are dropped from pair
+    GENERATION (their neighbors still appear as endpoints via other
+    centers); the drop is deterministic, mirrored by the oracle, and
+    counted — the operator warns with the number rather than capping
+    silently.  At 100 TB the cap is the knob that bounds the shuffle at
+    |centers|·cap² while keeping exact results for the non-hub graph.
+
+    Determinism: counts and degrees are integers; sim's two sqrt/divide
+    ops are fixed-order; the per-part rank orders (sim desc via the
+    integer cross-product comparison? no — sim desc, then neighbor id)
+    with row_number, the ANN-family tie discipline.
+
+    Output: (part_id, substitute_id, common, sim, rank) — top-k rows
+    per part that has any candidate."""
+    import warnings
+
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+        .persist()
+    )
+    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
+    if n_dropped:
+        warnings.warn(
+            f"parts_copurchase_substitutes: {n_dropped} hub centers above "
+            f"deg {max_center_deg} excluded from wedge generation",
+            stacklevel=2,
+        )
+    centers = sym.join(
+        F.broadcast(
+            deg.filter(F.col("deg") <= max_center_deg).select("src")
+        ),
+        "src",
+        "left_semi",
+    )
+    ca, cb = centers.alias("ca"), centers.alias("cb")
+    common = (
+        ca.join(
+            cb,
+            (F.col("ca.src") == F.col("cb.src"))
+            & (F.col("ca.dst") < F.col("cb.dst")),
+        )
+        .groupBy(
+            F.col("ca.dst").alias("x"), F.col("cb.dst").alias("y")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    both = common.unionByName(
+        common.select(
+            F.col("y").alias("x"), F.col("x").alias("y"), "common"
+        )
+    )
+    scored = (
+        both.join(deg.select(F.col("src").alias("x"), F.col("deg").alias("dx")), "x")
+        .join(deg.select(F.col("src").alias("y"), F.col("deg").alias("dy")), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            (
+                F.col("common")
+                / (F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double")))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("x").orderBy(F.desc("sim"), F.asc("y"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("x").alias("part_id"),
+            F.col("y").alias("substitute_id"),
+            "common",
+            F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg.unpersist()
+    edges.unpersist()
     return out

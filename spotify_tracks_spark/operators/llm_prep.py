@@ -902,3 +902,145 @@ def corpus_curriculum_order(
             "stage"
         ),
     )
+
+
+SPAN_LEN = 3           # masked-span length in words (T5 mean span ~3)
+SPAN_RATE_PCT = 15     # percent of words masked (T5's 15%)
+
+
+def corpus_span_corruption(
+    spark: SparkSession,
+    sf_dir: str,
+    span_len: int = SPAN_LEN,
+    rate_pct: int = SPAN_RATE_PCT,
+) -> DataFrame:
+    """T5-style SPAN CORRUPTION: rewrite each document into the
+    (input_text, target_text) pair a span-denoising pretraining
+    objective consumes — contiguous word spans replaced by
+    ``<extra_id_j>`` sentinels in the input, with the target holding
+    the sentinels followed by the masked words.
+
+    Deterministic span placement (no RNG): the document splits into
+    ``n_spans = floor(n_words·rate/100 / span_len)`` equal SEGMENTS and
+    each segment hosts exactly one span at a hash-derived offset
+    (``portable_hash60(doc_id|j)`` mod the feasible range) — spans are
+    non-overlapping BY CONSTRUCTION (one per segment, segment length ≥
+    span length), reproducible across engines, and respect the global
+    masking budget exactly like the iid-corruption expectation.
+
+    Plan shape: everything is per-document array algebra — split,
+    positional flags via ``transform`` over the word index, two
+    filtered ``array_join``s — inside whole-stage codegen; no explode,
+    no shuffle beyond the scan (the op is embarrassingly parallel, the
+    right shape for a 100 TB corpus rewrite).
+
+    Output: (doc_id, n_words, n_spans, input_text, target_text);
+    documents too short for one span pass through unmasked with
+    n_spans = 0."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words)
+    n_spans = F.floor(
+        (n_words * F.lit(rate_pct) / F.lit(100)) / F.lit(span_len)
+    ).cast("int")
+    # a segment must fit one whole span
+    seg_len = F.when(n_spans > 0, (n_words / n_spans).cast("int")).otherwise(
+        F.lit(0)
+    )
+    n_spans = F.when(seg_len >= span_len, n_spans).otherwise(F.lit(0))
+    base = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        n_words.alias("n_words"),
+        n_spans.alias("n_spans"),
+        F.when(n_spans > 0, (n_words / n_spans).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("seg_len"),
+    )
+    # span start for segment j (0-based word index):
+    #   j*seg_len + hash(doc_id|j) % (seg_len - span_len + 1)
+    # (greatest-guard: sequence(0, -1) raises in Spark — the repo's
+    # documented convention; the n_spans > 0 gate below discards the
+    # guarded value)
+    starts = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("n_spans"), F.lit(1)) - 1),
+        lambda j: j * F.col("seg_len")
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.greatest(
+                F.col("seg_len") - F.lit(span_len) + 1, F.lit(1)
+            ).cast("long"),
+        ).cast("int"),
+    )
+    spanned = base.select(
+        "doc_id",
+        "ws",
+        "n_words",
+        "n_spans",
+        F.when(F.col("n_spans") > 0, starts)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("starts"),
+    )
+    # per word index i (0-based): the span j containing i, else -1; a
+    # word OPENS span j when i == starts[j]
+    idx = F.sequence(F.lit(0), F.col("n_words") - 1)
+
+    def span_of(i):
+        return F.aggregate(
+            F.col("starts"),
+            F.lit(-1),
+            lambda acc, s: F.when(
+                (i >= s) & (i < s + F.lit(span_len)),
+                F.array_position(F.col("starts"), s).cast("int") - 1,
+            ).otherwise(acc),
+        )
+
+    pieces = spanned.select(
+        "doc_id",
+        "n_words",
+        "n_spans",
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i + 1).alias("w"),
+                span_of(i).alias("sp"),
+                F.array_contains(F.col("starts"), i).alias("opens"),
+            ),
+        ).alias("pcs"),
+    )
+    input_text = F.array_join(
+        F.transform(
+            F.filter(F.col("pcs"), lambda p: (p.sp == -1) | p.opens),
+            lambda p: F.when(
+                p.opens, F.concat(F.lit("<extra_id_"), p.sp.cast("string"), F.lit(">"))
+            ).otherwise(p.w),
+        ),
+        " ",
+    )
+    target_text = F.array_join(
+        F.transform(
+            F.filter(F.col("pcs"), lambda p: p.sp != -1),
+            lambda p: F.when(
+                p.opens,
+                F.concat(
+                    F.lit("<extra_id_"), p.sp.cast("string"), F.lit("> "), p.w
+                ),
+            ).otherwise(p.w),
+        ),
+        " ",
+    )
+    return pieces.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

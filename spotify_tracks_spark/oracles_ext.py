@@ -6089,3 +6089,140 @@ group by 1, 2
 
 
 EMBEDDING_KNN_CLASSIFIER = _knn_classifier_sql()
+
+
+def _substitutes_sql() -> str:
+    from .operators.graph import (
+        SIM_MAX_CENTER_DEG,
+        SIM_TOP_K,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    return f"""
+with li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+keep as (
+    select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+li2 as (
+    select li.o, li.p from li join keep on keep.o = li.o
+),
+edges as materialized (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as materialized (
+    select x as src, y as dst from edges
+    union all
+    select y as src, x as dst from edges
+),
+deg as materialized (
+    select src, cast(count(*) as bigint) as deg from sym group by 1
+),
+centers as (
+    select sym.src, sym.dst
+    from sym join deg d on d.src = sym.src
+    where d.deg <= {SIM_MAX_CENTER_DEG}
+),
+common as (
+    select a.dst as x, b.dst as y, cast(count(*) as bigint) as common
+    from centers a join centers b on a.src = b.src and a.dst < b.dst
+    group by 1, 2
+),
+pairs as (
+    select x, y, common from common
+    union all
+    select y as x, x as y, common from common
+),
+scored as (
+    select b.x, b.y, b.common,
+           b.common / (sqrt(cast(dx.deg as double))
+                       * sqrt(cast(dy.deg as double))) as sim
+    from pairs b
+    join deg dx on dx.src = b.x
+    join deg dy on dy.src = b.y
+)
+select x as part_id, y as substitute_id, common,
+       round(sim, 6) as sim,
+       cast(row_number() over (partition by x order by sim desc, y asc)
+            as bigint) as rank
+from scored
+qualify rank <= {SIM_TOP_K}
+"""
+
+
+PARTS_COPURCHASE_SUBSTITUTES = _substitutes_sql()
+
+
+def _span_corruption_sql() -> str:
+    """Mirror of corpus_span_corruption.  The span index uses the
+    direct segment formulation (sp(i) = i // seg_len when i falls inside
+    that segment's span) — equivalent to the operator's fold because
+    spans never cross segment boundaries by construction."""
+    from .operators.llm_prep import SPAN_LEN, SPAN_RATE_PCT
+
+    h = _h60(f"doc_id::varchar || '|' || j::varchar")
+    return f"""
+with base as (
+    select doc_id, string_split(lower(text), ' ') as ws from documents
+),
+dims as (
+    select doc_id, ws, len(ws) as n_words,
+           cast(floor((len(ws) * {SPAN_RATE_PCT} / 100) / {SPAN_LEN})
+                as int) as ns0
+    from base
+),
+dims2 as (
+    select *, case when ns0 > 0
+                   then cast(floor(n_words / ns0) as int)
+                   else 0 end as sl0
+    from dims
+),
+dims3 as (
+    select doc_id, ws, n_words,
+           case when sl0 >= {SPAN_LEN} then ns0 else 0 end as n_spans,
+           case when sl0 >= {SPAN_LEN} then sl0 else 0 end as seg_len
+    from dims2
+),
+spanned as (
+    select *,
+           case when n_spans > 0 then
+               list_transform(generate_series(0, n_spans - 1),
+                   j -> cast(j * seg_len
+                             + {h} % greatest(seg_len - {SPAN_LEN} + 1, 1)
+                             as int))
+           else [] end as starts
+    from dims3
+),
+sps as (
+    select *,
+           list_transform(generate_series(0, n_words - 1), i ->
+               case when seg_len > 0 and (i // seg_len) < n_spans
+                         and i >= starts[(i // seg_len) + 1]
+                         and i < starts[(i // seg_len) + 1] + {SPAN_LEN}
+                    then i // seg_len else -1 end) as sp
+    from spanned
+)
+select doc_id,
+       cast(n_words as bigint) as n_words,
+       cast(n_spans as bigint) as n_spans,
+       coalesce(list_aggregate(
+           list_transform(generate_series(0, n_words - 1), i ->
+               case when list_contains(starts, i)
+                    then '<extra_id_' || sp[i + 1]::varchar || '>'
+                    when sp[i + 1] = -1 then ws[i + 1]
+                    else null end),
+           'string_agg', ' '), '') as input_text,
+       coalesce(list_aggregate(
+           list_transform(generate_series(0, n_words - 1), i ->
+               case when list_contains(starts, i)
+                    then '<extra_id_' || sp[i + 1]::varchar || '> ' || ws[i + 1]
+                    when sp[i + 1] != -1 then ws[i + 1]
+                    else null end),
+           'string_agg', ' '), '') as target_text
+from sps
+"""
+
+
+CORPUS_SPAN_CORRUPTION = _span_corruption_sql()

@@ -336,3 +336,28 @@ def test_knn_classifier_planted_clusters(spark, tmp_path):
     got = embedding_knn_classifier(spark, str(tmp_path)).collect()
     assert {(r.label_actual, r.label_pred) for r in got} == {(0, 0), (1, 1)}
     assert sum(r.n_probes for r in got) == 6
+
+
+def test_substitutes_finds_never_copurchased_pair(spark, tmp_path):
+    """Two parts that NEVER share an order but share both neighbors must
+    be each other's top substitute at sim 1.0 — the structural signal
+    co-occurrence miners are blind to."""
+    from spotify_tracks_spark.operators.graph import (
+        parts_copurchase_substitutes,
+    )
+
+    orders = [(1, [10, 30, 40]), (2, [20, 30, 40])]
+    rows = [(o, p) for o, ps in orders for p in ps]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        (r.part_id, r.rank): r
+        for r in parts_copurchase_substitutes(spark, str(tmp_path)).collect()
+    }
+    top10 = got[(10, 1)]
+    assert top10.substitute_id == 20
+    assert top10.common == 2 and top10.sim == 1.0
+    top20 = got[(20, 1)]
+    assert top20.substitute_id == 10 and top20.sim == 1.0

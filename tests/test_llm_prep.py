@@ -265,3 +265,38 @@ def test_temperature_sample_invariants(spark):
     head = rows[-1]
     raw_share = head.n_docs / sum(r.n_docs for r in rows)
     assert head.realized_share < raw_share
+
+
+def test_span_corruption_masks_reconstructibly(spark, tmp_path):
+    """A 20-word doc gets exactly one 3-word span: the sentinel appears
+    once in the input, the target carries sentinel + the 3 masked
+    words, and input+target together reconstruct the original text."""
+    from spotify_tracks_spark.operators.llm_prep import (
+        SPAN_LEN,
+        corpus_span_corruption,
+    )
+
+    words = [f"w{i:02d}" for i in range(20)]
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "planted", len(text)),
+         (2, "tiny doc", "en", "planted", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in corpus_span_corruption(spark, str(tmp_path)).collect()}
+    r = got[1]
+    assert (r.n_words, r.n_spans) == (20, 1)
+    assert r.input_text.count("<extra_id_0>") == 1
+    tgt = r.target_text.split(" ")
+    assert tgt[0] == "<extra_id_0>" and len(tgt) == 1 + SPAN_LEN
+    masked = tgt[1:]
+    # the masked words are contiguous in the original
+    start = words.index(masked[0])
+    assert words[start : start + SPAN_LEN] == masked
+    # splicing the target span back over the sentinel reconstructs
+    rebuilt = r.input_text.replace("<extra_id_0>", " ".join(masked))
+    assert rebuilt == text
+    # a 2-word doc is too short for a span: passthrough, no masking
+    r2 = got[2]
+    assert r2.n_spans == 0 and r2.input_text == "tiny doc" and r2.target_text == ""
