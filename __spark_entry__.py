@@ -789,6 +789,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_substitutes": _graph_substitutes,
         # T5-style span corruption (input/target denoising pairs)
         "corpus_span_corruption": _llm.corpus_span_corruption,
+        # pooled retention decay fit (half-life one-number summary)
+        "events_retention_curve_fit": _an.events_retention_curve_fit,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -1027,6 +1029,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
         "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
         "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
+        "events_retention_curve_fit": oracles_ext.EVENTS_RETENTION_CURVE_FIT,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
         "embedding_knn_classifier": oracles_ext.EMBEDDING_KNN_CLASSIFIER,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,

@@ -2304,3 +2304,90 @@ def sequential_ab_report(users: DataFrame, days: DataFrame) -> DataFrame:
         bound.alias("obf_bound"),
         (F.abs(z) > bound).alias("crosses"),
     )
+
+
+# ln(2) embedded once (the bootstrap-CI literal discipline)
+LN2 = 0.6931471805599453
+
+
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential decay fit of the pooled retention curve: the
+    one-number summary ("retention half-life") leadership reads where
+    the cohort matrix is the analyst view.  Pools the weekly cohort
+    matrix by offset — n_ret(k)/n_base(k) over cohorts OLD ENOUGH to
+    be observable at offset k (the triangle correction; naive pooling
+    divides late offsets by cohorts that cannot possibly appear) —
+    then fits ln r(k) = a + b·k by closed-form OLS over offsets k ≥ 1
+    and reports half-life = −ln2/b.
+
+    Exactness: retained/base counts are exact bigints; the OLS moments
+    (n, Σk, Σy, Σky, Σk²) accumulate y = ln(rate) doubles over the
+    |offsets|-row frame (tiny; summation-order noise ~10 orders under
+    the 6-dp hash), and slope/intercept/half-life apply a fixed IEEE
+    sequence with ln2 as a module literal.
+
+    Scale shape: the same two aggregates as events_retention + an
+    |offsets|-grain fit — the fact log shuffles once.
+
+    Output: (n_points, slope, intercept, half_life_weeks) — one row."""
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))) / 7
+    ).alias("week")
+    ev = read_table(spark, sf_dir, "events").select("user_id", week)
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cohorts = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    max_week = activity.agg(F.max("week").alias("max_week"))
+    matrix = (
+        activity.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("k"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_ret"))
+    )
+    # observable base at offset k = cohorts with cohort_week + k <= max
+    base = (
+        cohorts.crossJoin(F.broadcast(max_week))
+        .crossJoin(
+            F.broadcast(
+                matrix.select("k").distinct().filter(F.col("k") >= 1)
+            )
+        )
+        .filter(F.col("cohort_week") + F.col("k") <= F.col("max_week"))
+        .groupBy("k")
+        .agg(F.sum("cohort_size").alias("n_base"))
+    )
+    pooled = (
+        matrix.filter(F.col("k") >= 1)
+        .groupBy("k")
+        .agg(F.sum("n_ret").alias("n_ret"))
+        .join(base, "k")
+        .filter((F.col("n_ret") > 0) & (F.col("n_base") > 0))
+        .select(
+            "k", F.log(F.col("n_ret") / F.col("n_base")).alias("y")
+        )
+    )
+    m = pooled.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("k") * F.col("y")).alias("sky"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    n = F.col("n")
+    den = n * F.col("skk") - F.col("sk") * F.col("sk")
+    slope = F.when(den > 0, (n * F.col("sky") - F.col("sk") * F.col("sy")) / den)
+    intercept = F.when(
+        n > 0, (F.col("sy") - slope * F.col("sk")) / n
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.when(slope < 0, -F.lit(LN2) / slope).alias("half_life_weeks"),
+    )

@@ -6226,3 +6226,66 @@ from sps
 
 
 CORPUS_SPAN_CORRUPTION = _span_corruption_sql()
+
+
+def _retention_curve_fit_sql() -> str:
+    from .operators.analytics import LN2
+
+    return f"""
+with activity as (
+    select distinct user_id,
+           cast(floor(date_diff('day', date '1970-01-05', ts::date) / 7)
+                as bigint) as week
+    from events
+),
+first_w as (
+    select user_id, min(week) as cohort_week from activity group by 1
+),
+cohorts as (
+    select cohort_week, cast(count(*) as bigint) as cohort_size
+    from first_w group by 1
+),
+mw as (select max(week) as max_week from activity),
+matrix as (
+    select f.cohort_week, a.week - f.cohort_week as k,
+           cast(count(distinct a.user_id) as bigint) as n_ret
+    from activity a join first_w f on f.user_id = a.user_id
+    group by 1, 2
+),
+ks as (select distinct k from matrix where k >= 1),
+base as (
+    select ks.k, cast(sum(c.cohort_size) as bigint) as n_base
+    from cohorts c cross join mw cross join ks
+    where c.cohort_week + ks.k <= mw.max_week
+    group by 1
+),
+pooled as (
+    select m.k, ln(m.n_ret / b.n_base) as y
+    from (select k, cast(sum(n_ret) as bigint) as n_ret
+          from matrix where k >= 1 group by 1) m
+    join base b on b.k = m.k
+    where m.n_ret > 0 and b.n_base > 0
+),
+m as (
+    select cast(count(*) as bigint) as n,
+           cast(sum(k) as bigint) as sk,
+           sum(y) as sy,
+           sum(k * y) as sky,
+           cast(sum(k * k) as bigint) as skk
+    from pooled
+),
+fit as (
+    select n,
+           case when n * skk - sk * sk > 0
+                then (n * sky - sk * sy) / (n * skk - sk * sk) end as slope,
+           sk, sy
+    from m
+)
+select n as n_points, slope,
+       case when n > 0 then (sy - slope * sk) / n end as intercept,
+       case when slope < 0 then -{LN2!r}e0 / slope end as half_life_weeks
+from fit
+"""
+
+
+EVENTS_RETENTION_CURVE_FIT = _retention_curve_fit_sql()

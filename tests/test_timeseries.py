@@ -737,3 +737,31 @@ def test_robust_mean_ignores_planted_outlier(spark, tmp_path):
     assert r.trimmed_mean == pytest.approx(sum(kept) / 20)
     # winsorize: clamp 1.0 -> 2.0 and 1e9 -> 21.0
     assert r.winsorized_mean == pytest.approx((sum(kept) + 2.0 + 21.0) / 22)
+
+
+def test_retention_curve_fit_recovers_planted_half_life(spark, tmp_path):
+    """One cohort whose active set halves every week: rates (1/2, 1/4,
+    1/8) are exactly log-linear, so the OLS slope is ln(1/2) and the
+    half-life exactly 1.0 weeks."""
+    from datetime import datetime, timedelta
+
+    from spotify_tracks_spark.operators.analytics import (
+        events_retention_curve_fit,
+    )
+
+    base = datetime(2024, 3, 4, 12)  # a Monday: week boundaries align
+    rows, eid = [], 0
+    for u in range(16):
+        rows.append((eid, base, u, "view", 1.0)); eid += 1
+    for wk, alive in ((1, 8), (2, 4), (3, 2)):
+        for u in range(alive):
+            rows.append((eid, base + timedelta(weeks=wk), u, "view", 1.0))
+            eid += 1
+    # one later observation so offset-3 cohorts stay observable
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_retention_curve_fit(spark, sf).collect()[0]
+    assert r.n_points == 3
+    import math
+
+    assert r.slope == pytest.approx(math.log(0.5), rel=1e-12)
+    assert r.half_life_weeks == pytest.approx(1.0, rel=1e-12)
