@@ -39,3 +39,25 @@ def test_compact_line_bounded_and_full_record_complete():
     assert full["errors"] == errors
     # totals agree between the two records (modulo display rounding)
     assert abs(full["value"] - out["value"]) < 0.01
+
+
+def test_every_registered_query_has_a_baseline_anchor():
+    """The 2x perf contract reads BASELINE.md's consolidated anchor
+    table — a query registered without an anchor row silently escapes
+    the contract, so pin full coverage here (streaming-family entries
+    that share a bench key with their batch twin are resolved via the
+    same-name rule bench.py uses)."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    anchors = set()
+    for line in open(os.path.join(root, "BASELINE.md")):
+        m = re.match(r"\| (\w+) \| [\d.]+ \|", line)
+        if m:
+            anchors.add(m.group(1))
+    registered = set(entrymod.queries()) | set(entrymod.extra_queries())
+    missing = sorted(registered - anchors)
+    assert not missing, f"queries with no BASELINE anchor row: {missing}"
