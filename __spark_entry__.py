@@ -347,7 +347,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_windowed, dup_inflation, clusters_sql — each green r5–r6)
     plus sql_top_artists, dedup_minhash_lsh, dedup_simhash (green
     since r2).  The round-6 cohort stays (1 driver round so far;
-    policy is ≥2 before rotating out)."""
+    policy is ≥2 before rotating out).
+
+    ROUND-8 ROTATION (same policy): 13 never-driver-rowed operators
+    IN (communities, substitutes, sequential_ab batch+stream twin,
+    did, retention_curve_fit, naive_bayes_langid, rfm, pareto,
+    pack_sequences, bpe_merges, span_corruption, ann_recall_eval_all
+    — the heaviest / most-distinct of the never-rowed tail, per the
+    round-7 verdict's own shortlist); rotated OUT the round-6
+    statistics cohort, now driver-green exactly 2 rounds (r6+r7):
+    wilson, ab_test, cuped, holt, theil_sen, mann_whitney, gini,
+    ks_test, benford, cohort_ltv, kaplan_meier, log_rank,
+    kmv_distinct.  The round-7 cohort stays (1 driver round)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -356,33 +367,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_dim_track": _model("dim_track"),
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
-        # --- rotated IN round 6: first-ever driver rows, fronted ---
-        # curation leaderboard: Wilson 95% lower bound on pass rate
-        "source_quality_wilson": _text.source_quality_wilson,
-        # pooled two-proportion z on a deterministic hash-split
-        "events_ab_test": _an.events_ab_test,
-        # CUPED variance reduction (pre-period covariate rho^2)
-        "events_cuped": _an.events_cuped,
-        # Holt double-exponential smoothing (dyadic sequential fold)
-        "events_holt_daily": _ts.events_holt_daily,
-        # Theil-Sen robust trend (exact rational median of pair slopes)
-        "events_theil_sen": _ts.events_theil_sen,
-        # rank-sum test with exact midranks (nonparametric AB sibling)
-        "events_mann_whitney": _an.events_mann_whitney,
-        # Gini inequality of user activity (two-level global rank)
-        "events_gini": _an.events_gini,
-        # KS two-sample distance (integer argmax over cumulative table)
-        "events_ks_test": _an.events_ks_test,
-        # Benford first-digit audit screen
-        "events_benford_audit": _profile.events_benford_audit,
-        # cohort LTV triangle (cumulative value twin of retention)
-        "events_cohort_ltv": _an.events_cohort_ltv,
-        # Kaplan-Meier time-to-repeat-purchase with right censoring
-        "events_kaplan_meier": _ts.events_kaplan_meier,
-        # log-rank test: censored time-to-event arm comparison
-        "events_log_rank": _ts.events_log_rank,
-        # mergeable K-Minimum-Values cardinality sketch
-        "events_kmv_distinct": _events.events_kmv_distinct,
+        # --- rotated IN round 8: first-ever driver rows, fronted ---
+        # frequency-based label propagation (Raghavan 2007): community
+        # detection, distinct from the dedup family's min-label CC
+        "parts_copurchase_communities": _graph_communities,
+        # neighborhood-cosine substitute candidates (structural twin of
+        # the co-occurrence complement miners)
+        "parts_copurchase_substitutes": _graph_substitutes,
+        # group-sequential conversion monitoring (OBF-shape boundary)
+        "events_sequential_ab": _an.events_sequential_ab,
+        # streaming fold of the sequential monitor (always-on looks)
+        "events_stream_sequential_ab": _events_stream_sequential_ab,
+        # paired difference-in-differences across the calendar midpoint
+        "events_did": _an.events_did,
+        # pooled retention decay fit (half-life one-number summary)
+        "events_retention_curve_fit": _an.events_retention_curve_fit,
+        # trained multinomial-NB language ID (confusion-matrix eval)
+        "text_naive_bayes_langid": _text.text_naive_bayes_langid,
+        # RFM quartile segmentation (entity-grain ntile scoring)
+        "events_rfm": _an.events_rfm,
+        # Pareto concentration curve (cumulative share, head flag)
+        "events_pareto": _ts.events_pareto,
+        # greedy first-fit sequence packing via the two-level prefix
+        "corpus_pack_sequences": _llm.corpus_pack_sequences,
+        # tokenizer TRAINING: first K learned BPE merges (iterative
+        # top-pair merge over the word-frequency table)
+        "corpus_bpe_merges": _llm.corpus_bpe_merges,
+        # T5-style span corruption (input/target denoising pairs)
+        "corpus_span_corruption": _llm.corpus_span_corruption,
+        # all-family ANN index evaluation: recall@k for lsh/ivf/ivf2/
+        # pq/ivfpq in one report against the shared exact baseline
+        "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # --- rotated IN round 7: first-ever driver rows, fronted ---
         # fixed-depth power iteration over the co-purchase graph
         "parts_copurchase_pagerank": _graph_pagerank,
@@ -560,7 +575,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UNPIVOT/melt inverse of events_pivot
         "events_unpivot": _an.events_unpivot,
         "text_pii_redact": _llm.text_pii_redact,
-        "corpus_pack_sequences": _llm.corpus_pack_sequences,
+        # (corpus_pack_sequences rotated INTO the driver round 8)
         # Gopher-style repetition gate (dup-line / dup-bigram fractions)
         "text_repetition": _llm.text_repetition,
         # attribution-window funnel (each step within N days of previous)
@@ -580,9 +595,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interpolate": _ts.events_interpolate,
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
-        # all-family index evaluation: recall@k for lsh/ivf/ivf2/pq/ivfpq
-        # in one report against the shared exact baseline
-        "ann_recall_eval_all": _sim.ann_recall_eval_all,
+        # (ann_recall_eval_all rotated INTO the driver round 8)
         # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
         # IVF×PQ composed index: cell prune + code-only ADC rerank (the
@@ -633,13 +646,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_update_counts": _events_stream_update_counts,
         # the generalized profiler applied to a second table
         "documents_profile": _profile.documents_profile,
-        # RFM quartile segmentation (entity-grain ntile scoring)
-        "events_rfm": _an.events_rfm,
+        # (events_rfm, corpus_bpe_merges rotated INTO the driver round 8)
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
         "corpus_vocab_encode": _llm.corpus_vocab_encode,
-        # tokenizer TRAINING: first K learned BPE merges (iterative
-        # top-pair merge over the word-frequency table)
-        "corpus_bpe_merges": _llm.corpus_bpe_merges,
         # tokenizer APPLICATION: per-doc token budget under the learned
         # merges (word->count map joins the corpus; no corpus rewrite)
         "corpus_bpe_encode": _llm.corpus_bpe_encode,
@@ -746,8 +755,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": _dedup.dedup_edit_distance,
         # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
         "events_dau_wau_mau": _ts.events_dau_wau_mau,
-        # Pareto concentration curve (cumulative share, head flag)
-        "events_pareto": _ts.events_pareto,
+        # (events_pareto rotated INTO the driver round 8)
         # daily bounce rate over the shared sessionization
         "events_bounce_rate": _events.events_bounce_rate,
         # per-gate attrition funnel of the corpus-cleaning pipeline
@@ -760,37 +768,50 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_rate": _an.events_retention_rate,
         # corpus composition by (source, lang) with per-source shares
         "documents_source_mix": _text.documents_source_mix,
-        # --- round-7 additions ---
-        # frequency-based label propagation (Raghavan 2007): community
-        # detection, distinct from the dedup family's min-label CC
-        "parts_copurchase_communities": _graph_communities,
+        # --- round-7 additions (communities, substitutes, did,
+        # naive_bayes_langid, sequential_ab batch+stream, span_corruption,
+        # retention_curve_fit rotated INTO the driver round 8) ---
         # lag-1..7 autocorrelation of daily counts (seasonality probe)
         "events_autocorrelation": _ts.events_autocorrelation,
         # integer-exact CUSUM single change-point per type
         "events_cusum_changepoint": _ts.events_cusum_changepoint,
         # Spearman rank correlation (robust twin of type_correlation)
         "events_spearman_corr": _ts.events_spearman_corr,
-        # paired difference-in-differences across the calendar midpoint
-        "events_did": _an.events_did,
         # MDE power planning at 1x/2x/4x/8x population horizons
         "events_power_mde": _an.events_power_mde,
-        # trained multinomial-NB language ID (confusion-matrix eval)
-        "text_naive_bayes_langid": _text.text_naive_bayes_langid,
-        # group-sequential conversion monitoring (OBF-shape boundary)
-        "events_sequential_ab": _an.events_sequential_ab,
         # trimmed + winsorized per-type means (order-statistic pair)
         "events_robust_mean": _events.events_robust_mean,
         # kNN majority-vote classification eval over the embeddings
         "embedding_knn_classifier": _sim.embedding_knn_classifier,
-        # streaming fold of the sequential monitor (always-on looks)
-        "events_stream_sequential_ab": _events_stream_sequential_ab,
-        # neighborhood-cosine substitute candidates (structural twin of
-        # the co-occurrence complement miners)
-        "parts_copurchase_substitutes": _graph_substitutes,
-        # T5-style span corruption (input/target denoising pairs)
-        "corpus_span_corruption": _llm.corpus_span_corruption,
-        # pooled retention decay fit (half-life one-number summary)
-        "events_retention_curve_fit": _an.events_retention_curve_fit,
+        # --- rotated OUT of the driver surface in round 8 (driver-green
+        # exactly 2 rounds, r6+r7; identical hash-compare continues
+        # here every pytest run) ---
+        # curation leaderboard: Wilson 95% lower bound on pass rate
+        "source_quality_wilson": _text.source_quality_wilson,
+        # pooled two-proportion z on a deterministic hash-split
+        "events_ab_test": _an.events_ab_test,
+        # CUPED variance reduction (pre-period covariate rho^2)
+        "events_cuped": _an.events_cuped,
+        # Holt double-exponential smoothing (dyadic sequential fold)
+        "events_holt_daily": _ts.events_holt_daily,
+        # Theil-Sen robust trend (exact rational median of pair slopes)
+        "events_theil_sen": _ts.events_theil_sen,
+        # rank-sum test with exact midranks (nonparametric AB sibling)
+        "events_mann_whitney": _an.events_mann_whitney,
+        # Gini inequality of user activity (two-level global rank)
+        "events_gini": _an.events_gini,
+        # KS two-sample distance (integer argmax over cumulative table)
+        "events_ks_test": _an.events_ks_test,
+        # Benford first-digit audit screen
+        "events_benford_audit": _profile.events_benford_audit,
+        # cohort LTV triangle (cumulative value twin of retention)
+        "events_cohort_ltv": _an.events_cohort_ltv,
+        # Kaplan-Meier time-to-repeat-purchase with right censoring
+        "events_kaplan_meier": _ts.events_kaplan_meier,
+        # log-rank test: censored time-to-event arm comparison
+        "events_log_rank": _ts.events_log_rank,
+        # mergeable K-Minimum-Values cardinality sketch
+        "events_kmv_distinct": _events.events_kmv_distinct,
         # approximate by construction — rows-only + tolerance unit tests
         "embedding_kmeans": embedding_kmeans,
         "events_approx_stats": _events.events_approx_stats,
@@ -815,19 +836,19 @@ def oracle_sql() -> dict[str, str]:
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
-        "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
-        "events_ab_test": oracles_ext.EVENTS_AB_TEST,
-        "events_cuped": oracles_ext.EVENTS_CUPED,
-        "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
-        "events_theil_sen": oracles_ext.EVENTS_THEIL_SEN,
-        "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
-        "events_gini": oracles_ext.EVENTS_GINI,
-        "events_ks_test": oracles_ext.EVENTS_KS_TEST,
-        "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
-        "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
-        "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
-        "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
-        "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
+        "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
+        "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
+        "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_did": oracles_ext.EVENTS_DID,
+        "events_retention_curve_fit": oracles_ext.EVENTS_RETENTION_CURVE_FIT,
+        "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
+        "events_rfm": oracles_ext.EVENTS_RFM,
+        "events_pareto": oracles_ext.EVENTS_PARETO,
+        "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
+        "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
+        "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
+        "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
         "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
         "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
@@ -927,7 +948,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_cube": oracles_ext.EVENTS_CUBE,
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "text_pii_redact": oracles_ext.TEXT_PII_REDACT,
-        "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
         "text_repetition": oracles_ext.TEXT_REPETITION,
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
         "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
@@ -937,7 +957,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
-        "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
         "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
@@ -961,7 +980,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
         "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
-        "events_rfm": oracles_ext.EVENTS_RFM,
         "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
@@ -998,7 +1016,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
-        "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
         "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
@@ -1011,26 +1028,30 @@ def extra_oracle_sql() -> dict[str, str]:
         "dim_calendar": oracles_ext.DIM_CALENDAR,
         "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
         "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
-        "events_pareto": oracles_ext.EVENTS_PARETO,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
         "documents_source_mix": oracles_ext.DOCUMENTS_SOURCE_MIX,
-        "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
         "events_autocorrelation": oracles_ext.EVENTS_AUTOCORRELATION,
         "events_cusum_changepoint": oracles_ext.EVENTS_CUSUM_CHANGEPOINT,
         "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
-        "events_did": oracles_ext.EVENTS_DID,
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
-        "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
-        "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
-        "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
-        "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
-        "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
-        "events_retention_curve_fit": oracles_ext.EVENTS_RETENTION_CURVE_FIT,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
+        "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
+        "events_ab_test": oracles_ext.EVENTS_AB_TEST,
+        "events_cuped": oracles_ext.EVENTS_CUPED,
+        "events_holt_daily": oracles_ext.EVENTS_HOLT_DAILY,
+        "events_theil_sen": oracles_ext.EVENTS_THEIL_SEN,
+        "events_mann_whitney": oracles_ext.EVENTS_MANN_WHITNEY,
+        "events_gini": oracles_ext.EVENTS_GINI,
+        "events_ks_test": oracles_ext.EVENTS_KS_TEST,
+        "events_benford_audit": oracles_ext.EVENTS_BENFORD_AUDIT,
+        "events_cohort_ltv": oracles_ext.EVENTS_COHORT_LTV,
+        "events_kaplan_meier": oracles_ext.EVENTS_KAPLAN_MEIER,
+        "events_log_rank": oracles_ext.EVENTS_LOG_RANK,
+        "events_kmv_distinct": oracles_ext.EVENTS_KMV_DISTINCT,
         "embedding_knn_classifier": oracles_ext.EMBEDDING_KNN_CLASSIFIER,
         "events_value_quartiles": oracles_ext.EVENTS_VALUE_QUARTILES,
         "events_topk_per_user": oracles_ext.EVENTS_TOPK_PER_USER,

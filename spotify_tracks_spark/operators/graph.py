@@ -98,6 +98,93 @@ def _edge_bloom_predicate(closing: DataFrame, n_edges: int):
         return None
 
 
+# Session-memoized shared edge artifact.  All five graph operators
+# (pagerank, triangles, k-core, communities, substitutes) consume the
+# SAME deduped co-purchase edge set — lineitem's per-order distinct
+# item pairs minus oversized orders — and through round 7 each rebuilt
+# it independently (~12.8 s × 5 at sf0.1: the order-pair self-join +
+# two distincts dominate every graph query).  The build is now a single
+# memoized ``localCheckpoint``ed artifact per (session, dataset, cap),
+# the same fixture-memoization discipline pipeline.py applies to the
+# staging model that six marts read.  At 100 TB the equivalent is a
+# written, bucketed edge table that every graph job scans — you would
+# never pay the order-pair shuffle once per algorithm.
+# ``localCheckpoint(eager=True)`` both materializes the blocks and
+# truncates lineage, so every consumer starts from a flat scan instead
+# of re-planning the self-join.
+_EDGE_MEMO: dict[tuple[int, str, int], DataFrame] = {}
+
+# Derived per-node degree table (node, deg) over the symmetrized edge
+# set — pagerank, triangles and substitutes each need it; memoized on
+# top of the shared edges for the same reason.
+_DEG_MEMO: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, max_order_items: int = TRI_MAX_ORDER_ITEMS
+) -> DataFrame:
+    """The deduped, hub-capped co-purchase edge set (x < y), built once
+    per (session, dataset, cap) and shared by every graph operator.
+
+    Columns: (x, y) with x < y, one row per undirected edge.  Callers
+    must treat the frame as IMMUTABLE shared state: derive (alias,
+    union, join) but never unpersist it."""
+    key = (id(spark), sf_dir, max_order_items)
+    if key in _EDGE_MEMO:
+        return _EDGE_MEMO[key]
+    li = (
+        read_table(spark, sf_dir, "lineitem", spread=True)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sized = li.groupBy("o").agg(F.count("*").alias("w"))
+    li = li.join(
+        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
+        "o",
+        "left_anti",
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _EDGE_MEMO[key] = edges
+    return edges
+
+
+def copurchase_sym(
+    spark: SparkSession, sf_dir: str, max_order_items: int = TRI_MAX_ORDER_ITEMS
+) -> DataFrame:
+    """Symmetrized view (src, dst) of the shared edge set — a cheap
+    union over the checkpointed artifact, derived per call (consumers
+    persist/partition it with query-specific layouts)."""
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    return edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+
+
+def copurchase_degrees(
+    spark: SparkSession, sf_dir: str, max_order_items: int = TRI_MAX_ORDER_ITEMS
+) -> DataFrame:
+    """Per-node degree table (node, deg) over the symmetrized edges,
+    memoized like the edge set (|V| rows; doubles as the node table).
+    Same immutability contract as ``copurchase_edges``."""
+    key = (id(spark), sf_dir, max_order_items)
+    if key in _DEG_MEMO:
+        return _DEG_MEMO[key]
+    deg = (
+        copurchase_sym(spark, sf_dir, max_order_items)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    _DEG_MEMO[key] = deg
+    return deg
+
+
 # power-iteration depth for the PageRank report: enough to separate the
 # hubs from the periphery, small enough that the unrolled oracle stays
 # readable.  Deterministic — both engines run exactly this many steps.
@@ -134,32 +221,14 @@ def parts_copurchase_pagerank(
     no convergence test, so no float-threshold branch.
 
     Output: (part_id, degree, rank) for every node in the graph."""
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-    )
-    edges = edges.persist()  # one edge build feeds sym twice + both sides below
-    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
-        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    )
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
     # deg doubles as the node table: one row per vertex, reused by the
-    # adjacency build, the rank init AND the final labeling — persist the
-    # |V|-sized table rather than recompute the |E|-sized shuffle thrice
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    n_nodes = deg.count()  # scalar; plan constant (and materializes deg)
+    # adjacency build, the rank init AND the final labeling — the shared
+    # memoized artifact rather than a per-query |E|-sized shuffle
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
+    )
+    n_nodes = deg.count()  # scalar; plan constant (checkpointed: a cheap scan)
     # the pinned adjacency: the join's own exchange hash-partitions it on
     # src, so every iteration's rank join lines up against this layout
     # with no further adjacency shuffle (the stationary side of the loop)
@@ -188,9 +257,9 @@ def parts_copurchase_pagerank(
         # materialize before unpersisting the tables the plan feeds on
         out = out.localCheckpoint(eager=True)
     finally:
+        # only the query-local adjacency layout is released; the shared
+        # edge/degree artifacts stay memoized for the session
         adj.unpersist()
-        deg.unpersist()
-        edges.unpersist()
     return out
 
 
@@ -224,33 +293,13 @@ def parts_copurchase_triangles(
     equal on the planted-graph fixture.
 
     Output: (part_id, n_triangles), parts in ≥1 triangle."""
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-        .persist()
-    )
-    # pin before the degree join + wedge self-join fan-out; the count also
-    # drives the broadcast-vs-shuffle gate on the closing-edge probe
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    # the count drives the broadcast-vs-shuffle gate on the closing-edge
+    # probe (cheap: a scan of the checkpointed shared artifact)
     n_edges = edges.count()
 
-    deg = (
-        edges.select(F.col("x").alias("n"))
-        .unionByName(edges.select(F.col("y").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("n"), F.col("deg").alias("d")
     )
     # orient each edge from the lower (degree, id) endpoint; carry the
     # target's key so the wedge join can order its two far endpoints
@@ -335,26 +384,13 @@ def parts_copurchase_kcore(
     same-key semi-joins; the graph only SHRINKS, so round cost is
     monotone decreasing.  Output: (part_id, core_degree) for k-core
     members."""
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # the peel loop destructively filters its working edge set, so the
+    # shared symmetrized view is re-checkpointed into a query-local copy
+    sym = (
+        copurchase_sym(spark, sf_dir, max_order_items)
+        .select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .localCheckpoint(eager=True)
     )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-    )
-    sym = edges.select(F.col("x").alias("s"), F.col("y").alias("d")).unionByName(
-        edges.select(F.col("y").alias("s"), F.col("x").alias("d"))
-    ).localCheckpoint(eager=True)
     n_sym = sym.count()
     n_nodes = sym.select("s").distinct().count()
     if n_nodes == 0:
@@ -433,27 +469,7 @@ def parts_copurchase_communities(
     early exit.
 
     Output: (part_id, community, community_size), one row per node."""
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-    )
-    edges = edges.persist()
-    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
-        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    )
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
     # hash-partition the pinned adjacency ON THE ROUND JOIN KEY (dst):
     # the cached layout then satisfies every round's join requirement,
     # so only the |V|-row label vector re-shuffles per round — the same
@@ -490,8 +506,9 @@ def parts_copurchase_communities(
             .localCheckpoint(eager=True)
         )
     finally:
+        # shared edge artifact stays memoized; only the query-local
+        # dst-partitioned adjacency layout is released
         adj.unpersist()
-        edges.unpersist()
     return out
 
 
@@ -538,28 +555,10 @@ def parts_copurchase_substitutes(
     per part that has any candidate."""
     import warnings
 
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
     )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
-        .distinct()
-        .persist()
-    )
-    sym = edges.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
-        edges.select(F.col("y").alias("src"), F.col("x").alias("dst"))
-    )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
     if n_dropped:
         warnings.warn(
@@ -617,6 +616,4 @@ def parts_copurchase_substitutes(
         )
         .localCheckpoint(eager=True)
     )
-    deg.unpersist()
-    edges.unpersist()
     return out
