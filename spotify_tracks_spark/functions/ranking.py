@@ -160,8 +160,11 @@ def two_level_prefix(
     )
     for name, col in measures.items():
         out = out.withColumn(name, _off(name) + F.sum(col).over(run))
+    # drop exactly the generated helper columns — never pattern-match on
+    # the prefix over out.columns, which would silently swallow a caller
+    # column that happens to be named "__off_*"
     drop = [_PID] if num_partitions <= _OFFSET_MAP_MAX_PARTITIONS else [
-        _PID, *[c for c in out.columns if c.startswith("__off_")]
+        _PID, *off_cols
     ]
     return out.drop(*drop), totals
 

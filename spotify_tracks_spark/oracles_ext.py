@@ -5731,16 +5731,21 @@ from sums
 """
 
 
-def _lpa_communities_sql(n_rounds: int = 4) -> str:
+def _lpa_communities_sql(n_rounds: int) -> str:
     """Unrolled synchronous label propagation: one materialized CTE per
     round mirroring the operator's fixed-depth loop (same argmax tie-
-    break: highest neighbor-label frequency, then smallest label)."""
-    head = """
+    break: highest neighbor-label frequency, then smallest label).
+    Round count and the oversized-order cap are interpolated from the
+    operator's own constants so the oracle can never silently diverge
+    from the plan it checks (the _substitutes_sql discipline)."""
+    from .operators.graph import TRI_MAX_ORDER_ITEMS
+
+    head = f"""
 with li as (
     select distinct l_orderkey as o, l_partkey as p from lineitem
 ),
 keep as (
-    select o from li group by o having count(*) <= 16
+    select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
 ),
 li2 as (
     select li.o, li.p from li join keep on keep.o = li.o
@@ -5780,7 +5785,9 @@ join (select label, count(*) as community_size
     return head + "".join(rounds) + tail
 
 
-PARTS_COPURCHASE_COMMUNITIES = _lpa_communities_sql()
+from .operators.graph import LPA_ROUNDS as _LPA_ROUNDS
+
+PARTS_COPURCHASE_COMMUNITIES = _lpa_communities_sql(_LPA_ROUNDS)
 
 
 def _did_sql() -> str:

@@ -38,6 +38,18 @@ that tests can run over the WHOLE registered query surface:
    (EliminateResolvedHint folds it there), so rule 3 walks
    ``optimizedPlan`` while rules 1–2 walk the physical plan.
 
+5. **Unbounded BroadcastNestedLoopJoin** — rule 2 catches
+   ``CartesianProductExec``, but a ``crossJoin`` whose one side is
+   small-but-unproven plans as ``BroadcastNestedLoopJoinExec`` without
+   ever tripping it.  A BNLJ streams |probe| × |build| comparisons, so
+   it is scale-safe ONLY when the broadcast build side is provably
+   bounded: a global aggregate (no grouping keys ⇒ exactly one row — the
+   one-row model-matrix spines), a limit node, or a one-row driver-local
+   ``LocalTableScan``.  Any other build side (e.g. an un-aggregated
+   filter over a table) is flagged: it may be small at test SF and
+   fact-scale in production.  Like rule 3, legitimately-bounded shapes
+   the walk cannot prove are allow-listed per query with justification.
+
 Rules 1–2 walk the pre-AQE physical plan (``sparkPlan``) via py4j.  No
 job execution is needed and the result is stable across adaptive
 re-plans.
@@ -140,6 +152,35 @@ def _hinted_broadcast_sides(jnode):
                 yield _children(jnode)[idx]
 
 
+#: Physical nodes that bound a BNLJ build side's row count outright.
+_BNLJ_LIMITS = ("GlobalLimitExec", "CollectLimitExec", "LocalLimitExec")
+
+
+def _bnlj_build_bounded(jnode) -> bool:
+    """True if this PHYSICAL subtree provably produces a bounded (tiny)
+    row count: a grouping-key-free aggregate (exactly one row), a limit,
+    or a ≤1-row LocalTableScan.  Unary nodes pass through; a multi-child
+    node (join/union of spines) is bounded iff every child is."""
+    name = _name(jnode)
+    if name in _BNLJ_LIMITS:
+        return True
+    if name.endswith("AggregateExec"):
+        try:
+            if jnode.groupingExpressions().isEmpty():
+                return True
+        except Exception:
+            pass
+    if name == "LocalTableScanExec":
+        try:
+            return jnode.rows().length() <= 1
+        except Exception:
+            return False
+    kids = _children(jnode)
+    if not kids:
+        return False
+    return all(_bnlj_build_bounded(c) for c in kids)
+
+
 def lint_plan(
     df: DataFrame,
     *,
@@ -147,6 +188,7 @@ def lint_plan(
     allow_cartesian: bool = False,
     allow_fact_broadcast: bool = False,
     allow_row_python_udf: bool = False,
+    allow_unbounded_bnlj: bool = False,
 ) -> list[str]:
     """Return a list of human-readable violations (empty = clean).
 
@@ -175,6 +217,18 @@ def lint_plan(
                 "BatchEvalPythonExec (row-at-a-time Python UDF; use a "
                 "pandas UDF / mapInPandas — Arrow-batched — instead)"
             )
+        elif kind == "BroadcastNestedLoopJoinExec" and not allow_unbounded_bnlj:
+            try:
+                build_left = "BuildLeft" in node.buildSide().toString()
+            except Exception:
+                build_left = False
+            build = _children(node)[0 if build_left else 1]
+            if not _bnlj_build_bounded(build):
+                violations.append(
+                    "BroadcastNestedLoopJoin with an unproven build side "
+                    "(no global aggregate / limit / one-row scan bounds "
+                    "it; |probe|x|build| comparisons at scale)"
+                )
     if not allow_fact_broadcast:
         logical = df._jdf.queryExecution().optimizedPlan()
         for node in _walk(logical):

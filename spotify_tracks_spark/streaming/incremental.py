@@ -322,6 +322,23 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
         F.lit(None).cast("timestamp").alias("first_played"),
         F.lit("wk").alias("grain"),
     )
+    # attribute-contract fingerprint: a digest over the dim attributes
+    # the fold does NOT key on (album, track_name).  The state carries
+    # its min AND max per (track_id, artists); any contradiction —
+    # within a batch or across batches — makes min != max survive the
+    # fold, and the read path fails loudly instead of silently
+    # diverging from the batch dim's distinct grain (round-7 advice).
+    # In the current pipeline the surrogate track_id hashes these very
+    # columns, so the invariant holds by construction; the guard exists
+    # to catch a staging change (e.g. normalizing album BEFORE hashing)
+    # or an upstream key scheme that breaks the functional dependency.
+    attr_digest = F.md5(
+        F.concat_ws(
+            "",
+            F.coalesce(F.col("track_album"), F.lit("")),
+            F.coalesce(F.col("track_name"), F.lit("")),
+        )
+    )
     trk = stg.groupBy(
         "track_id", F.col("track_artists").alias("artists")
     ).agg(
@@ -331,6 +348,8 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
         F.lit(None).cast("date").alias("week_dt"),
         F.min("played_at_mtn").alias("first_played"),
         F.lit("trk").alias("grain"),
+        F.min(attr_digest).alias("attr_lo"),
+        F.max(attr_digest).alias("attr_hi"),
     )
     art = stg.groupBy(F.col("track_artists").alias("artists")).agg(
         F.lit(None).cast("long").alias("year_played"),
@@ -341,9 +360,15 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
         F.min("played_at_mtn").alias("first_played"),
         F.lit("art").alias("grain"),
     )
+    wk = wk.withColumn("attr_lo", F.lit(None).cast("string")).withColumn(
+        "attr_hi", F.lit(None).cast("string")
+    )
+    art = art.withColumn("attr_lo", F.lit(None).cast("string")).withColumn(
+        "attr_hi", F.lit(None).cast("string")
+    )
     cols = [
         "grain", "year_played", "week_played", "track_id", "artists",
-        "plays", "week_dt", "first_played",
+        "plays", "week_dt", "first_played", "attr_lo", "attr_hi",
     ]
     return (
         wk.select(*cols).unionByName(trk.select(*cols)).unionByName(
@@ -372,6 +397,10 @@ def _q8_remerge(u: DataFrame) -> DataFrame:
         F.sum("plays").alias("plays"),
         F.max("week_dt").alias("week_dt"),
         F.min("first_played").alias("first_played"),
+        # the attribute-contract fingerprint folds associatively: a
+        # contradiction anywhere in the stream keeps min != max forever
+        F.min("attr_lo").alias("attr_lo"),
+        F.max("attr_hi").alias("attr_hi"),
     )
     return folded.select(
         "grain",
@@ -382,7 +411,34 @@ def _q8_remerge(u: DataFrame) -> DataFrame:
         "plays",
         "week_dt",
         "first_played",
+        "attr_lo",
+        "attr_hi",
     )
+
+
+def _q8_assert_attr_consistency(state: DataFrame) -> None:
+    """The Q8 fold's loud-failure guard (round-7 advice): the fold keys
+    track state on (track_id, artists) — dim_track's distinct grain for
+    those columns — and ASSUMES album/track_name are consistent per
+    track.  The trk state rows carry a digest min/max over exactly
+    those attributes (``_q8_partials``); any source row contradicting
+    the assumption, in any micro-batch, leaves ``attr_lo != attr_hi``
+    in the folded state.  One entity-grain count — a dirty source
+    raises here instead of silently diverging from the batch build."""
+    dirty = (
+        state.filter(F.col("grain") == "trk")
+        .filter(F.col("attr_lo") != F.col("attr_hi"))
+        .count()
+    )
+    if dirty:
+        raise ValueError(
+            f"incremental Q8 attribute contract violated: {dirty} "
+            "(track_id, artists) state rows saw more than one distinct "
+            "(album, track_name) pair in the source — the streaming "
+            "fold would silently diverge from the batch dim_track "
+            "distinct grain; fix the source (or the surrogate key "
+            "derivation) before resuming"
+        )
 
 
 def stream_rpt_discovery_rate_incremental(
@@ -408,6 +464,7 @@ def stream_rpt_discovery_rate_incremental(
         spark, sf_dir, base, _q8_partials, _q8_remerge, n_slices,
         prefix="incr_q8_",
     )
+    _q8_assert_attr_consistency(state)
     wk = state.filter(F.col("grain") == "wk").drop("artists")
     # trk state is (track_id, artists)-grain; the batch dim's
     # dttm_first_played is TRACK-grain, so restore the corpus-wide

@@ -46,16 +46,18 @@ def test_extra_entry_matches_oracle(spark, name):
         assert df.count() > 0
 
 
-def _sf001_rotation_slice(size: int = 20) -> list[str]:
+def _sf001_rotation_slice(size: int = 40) -> list[str]:
     """A deterministic, round-rotating slice of the oracled extras for
     the sf0.01 tier.  sf0.001 can hide distribution-sensitive bugs
     (empty blocks, single-partition accidents — the round-6 advice), but
-    running all ~160 extras at sf0.01 every pytest run would triple the
-    suite wall time; instead each ROUND checks a different ~20-query
+    running all ~170 extras at sf0.01 every pytest run would triple the
+    suite wall time; instead each ROUND checks a different ~40-query
     window (keyed on the driver's CORRECTNESS_r*.json count, so the
     slice is stable within a round and advances with it — full coverage
-    every ~8 rounds, on top of the recorded full-surface
-    scripts/check_parity.py sweeps)."""
+    every ~4-5 rounds, on top of the recorded full-surface
+    scripts/check_parity.py sweeps; widened 20 → 40 per the round-7
+    brief to halve the latency of catching a distribution-sensitive
+    bug, ~2 min extra wall)."""
     import glob
     import os
 

@@ -75,6 +75,44 @@ ALLOW_FACT_BROADCAST: set[str] = {
     "events_mad_outliers",
 }
 
+#: Queries allowed a BroadcastNestedLoopJoin whose build side the
+#: bounded-walk cannot prove (rule 5).  Three shapes, each adjudicated:
+ALLOW_UNBOUNDED_BNLJ: set[str] = {
+    # (a) The ANN/embedding probe-set broadcasts — the identical
+    # adjudication as their rule-3 entries above: the build side is the
+    # `vec_id % probe_mod == 0` corpus slice standing in for an external
+    # fixed-size query batch, which a filter node cannot prove bounded.
+    "ann_recall_eval",
+    "ann_recall_eval_all",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_ivf_nprobe",
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "dedup_embedding",
+    "embedding_knn_classifier",
+    "embedding_negative_samples",
+    "embedding_truncation_recall",
+    "embedding_pq",
+    # (b) localCheckpointed one-row model spines (centroid matrices):
+    # the checkpoint truncates lineage to an opaque RDDScanExec, hiding
+    # the grouping-free aggregate that proves the single row.
+    "embedding_kmeans",
+    "embedding_kmeans_init_counts",
+    # (c) tiny-grain grouped-aggregate spines crossed back onto their
+    # own aggregate output: |distinct days| (autocorrelation, cusum,
+    # spearman, type_correlation), |weeks| (weekly_drift), |splits x
+    # bands| (split_drift), |retention offsets| (curve_fit) — grains
+    # bounded by the calendar / enum, not by the fact row count.
+    "events_autocorrelation",
+    "events_cusum_changepoint",
+    "events_spearman_corr",
+    "events_type_correlation",
+    "events_weekly_drift",
+    "corpus_split_drift",
+    "events_retention_curve_fit",
+}
+
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_plan_has_no_scale_antipatterns(spark, name):
@@ -84,6 +122,7 @@ def test_plan_has_no_scale_antipatterns(spark, name):
         allow_global_window=name in ALLOW_GLOBAL_WINDOW,
         allow_cartesian=name in ALLOW_CARTESIAN,
         allow_fact_broadcast=name in ALLOW_FACT_BROADCAST,
+        allow_unbounded_bnlj=name in ALLOW_UNBOUNDED_BNLJ,
     )
     assert not violations, f"{name}: {violations}"
 
@@ -183,3 +222,16 @@ def test_lint_catches_planted_violations(spark):
 
     arrow_udf = ev.select(_plus_one(F.col("value")).alias("v2"))
     assert lint_plan(arrow_udf) == []
+
+    # rule 5: an UNHINTED crossJoin against a filtered (unproven) side
+    # plans as BroadcastNestedLoopJoin without tripping rule 2 — flag it
+    planted_bnlj = ev.crossJoin(
+        ev.select(F.col("value").alias("v2")).filter(F.col("v2") > 1e18)
+    )
+    assert any(
+        "BroadcastNestedLoopJoin" in v for v in lint_plan(planted_bnlj)
+    )
+    # ...and the sanctioned one-row spines stay clean: a grouping-free
+    # aggregate build side is provably a single row
+    spine = ev.agg(F.max("value").alias("vmax"))
+    assert lint_plan(ev.crossJoin(F.broadcast(spine))) == []

@@ -290,11 +290,12 @@ def test_incremental_q8_trk_state_mirrors_dim_distinct_on_dirty_source(spark):
 
     stg = spark.createDataFrame(
         [
-            ("t1", "Artist A", "2024-01-01 10:00:00"),
-            ("t1", "Artist B", "2024-01-08 10:00:00"),  # dirty: same track
-            ("t2", "Artist A", "2024-01-02 10:00:00"),
+            ("t1", "Artist A", "Album X", "Song 1", "2024-01-01 10:00:00"),
+            ("t1", "Artist B", "Album X", "Song 1", "2024-01-08 10:00:00"),  # dirty: same track
+            ("t2", "Artist A", "Album Y", "Song 2", "2024-01-02 10:00:00"),
         ],
-        "track_id string, track_artists string, played_at_mtn_s string",
+        "track_id string, track_artists string, track_album string, "
+        "track_name string, played_at_mtn_s string",
     ).withColumn("played_at_mtn", F.to_timestamp("played_at_mtn_s"))
 
     # two micro-batches folded, as the stream would
@@ -316,6 +317,56 @@ def test_incremental_q8_trk_state_mirrors_dim_distinct_on_dirty_source(spark):
         .collect()[0][0]
     )
     assert str(t1_min).startswith("2024-01-01")
+
+
+def test_incremental_q8_attr_guard_fails_loudly_on_dirty_source(spark):
+    """The Q8 fold's documented residual contract — album/track_name
+    consistent per (track_id, artists) — is now a loud assertion, not a
+    docstring (round-7 advice).  A source violating it ACROSS
+    micro-batches must raise at the read step instead of silently
+    diverging from the batch build; a clean source passes."""
+    import pytest as _pytest
+
+    from spotify_tracks_spark.streaming.incremental import (
+        _q8_assert_attr_consistency,
+        _q8_partials,
+        _q8_remerge,
+    )
+
+    schema = (
+        "track_id string, track_artists string, track_album string, "
+        "track_name string, played_at_mtn_s string"
+    )
+
+    def fold(rows1, rows2):
+        b1 = _q8_partials(
+            spark.createDataFrame(rows1, schema).withColumn(
+                "played_at_mtn", F.to_timestamp("played_at_mtn_s")
+            )
+        )
+        b2 = _q8_partials(
+            spark.createDataFrame(rows2, schema).withColumn(
+                "played_at_mtn", F.to_timestamp("played_at_mtn_s")
+            )
+        )
+        return _q8_remerge(_q8_remerge(b1).unionByName(b2))
+
+    # dirty: the SAME (track_id, artists) pair shows two different album
+    # strings in two different micro-batches — the divergence week-grain
+    # state cannot see without the fingerprint
+    dirty = fold(
+        [("t1", "Artist A", "Album X", "Song 1", "2024-01-01 10:00:00")],
+        [("t1", "Artist A", "Album Z", "Song 1", "2024-01-08 10:00:00")],
+    )
+    with _pytest.raises(ValueError, match="attribute contract"):
+        _q8_assert_attr_consistency(dirty)
+
+    # clean source: same attributes everywhere — no raise
+    clean = fold(
+        [("t1", "Artist A", "Album X", "Song 1", "2024-01-01 10:00:00")],
+        [("t1", "Artist A", "Album X", "Song 1", "2024-01-08 10:00:00")],
+    )
+    _q8_assert_attr_consistency(clean)
 
 
 def test_unpivot_roundtrips_pivot(spark):
