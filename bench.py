@@ -117,7 +117,11 @@ def main() -> None:
 
     def run_pass(subset: dict) -> None:
         """One cold-cache pass over ``subset``, appending to ``obs``."""
+        from spotify_tracks_spark.operators.graph import clear_copurchase_memo
+
         _pipeline._MEMO.clear()
+        clear_copurchase_memo()  # first graph query per pass re-pays the
+        # shared edge build (same attribution discipline as q1's staging)
         spark.catalog.clearCache()
         model_chain_done = False
         for name, fn in subset.items():

@@ -120,6 +120,18 @@ _EDGE_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 _DEG_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 
 
+def clear_copurchase_memo() -> None:
+    """Release the session-memoized edge/degree artifacts.
+
+    Bench-harness hook: each cold-cache pass calls this next to
+    ``pipeline._MEMO.clear()`` so the first graph query per pass re-pays
+    the shared build exactly once — the same attribution discipline the
+    model chain uses for q1's staging build.  Dropping the references
+    lets Spark's ContextCleaner reclaim the checkpointed blocks."""
+    _EDGE_MEMO.clear()
+    _DEG_MEMO.clear()
+
+
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, max_order_items: int = TRI_MAX_ORDER_ITEMS
 ) -> DataFrame:
