@@ -117,11 +117,16 @@ def main() -> None:
 
     def run_pass(subset: dict) -> None:
         """One cold-cache pass over ``subset``, appending to ``obs``."""
+        from spotify_tracks_spark.operators.dedup import clear_dedup_memo
         from spotify_tracks_spark.operators.graph import clear_copurchase_memo
+        from spotify_tracks_spark.operators.similarity import clear_similarity_memo
 
         _pipeline._MEMO.clear()
-        clear_copurchase_memo()  # first graph query per pass re-pays the
-        # shared edge build (same attribution discipline as q1's staging)
+        # first graph/dedup/ANN query per pass re-pays the shared artifact
+        # builds (same attribution discipline as q1's staging build)
+        clear_copurchase_memo()
+        clear_dedup_memo()
+        clear_similarity_memo()
         spark.catalog.clearCache()
         model_chain_done = False
         for name, fn in subset.items():

@@ -131,6 +131,42 @@ def _with_shingle_hash_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+# Session-memoized shared dedup artifacts (the graph-module discipline,
+# operators/graph.py:copurchase_edges).  Six dedup queries start from the
+# SAME (doc_id, hs) shingle-hash table over the full documents corpus,
+# and three (clusters, clusters_star, recall_eval) additionally re-run
+# the whole minhash-LSH band join for the SAME verified pair set.  At
+# 100 TB both are WRITTEN tables — the signature store every dedup job
+# scans and the materialized candidate-pair table the clustering /
+# evaluation jobs consume; ``localCheckpoint`` is the single-session
+# equivalent.  bench.py clears these per cold-cache pass so the first
+# consumer of each pass re-pays the build (the q1-staging attribution).
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_MEMO: dict[tuple[int, str, float], DataFrame] = {}
+
+
+def clear_dedup_memo() -> None:
+    """Release the session-memoized shingle / minhash-pair artifacts
+    (bench-harness hook, mirroring graph.clear_copurchase_memo)."""
+    _SHINGLE_MEMO.clear()
+    _MINHASH_MEMO.clear()
+
+
+def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide (doc_id, hs) shingle-hash table, built once per
+    (session, dataset) and shared by every full-corpus dedup operator.
+    Callers must treat it as immutable shared state (derive, never
+    unpersist)."""
+    key = (id(spark), sf_dir)
+    if key in _SHINGLE_MEMO:
+        return _SHINGLE_MEMO[key]
+    sh = _with_shingle_hash_sets(
+        read_table(spark, sf_dir, "documents", spread=True)
+    ).localCheckpoint(eager=True)
+    _SHINGLE_MEMO[key] = sh
+    return sh
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession,
     sf_dir: str,
@@ -161,9 +197,7 @@ def dedup_ngram_jaccard(
     already-persisted (doc_id, hs) frame so the shingle/md5 pass runs
     once per evaluation, not once per family."""
     sh = (
-        _with_shingle_hash_sets(read_table(spark, sf_dir, "documents", spread=True))
-        if hash_sets is None
-        else hash_sets
+        shingle_hash_sets(spark, sf_dir) if hash_sets is None else hash_sets
     )
     blocked = sh.select(
         "doc_id",
@@ -288,16 +322,43 @@ def dedup_minhash_lsh(
 
     Bands of 4 rows: P(candidate) = 1-(1-j^4)^4 — steep S-curve around
     j≈0.5.  Output: (doc_a, doc_b, est_jaccard, jaccard) for verified
-    pairs ≥ threshold.  ``hash_sets`` as in ``dedup_ngram_jaccard``."""
-    # ONE md5 pass: the hash-set frame feeds both signature computation and
-    # Jaccard verification (the intermediate a production DAG would write)
-    sh = (
-        _with_shingle_hash_sets(read_table(spark, sf_dir, "documents", spread=True))
-        if hash_sets is None
-        else hash_sets
-    ).persist()
+    pairs ≥ threshold.  ``hash_sets`` as in ``dedup_ngram_jaccard``.
+
+    The full-corpus default path is SESSION-MEMOIZED (checkpointed
+    verified-pair table per (session, dataset, threshold)): clusters,
+    clusters_star, edit-distance and the recall eval all consume this
+    exact pair set, and through round 7 each re-ran the whole
+    signature+band join — at 100 TB the pair table is written once and
+    scanned by every downstream job."""
+    if hash_sets is None:
+        key = (id(spark), sf_dir, threshold)
+        memo = _MINHASH_MEMO.get(key)
+        if memo is not None:
+            return memo
+        sh = shingle_hash_sets(spark, sf_dir)
+        sigs = signatures_from_hash_sets(sh).persist()
+        sigs.count()
+        try:
+            # pair-grain output is tiny; pin it and release the signature
+            # cache (the shared sh stays memoized for the session)
+            out = _minhash_verify(sh, sigs, threshold).localCheckpoint(
+                eager=True
+            )
+        finally:
+            sigs.unpersist()
+        _MINHASH_MEMO[key] = out
+        return out
+    # caller-supplied hash sets (fixture corpora, incremental slices):
+    # the original lazy path
+    sh = hash_sets.persist()
     sigs = signatures_from_hash_sets(sh).persist()
     sigs.count()  # materialize both caches before the self-join (see dedup_ngram_jaccard)
+    return _minhash_verify(sh, sigs, threshold)
+
+
+def _minhash_verify(sh: DataFrame, sigs: DataFrame, threshold: float) -> DataFrame:
+    """Band join + exact-Jaccard verify over prepared (doc_id, hs) sets
+    and their minhash signatures (the shared tail of both paths)."""
     bands = band_keys(sigs)
 
     cand = (
@@ -653,61 +714,55 @@ def dedup_containment(
     Output: (doc_a, doc_b, n_shared, contain_a_in_b, contain_b_in_a)
     for unordered pairs (doc_a < doc_b) where either direction ≥
     ``threshold``."""
-    sh = _with_shingle_hash_sets(
-        read_table(spark, sf_dir, "documents", spread=True)
+    sh = shingle_hash_sets(spark, sf_dir)  # shared memoized artifact
+    post = sh.select("doc_id", F.explode("hs").alias("h"))
+    wide = post.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_df
+    )
+    kept = post.join(
+        F.broadcast(wide.select("h")), "h", "left_anti"
     ).persist()
     try:
-        sh.count()
-        post = sh.select("doc_id", F.explode("hs").alias("h"))
-        wide = post.groupBy("h").agg(F.count("*").alias("df")).filter(
-            F.col("df") > max_df
+        kept.count()
+        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+        a = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_a"))
+        b = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b"))
+        pairs = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
         )
-        kept = post.join(
-            F.broadcast(wide.select("h")), "h", "left_anti"
-        ).persist()
-        try:
-            kept.count()
-            sizes = kept.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-            a = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_a"))
-            b = kept.select(F.col("h").alias("h"), F.col("doc_id").alias("doc_b"))
-            pairs = (
-                a.join(b, "h")
-                .filter(F.col("doc_a") < F.col("doc_b"))
-                .groupBy("doc_a", "doc_b")
-                .agg(F.count("*").alias("n_shared"))
+        out = (
+            pairs.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")
+                ),
+                "doc_a",
             )
-            out = (
-                pairs.join(
-                    sizes.select(
-                        F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na")
-                    ),
-                    "doc_a",
-                )
-                .join(
-                    sizes.select(
-                        F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")
-                    ),
-                    "doc_b",
-                )
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    "n_shared",
-                    (F.col("n_shared") / F.col("na")).alias("contain_a_in_b"),
-                    (F.col("n_shared") / F.col("nb")).alias("contain_b_in_a"),
-                )
-                .filter(
-                    F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
-                )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb")
+                ),
+                "doc_b",
             )
-            # pair-grain result is tiny; cut it loose from the cached
-            # lineage so the corpus-sized caches can release (the
-            # dedup_recall_eval / dedup_edit_distance discipline)
-            return out.localCheckpoint(eager=True)
-        finally:
-            kept.unpersist()
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_shared",
+                (F.col("n_shared") / F.col("na")).alias("contain_a_in_b"),
+                (F.col("n_shared") / F.col("nb")).alias("contain_b_in_a"),
+            )
+            .filter(
+                F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
+            )
+        )
+        # pair-grain result is tiny; cut it loose from the cached
+        # lineage so the corpus-sized caches can release (the
+        # dedup_recall_eval / dedup_edit_distance discipline)
+        return out.localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        kept.unpersist()
 
 
 STAR_MAX_ROUNDS = 20
@@ -1071,16 +1126,11 @@ def dedup_recall_eval(
     Every persisted intermediate is unpersisted after the final 4-row
     report is materialized, so repeated calls in one session (bench runs
     each query at least twice) don't accumulate executor storage."""
-    hs_shared = _with_shingle_hash_sets(
-        read_table(spark, sf_dir, "documents", spread=True)
-    ).persist()
-    hs_shared.count()  # one md5-per-shingle pass, shared by 3 families + truth
-    minhash_pairs = (
-        dedup_minhash_lsh(spark, sf_dir, hash_sets=hs_shared)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    minhash_pairs.count()  # shared by the family row AND edit's candidates
+    hs_shared = shingle_hash_sets(spark, sf_dir)  # session-memoized table
+    # the minhash call hits the session-memoized checkpointed pair set
+    # (shared with clusters/clusters_star/edit across the whole session,
+    # not just within this evaluation)
+    minhash_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     pairs: dict[str, DataFrame] = {}
     pool = truth = None
     try:
@@ -1160,7 +1210,9 @@ def dedup_recall_eval(
         # pin the 4-row report BEFORE releasing the caches it derives from
         return out.localCheckpoint(eager=True)
     finally:
-        for df in (hs_shared, minhash_pairs, pool, truth, *pairs.values()):
+        # hs_shared / minhash_pairs are session-memoized shared artifacts
+        # now — only the evaluation-local caches release here
+        for df in (pool, truth, *pairs.values()):
             if df is not None:
                 df.unpersist()
 
@@ -1198,13 +1250,7 @@ def dedup_jaccard_exact_join(
     with the identical guarantee).
 
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b."""
-    sh = _with_shingle_hash_sets(
-        read_table(spark, sf_dir, "documents", spread=True)
-    ).persist()
-    try:
-        return _jaccard_exact_join_from(sh, threshold)
-    finally:
-        sh.unpersist()
+    return _jaccard_exact_join_from(shingle_hash_sets(spark, sf_dir), threshold)
 
 
 def _jaccard_exact_join_from(sh: DataFrame, threshold: float) -> DataFrame:
@@ -1293,9 +1339,8 @@ def dedup_minhash_incremental(
     n_batch_dups_earlier, is_kept)."""
     from ..functions.hashing import portable_hash60
 
-    docs = read_table(spark, sf_dir, "documents", spread=True)
     sh = (
-        _with_shingle_hash_sets(docs)
+        shingle_hash_sets(spark, sf_dir)  # shared memoized artifact
         .withColumn(
             "is_new", portable_hash60(F.col("doc_id")) % split_mod == 0
         )

@@ -57,10 +57,40 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str, probe_mod: int):
     return emb, probes
 
 
+# Session-memoized exact top-k baseline (the graph/dedup shared-artifact
+# discipline): five operators — the two recall evals, the truncation
+# ablation, negative sampling and the kNN classifier eval — each re-ran
+# the full probe x corpus cosine scan for the SAME exact result.  The
+# output is |probes| x k rows (tiny), checkpointed once per parameter
+# set; at 100 TB the exact baseline is a written evaluation table
+# computed once per corpus snapshot.  bench.py clears this per pass.
+_BRUTE_MEMO: dict[tuple[int, str, int, int], DataFrame] = {}
+
+
+def clear_similarity_memo() -> None:
+    """Release the memoized exact-top-k baseline (bench-harness hook)."""
+    _BRUTE_MEMO.clear()
+
+
 def ann_topk_bruteforce(
     spark: SparkSession, sf_dir: str, k: int = 5, probe_mod: int = 100
 ) -> DataFrame:
-    """Exact cosine top-k for probe vectors (vec_id % probe_mod == 0)."""
+    """Exact cosine top-k for probe vectors (vec_id % probe_mod == 0).
+    Session-memoized per (dataset, k, probe_mod) — see _BRUTE_MEMO."""
+    key = (id(spark), sf_dir, k, probe_mod)
+    memo = _BRUTE_MEMO.get(key)
+    if memo is not None:
+        return memo
+    out = _ann_topk_bruteforce_plan(spark, sf_dir, k, probe_mod).localCheckpoint(
+        eager=True
+    )
+    _BRUTE_MEMO[key] = out
+    return out
+
+
+def _ann_topk_bruteforce_plan(
+    spark: SparkSession, sf_dir: str, k: int, probe_mod: int
+) -> DataFrame:
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
     scored = (
         emb.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
