@@ -361,3 +361,24 @@ def test_substitutes_finds_never_copurchased_pair(spark, tmp_path):
     assert top10.common == 2 and top10.sim == 1.0
     top20 = got[(20, 1)]
     assert top20.substitute_id == 10 and top20.sim == 1.0
+
+
+def test_explode_edge_build_equals_join_form(spark):
+    """The round-8 explode-form edge build (groupBy -> sorted array ->
+    index-pair explode) must stay row-identical to the original
+    per-order self-join formulation — two independent constructions of
+    the same edge set, compared both ways at sf0.001."""
+    from spotify_tracks_spark.operators.graph import (
+        _copurchase_edges_join_form,
+        clear_copurchase_memo,
+        copurchase_edges,
+    )
+
+    clear_copurchase_memo()
+    sf = "/root/testdata/sf0.001"
+    fast = copurchase_edges(spark, sf)
+    ref = _copurchase_edges_join_form(spark, sf)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+    assert fast.count() > 0
+    clear_copurchase_memo()
