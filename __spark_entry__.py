@@ -47,6 +47,7 @@ from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
     parts_copurchase_communities as _graph_communities,
+    parts_copurchase_eigencentrality as _graph_eigen,
     parts_copurchase_substitutes as _graph_substitutes,
     parts_copurchase_kcore as _graph_kcore,
     parts_copurchase_pagerank as _graph_pagerank,
@@ -783,6 +784,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_robust_mean": _events.events_robust_mean,
         # kNN majority-vote classification eval over the embeddings
         "embedding_knn_classifier": _sim.embedding_knn_classifier,
+        # --- round-8 additions ---
+        # eigenvector centrality: L2-normalized power iteration over the
+        # shared co-purchase adjacency (PageRank's undamped sibling)
+        "parts_copurchase_eigencentrality": _graph_eigen,
+        # theta-sketch set operations: audience intersection/union/
+        # Jaccard per event-type pair from the mergeable KMV sketches
+        "events_kmv_set_ops": _events.events_kmv_set_ops,
         # --- rotated OUT of the driver surface in round 8 (driver-green
         # exactly 2 rounds, r6+r7; identical hash-compare continues
         # here every pytest run) ---
@@ -1039,6 +1047,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
+        "parts_copurchase_eigencentrality": (
+            oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
+        ),
+        "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,

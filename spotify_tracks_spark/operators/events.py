@@ -745,6 +745,139 @@ def events_kmv_distinct(
     )
 
 
+def events_kmv_set_ops(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over the per-type KMV sketches:
+    estimated audience INTERSECTION / UNION / Jaccard for every
+    event-type pair — the production ask the plain cardinality sketch
+    (``events_kmv_distinct``) stops short of ("how many users both
+    viewed and purchased?", audience-overlap planning), answered from
+    k-sized sketches without re-touching raw data.
+
+    The theta-sketch estimator (Dasgupta et al., "Theta-Sketch
+    Framework"): for a pair, theta = min(theta_A, theta_B) where a
+    type's theta is its k-th smallest hash (or the full 2⁶⁰ space while
+    it holds < k distinct users — the sketch is still the exact set).
+    Every retained hash below theta is a uniform 1-in-(SPACE/theta)
+    sample of the underlying set, so |{S_A ∩ S_B} < theta| · SPACE/theta
+    estimates the true intersection; union likewise; Jaccard is the
+    ratio of the two sample counts (one division).  Exact-regime
+    consistency: below k, theta = SPACE and every estimate collapses to
+    the exact count — no branch needed.
+
+    Determinism: ``portable_hash60`` makes sketch contents bit-exact
+    cross-engine (the KMV twin's property); estimates are single
+    fixed-order IEEE ops over integers, so the oracle reproduces them
+    exactly.  The true intersection rides along so sketch error is
+    visible.
+
+    Scale shape: the only corpus-sized steps are the distinct and the
+    per-type k-min window; everything downstream operates on ≤ k rows
+    per type and a |types|² pair spine (enum-grain — the lint-rule-5
+    allow-listed tiny crossJoin).  At 100 TB the per-type sketches are
+    persisted partial tables and every pairwise overlap query reads
+    ≤ 2k rows.  Output: (type_a, type_b, theta, n_inter_sample,
+    n_union_sample, est_intersection, est_union, est_jaccard,
+    exact_intersection)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", portable_hash60(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kept = kept.select("event_type", "h").persist()
+    try:
+        kept.count()
+        th = kept.groupBy("event_type").agg(
+            F.count("*").alias("n_kept"), F.max("h").alias("kth")
+        ).select(
+            "event_type",
+            F.when(F.col("n_kept") >= k, F.col("kth"))
+            .otherwise(F.lit(KMV_SPACE).cast("long"))
+            .alias("theta_t"),
+        )
+        spine = (
+            th.select(F.col("event_type").alias("type_a"), F.col("theta_t").alias("ta"))
+            .crossJoin(
+                F.broadcast(
+                    th.select(
+                        F.col("event_type").alias("type_b"),
+                        F.col("theta_t").alias("tb"),
+                    )
+                )
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+            .select("type_a", "type_b", F.least("ta", "tb").alias("theta"))
+        )
+        inter = (
+            kept.select(F.col("event_type").alias("type_a"), "h")
+            .join(kept.select(F.col("event_type").alias("type_b"), "h"), "h")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .join(F.broadcast(spine), ["type_a", "type_b"])
+            .filter(F.col("h") < F.col("theta"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_inter_sample"))
+        )
+        uni = (
+            spine.join(
+                kept.withColumnRenamed("event_type", "type_a"), "type_a"
+            )
+            .select("type_a", "type_b", "theta", "h")
+            .unionByName(
+                spine.join(
+                    kept.withColumnRenamed("event_type", "type_b"), "type_b"
+                ).select("type_a", "type_b", "theta", "h")
+            )
+            .filter(F.col("h") < F.col("theta"))
+            .select("type_a", "type_b", "h")
+            .distinct()
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_union_sample"))
+        )
+        tu = read_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+        exact = (
+            tu.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(tu.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+        space = float(KMV_SPACE)
+        scale = F.lit(space) / F.col("theta")  # bigint->double promotion, one division
+        out = (
+            spine.join(inter, ["type_a", "type_b"], "left")
+            .join(uni, ["type_a", "type_b"], "left")
+            .join(exact, ["type_a", "type_b"], "left")
+            .select(
+                "type_a",
+                "type_b",
+                "theta",
+                F.coalesce("n_inter_sample", F.lit(0)).alias("n_inter_sample"),
+                F.coalesce("n_union_sample", F.lit(0)).alias("n_union_sample"),
+                (F.coalesce("n_inter_sample", F.lit(0)).cast("double") * scale).alias(
+                    "est_intersection"
+                ),
+                (F.coalesce("n_union_sample", F.lit(0)).cast("double") * scale).alias(
+                    "est_union"
+                ),
+                F.when(
+                    F.coalesce("n_union_sample", F.lit(0)) > 0,
+                    F.coalesce("n_inter_sample", F.lit(0))
+                    / F.coalesce("n_union_sample", F.lit(0)),
+                ).alias("est_jaccard"),
+                F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        kept.unpersist()
+    return out
+
+
 ATTRIBUTION_WINDOW_DAYS = 7
 ATTRIBUTION_TOUCH_TYPES = ("view", "click", "signup")
 

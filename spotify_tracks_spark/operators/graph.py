@@ -568,6 +568,76 @@ def parts_copurchase_communities(
     return out
 
 
+# Eigenvector-centrality power iteration: fixed depth, like PageRank —
+# both engines unroll the same rounds, no convergence test.
+EIGEN_ITERS = 5
+
+
+def parts_copurchase_eigencentrality(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = EIGEN_ITERS,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """EIGENVECTOR centrality over the co-purchase graph — the influence
+    measure PageRank approximates but does not equal: score x satisfies
+    A·x = λ·x, computed by fixed-depth power iteration with L2
+    normalization per round (x' = A·x / ||A·x||₂).  Distinct from
+    PageRank in both plan and meaning: no damping teleport, no
+    out-degree division — a node is central when its NEIGHBORS are
+    central, period — so hubs adjacent to hubs separate from hubs
+    adjacent to leaves (the Bonacich centrality recommenders use for
+    "important because stocked next to important").
+
+    Plan: consumes the SHARED memoized edge artifact (one adjacency,
+    zero extra build cost in a session that ran any graph query); each
+    round is one E-sized join + dst-keyed sum, then the L2 norm — a
+    single-row global aggregate that rides back on a broadcast one-row
+    spine (the lint-rule-5-provable shape: grouping-free aggregate
+    build side).  Only the |V|-row score vector moves between rounds.
+
+    Determinism: same argument as the PageRank twin — scores are IEEE
+    doubles whose only cross-engine hazard is summation order, ulp-level
+    noise ~9 orders below the harness's 6-dp rounding; sqrt is
+    correctly rounded in both engines; iteration depth is fixed.
+
+    Output: (part_id, degree, score), every node, L2-normalized."""
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
+    )
+    adj = sym.join(deg, "src").persist()  # pinned per-query layout
+    try:
+        x = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("score"))
+        for _ in range(n_iter):
+            # checkpoint the |V|-row pre-norm vector: the norm scalar AND
+            # the normalized vector both read y, so an unpinned y would be
+            # re-evaluated twice per level — 2^n_iter join blowup (the
+            # kcore-loop flat-lineage discipline; measured 17.8 s -> ~6 s)
+            y = (
+                adj.join(x, adj.src == x.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("score").alias("y"))
+                .localCheckpoint(eager=True)
+            )
+            norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+            x = y.crossJoin(F.broadcast(norm)).select(
+                "node", (F.col("y") / F.col("nrm")).alias("score")
+            )
+        out = (
+            x.join(deg.select(F.col("src").alias("node"), "deg"), "node")
+            .select(
+                F.col("node").alias("part_id"),
+                F.col("deg").alias("degree"),
+                F.round("score", 6).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        adj.unpersist()
+    return out
+
+
 # wedge-center degree cap for the neighborhood-similarity op: a center
 # of degree d contributes d(d-1)/2 candidate pairs, so hubs are the
 # quadratic hazard; centers above the cap are EXCLUDED (deterministic,

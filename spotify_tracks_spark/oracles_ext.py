@@ -6296,3 +6296,124 @@ from fit
 
 
 EVENTS_RETENTION_CURVE_FIT = _retention_curve_fit_sql()
+
+
+def _eigencentrality_sql() -> str:
+    """Unrolled L2-normalized power iteration mirroring
+    parts_copurchase_eigencentrality: same fixed depth, same start
+    vector (all ones), same per-round normalize; float literals
+    e0-suffixed (the PageRank-oracle discipline).  Edge construction is
+    the independent self-join formulation — the operator's explode
+    build is pinned row-identical to it by test."""
+    from .operators.graph import EIGEN_ITERS, TRI_MAX_ORDER_ITEMS
+
+    steps = []
+    for k in range(1, EIGEN_ITERS + 1):
+        steps.append(
+            f"""y{k} as (
+    select s.dst as node, sum(x.score) as y
+    from sym s join x{k - 1} x on x.node = s.src
+    group by s.dst
+),
+n{k} as (select sqrt(sum(y * y)) as nrm from y{k}),
+x{k} as (select node, y / (select nrm from n{k}) as score from y{k})"""
+        )
+    joined = ",\n".join(steps)
+    return f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}),
+li2 as (select li.* from li join ok using (o)),
+edges as (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as (select x as src, y as dst from edges
+        union all
+        select y as src, x as dst from edges),
+deg as (select src, count(*) as deg from sym group by src),
+x0 as (select src as node, 1.0e0 as score from deg),
+{joined}
+select x.node as part_id, g.deg as degree, round(x.score, 6) as score
+from x{EIGEN_ITERS} x join deg g on g.src = x.node
+"""
+
+
+PARTS_COPURCHASE_EIGENCENTRALITY = _eigencentrality_sql()
+
+
+def _kmv_set_ops_sql() -> str:
+    """Mirror of events_kmv_set_ops: identical sketch registers (same
+    h60 hash, same k-min window), identical theta = least(theta_a,
+    theta_b), identical fixed-order estimate arithmetic
+    (cast-to-double count × (SPACE / theta) — bigint/double promotion
+    matches Spark's), identical integer/coalesce handling for pairs
+    with empty samples."""
+    from .operators.events import KMV_K, KMV_SPACE
+
+    space_lit = f"{float(KMV_SPACE)!r}".replace("e+", "e")  # plain double literal
+    return f"""
+with ev as (
+    select distinct event_type, {_h60('user_id::varchar')} as h from events
+),
+kept as (
+    select event_type, h from (
+        select event_type, h,
+               row_number() over (partition by event_type order by h) as rn
+        from ev
+    ) where rn <= {KMV_K}
+),
+th as (
+    select event_type,
+           case when count(*) >= {KMV_K} then max(h)
+                else {KMV_SPACE} end as theta_t
+    from kept group by event_type
+),
+spine as (
+    select a.event_type as type_a, b.event_type as type_b,
+           least(a.theta_t, b.theta_t) as theta
+    from th a join th b on a.event_type < b.event_type
+),
+inter as (
+    select ka.event_type as type_a, kb.event_type as type_b,
+           count(*) as n
+    from kept ka
+    join kept kb on kb.h = ka.h and ka.event_type < kb.event_type
+    join spine s on s.type_a = ka.event_type and s.type_b = kb.event_type
+    where ka.h < s.theta
+    group by 1, 2
+),
+uni as (
+    select type_a, type_b, count(distinct h) as n from (
+        select s.type_a, s.type_b, k.h, s.theta
+        from spine s join kept k on k.event_type = s.type_a
+        union all
+        select s.type_a, s.type_b, k.h, s.theta
+        from spine s join kept k on k.event_type = s.type_b
+    ) where h < theta
+    group by 1, 2
+),
+tu as (select distinct event_type, user_id from events),
+exct as (
+    select a.event_type as type_a, b.event_type as type_b, count(*) as n
+    from tu a join tu b on b.user_id = a.user_id
+                       and a.event_type < b.event_type
+    group by 1, 2
+)
+select s.type_a, s.type_b, s.theta,
+       coalesce(i.n, 0) as n_inter_sample,
+       coalesce(u.n, 0) as n_union_sample,
+       cast(coalesce(i.n, 0) as double) * ({space_lit} / s.theta)
+         as est_intersection,
+       cast(coalesce(u.n, 0) as double) * ({space_lit} / s.theta)
+         as est_union,
+       case when coalesce(u.n, 0) > 0
+            then coalesce(i.n, 0) / coalesce(u.n, 0) end as est_jaccard,
+       coalesce(e.n, 0) as exact_intersection
+from spine s
+left join inter i on i.type_a = s.type_a and i.type_b = s.type_b
+left join uni u on u.type_a = s.type_a and u.type_b = s.type_b
+left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
+"""
+
+
+EVENTS_KMV_SET_OPS = _kmv_set_ops_sql()
