@@ -251,6 +251,15 @@ def _events_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_kmv(spark, sf_dir)
 
 
+def _events_stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming theta-sketch set operations: the drained per-type KMV
+    registers feed the identical pair-overlap tail as the batch build —
+    same EVENTS_KMV_SET_OPS oracle (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_kmv_set_ops
+
+    return stream_events_kmv_set_ops(spark, sf_dir)
+
+
 def _events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL register fold (availableNow drain): register-wise
     max merge, constant-size state, hash-equal to the batch sketch."""
@@ -791,6 +800,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # theta-sketch set operations: audience intersection/union/
         # Jaccard per event-type pair from the mergeable KMV sketches
         "events_kmv_set_ops": _events.events_kmv_set_ops,
+        # streaming fold of the same report (drained registers, same oracle)
+        "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
         # --- rotated OUT of the driver surface in round 8 (driver-green
         # exactly 2 rounds, r6+r7; identical hash-compare continues
         # here every pytest run) ---
@@ -1051,6 +1062,7 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
         ),
         "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,

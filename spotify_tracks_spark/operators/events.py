@@ -792,89 +792,100 @@ def events_kmv_set_ops(
     kept = kept.select("event_type", "h").persist()
     try:
         kept.count()
-        th = kept.groupBy("event_type").agg(
-            F.count("*").alias("n_kept"), F.max("h").alias("kth")
-        ).select(
-            "event_type",
-            F.when(F.col("n_kept") >= k, F.col("kth"))
-            .otherwise(F.lit(KMV_SPACE).cast("long"))
-            .alias("theta_t"),
-        )
-        spine = (
-            th.select(F.col("event_type").alias("type_a"), F.col("theta_t").alias("ta"))
-            .crossJoin(
-                F.broadcast(
-                    th.select(
-                        F.col("event_type").alias("type_b"),
-                        F.col("theta_t").alias("tb"),
-                    )
-                )
-            )
-            .filter(F.col("type_a") < F.col("type_b"))
-            .select("type_a", "type_b", F.least("ta", "tb").alias("theta"))
-        )
-        inter = (
-            kept.select(F.col("event_type").alias("type_a"), "h")
-            .join(kept.select(F.col("event_type").alias("type_b"), "h"), "h")
-            .filter(F.col("type_a") < F.col("type_b"))
-            .join(F.broadcast(spine), ["type_a", "type_b"])
-            .filter(F.col("h") < F.col("theta"))
-            .groupBy("type_a", "type_b")
-            .agg(F.count("*").alias("n_inter_sample"))
-        )
-        uni = (
-            spine.join(
-                kept.withColumnRenamed("event_type", "type_a"), "type_a"
-            )
-            .select("type_a", "type_b", "theta", "h")
-            .unionByName(
-                spine.join(
-                    kept.withColumnRenamed("event_type", "type_b"), "type_b"
-                ).select("type_a", "type_b", "theta", "h")
-            )
-            .filter(F.col("h") < F.col("theta"))
-            .select("type_a", "type_b", "h")
-            .distinct()
-            .groupBy("type_a", "type_b")
-            .agg(F.count("*").alias("n_union_sample"))
-        )
-        tu = read_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-        exact = (
-            tu.select(F.col("event_type").alias("type_a"), "user_id")
-            .join(tu.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
-            .filter(F.col("type_a") < F.col("type_b"))
-            .groupBy("type_a", "type_b")
-            .agg(F.count("*").alias("exact_intersection"))
-        )
-        space = float(KMV_SPACE)
-        scale = F.lit(space) / F.col("theta")  # bigint->double promotion, one division
-        out = (
-            spine.join(inter, ["type_a", "type_b"], "left")
-            .join(uni, ["type_a", "type_b"], "left")
-            .join(exact, ["type_a", "type_b"], "left")
-            .select(
-                "type_a",
-                "type_b",
-                "theta",
-                F.coalesce("n_inter_sample", F.lit(0)).alias("n_inter_sample"),
-                F.coalesce("n_union_sample", F.lit(0)).alias("n_union_sample"),
-                (F.coalesce("n_inter_sample", F.lit(0)).cast("double") * scale).alias(
-                    "est_intersection"
-                ),
-                (F.coalesce("n_union_sample", F.lit(0)).cast("double") * scale).alias(
-                    "est_union"
-                ),
-                F.when(
-                    F.coalesce("n_union_sample", F.lit(0)) > 0,
-                    F.coalesce("n_inter_sample", F.lit(0))
-                    / F.coalesce("n_union_sample", F.lit(0)),
-                ).alias("est_jaccard"),
-                F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return _kmv_set_ops_tail(spark, sf_dir, kept, k)
     finally:
         kept.unpersist()
+
+
+def _kmv_set_ops_tail(
+    spark: SparkSession, sf_dir: str, kept: DataFrame, k: int
+) -> DataFrame:
+    """The pair-overlap math over prepared (event_type, h) KMV
+    registers — shared by the batch build above and the streaming fold
+    (streaming/sketch.py:stream_events_kmv_set_ops), which drains the
+    SAME registers via the lossless union-and-retake merge and must
+    therefore produce the identical report (same oracle)."""
+    th = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth")
+    ).select(
+        "event_type",
+        F.when(F.col("n_kept") >= k, F.col("kth"))
+        .otherwise(F.lit(KMV_SPACE).cast("long"))
+        .alias("theta_t"),
+    )
+    spine = (
+        th.select(F.col("event_type").alias("type_a"), F.col("theta_t").alias("ta"))
+        .crossJoin(
+            F.broadcast(
+                th.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta_t").alias("tb"),
+                )
+            )
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("ta", "tb").alias("theta"))
+    )
+    inter = (
+        kept.select(F.col("event_type").alias("type_a"), "h")
+        .join(kept.select(F.col("event_type").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(spine), ["type_a", "type_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter_sample"))
+    )
+    uni = (
+        spine.join(
+            kept.withColumnRenamed("event_type", "type_a"), "type_a"
+        )
+        .select("type_a", "type_b", "theta", "h")
+        .unionByName(
+            spine.join(
+                kept.withColumnRenamed("event_type", "type_b"), "type_b"
+            ).select("type_a", "type_b", "theta", "h")
+        )
+        .filter(F.col("h") < F.col("theta"))
+        .select("type_a", "type_b", "h")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_union_sample"))
+    )
+    tu = read_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    exact = (
+        tu.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(tu.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    space = float(KMV_SPACE)
+    scale = F.lit(space) / F.col("theta")  # bigint->double promotion, one division
+    out = (
+        spine.join(inter, ["type_a", "type_b"], "left")
+        .join(uni, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            F.coalesce("n_inter_sample", F.lit(0)).alias("n_inter_sample"),
+            F.coalesce("n_union_sample", F.lit(0)).alias("n_union_sample"),
+            (F.coalesce("n_inter_sample", F.lit(0)).cast("double") * scale).alias(
+                "est_intersection"
+            ),
+            (F.coalesce("n_union_sample", F.lit(0)).cast("double") * scale).alias(
+                "est_union"
+            ),
+            F.when(
+                F.coalesce("n_union_sample", F.lit(0)) > 0,
+                F.coalesce("n_inter_sample", F.lit(0))
+                / F.coalesce("n_union_sample", F.lit(0)),
+            ).alias("est_jaccard"),
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+        )
+        .localCheckpoint(eager=True)
+    )
     return out
 
 

@@ -171,6 +171,29 @@ def stream_events_kmv(
 
     if k is None:
         k = KMV_K
+    final = _drain_kmv_registers(spark, sf_dir, k, n_slices, base)
+    sk = final.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    )
+    numer = float((k - 1) * KMV_SPACE)
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(numer) / F.col("kth_hash"))
+    return sk.select(
+        "event_type", "n_kept", "kth_hash", est.alias("est_distinct_users")
+    )
+
+
+def _drain_kmv_registers(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Drain the per-type KMV register fold (union-and-retake per
+    micro-batch) and return the final (event_type, h) register frame —
+    the shared state both streaming sketch reports read."""
     if base is None:
         base = tempfile.mkdtemp(prefix="stream_kmv_")
         # cache key namespaced: the CMS fold's source drops event_type,
@@ -240,17 +263,35 @@ def stream_events_kmv(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
-    final = spark.read.parquet(f"{base}/state_b{cur['batch']}")
-    sk = final.groupBy("event_type").agg(
-        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
-    )
-    numer = float((k - 1) * KMV_SPACE)
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(F.lit(numer) / F.col("kth_hash"))
-    return sk.select(
-        "event_type", "n_kept", "kth_hash", est.alias("est_distinct_users")
-    )
+    return spark.read.parquet(f"{base}/state_b{cur['batch']}")
+
+
+def stream_events_kmv_set_ops(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Streaming fold of the theta-sketch SET OPERATIONS: drain the
+    per-type KMV registers through the same lossless union-and-retake
+    merge as ``stream_events_kmv``, then apply the identical pair
+    intersection/union/Jaccard tail as the batch build
+    (operators/events.py:_kmv_set_ops_tail) — the drained report
+    hash-equals the batch ``events_kmv_set_ops`` (same oracle).  This
+    is the mergeable-sketch payoff end-to-end: audience overlap over an
+    unbounded stream from ≤ k rows of state per type, never re-reading
+    history."""
+    from ..operators.events import KMV_K, _kmv_set_ops_tail
+
+    if k is None:
+        k = KMV_K
+    kept = _drain_kmv_registers(spark, sf_dir, k, n_slices, base).persist()
+    try:
+        kept.count()
+        return _kmv_set_ops_tail(spark, sf_dir, kept, k)
+    finally:
+        kept.unpersist()
 
 
 def _batch_hll_registers(df: DataFrame) -> DataFrame:
