@@ -802,6 +802,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_set_ops": _events.events_kmv_set_ops,
         # streaming fold of the same report (drained registers, same oracle)
         "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
+        # token-budget selection: best-quality corpus prefix under
+        # floor(pct% of total tokens) via the two-level prefix primitive
+        "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
         # --- rotated OUT of the driver surface in round 8 (driver-green
         # exactly 2 rounds, r6+r7; identical hash-compare continues
         # here every pytest run) ---
@@ -1063,6 +1066,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
         "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,

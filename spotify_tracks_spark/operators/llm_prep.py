@@ -904,6 +904,57 @@ def corpus_curriculum_order(
     )
 
 
+BUDGET_PCT = 25  # select the best ⌊25%⌋ of total corpus tokens
+
+
+def corpus_token_budget_pack(
+    spark: SparkSession, sf_dir: str, budget_pct: int = BUDGET_PCT
+) -> DataFrame:
+    """TOKEN-BUDGET selection: the highest-quality PREFIX of the corpus
+    whose cumulative token count fits a budget — "train on the best B
+    tokens", the selection step between quality scoring (text_quality)
+    and sequence assembly (pack_sequences) that every
+    compute-constrained training run performs.  The budget is
+    data-derived (⌊budget_pct% of total corpus tokens⌋, integer floor)
+    so the operator scales with SF instead of going vacuous.
+
+    Semantics: documents rank by (quality_score desc, doc_id); a doc is
+    selected iff its INCLUSIVE running token sum fits the budget — the
+    deterministic prefix rule, not a knapsack (no skip-and-continue
+    past the boundary doc: reproducibility beats squeezing the last few
+    tokens).
+
+    Plan: the global order + running sum is the two-level prefix
+    primitive over the corpus-grain frame (the curriculum_order
+    discipline — no partition-less window at the repo's largest grain);
+    the budget scalar derives from the primitive's driver-side grand
+    total, costing zero extra passes.
+
+    Ordering determinism: quality_score is the text_quality expression
+    (bit-equal across engines — fixed-order integer-ratio arithmetic),
+    doc_id breaks ties; token counts are exact ints so the running sum
+    and budget comparison are integer-exact.
+
+    Output: (doc_id, quality_score, n_tokens, position, cum_tokens)
+    for selected documents only."""
+    from ..functions.ranking import two_level_prefix
+    from .text_analysis import text_quality
+
+    scored = text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score", "n_tokens"
+    )
+    ranked, totals = two_level_prefix(
+        scored,
+        [F.desc("quality_score"), F.asc("doc_id")],
+        measures={"cum_tokens": F.col("n_tokens")},
+        rank_col="position",
+    )
+    budget = (totals["cum_tokens"] * budget_pct) // 100
+    return ranked.filter(F.col("cum_tokens") <= F.lit(budget)).select(
+        "doc_id", "quality_score", "n_tokens", "position", "cum_tokens"
+    )
+
+
 SPAN_LEN = 3           # masked-span length in words (T5 mean span ~3)
 SPAN_RATE_PCT = 15     # percent of words masked (T5's 15%)
 

@@ -6417,3 +6417,33 @@ left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
 
 
 EVENTS_KMV_SET_OPS = _kmv_set_ops_sql()
+
+
+def _token_budget_pack_sql() -> str:
+    """Mirror of corpus_token_budget_pack: identical quality expression
+    (TEXT_QUALITY's, bit-equal), identical (quality desc, doc_id) total
+    order, integer-exact inclusive running sum (windowed sum(bigint) →
+    HUGEIT in DuckDB, cast back), identical ⌊total·pct/100⌋ budget."""
+    from .operators.llm_prep import BUDGET_PCT
+
+    return f"""
+with q as ({TEXT_QUALITY}),
+ranked as (
+    select doc_id, quality_score, n_tokens,
+           cast(row_number() over
+                (order by quality_score desc, doc_id) as bigint) as position,
+           cast(sum(n_tokens) over
+                (order by quality_score desc, doc_id
+                 rows unbounded preceding) as bigint) as cum_tokens
+    from q
+),
+budget as (
+    select cast(sum(n_tokens) * {BUDGET_PCT} // 100 as bigint) as b from q
+)
+select doc_id, quality_score, n_tokens, position, cum_tokens
+from ranked
+where cum_tokens <= (select b from budget)
+"""
+
+
+CORPUS_TOKEN_BUDGET_PACK = _token_budget_pack_sql()
