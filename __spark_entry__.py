@@ -805,6 +805,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget selection: best-quality corpus prefix under
         # floor(pct% of total tokens) via the two-level prefix primitive
         "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
+        # HLL inclusion-exclusion pair overlap (register-max union merge;
+        # the deployed-at-scale sibling of the KMV set operations)
+        "events_hll_set_ops": _events.events_hll_set_ops,
         # --- rotated OUT of the driver surface in round 8 (driver-green
         # exactly 2 rounds, r6+r7; identical hash-compare continues
         # here every pytest run) ---
@@ -1067,6 +1070,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
         "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
         "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
+        "events_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,

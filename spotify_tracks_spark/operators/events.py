@@ -745,6 +745,150 @@ def events_kmv_distinct(
     )
 
 
+def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET OPERATIONS: estimated audience union and intersection for
+    every event-type pair by INCLUSION-EXCLUSION over register-max
+    merges — the deployed-at-scale sibling of ``events_kmv_set_ops``
+    (same question, answered from 256-register HLL sketches instead of
+    k-min sets; ~6.5% rse vs KMV's 13% at the configured sizes).
+
+    The union sketch is exactly the register-wise max of the two types'
+    registers (the HLL merge theorem — the union estimate is what a
+    roll-up of persisted per-type register tables would produce without
+    touching raw data); intersection has no native HLL form, so the
+    standard inclusion-exclusion est_a + est_b − est_union applies,
+    clamped at zero (the estimator can go negative for near-disjoint
+    sets — a documented property, not an error; the exact intersection
+    rides along so the error is visible).
+
+    Determinism: registers are integer-exact and bit-identical
+    cross-engine (the events_hll_distinct math); every estimate is the
+    same fixed-order expression; the inclusion-exclusion combine is
+    parenthesized identically in the oracle.
+
+    Scale shape: corpus-sized work is the distinct and the per-(type,
+    bucket) max with full map-side combine; the pair report operates on
+    ≤ 256 registers per type and a |types|² spine.  Output: (type_a,
+    type_b, union_zero_regs, union_reg_sum_e61, est_a, est_b,
+    est_union, est_intersection, exact_intersection)."""
+    from ..functions.hashing import portable_hash60
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", portable_hash60(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    b = ev.select(
+        "event_type",
+        F.shiftright(F.col("h"), HLL_W_BITS).alias("bucket"),
+        F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1)).alias("w"),
+    )
+    reg = (
+        b.groupBy("event_type", "bucket")
+        .agg(F.max(_hll_rho(F.col("w"))).alias("m"))
+        .persist()
+    )
+    try:
+        reg.count()
+        two61 = 1 << 61
+        shift_sum = F.sum(
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), cast(61 - m as int))"
+                " as decimal(38,0))"
+            )
+        ).alias("s_present")
+
+        def sketch(df: DataFrame, keys: list[str]) -> DataFrame:
+            agg = df.groupBy(*keys).agg(
+                F.count("*").alias("n_present"), shift_sum
+            )
+            v = F.lit(HLL_M) - F.col("n_present")
+            s = (
+                F.col("s_present")
+                + v.cast("decimal(38,0)") * F.lit(two61).cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+            return agg.select(
+                *keys,
+                v.cast("long").alias("nz"),
+                s.cast("double").alias("rs"),
+            )
+
+        per_type = sketch(reg, ["event_type"]).select(
+            "event_type", _hll_est(F.col("nz"), F.col("rs")).alias("est_t")
+        )
+        spine = (
+            per_type.select(
+                F.col("event_type").alias("type_a"), F.col("est_t").alias("est_a")
+            )
+            .crossJoin(
+                F.broadcast(
+                    per_type.select(
+                        F.col("event_type").alias("type_b"),
+                        F.col("est_t").alias("est_b"),
+                    )
+                )
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+        )
+        union_regs = (
+            spine.select("type_a", "type_b")
+            .join(reg.withColumnRenamed("event_type", "type_a"), "type_a")
+            .select("type_a", "type_b", "bucket", "m")
+            .unionByName(
+                spine.select("type_a", "type_b")
+                .join(reg.withColumnRenamed("event_type", "type_b"), "type_b")
+                .select("type_a", "type_b", "bucket", "m")
+            )
+            .groupBy("type_a", "type_b", "bucket")
+            .agg(F.max("m").alias("m"))
+        )
+        union_sk = sketch(union_regs, ["type_a", "type_b"]).select(
+            "type_a",
+            "type_b",
+            F.col("nz").alias("union_zero_regs"),
+            F.col("rs").alias("union_reg_sum_e61"),
+            _hll_est(F.col("nz"), F.col("rs")).alias("est_union"),
+        )
+        tu = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        exact = (
+            tu.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(
+                tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                "user_id",
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+        out = (
+            spine.join(union_sk, ["type_a", "type_b"])
+            .join(exact, ["type_a", "type_b"], "left")
+            .select(
+                "type_a",
+                "type_b",
+                "union_zero_regs",
+                "union_reg_sum_e61",
+                "est_a",
+                "est_b",
+                "est_union",
+                F.greatest(
+                    F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+                ).alias("est_intersection"),
+                F.coalesce("exact_intersection", F.lit(0)).alias(
+                    "exact_intersection"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        reg.unpersist()
+    return out
+
+
 def events_kmv_set_ops(
     spark: SparkSession, sf_dir: str, k: int = KMV_K
 ) -> DataFrame:
@@ -972,6 +1116,18 @@ def _hll_rho(w):
         .otherwise(F.round(F.log2(t.cast("double"))).cast("long") + 1)
         .cast("long")
     )
+
+
+def _hll_est(nz, rs):
+    """The HLL estimate expression over (n_zero_regs, reg_sum_e61-as-
+    double): raw harmonic estimate with the standard small-range
+    linear-counting branch — shared by the per-type sketch and the
+    pairwise set-operation report (identical text in the oracles)."""
+    raw = F.lit(HLL_EST_NUMER) / rs
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (nz > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / nz),
+    ).otherwise(raw)
 
 
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

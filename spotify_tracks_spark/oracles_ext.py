@@ -6447,3 +6447,89 @@ where cum_tokens <= (select b from budget)
 
 
 CORPUS_TOKEN_BUDGET_PACK = _token_budget_pack_sql()
+
+
+def _hll_set_ops_sql() -> str:
+    """Mirror of events_hll_set_ops: identical registers (the
+    _hll_distinct_sql math), register-wise max union per type pair,
+    identical estimate expression per sketch, identical
+    greatest(0, (est_a + est_b) − est_union) inclusion-exclusion."""
+    from .operators.events import HLL_EST_NUMER, HLL_M, HLL_W_BITS
+
+    two61 = 1 << 61
+    mask = (1 << HLL_W_BITS) - 1
+    numer = repr(float(HLL_EST_NUMER))
+    m_f = repr(float(HLL_M))
+    cut = repr(2.5 * HLL_M)
+
+    def est(nz: str, rs: str) -> str:
+        return (
+            f"case when {numer} / {rs} <= {cut} and {nz} > 0 "
+            f"then {m_f} * ln({m_f} / {nz}) "
+            f"else {numer} / {rs} end"
+        )
+
+    def sk(src: str, keys: str) -> str:
+        return f"""
+    select {keys},
+           cast({HLL_M} - count(*) as bigint) as nz,
+           cast(cast(sum(cast(1::bigint << cast(61 - m as integer)
+                             as decimal(38,0))) as decimal(38,0))
+                + cast({HLL_M} - count(*) as decimal(38,0))
+                  * cast({two61} as decimal(38,0)) as double) as rs
+    from {src} group by {keys}"""
+
+    return f"""
+with ev as (
+    select distinct event_type, {_h60('user_id::varchar')} as h from events
+),
+b as (
+    select event_type, h >> {HLL_W_BITS} as bucket, h & {mask} as w from ev
+),
+reg as (
+    select event_type, bucket,
+           max(case when w = 0 then {HLL_W_BITS + 1}
+               else cast(round(log2(cast(w & -w as double))) as bigint) + 1
+               end) as m
+    from b group by event_type, bucket
+),
+per_type_sk as ({sk('reg', 'event_type')}
+),
+per_type as (
+    select event_type, {est('nz', 'rs')} as est_t from per_type_sk
+),
+spine as (
+    select a.event_type as type_a, b.event_type as type_b,
+           a.est_t as est_a, b.est_t as est_b
+    from per_type a join per_type b on a.event_type < b.event_type
+),
+union_regs as (
+    select s.type_a, s.type_b, r.bucket, max(r.m) as m
+    from spine s
+    join reg r on r.event_type = s.type_a or r.event_type = s.type_b
+    group by 1, 2, 3
+),
+union_sk as ({sk('union_regs', 'type_a, type_b')}
+),
+tu as (select distinct event_type, user_id from events),
+exct as (
+    select a.event_type as type_a, b.event_type as type_b, count(*) as n
+    from tu a join tu b on b.user_id = a.user_id
+                       and a.event_type < b.event_type
+    group by 1, 2
+)
+select s.type_a, s.type_b,
+       u.nz as union_zero_regs,
+       u.rs as union_reg_sum_e61,
+       s.est_a, s.est_b,
+       {est('u.nz', 'u.rs')} as est_union,
+       greatest(0.0e0, (s.est_a + s.est_b) - ({est('u.nz', 'u.rs')}))
+         as est_intersection,
+       coalesce(e.n, 0) as exact_intersection
+from spine s
+join union_sk u on u.type_a = s.type_a and u.type_b = s.type_b
+left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
+"""
+
+
+EVENTS_HLL_SET_OPS = _hll_set_ops_sql()
