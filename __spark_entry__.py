@@ -368,7 +368,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     statistics cohort, now driver-green exactly 2 rounds (r6+r7):
     wilson, ab_test, cuped, holt, theil_sen, mann_whitney, gini,
     ks_test, benford, cohort_ltv, kaplan_meier, log_rank,
-    kmv_distinct.  The round-7 cohort stays (1 driver round)."""
+    kmv_distinct.  The round-7 cohort stays (1 driver round).
+
+    ROUND-9 ROTATION (widened 13 → 20 per the round-8 verdict: 101/230
+    registered queries had never held a driver slot and the 13/round
+    pace needed ~8 more rounds): 20 never-driver-rowed operators IN —
+    the mechanically-computed heaviest of the never-rowed tail (union
+    over CORRECTNESS_r01–r08 keys, ranked by BENCH_FULL_r08 time):
+    q8/q6 streaming-incremental marts, eigencentrality, basket_rules,
+    bpe_encode (double duty with the regression diagnosis),
+    stream_join_outer, the KMV/HLL set ops + streaming fold, the
+    stream_kmv/hll/bloom folds, dedup_within_watermark,
+    stream_peak_rate, part_supplier_diversity, truncation_recall,
+    vocab_encode, corpus_survival, part_min_cost_supplier,
+    token_budget_pack.  Rotated OUT the 20 longest-green: the four
+    8-round entries (q2 streaming twin, publish_roundtrip,
+    dedup_clusters, ann_topk_ivf), the six 7-round entries
+    (idempotent_append, multimodal_bytes, stream_dedup/window/
+    sessionize/join) and the whole 4-round round-5 cohort
+    (hll_distinct, bloom_membership, minhash_incremental, kcore, the
+    tpch trio, temperature_sample, split_drift, bm25).  The round-7
+    (2 driver rounds) and round-8 (1 round) cohorts stay."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -377,6 +397,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_dim_track": _model("dim_track"),
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
+        # --- rotated IN round 9: first-ever driver rows, fronted ---
+        # streaming-incremental two-DISTINCT weekly mart (exact set-state
+        # per (year, week); same Q8 oracle as the batch build)
+        "q8_rpt_discovery_rate_streaming_incremental": _rpt_discovery_rate_streaming_incremental,
+        # streaming-incremental TRAILING-WINDOW mart (per-batch window
+        # eviction; same Q6 oracle as the batch build)
+        "q6_rpt_track_counts_streaming_incremental": _rpt_track_counts_streaming_incremental,
+        # L2-normalized power iteration over the shared co-purchase graph
+        "parts_copurchase_eigencentrality": _graph_eigen,
+        # co-occurrence association rules (support/confidence/lift)
+        "orders_basket_rules": _tpch.orders_basket_rules,
+        # tokenizer APPLICATION: per-doc token budget under learned merges
+        "corpus_bpe_encode": _llm.corpus_bpe_encode,
+        # LEFT OUTER stream-stream interval join (watermark null-emits)
+        "events_stream_join_outer": _events_stream_join_outer,
+        # theta-sketch set ops: batch + streaming fold (same oracle)
+        "events_kmv_set_ops": _events.events_kmv_set_ops,
+        "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
+        # HLL inclusion-exclusion pair overlap (register-max union merge)
+        "events_hll_set_ops": _events.events_hll_set_ops,
+        # streaming sketch folds (constant-size mergeable state each)
+        "events_stream_kmv": _events_stream_kmv,
+        "events_stream_hll": _events_stream_hll,
+        "events_stream_bloom": _events_stream_bloom,
+        # dropDuplicatesWithinWatermark variant of the streaming ingest
+        "events_stream_dedup_within_watermark": _events_stream_dedup_ww,
+        # chained stateful aggregation (window-over-window, Spark 4)
+        "events_stream_peak_rate": _events_stream_peak_rate,
+        # distinct-count + NOT-IN anti-join (warehouse Q16 shape)
+        "part_supplier_diversity": _tpch.part_supplier_diversity,
+        # matryoshka dimension ablation: recall@k at truncated dims
+        "embedding_truncation_recall": _sim.embedding_truncation_recall,
+        # vocabulary fit + broadcast-join encode (tokenize-to-ids)
+        "corpus_vocab_encode": _llm.corpus_vocab_encode,
+        # per-gate attrition funnel of the corpus-cleaning pipeline
+        "corpus_survival": corpus_survival,
+        # min-cost-supplier ranking (correlated-subquery decorrelation)
+        "part_min_cost_supplier": _tpch.part_min_cost_supplier,
+        # token-budget corpus selection via the two-level prefix
+        "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
         # --- rotated IN round 8: first-ever driver rows, fronted ---
         # frequency-based label propagation (Raghavan 2007): community
         # detection, distinct from the dedup family's min-label CC
@@ -434,61 +494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable equi-width quantile sketch (batch + streaming fold)
         "events_quantile_hist": _profile.events_quantile_hist,
         "events_stream_quantile_hist": _events_stream_quantile_hist,
-        # --- entries the round-2 harness never recorded, fronted ---
-        "idempotent_append": _idempotent_append,
-        # multimodal plumbing (binary columns + Arrow-batched metadata)
-        "multimodal_bytes": multimodal_bytes,
-        # streaming family (availableNow drains; exact oracles)
-        "events_stream_dedup": _events_stream_dedup,
-        "events_stream_window": _events_stream_window,
-        "events_stream_sessionize": _events_stream_sessionize,
-        # NB: streaming/stateful_tws.py holds a transformWithStateInPandas
-        # variant of sessionization (Spark 4 successor API); its Python
-        # state-server protocol requires `protobuf`, absent in this
-        # container, so it is exercised by a gated test rather than a
-        # driver-run query entry.
-        "events_stream_join": _events_stream_join,
-        # streaming-incremental maintenance of the Q2 mart (same oracle):
-        # the reference's twice-daily full rebuild replaced by a
-        # foreachBatch fold; contract = hash-equality with the batch build
-        "q2_dim_track_streaming_incremental": _dim_track_streaming_incremental,
-        # --- green-in-round-2 batch surface ---
-        # publish sink round-trip (sqlite copy → dump → payloads → readback)
-        "publish_roundtrip": publish_roundtrip,
-        # (sql_top_artists, dedup_minhash_lsh, dedup_simhash — driver-
-        # green r2–r6 — rotated to the pytest tier round 7; the
-        # declarative-SQL-UDF surface keeps a driver slot via
-        # publish_roundtrip's SQL-view chain, and the dedup family keeps
-        # five driver slots: clusters, clusters_star, containment,
-        # jaccard_exact_join, semantic_ivf, minhash_incremental)
-        "dedup_clusters": _dedup.dedup_clusters,
-        # similarity search (bruteforce baseline rotated round 6; the
-        # recall evals pin it against ivf/lsh/pq every pytest run)
-        "ann_topk_ivf": _sim.ann_topk_ivf,
-        # corpus-wide near-dup pairs (sign-bucket self-join + in-bucket
-        # cosine verify).  The synthetic embeddings are isotropic (max
-        # corpus cosine ≈ 0.51), so the driver entry lowers the threshold
-        # to 0.35 to exercise the verify path; 0.95 stays the production
-        # default for actual near-dup corpora.
-        # the float-free slice of k-means (iteration-0 assignment counts
-        # from raw-vector init centroids) — exact integer oracle pins the
-        # assign step's distance/argmin/tie semantics; the full iterative
-        # Lloyd's is extra_queries() (float means ⇒ rows-only by design)
-        # events analytics surface
-        # ntile window class + per-bucket boundary stats
-        # VARIANT-type semi-structured extraction (parse once, typed gets)
-        # per-stratum rates (class rebalancing): rare conversions kept,
-        # high-volume types downsampled; same hash-mod determinism
-        "events_hll_distinct": _events.events_hll_distinct,
-        "events_bloom_membership": _events.events_bloom_membership,
-        "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
-        "parts_copurchase_kcore": _graph_kcore,
-        "lineitem_revenue_forecast": _tpch.lineitem_revenue_forecast,
-        "customer_order_distribution": _tpch.customer_order_distribution,
-        "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
-        "corpus_temperature_sample": _llm.corpus_temperature_sample,
-        "corpus_split_drift": _llm.corpus_split_drift,
-        "text_bm25_scores": _text.text_bm25_scores,
     }
     assert len(q) == 50, f"driver surface must stay at 50 entries, got {len(q)}"
     return q
@@ -562,16 +567,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_dim_track_window_variant": _dim_track_window_variant,
         # streaming-incremental trailing-window mart (eviction state;
         # same Q6 oracle as the batch build)
-        "q6_rpt_track_counts_streaming_incremental": _rpt_track_counts_streaming_incremental,
         # streaming-incremental two-DISTINCT weekly mart (exact set-state
         # at (year, week, track) grain; same Q8 oracle as the batch build)
-        "q8_rpt_discovery_rate_streaming_incremental": _rpt_discovery_rate_streaming_incremental,
         # built-in session_window formulation of events_sessionize
         "events_sessionize_native": _events.events_sessionize_native,
         # two-phase salted top-k: skew-proof twin, byte-identical result
         "events_topk_per_user_salted": _an.events_topk_per_user_salted,
         # dropDuplicatesWithinWatermark variant of the streaming ingest
-        "events_stream_dedup_within_watermark": _events_stream_dedup_ww,
         # mapInArrow sibling of multimodal_bytes (zero-copy RecordBatches)
         "multimodal_bytes_arrow": multimodal_bytes_arrow,
         # uncapped exhaustive blocked-Jaccard (full reference semantics)
@@ -612,7 +614,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deployed billion-scale shape; corpus floats never read at query)
         "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
         # matryoshka-style dimension ablation: recall@k at truncated dims
-        "embedding_truncation_recall": _sim.embedding_truncation_recall,
         # multilingual rebalancing: down-sample every language to the
         # smallest one's volume (data-derived hash-mod rates)
         "corpus_language_balance": _llm.corpus_language_balance,
@@ -658,20 +659,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_profile": _profile.documents_profile,
         # (events_rfm, corpus_bpe_merges rotated INTO the driver round 8)
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
-        "corpus_vocab_encode": _llm.corpus_vocab_encode,
         # tokenizer APPLICATION: per-doc token budget under the learned
         # merges (word->count map joins the corpus; no corpus rewrite)
-        "corpus_bpe_encode": _llm.corpus_bpe_encode,
         # length-bucketed batch assembly + padding-efficiency report
         "corpus_length_batches": _llm.corpus_length_batches,
         # chained stateful aggregation (window-over-window, Spark 4)
-        "events_stream_peak_rate": _events_stream_peak_rate,
         # Z-order (Morton) clustering key for the write path
         "events_zorder_key": _layout.events_zorder_key,
         # pairwise Pearson correlation of daily series (exact sums)
         "events_type_correlation": _ts.events_type_correlation,
         # left-outer stream-stream interval join (watermark null-emits)
-        "events_stream_join_outer": _events_stream_join_outer,
         # market-basket co-occurrence + lift over sessions
         "events_session_cooccurrence": _events.events_session_cooccurrence,
         # classic warehouse-benchmark shapes over the TPC-H-ish tables
@@ -679,8 +676,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # revenue join, Q2 min-cost-supplier ranking, basket rules
         "lineitem_pricing_summary": _tpch.lineitem_pricing_summary,
         "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
-        "part_min_cost_supplier": _tpch.part_min_cost_supplier,
-        "orders_basket_rules": _tpch.orders_basket_rules,
         # the benchmark's three canonical SUBQUERY shapes, decorrelated:
         # correlated-scalar (Q17), HAVING semi-join (Q18), global-scalar
         # + NOT-EXISTS anti-join (Q22)
@@ -706,14 +701,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
         "promo_revenue_share": _tpch.promo_revenue_share,
         "top_supplier_revenue": _tpch.top_supplier_revenue,
-        "part_supplier_diversity": _tpch.part_supplier_diversity,
         "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
         "excess_supply_candidates": _tpch.excess_supply_candidates,
         # HyperLogLog: the third mergeable-sketch family (register-wise
         # max merge; deterministic trailing-zero rank, register-exact
         # oracle like the CMS/KMV twins)
         # streaming HLL fold: idempotent register-max merge per batch
-        "events_stream_hll": _events_stream_hll,
         # explicit Bloom filter build + membership eval (the bloom-
         # pruned-join primitive, register-exact oracle)
         # incremental ingest-time dedup: probe a new batch against the
@@ -721,7 +714,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
         # the sqrt schedule between proportional and uniform)
         # streaming Bloom fold: the ingest-time seen-before index
-        "events_stream_bloom": _events_stream_bloom,
         # cross-doc repeated-substring exposure (seed-gram form of
         # exact-substring dedup; memorization-risk ranking)
         "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
@@ -737,7 +729,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # srm_check, curriculum_order, semantic_ivf rotated INTO the
         # driver surface round 7)
         # streaming KMV fold: constant-size distinct-count state
-        "events_stream_kmv": _events_stream_kmv,
         # multi-touch linear attribution (equal split across in-window
         # touches; the as-of op is its last-touch sibling)
         "events_attribution_linear": _events.events_attribution_linear,
@@ -769,7 +760,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # daily bounce rate over the shared sessionization
         "events_bounce_rate": _events.events_bounce_rate,
         # per-gate attrition funnel of the corpus-cleaning pipeline
-        "corpus_survival": corpus_survival,
         # conversion-latency percentiles by weekday (as-of composition)
         "events_time_to_convert": events_time_to_convert,
         # declarative SQL UDF (CREATE FUNCTION ... RETURN expr) + use
@@ -796,18 +786,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions ---
         # eigenvector centrality: L2-normalized power iteration over the
         # shared co-purchase adjacency (PageRank's undamped sibling)
-        "parts_copurchase_eigencentrality": _graph_eigen,
         # theta-sketch set operations: audience intersection/union/
         # Jaccard per event-type pair from the mergeable KMV sketches
-        "events_kmv_set_ops": _events.events_kmv_set_ops,
         # streaming fold of the same report (drained registers, same oracle)
-        "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
         # token-budget selection: best-quality corpus prefix under
         # floor(pct% of total tokens) via the two-level prefix primitive
-        "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
         # HLL inclusion-exclusion pair overlap (register-max union merge;
         # the deployed-at-scale sibling of the KMV set operations)
-        "events_hll_set_ops": _events.events_hll_set_ops,
         # --- rotated OUT of the driver surface in round 8 (driver-green
         # exactly 2 rounds, r6+r7; identical hash-compare continues
         # here every pytest run) ---
@@ -851,6 +836,30 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _sim.ann_topk_lsh,
         "embedding_kmeans_init_counts": kmeans_init_counts,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
+        # --- rotated OUT of the driver surface in round 9 (the 20
+        # longest-green: 8-round core-adjacent entries, the 7-round
+        # streaming/sink/multimodal cohort, and the 10-strong 4-round
+        # round-5 cohort; identical hash-compare continues here) ---
+        "q2_dim_track_streaming_incremental": _dim_track_streaming_incremental,
+        "publish_roundtrip": publish_roundtrip,
+        "dedup_clusters": _dedup.dedup_clusters,
+        "ann_topk_ivf": _sim.ann_topk_ivf,
+        "idempotent_append": _idempotent_append,
+        "multimodal_bytes": multimodal_bytes,
+        "events_stream_dedup": _events_stream_dedup,
+        "events_stream_window": _events_stream_window,
+        "events_stream_sessionize": _events_stream_sessionize,
+        "events_stream_join": _events_stream_join,
+        "events_hll_distinct": _events.events_hll_distinct,
+        "events_bloom_membership": _events.events_bloom_membership,
+        "dedup_minhash_incremental": _dedup.dedup_minhash_incremental,
+        "parts_copurchase_kcore": _graph_kcore,
+        "lineitem_revenue_forecast": _tpch.lineitem_revenue_forecast,
+        "customer_order_distribution": _tpch.customer_order_distribution,
+        "suppliers_kept_orders_waiting": _tpch.suppliers_kept_orders_waiting,
+        "corpus_temperature_sample": _llm.corpus_temperature_sample,
+        "corpus_split_drift": _llm.corpus_split_drift,
+        "text_bm25_scores": _text.text_bm25_scores,
     }
 
 
@@ -858,9 +867,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_stg_recent_tracks": oracles.Q1_STG,
         "q2_dim_track": oracles.Q2_DIM_TRACK,
-        "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
+        "q8_rpt_discovery_rate_streaming_incremental": oracles.Q8_RPT_DISCOVERY_RATE,
+        "q6_rpt_track_counts_streaming_incremental": oracles.Q6_RPT_TRACK_COUNTS,
+        "parts_copurchase_eigencentrality": (
+            oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
+        ),
+        "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
+        "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
+        "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
+        "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "events_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
+        "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
+        "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
+        "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
+        "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
+        "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
+        "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
+        "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
+        "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
+        "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
+        "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
+        "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
         "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
         "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
         "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
@@ -887,27 +917,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
         "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
         "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
-        "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
-        "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
-        "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
-        "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
-        "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
-        "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
-        "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
-        "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
-        "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
-        "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
-        "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
-        "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
-        "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
-        "lineitem_revenue_forecast": oracles_ext.LINEITEM_REVENUE_FORECAST,
-        "customer_order_distribution": oracles_ext.CUSTOMER_ORDER_DISTRIBUTION,
-        "suppliers_kept_orders_waiting": (
-            oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
-        ),
-        "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
-        "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
-        "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
     }
 
 
@@ -961,11 +970,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles_ext.TEXT_FINGERPRINT,
         "multimodal_frames": oracles_ext.MULTIMODAL_FRAMES,
         "q2_dim_track_window_variant": oracles.Q2_DIM_TRACK,
-        "q6_rpt_track_counts_streaming_incremental": oracles.Q6_RPT_TRACK_COUNTS,
-        "q8_rpt_discovery_rate_streaming_incremental": oracles.Q8_RPT_DISCOVERY_RATE,
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
-        "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
         "multimodal_bytes_arrow": oracles_ext.MULTIMODAL_BYTES,
         "dedup_ngram_jaccard_uncapped": oracles_ext.DEDUP_NGRAM_JACCARD,
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
@@ -984,7 +990,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
-        "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
         "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
         "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
@@ -1005,17 +1010,12 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
         "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
-        "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
-        "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
-        "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
         "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
         "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
-        "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
-        "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
         "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
         "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
@@ -1031,17 +1031,12 @@ def extra_oracle_sql() -> dict[str, str]:
         "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
         "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
         "top_supplier_revenue": oracles_ext.TOP_SUPPLIER_REVENUE,
-        "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
         "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
         "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
-        "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
-        "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
         "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
-        "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
-        "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
@@ -1054,7 +1049,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
         "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
-        "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
@@ -1064,13 +1058,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
         "events_robust_mean": oracles_ext.EVENTS_ROBUST_MEAN,
-        "parts_copurchase_eigencentrality": (
-            oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
-        ),
-        "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
-        "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
-        "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
-        "events_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
         "source_quality_wilson": oracles_ext.SOURCE_QUALITY_WILSON,
         "events_ab_test": oracles_ext.EVENTS_AB_TEST,
         "events_cuped": oracles_ext.EVENTS_CUPED,
@@ -1095,4 +1082,26 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
+        "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
+        "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
+        "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,
+        "ann_topk_ivf": oracles_ext.ANN_TOPK_IVF,
+        "idempotent_append": oracles_ext.IDEMPOTENT_APPEND,
+        "multimodal_bytes": oracles_ext.MULTIMODAL_BYTES,
+        "events_stream_dedup": oracles_ext.EVENTS_STREAM_DEDUP,
+        "events_stream_window": oracles_ext.EVENTS_STREAM_WINDOWED,
+        "events_stream_sessionize": oracles_ext.EVENTS_STREAM_SESSIONIZE,
+        "events_stream_join": oracles_ext.EVENTS_STREAM_JOIN,
+        "events_hll_distinct": oracles_ext.EVENTS_HLL_DISTINCT,
+        "events_bloom_membership": oracles_ext.EVENTS_BLOOM_MEMBERSHIP,
+        "dedup_minhash_incremental": oracles_ext.DEDUP_MINHASH_INCREMENTAL,
+        "parts_copurchase_kcore": oracles_ext.PARTS_COPURCHASE_KCORE,
+        "lineitem_revenue_forecast": oracles_ext.LINEITEM_REVENUE_FORECAST,
+        "customer_order_distribution": oracles_ext.CUSTOMER_ORDER_DISTRIBUTION,
+        "suppliers_kept_orders_waiting": (
+            oracles_ext.SUPPLIERS_KEPT_ORDERS_WAITING
+        ),
+        "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
+        "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
+        "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
     }

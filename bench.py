@@ -114,20 +114,24 @@ def main() -> None:
 
     obs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    pass_carriers: list[dict[str, str]] = []
 
     def run_pass(subset: dict) -> None:
         """One cold-cache pass over ``subset``, appending to ``obs``."""
         from spotify_tracks_spark.operators.dedup import clear_dedup_memo
         from spotify_tracks_spark.operators.graph import clear_copurchase_memo
+        from spotify_tracks_spark.operators.llm_prep import clear_bpe_memo
         from spotify_tracks_spark.operators.similarity import clear_similarity_memo
 
         _pipeline._MEMO.clear()
-        # first graph/dedup/ANN query per pass re-pays the shared artifact
-        # builds (same attribution discipline as q1's staging build)
+        # first graph/dedup/ANN/BPE query per pass re-pays the shared
+        # artifact builds (same attribution discipline as q1's staging)
         clear_copurchase_memo()
         clear_dedup_memo()
         clear_similarity_memo()
+        clear_bpe_memo()
         spark.catalog.clearCache()
+        tracker = CarrierTracker(_memo_probes())
         model_chain_done = False
         for name, fn in subset.items():
             chain = name.startswith("q") or name in ("publish_roundtrip", "sql_top_artists")
@@ -149,8 +153,10 @@ def main() -> None:
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
                 continue
             obs.setdefault(name, []).append(round(time.perf_counter() - t, 3))
+            tracker.observe(name)
             if model_chain_done:
                 spark.catalog.clearCache()
+        pass_carriers.append(tracker.carriers)
 
     for _ in range(2):
         run_pass(queries)
@@ -186,7 +192,13 @@ def main() -> None:
         run_pass(noisy)
 
     full, out, full_name = build_outputs(
-        obs, errors, sf, startup_s, set(entrymod.queries()), _next_round_no()
+        obs,
+        errors,
+        sf,
+        startup_s,
+        set(entrymod.queries()),
+        _next_round_no(),
+        carriers=pass_carriers,
     )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as fh:
@@ -194,6 +206,50 @@ def main() -> None:
     print(f"full per-query bench written to {full_path}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+def _memo_probes() -> dict[str, dict]:
+    """The shared-artifact memos whose first populating query per pass is
+    that family's bench-time "carrier" — the query whose recorded time
+    includes the build every later family member reuses."""
+    from spotify_tracks_spark import pipeline as _pipeline
+    from spotify_tracks_spark.operators import dedup as _d
+    from spotify_tracks_spark.operators import graph as _g
+    from spotify_tracks_spark.operators import llm_prep as _l
+    from spotify_tracks_spark.operators import similarity as _s
+
+    return {
+        "model_chain": _pipeline._MEMO,
+        "copurchase_edges": _g._EDGE_MEMO,
+        "dedup_shingles": _d._SHINGLE_MEMO,
+        "dedup_minhash_pairs": _d._MINHASH_MEMO,
+        "ann_exact_baseline": _s._BRUTE_MEMO,
+        "bpe_artifacts": _l._BPE_MEMO,
+    }
+
+
+class CarrierTracker:
+    """Record, per shared-artifact family, the first query that populated
+    the family's memo this pass.
+
+    BASELINE.md's order-coupled-anchor rule ("whichever family member
+    runs first carries the shared build") lived only in prose; a driver
+    rotation that silently reorders a family would shift build cost onto
+    a different query's time and read as a fake regression.  Emitting the
+    observed carriers into BENCH_FULL makes that reordering mechanically
+    detectable by diffing the ``carriers`` key across rounds (round-8
+    verdict item 6)."""
+
+    def __init__(self, probes: dict[str, dict]):
+        self.probes = probes
+        self.carriers: dict[str, str] = {}
+
+    def observe(self, query_name: str) -> None:
+        """Call after ``query_name`` executed: any memo that is non-empty
+        for the first time was populated by (attributed to) it."""
+        for family, memo in self.probes.items():
+            if family not in self.carriers and len(memo) > 0:
+                self.carriers[family] = query_name
 
 
 def _next_round_no() -> int:
@@ -214,6 +270,7 @@ def build_outputs(
     startup_s: float,
     driver_names: set[str],
     round_no: int,
+    carriers: list[dict[str, str]] | None = None,
 ) -> tuple[dict, dict, str]:
     """(full record, compact stdout record, full-record filename).
 
@@ -239,6 +296,8 @@ def build_outputs(
     }
     if errors:
         full["errors"] = errors
+    if carriers is not None:
+        full["carriers"] = carriers
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 2),

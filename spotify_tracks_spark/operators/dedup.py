@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import portable_hash60
 from ..sources.tables import read_table
+from ..functions.memo import evict_stale_sessions
 
 N_HASHES = 16
 N_BANDS = 4
@@ -160,6 +161,7 @@ def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _SHINGLE_MEMO:
         return _SHINGLE_MEMO[key]
+    evict_stale_sessions(_SHINGLE_MEMO, id(spark))
     sh = _with_shingle_hash_sets(
         read_table(spark, sf_dir, "documents", spread=True)
     ).localCheckpoint(eager=True)
@@ -335,6 +337,7 @@ def dedup_minhash_lsh(
         memo = _MINHASH_MEMO.get(key)
         if memo is not None:
             return memo
+        evict_stale_sessions(_MINHASH_MEMO, id(spark))
         sh = shingle_hash_sets(spark, sf_dir)
         sigs = signatures_from_hash_sets(sh).persist()
         sigs.count()

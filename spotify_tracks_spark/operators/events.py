@@ -745,7 +745,9 @@ def events_kmv_distinct(
     )
 
 
-def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hll_set_ops(
+    spark: SparkSession, sf_dir: str, include_exact: bool = True
+) -> DataFrame:
     """HLL SET OPERATIONS: estimated audience union and intersection for
     every event-type pair by INCLUSION-EXCLUSION over register-max
     merges — the deployed-at-scale sibling of ``events_kmv_set_ops``
@@ -758,8 +760,16 @@ def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching raw data); intersection has no native HLL form, so the
     standard inclusion-exclusion est_a + est_b − est_union applies,
     clamped at zero (the estimator can go negative for near-disjoint
-    sets — a documented property, not an error; the exact intersection
-    rides along so the error is visible).
+    sets — a documented property, not an error; with the default
+    ``include_exact=True`` the exact intersection rides along so the
+    error is visible).
+
+    ``include_exact`` gates that validation rider EXPLICITLY: the exact
+    column is a corpus-scale distinct + self-join — the very work the
+    sketch path exists to avoid — so the 100 TB deployment shape is
+    ``include_exact=False`` (registers-only; no second corpus scan).
+    The default stays True because the test-SF oracle checks the exact
+    column (round-8 advice).
 
     Determinism: registers are integer-exact and bit-identical
     cross-engine (the events_hll_distinct math); every estimate is the
@@ -849,48 +859,49 @@ def events_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rs").alias("union_reg_sum_e61"),
             _hll_est(F.col("nz"), F.col("rs")).alias("est_union"),
         )
-        tu = (
-            read_table(spark, sf_dir, "events")
-            .select("event_type", "user_id")
-            .distinct()
-        )
-        exact = (
-            tu.select(F.col("event_type").alias("type_a"), "user_id")
-            .join(
-                tu.select(F.col("event_type").alias("type_b"), "user_id"),
-                "user_id",
+        est_cols = [
+            "type_a",
+            "type_b",
+            "union_zero_regs",
+            "union_reg_sum_e61",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+            ).alias("est_intersection"),
+        ]
+        joined = spine.join(union_sk, ["type_a", "type_b"])
+        if include_exact:
+            tu = (
+                read_table(spark, sf_dir, "events")
+                .select("event_type", "user_id")
+                .distinct()
             )
-            .filter(F.col("type_a") < F.col("type_b"))
-            .groupBy("type_a", "type_b")
-            .agg(F.count("*").alias("exact_intersection"))
-        )
-        out = (
-            spine.join(union_sk, ["type_a", "type_b"])
-            .join(exact, ["type_a", "type_b"], "left")
-            .select(
-                "type_a",
-                "type_b",
-                "union_zero_regs",
-                "union_reg_sum_e61",
-                "est_a",
-                "est_b",
-                "est_union",
-                F.greatest(
-                    F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_union")
-                ).alias("est_intersection"),
+            exact = (
+                tu.select(F.col("event_type").alias("type_a"), "user_id")
+                .join(
+                    tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                    "user_id",
+                )
+                .filter(F.col("type_a") < F.col("type_b"))
+                .groupBy("type_a", "type_b")
+                .agg(F.count("*").alias("exact_intersection"))
+            )
+            joined = joined.join(exact, ["type_a", "type_b"], "left")
+            est_cols.append(
                 F.coalesce("exact_intersection", F.lit(0)).alias(
                     "exact_intersection"
-                ),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+        out = joined.select(*est_cols).localCheckpoint(eager=True)
     finally:
         reg.unpersist()
     return out
 
 
 def events_kmv_set_ops(
-    spark: SparkSession, sf_dir: str, k: int = KMV_K
+    spark: SparkSession, sf_dir: str, k: int = KMV_K, include_exact: bool = True
 ) -> DataFrame:
     """Theta-sketch SET OPERATIONS over the per-type KMV sketches:
     estimated audience INTERSECTION / UNION / Jaccard for every
@@ -913,8 +924,11 @@ def events_kmv_set_ops(
     Determinism: ``portable_hash60`` makes sketch contents bit-exact
     cross-engine (the KMV twin's property); estimates are single
     fixed-order IEEE ops over integers, so the oracle reproduces them
-    exactly.  The true intersection rides along so sketch error is
-    visible.
+    exactly.  With the default ``include_exact=True`` the true
+    intersection rides along so sketch error is visible; pass False for
+    the registers-only plan — the exact column is a corpus-scale
+    distinct + self-join (the work the sketch exists to avoid), so the
+    100 TB deployment shape omits it (round-8 advice).
 
     Scale shape: the only corpus-sized steps are the distinct and the
     per-type k-min window; everything downstream operates on ≤ k rows
@@ -936,13 +950,17 @@ def events_kmv_set_ops(
     kept = kept.select("event_type", "h").persist()
     try:
         kept.count()
-        return _kmv_set_ops_tail(spark, sf_dir, kept, k)
+        return _kmv_set_ops_tail(spark, sf_dir, kept, k, include_exact)
     finally:
         kept.unpersist()
 
 
 def _kmv_set_ops_tail(
-    spark: SparkSession, sf_dir: str, kept: DataFrame, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    kept: DataFrame,
+    k: int,
+    include_exact: bool = True,
 ) -> DataFrame:
     """The pair-overlap math over prepared (event_type, h) KMV
     registers — shared by the batch build above and the streaming fold
@@ -995,42 +1013,50 @@ def _kmv_set_ops_tail(
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_union_sample"))
     )
-    tu = read_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    exact = (
-        tu.select(F.col("event_type").alias("type_a"), "user_id")
-        .join(tu.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count("*").alias("exact_intersection"))
-    )
     space = float(KMV_SPACE)
     scale = F.lit(space) / F.col("theta")  # bigint->double promotion, one division
-    out = (
-        spine.join(inter, ["type_a", "type_b"], "left")
-        .join(uni, ["type_a", "type_b"], "left")
-        .join(exact, ["type_a", "type_b"], "left")
-        .select(
-            "type_a",
-            "type_b",
-            "theta",
-            F.coalesce("n_inter_sample", F.lit(0)).alias("n_inter_sample"),
-            F.coalesce("n_union_sample", F.lit(0)).alias("n_union_sample"),
-            (F.coalesce("n_inter_sample", F.lit(0)).cast("double") * scale).alias(
-                "est_intersection"
-            ),
-            (F.coalesce("n_union_sample", F.lit(0)).cast("double") * scale).alias(
-                "est_union"
-            ),
-            F.when(
-                F.coalesce("n_union_sample", F.lit(0)) > 0,
-                F.coalesce("n_inter_sample", F.lit(0))
-                / F.coalesce("n_union_sample", F.lit(0)),
-            ).alias("est_jaccard"),
-            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
-        )
-        .localCheckpoint(eager=True)
+    est_cols = [
+        "type_a",
+        "type_b",
+        "theta",
+        F.coalesce("n_inter_sample", F.lit(0)).alias("n_inter_sample"),
+        F.coalesce("n_union_sample", F.lit(0)).alias("n_union_sample"),
+        (F.coalesce("n_inter_sample", F.lit(0)).cast("double") * scale).alias(
+            "est_intersection"
+        ),
+        (F.coalesce("n_union_sample", F.lit(0)).cast("double") * scale).alias(
+            "est_union"
+        ),
+        F.when(
+            F.coalesce("n_union_sample", F.lit(0)) > 0,
+            F.coalesce("n_inter_sample", F.lit(0))
+            / F.coalesce("n_union_sample", F.lit(0)),
+        ).alias("est_jaccard"),
+    ]
+    joined = spine.join(inter, ["type_a", "type_b"], "left").join(
+        uni, ["type_a", "type_b"], "left"
     )
-    return out
+    if include_exact:
+        tu = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        exact = (
+            tu.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(
+                tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                "user_id",
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+        joined = joined.join(exact, ["type_a", "type_b"], "left")
+        est_cols.append(
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection")
+        )
+    return joined.select(*est_cols).localCheckpoint(eager=True)
 
 
 ATTRIBUTION_WINDOW_DAYS = 7

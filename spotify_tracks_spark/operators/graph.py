@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import read_table
+from ..functions.memo import evict_stale_sessions
 
 # drop items from abnormally large orders before pairing: a W-item order
 # contributes W·(W−1)/2 edges (same quadratic-block hazard as the dedup
@@ -156,6 +157,7 @@ def copurchase_edges(
     key = (id(spark), sf_dir, max_order_items)
     if key in _EDGE_MEMO:
         return _EDGE_MEMO[key]
+    evict_stale_sessions(_EDGE_MEMO, id(spark))
     li = (
         read_table(spark, sf_dir, "lineitem", spread=True)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -231,6 +233,7 @@ def copurchase_degrees(
     key = (id(spark), sf_dir, max_order_items)
     if key in _DEG_MEMO:
         return _DEG_MEMO[key]
+    evict_stale_sessions(_DEG_MEMO, id(spark))
     deg = (
         copurchase_sym(spark, sf_dir, max_order_items)
         .groupBy(F.col("src").alias("node"))

@@ -481,6 +481,52 @@ def corpus_language_balance(
 BPE_MERGES = 6
 
 
+# Session-memoized BPE artifacts (the graph/dedup shared-artifact
+# discipline): corpus_bpe_merges and corpus_bpe_encode each consumed an
+# independent run of the SAME merge loop — training the tokenizer twice
+# per session.  At 100 TB the learned tokenizer (merge table + word ->
+# token-count map) is a written artifact every encode job reads; here it
+# builds once per (session, dataset, n_merges) as two localCheckpointed
+# frames.  bench.py clears this per cold-cache pass, so the first BPE
+# query per pass carries the chain build (see BENCH_FULL `carriers`).
+_BPE_MEMO: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_bpe_memo() -> None:
+    """Release the memoized BPE artifacts (bench-harness hook)."""
+    _BPE_MEMO.clear()
+
+
+def _bpe_artifacts(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """(merge table, word->token-count map), built once per (session,
+    dataset, n_merges).  Both frames are bounded by the vocabulary, not
+    the corpus; callers must treat them as immutable shared state."""
+    from ..functions.memo import evict_stale_sessions
+
+    key = (id(spark), sf_dir, n_merges)
+    if key in _BPE_MEMO:
+        return _BPE_MEMO[key]
+    evict_stale_sessions(_BPE_MEMO, id(spark))
+    rep, merges, final = _bpe_chain(spark, sf_dir, n_merges)
+    try:
+        out = merges[0]
+        for m in merges[1:]:
+            out = out.unionByName(m)
+        merge_tbl = out.select("step", "lhs", "rhs", "pair_freq").localCheckpoint(
+            eager=True
+        )
+        word_tok = final.select(
+            "w",
+            F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_tok"),
+        ).localCheckpoint(eager=True)
+    finally:
+        rep.unpersist()
+    _BPE_MEMO[key] = (merge_tbl, word_tok)
+    return merge_tbl, word_tok
+
+
 def corpus_bpe_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
@@ -510,20 +556,14 @@ def corpus_bpe_merges(
     is total — fully deterministic.
 
     Output: (step, lhs, rhs, merged, pair_freq), one row per merge."""
-    rep, merges, cur = _bpe_chain(spark, sf_dir, n_merges)
-    try:
-        out = merges[0]
-        for m in merges[1:]:
-            out = out.unionByName(m)
-        return out.select(
-            "step",
-            "lhs",
-            "rhs",
-            F.concat("lhs", "rhs").alias("merged"),
-            "pair_freq",
-        )
-    finally:
-        rep.unpersist()
+    merge_tbl, _ = _bpe_artifacts(spark, sf_dir, n_merges)
+    return merge_tbl.select(
+        "step",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        "pair_freq",
+    )
 
 
 def _bpe_chain(spark: SparkSession, sf_dir: str, n_merges: int):
@@ -602,14 +642,7 @@ def corpus_bpe_encode(
     construction.
 
     Output: (doc_id, n_words, n_bpe_tokens, compression)."""
-    rep, _, final = _bpe_chain(spark, sf_dir, n_merges)
-    try:
-        word_tok = final.select(
-            "w",
-            F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_tok"),
-        ).localCheckpoint(eager=True)
-    finally:
-        rep.unpersist()
+    _, word_tok = _bpe_artifacts(spark, sf_dir, n_merges)
     docs = read_table(spark, sf_dir, "documents", spread=True)
     doc_words = docs.select(
         "doc_id",

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import read_table
+from ..functions.memo import evict_stale_sessions
 
 SIG_DIMS = 8
 
@@ -81,6 +82,7 @@ def ann_topk_bruteforce(
     memo = _BRUTE_MEMO.get(key)
     if memo is not None:
         return memo
+    evict_stale_sessions(_BRUTE_MEMO, id(spark))
     out = _ann_topk_bruteforce_plan(spark, sf_dir, k, probe_mod).localCheckpoint(
         eager=True
     )

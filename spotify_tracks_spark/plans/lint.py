@@ -220,10 +220,15 @@ def lint_plan(
         elif kind == "BroadcastNestedLoopJoinExec" and not allow_unbounded_bnlj:
             try:
                 build_left = "BuildLeft" in node.buildSide().toString()
+                candidates = [_children(node)[0 if build_left else 1]]
             except Exception:
-                build_left = False
-            build = _children(node)[0 if build_left else 1]
-            if not _bnlj_build_bounded(build):
+                # Unreadable build side: don't guess BuildRight (the old
+                # behavior could inspect the probe side and pass a bad
+                # plan).  Conservatively accept only if EITHER child is
+                # provably bounded — a bounded side caps the |L|x|R|
+                # blow-up whichever role it plays (round-8 advice).
+                candidates = list(_children(node))[:2]
+            if not any(_bnlj_build_bounded(c) for c in candidates):
                 violations.append(
                     "BroadcastNestedLoopJoin with an unproven build side "
                     "(no global aggregate / limit / one-row scan bounds "

@@ -332,13 +332,17 @@ def _q8_partials(stg: DataFrame) -> DataFrame:
     # columns, so the invariant holds by construction; the guard exists
     # to catch a staging change (e.g. normalizing album BEFORE hashing)
     # or an upstream key scheme that breaks the functional dependency.
-    attr_digest = F.md5(
-        F.concat_ws(
-            "",
-            F.coalesce(F.col("track_album"), F.lit("")),
-            F.coalesce(F.col("track_name"), F.lit("")),
+    # Each field is md5'd SEPARATELY before combining: per-field digests
+    # are fixed-width hex, so no boundary-shifted pair of values can
+    # collide, and the NULL sentinel is a digest of a reserved marker —
+    # distinct from md5("") — so a NULL->empty-string attribute change
+    # also trips the guard (round-8 advice).
+    def _field_fp(col: str):
+        return F.coalesce(
+            F.md5(F.col(col)), F.lit("0" * 32)  # reserved: md5 never all-zero
         )
-    )
+
+    attr_digest = F.md5(F.concat(_field_fp("track_album"), _field_fp("track_name")))
     trk = stg.groupBy(
         "track_id", F.col("track_artists").alias("artists")
     ).agg(

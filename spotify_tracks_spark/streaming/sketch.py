@@ -272,16 +272,22 @@ def stream_events_kmv_set_ops(
     k: int | None = None,
     n_slices: int = N_SLICES,
     base: str | None = None,
+    include_exact: bool = True,
 ) -> DataFrame:
     """Streaming fold of the theta-sketch SET OPERATIONS: drain the
     per-type KMV registers through the same lossless union-and-retake
     merge as ``stream_events_kmv``, then apply the identical pair
     intersection/union/Jaccard tail as the batch build
     (operators/events.py:_kmv_set_ops_tail) — the drained report
-    hash-equals the batch ``events_kmv_set_ops`` (same oracle).  This
-    is the mergeable-sketch payoff end-to-end: audience overlap over an
-    unbounded stream from ≤ k rows of state per type, never re-reading
-    history."""
+    hash-equals the batch ``events_kmv_set_ops`` (same oracle).
+
+    The SKETCH math is answered from ≤ k rows of state per type without
+    re-reading history; the ``exact_intersection`` column is NOT — it
+    is a batch-scan validation rider (a full distinct + self-join of
+    the events table) kept so sketch error is visible to the oracle at
+    test SF (round-8 advice).  A deployed always-on monitor passes
+    ``include_exact=False`` for the registers-only report, which truly
+    never re-reads history."""
     from ..operators.events import KMV_K, _kmv_set_ops_tail
 
     if k is None:
@@ -289,7 +295,7 @@ def stream_events_kmv_set_ops(
     kept = _drain_kmv_registers(spark, sf_dir, k, n_slices, base).persist()
     try:
         kept.count()
-        return _kmv_set_ops_tail(spark, sf_dir, kept, k)
+        return _kmv_set_ops_tail(spark, sf_dir, kept, k, include_exact)
     finally:
         kept.unpersist()
 

@@ -61,3 +61,52 @@ def test_every_registered_query_has_a_baseline_anchor():
     registered = set(entrymod.queries()) | set(entrymod.extra_queries())
     missing = sorted(registered - anchors)
     assert not missing, f"queries with no BASELINE anchor row: {missing}"
+
+
+def test_carrier_tracker_attributes_first_family_member():
+    """The carriers key (round-8 verdict item 6): the first query that
+    populates a shared-artifact memo is recorded as that family's
+    carrier, later family members are not, and build_outputs surfaces
+    the per-pass list in the full record."""
+    from bench import CarrierTracker, build_outputs
+
+    edge_memo: dict = {}
+    shingle_memo: dict = {}
+    tracker = CarrierTracker(
+        {"copurchase_edges": edge_memo, "dedup_shingles": shingle_memo}
+    )
+    tracker.observe("events_summary")  # touches neither family
+    assert tracker.carriers == {}
+    edge_memo[(1, "sf", 40)] = object()  # pagerank built the shared edges
+    tracker.observe("parts_copurchase_pagerank")
+    tracker.observe("parts_copurchase_triangles")  # reuses, must NOT carry
+    shingle_memo[(1, "sf")] = object()
+    tracker.observe("dedup_jaccard_exact_join")
+    assert tracker.carriers == {
+        "copurchase_edges": "parts_copurchase_pagerank",
+        "dedup_shingles": "dedup_jaccard_exact_join",
+    }
+
+    full, _out, _name = build_outputs(
+        {"q": [1.0]}, {}, sf=0.1, startup_s=1.0, driver_names={"q"},
+        round_no=9, carriers=[tracker.carriers, tracker.carriers],
+    )
+    assert full["carriers"] == [tracker.carriers, tracker.carriers]
+
+
+def test_memo_probes_resolve_real_memos():
+    """_memo_probes must keep pointing at the live module-level memo
+    dicts — a rename there would silently blind the carrier report."""
+    from bench import _memo_probes
+    from spotify_tracks_spark.operators import graph as _g
+
+    probes = _memo_probes()
+    assert set(probes) == {
+        "model_chain",
+        "copurchase_edges",
+        "dedup_shingles",
+        "dedup_minhash_pairs",
+        "ann_exact_baseline",
+        "bpe_artifacts",
+    }
+    assert probes["copurchase_edges"] is _g._EDGE_MEMO

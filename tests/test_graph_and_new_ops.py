@@ -382,3 +382,48 @@ def test_explode_edge_build_equals_join_form(spark):
     assert ref.exceptAll(fast).count() == 0
     assert fast.count() > 0
     clear_copurchase_memo()
+
+
+def test_edge_build_wide_order_gate_both_forms(spark, tmp_path):
+    """Round-8 verdict item 7: the join-form fallback is documented as
+    the escape hatch for corpora whose per-order item lists outgrow
+    aggregation buffers, but only same-data equality covered it.  Plant
+    a fixture where the size gate actually FIRES — one 5-item order
+    exceeding a lowered max_order_items=4 — and assert both forms (a)
+    drop the oversized order entirely, (b) keep duplicate-item orders
+    gated on DISTINCT item count (the documented equivalence), and (c)
+    produce identical edges and degree tables."""
+    from spotify_tracks_spark.operators.graph import (
+        _copurchase_edges_join_form,
+        clear_copurchase_memo,
+        copurchase_degrees,
+        copurchase_edges,
+    )
+
+    wide = [1, 2, 3, 4, 5]          # 5 distinct items > gate of 4: dropped
+    dup4 = [6, 7, 8, 9, 9, 9]       # 4 DISTINCT items: kept either way
+    small = [1, 6]                  # survives; links the two groups
+    orders = {1: wide, 2: dup4, 3: small}
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    clear_copurchase_memo()
+    try:
+        d = str(tmp_path)
+        fast = copurchase_edges(spark, d, max_order_items=4)
+        ref = _copurchase_edges_join_form(spark, d, max_order_items=4)
+        got = sorted((r.x, r.y) for r in fast.collect())
+        want = sorted(
+            [(6, 7), (6, 8), (6, 9), (7, 8), (7, 9), (8, 9), (1, 6)]
+        )
+        assert got == want, got          # no edge touches the wide order's pairs
+        assert sorted((r.x, r.y) for r in ref.collect()) == want
+        deg = {
+            r.node: r.deg
+            for r in copurchase_degrees(spark, d, max_order_items=4).collect()
+        }
+        assert deg == {1: 1, 6: 4, 7: 3, 8: 3, 9: 3}
+    finally:
+        clear_copurchase_memo()

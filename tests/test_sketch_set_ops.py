@@ -90,3 +90,48 @@ def test_hll_set_ops_disjoint_clamps_and_overlap_tracks_truth(spark, tmp_path):
     # sketches' noise, so bound it by the union-scale envelope.
     assert abs(r2.est_union - 600) < 0.325 * 600
     assert abs(r2.est_intersection - 200) < 0.325 * 600
+
+def test_set_ops_registers_only_drops_rider_and_second_scan(spark, tmp_path):
+    """include_exact=False (the 100 TB deployment shape, round-8 advice):
+    the exact_intersection column disappears, every estimate column is
+    bit-identical to the default build, the plan stays lint-clean, and
+    the events table is scanned ONCE (the rider's distinct+self-join is
+    the only second scan in the default plan's tail)."""
+    from spotify_tracks_spark.operators.events import (
+        events_hll_set_ops,
+        events_kmv_set_ops,
+    )
+    from spotify_tracks_spark.plans.lint import lint_plan
+
+    rows = [(u, "click") for u in range(1, 7)] + [
+        (u, "view") for u in range(4, 10)
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    for op in (events_kmv_set_ops, events_hll_set_ops):
+        full = op(spark, d)
+        lean = op(spark, d, include_exact=False)
+        assert "exact_intersection" in full.columns
+        assert "exact_intersection" not in lean.columns
+        assert lean.columns == full.columns[:-1]
+        key = ["type_a", "type_b"]
+        est = [c for c in lean.columns if c not in key]
+        assert sorted(full.select(*key, *est).collect()) == sorted(
+            lean.collect()
+        )
+        assert lint_plan(lean) == []
+
+
+def test_stream_kmv_set_ops_registers_only(spark):
+    """The streaming fold's include_exact=False report equals the batch
+    registers-only report (the drained registers are lossless), with no
+    exact_intersection column — the truly never-re-reads-history shape
+    the docstring now scopes the claim to."""
+    from .conftest import SF_SMOKE as sf_dir
+
+    from spotify_tracks_spark.operators.events import events_kmv_set_ops
+    from spotify_tracks_spark.streaming.sketch import stream_events_kmv_set_ops
+
+    lean_stream = stream_events_kmv_set_ops(spark, sf_dir, include_exact=False)
+    assert "exact_intersection" not in lean_stream.columns
+    lean_batch = events_kmv_set_ops(spark, sf_dir, include_exact=False)
+    assert sorted(lean_stream.collect()) == sorted(lean_batch.collect())
