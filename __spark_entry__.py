@@ -260,6 +260,15 @@ def _events_stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_kmv_set_ops(spark, sf_dir)
 
 
+def _events_stream_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fold of the theta-sketch A-NOT-B report: drained
+    registers through the identical directional-difference tail as the
+    batch build — same EVENTS_KMV_ANOTB oracle (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_kmv_anotb
+
+    return stream_events_kmv_anotb(spark, sf_dir)
+
+
 def _events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL register fold (availableNow drain): register-wise
     max merge, constant-size state, hash-equal to the batch sketch."""
@@ -836,6 +845,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _sim.ann_topk_lsh,
         "embedding_kmeans_init_counts": kmeans_init_counts,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
+        # --- round-9 additions ---
+        # theta-sketch A-NOT-B: directional audience difference per
+        # event-type pair (completes the union/intersection algebra of
+        # events_kmv_set_ops; anti-join of below-theta registers)
+        "events_kmv_anotb": _events.events_kmv_anotb,
+        # streaming fold of the same report (drained registers, same oracle)
+        "events_stream_kmv_anotb": _events_stream_kmv_anotb,
         # --- rotated OUT of the driver surface in round 9 (the 20
         # longest-green: 8-round core-adjacent entries, the 7-round
         # streaming/sink/multimodal cohort, and the 10-strong 4-round
@@ -1082,6 +1098,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
+        "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,

@@ -1059,6 +1059,175 @@ def _kmv_set_ops_tail(
     return joined.select(*est_cols).localCheckpoint(eager=True)
 
 
+def events_kmv_anotb(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K, include_exact: bool = True
+) -> DataFrame:
+    """Theta-sketch A-NOT-B: estimated DIRECTIONAL audience difference
+    (users who did A but never B, and vice versa) for every event-type
+    pair — the third operation of the theta-sketch set algebra
+    (union/intersection are ``events_kmv_set_ops``), and the production
+    "reach exclusion" ask (suppression lists, incremental-audience
+    sizing) answered from k-sized sketches without re-touching raw data.
+
+    Estimator validity: for a pair, theta = min(theta_A, theta_B).  Any
+    hash below theta that belongs to the true B set MUST appear in B's
+    retained k-min set (theta ≤ theta_B), so "h < theta and h not in
+    sketch_B" decides true non-membership exactly on the sample — the
+    anti-join needs only the two sketches.  |{h ∈ S_A : h < theta,
+    h ∉ S_B}| · SPACE/theta estimates |A \ B|; the reverse direction
+    likewise.  Below k both thetas are the full space and the estimates
+    collapse to the exact difference (the set-ops twin's no-branch
+    exact-regime property).
+
+    Determinism: same ``portable_hash60`` registers as the KMV twins;
+    estimates are one integer-count cast times one fixed-order division.
+    ``include_exact`` gates the validation riders (exact per-direction
+    differences, derived as |A| − |A∩B| from one distinct scan — no
+    second corpus self-join beyond the set-ops rider's); the 100 TB
+    deployment shape is ``include_exact=False`` (registers only).
+
+    Scale shape: corpus-sized work is the distinct + per-type k-min
+    window; the report operates on ≤ k rows per type over a broadcast
+    |types|² spine.  Output: (type_a, type_b, theta, n_a_not_b,
+    n_b_not_a, est_a_not_b, est_b_not_a[, exact_a_not_b,
+    exact_b_not_a])."""
+    from ..functions.hashing import portable_hash60
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", portable_hash60(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kept = kept.select("event_type", "h").persist()
+    try:
+        kept.count()
+        return _kmv_anotb_tail(spark, sf_dir, kept, k, include_exact)
+    finally:
+        kept.unpersist()
+
+
+def _kmv_anotb_tail(
+    spark: SparkSession,
+    sf_dir: str,
+    kept: DataFrame,
+    k: int,
+    include_exact: bool = True,
+) -> DataFrame:
+    """The directional-difference math over prepared (event_type, h) KMV
+    registers — shared by the batch build and the streaming fold
+    (streaming/sketch.py:stream_events_kmv_anotb), which drains the SAME
+    registers losslessly and must produce the identical report."""
+    th = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth")
+    ).select(
+        "event_type",
+        F.when(F.col("n_kept") >= k, F.col("kth"))
+        .otherwise(F.lit(KMV_SPACE).cast("long"))
+        .alias("theta_t"),
+    )
+    spine = (
+        th.select(F.col("event_type").alias("type_a"), F.col("theta_t").alias("ta"))
+        .crossJoin(
+            F.broadcast(
+                th.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta_t").alias("tb"),
+                )
+            )
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("ta", "tb").alias("theta"))
+    )
+
+    def diff_counts(src_col: str, other_col: str, alias: str) -> DataFrame:
+        sample = (
+            spine.join(kept.withColumnRenamed("event_type", src_col), src_col)
+            .filter(F.col("h") < F.col("theta"))
+            .join(
+                kept.select(
+                    F.col("event_type").alias(other_col), F.col("h")
+                ),
+                [other_col, "h"],
+                "left_anti",
+            )
+        )
+        return sample.groupBy("type_a", "type_b").agg(F.count("*").alias(alias))
+
+    anb = diff_counts("type_a", "type_b", "n_a_not_b")
+    bna = diff_counts("type_b", "type_a", "n_b_not_a")
+    space = float(KMV_SPACE)
+    scale = F.lit(space) / F.col("theta")
+    est_cols = [
+        "type_a",
+        "type_b",
+        "theta",
+        F.coalesce("n_a_not_b", F.lit(0)).alias("n_a_not_b"),
+        F.coalesce("n_b_not_a", F.lit(0)).alias("n_b_not_a"),
+        (F.coalesce("n_a_not_b", F.lit(0)).cast("double") * scale).alias(
+            "est_a_not_b"
+        ),
+        (F.coalesce("n_b_not_a", F.lit(0)).cast("double") * scale).alias(
+            "est_b_not_a"
+        ),
+    ]
+    joined = spine.join(anb, ["type_a", "type_b"], "left").join(
+        bna, ["type_a", "type_b"], "left"
+    )
+    if include_exact:
+        tu = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        per_type = tu.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        inter = (
+            tu.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(
+                tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                "user_id",
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        joined = (
+            joined.join(
+                F.broadcast(
+                    per_type.select(
+                        F.col("event_type").alias("type_a"),
+                        F.col("n_exact").alias("na_exact"),
+                    )
+                ),
+                "type_a",
+            )
+            .join(
+                F.broadcast(
+                    per_type.select(
+                        F.col("event_type").alias("type_b"),
+                        F.col("n_exact").alias("nb_exact"),
+                    )
+                ),
+                "type_b",
+            )
+            .join(inter, ["type_a", "type_b"], "left")
+        )
+        est_cols.append(
+            (F.col("na_exact") - F.coalesce("n_inter", F.lit(0))).alias(
+                "exact_a_not_b"
+            )
+        )
+        est_cols.append(
+            (F.col("nb_exact") - F.coalesce("n_inter", F.lit(0))).alias(
+                "exact_b_not_a"
+            )
+        )
+    return joined.select(*est_cols).localCheckpoint(eager=True)
+
+
 ATTRIBUTION_WINDOW_DAYS = 7
 ATTRIBUTION_TOUCH_TYPES = ("view", "click", "signup")
 

@@ -6419,6 +6419,86 @@ left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
 EVENTS_KMV_SET_OPS = _kmv_set_ops_sql()
 
 
+def _kmv_anotb_sql() -> str:
+    """Mirror of events_kmv_anotb: same registers and theta as the
+    set-ops oracle; the directional sample is an anti-join of A's
+    below-theta hashes against B's sketch (valid because theta <=
+    theta_B: any true B member below theta must be retained in B);
+    exact riders derived as |A| - |A∩B| from one distinct scan."""
+    from .operators.events import KMV_K, KMV_SPACE
+
+    space_lit = f"{float(KMV_SPACE)!r}".replace("e+", "e")
+    return f"""
+with ev as (
+    select distinct event_type, {_h60('user_id::varchar')} as h from events
+),
+kept as (
+    select event_type, h from (
+        select event_type, h,
+               row_number() over (partition by event_type order by h) as rn
+        from ev
+    ) where rn <= {KMV_K}
+),
+th as (
+    select event_type,
+           case when count(*) >= {KMV_K} then max(h)
+                else {KMV_SPACE} end as theta_t
+    from kept group by event_type
+),
+spine as (
+    select a.event_type as type_a, b.event_type as type_b,
+           least(a.theta_t, b.theta_t) as theta
+    from th a join th b on a.event_type < b.event_type
+),
+anb as (
+    select s.type_a, s.type_b, count(*) as n
+    from spine s
+    join kept ka on ka.event_type = s.type_a and ka.h < s.theta
+    where not exists (
+        select 1 from kept kb
+        where kb.event_type = s.type_b and kb.h = ka.h
+    )
+    group by 1, 2
+),
+bna as (
+    select s.type_a, s.type_b, count(*) as n
+    from spine s
+    join kept kb on kb.event_type = s.type_b and kb.h < s.theta
+    where not exists (
+        select 1 from kept ka
+        where ka.event_type = s.type_a and ka.h = kb.h
+    )
+    group by 1, 2
+),
+tu as (select distinct event_type, user_id from events),
+pt as (select event_type, count(*) as n_exact from tu group by event_type),
+exct as (
+    select a.event_type as type_a, b.event_type as type_b, count(*) as n
+    from tu a join tu b on b.user_id = a.user_id
+                       and a.event_type < b.event_type
+    group by 1, 2
+)
+select s.type_a, s.type_b, s.theta,
+       coalesce(a.n, 0) as n_a_not_b,
+       coalesce(b.n, 0) as n_b_not_a,
+       cast(coalesce(a.n, 0) as double) * ({space_lit} / s.theta)
+         as est_a_not_b,
+       cast(coalesce(b.n, 0) as double) * ({space_lit} / s.theta)
+         as est_b_not_a,
+       pa.n_exact - coalesce(e.n, 0) as exact_a_not_b,
+       pb.n_exact - coalesce(e.n, 0) as exact_b_not_a
+from spine s
+join pt pa on pa.event_type = s.type_a
+join pt pb on pb.event_type = s.type_b
+left join anb a on a.type_a = s.type_a and a.type_b = s.type_b
+left join bna b on b.type_a = s.type_a and b.type_b = s.type_b
+left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
+"""
+
+
+EVENTS_KMV_ANOTB = _kmv_anotb_sql()
+
+
 def _token_budget_pack_sql() -> str:
     """Mirror of corpus_token_budget_pack: identical quality expression
     (TEXT_QUALITY's, bit-equal), identical (quality desc, doc_id) total

@@ -300,6 +300,35 @@ def stream_events_kmv_set_ops(
         kept.unpersist()
 
 
+def stream_events_kmv_anotb(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Streaming fold of the theta-sketch A-NOT-B report: drain the
+    per-type KMV registers (same lossless union-and-retake merge as
+    ``stream_events_kmv``), then apply the identical directional-
+    difference tail as the batch build
+    (operators/events.py:_kmv_anotb_tail) — hash-equal to batch
+    ``events_kmv_anotb`` (same oracle).  As with the set-ops fold, the
+    sketch math reads ≤ k rows of state per type; the exact_* columns
+    are a batch-scan validation rider — pass ``include_exact=False``
+    for the registers-only always-on shape."""
+    from ..operators.events import KMV_K, _kmv_anotb_tail
+
+    if k is None:
+        k = KMV_K
+    kept = _drain_kmv_registers(spark, sf_dir, k, n_slices, base).persist()
+    try:
+        kept.count()
+        return _kmv_anotb_tail(spark, sf_dir, kept, k, include_exact)
+    finally:
+        kept.unpersist()
+
+
 def _batch_hll_registers(df: DataFrame) -> DataFrame:
     from ..operators.events import _hll_rho, HLL_W_BITS
 

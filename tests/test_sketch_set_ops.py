@@ -135,3 +135,65 @@ def test_stream_kmv_set_ops_registers_only(spark):
     assert "exact_intersection" not in lean_stream.columns
     lean_batch = events_kmv_set_ops(spark, sf_dir, include_exact=False)
     assert sorted(lean_stream.collect()) == sorted(lean_batch.collect())
+
+
+def test_kmv_anotb_exact_below_k(spark, tmp_path):
+    """Users 1-6 click, users 4-9 view: |A\\B| = |{1,2,3}| = 3 and
+    |B\\A| = |{7,8,9}| = 3.  Below k both thetas are the full space, so
+    the directional estimates must be EXACT; the exact riders must
+    agree; and the set algebra must close: est_a_not_b + est_b_not_a +
+    est_intersection = est_union."""
+    from spotify_tracks_spark.operators.events import (
+        events_kmv_anotb,
+        events_kmv_set_ops,
+    )
+
+    rows = [(u, "click") for u in range(1, 7)] + [
+        (u, "view") for u in range(4, 10)
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    r = {(x.type_a, x.type_b): x for x in events_kmv_anotb(spark, d).collect()}[
+        ("click", "view")
+    ]
+    assert r.n_a_not_b == 3 and r.n_b_not_a == 3
+    assert r.est_a_not_b == 3.0 and r.est_b_not_a == 3.0
+    assert r.exact_a_not_b == 3 and r.exact_b_not_a == 3
+    s = {(x.type_a, x.type_b): x for x in events_kmv_set_ops(spark, d).collect()}[
+        ("click", "view")
+    ]
+    assert r.est_a_not_b + r.est_b_not_a + s.est_intersection == s.est_union
+
+
+def test_kmv_anotb_disjoint_and_registers_only(spark, tmp_path):
+    """Disjoint types: each direction equals its own cardinality.  The
+    include_exact=False path drops both exact riders and keeps the
+    estimate columns bit-identical."""
+    from spotify_tracks_spark.operators.events import events_kmv_anotb
+
+    rows = [(u, "click") for u in range(1, 5)] + [
+        (u, "view") for u in range(100, 104)
+    ]
+    d = _events_dir(spark, tmp_path, rows)
+    full = events_kmv_anotb(spark, d)
+    r = full.collect()[0]
+    assert r.est_a_not_b == 4.0 and r.est_b_not_a == 4.0
+    assert r.exact_a_not_b == 4 and r.exact_b_not_a == 4
+    lean = events_kmv_anotb(spark, d, include_exact=False)
+    assert lean.columns == full.columns[:-2]
+    key = ["type_a", "type_b"]
+    est = [c for c in lean.columns if c not in key]
+    assert sorted(full.select(*key, *est).collect()) == sorted(lean.collect())
+
+
+def test_stream_kmv_anotb_equals_batch(spark):
+    """The streaming fold's drained registers produce the identical
+    directional-difference report as the batch build (lossless
+    union-and-retake merge — same contract as the set-ops fold)."""
+    from .conftest import SF_SMOKE as sf_dir
+
+    from spotify_tracks_spark.operators.events import events_kmv_anotb
+    from spotify_tracks_spark.streaming.sketch import stream_events_kmv_anotb
+
+    batch = events_kmv_anotb(spark, sf_dir)
+    stream = stream_events_kmv_anotb(spark, sf_dir)
+    assert sorted(batch.collect()) == sorted(stream.collect())
