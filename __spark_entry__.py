@@ -260,6 +260,16 @@ def _events_stream_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_events_kmv_set_ops(spark, sf_dir)
 
 
+def _events_stream_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fold of the HLL set-operations report: drained
+    registers (register-max merge) through the identical pair tail as
+    the batch build — same EVENTS_HLL_SET_OPS oracle
+    (streaming/sketch.py)."""
+    from spotify_tracks_spark.streaming import stream_events_hll_set_ops
+
+    return stream_events_hll_set_ops(spark, sf_dir)
+
+
 def _events_stream_kmv_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fold of the theta-sketch A-NOT-B report: drained
     registers through the identical directional-difference tail as the
@@ -852,6 +862,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_anotb": _events.events_kmv_anotb,
         # streaming fold of the same report (drained registers, same oracle)
         "events_stream_kmv_anotb": _events_stream_kmv_anotb,
+        # streaming fold of the HLL pair report (register-max drain)
+        "events_stream_hll_set_ops": _events_stream_hll_set_ops,
         # --- rotated OUT of the driver surface in round 9 (the 20
         # longest-green: 8-round core-adjacent entries, the 7-round
         # streaming/sink/multimodal cohort, and the 10-strong 4-round
@@ -1100,6 +1112,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
         "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
         "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,

@@ -800,104 +800,117 @@ def events_hll_set_ops(
     )
     try:
         reg.count()
-        two61 = 1 << 61
-        shift_sum = F.sum(
-            F.expr(
-                "cast(shiftleft(cast(1 as bigint), cast(61 - m as int))"
-                " as decimal(38,0))"
-            )
-        ).alias("s_present")
-
-        def sketch(df: DataFrame, keys: list[str]) -> DataFrame:
-            agg = df.groupBy(*keys).agg(
-                F.count("*").alias("n_present"), shift_sum
-            )
-            v = F.lit(HLL_M) - F.col("n_present")
-            s = (
-                F.col("s_present")
-                + v.cast("decimal(38,0)") * F.lit(two61).cast("decimal(38,0)")
-            ).cast("decimal(38,0)")
-            return agg.select(
-                *keys,
-                v.cast("long").alias("nz"),
-                s.cast("double").alias("rs"),
-            )
-
-        per_type = sketch(reg, ["event_type"]).select(
-            "event_type", _hll_est(F.col("nz"), F.col("rs")).alias("est_t")
-        )
-        spine = (
-            per_type.select(
-                F.col("event_type").alias("type_a"), F.col("est_t").alias("est_a")
-            )
-            .crossJoin(
-                F.broadcast(
-                    per_type.select(
-                        F.col("event_type").alias("type_b"),
-                        F.col("est_t").alias("est_b"),
-                    )
-                )
-            )
-            .filter(F.col("type_a") < F.col("type_b"))
-        )
-        union_regs = (
-            spine.select("type_a", "type_b")
-            .join(reg.withColumnRenamed("event_type", "type_a"), "type_a")
-            .select("type_a", "type_b", "bucket", "m")
-            .unionByName(
-                spine.select("type_a", "type_b")
-                .join(reg.withColumnRenamed("event_type", "type_b"), "type_b")
-                .select("type_a", "type_b", "bucket", "m")
-            )
-            .groupBy("type_a", "type_b", "bucket")
-            .agg(F.max("m").alias("m"))
-        )
-        union_sk = sketch(union_regs, ["type_a", "type_b"]).select(
-            "type_a",
-            "type_b",
-            F.col("nz").alias("union_zero_regs"),
-            F.col("rs").alias("union_reg_sum_e61"),
-            _hll_est(F.col("nz"), F.col("rs")).alias("est_union"),
-        )
-        est_cols = [
-            "type_a",
-            "type_b",
-            "union_zero_regs",
-            "union_reg_sum_e61",
-            "est_a",
-            "est_b",
-            "est_union",
-            F.greatest(
-                F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_union")
-            ).alias("est_intersection"),
-        ]
-        joined = spine.join(union_sk, ["type_a", "type_b"])
-        if include_exact:
-            tu = (
-                read_table(spark, sf_dir, "events")
-                .select("event_type", "user_id")
-                .distinct()
-            )
-            exact = (
-                tu.select(F.col("event_type").alias("type_a"), "user_id")
-                .join(
-                    tu.select(F.col("event_type").alias("type_b"), "user_id"),
-                    "user_id",
-                )
-                .filter(F.col("type_a") < F.col("type_b"))
-                .groupBy("type_a", "type_b")
-                .agg(F.count("*").alias("exact_intersection"))
-            )
-            joined = joined.join(exact, ["type_a", "type_b"], "left")
-            est_cols.append(
-                F.coalesce("exact_intersection", F.lit(0)).alias(
-                    "exact_intersection"
-                )
-            )
-        out = joined.select(*est_cols).localCheckpoint(eager=True)
+        return _hll_set_ops_tail(spark, sf_dir, reg, include_exact)
     finally:
         reg.unpersist()
-    return out
+
+
+def _hll_set_ops_tail(
+    spark: SparkSession,
+    sf_dir: str,
+    reg: DataFrame,
+    include_exact: bool = True,
+) -> DataFrame:
+    """The pair union/inclusion-exclusion math over prepared (event_type,
+    bucket, m) HLL registers — shared by the batch build above and the
+    streaming fold (streaming/sketch.py:stream_events_hll_set_ops),
+    whose register-wise max merge is lossless and must therefore produce
+    the identical report (same oracle)."""
+    two61 = 1 << 61
+    shift_sum = F.sum(
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint), cast(61 - m as int))"
+            " as decimal(38,0))"
+        )
+    ).alias("s_present")
+
+    def sketch(df: DataFrame, keys: list[str]) -> DataFrame:
+        agg = df.groupBy(*keys).agg(
+            F.count("*").alias("n_present"), shift_sum
+        )
+        v = F.lit(HLL_M) - F.col("n_present")
+        s = (
+            F.col("s_present")
+            + v.cast("decimal(38,0)") * F.lit(two61).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+        return agg.select(
+            *keys,
+            v.cast("long").alias("nz"),
+            s.cast("double").alias("rs"),
+        )
+
+    per_type = sketch(reg, ["event_type"]).select(
+        "event_type", _hll_est(F.col("nz"), F.col("rs")).alias("est_t")
+    )
+    spine = (
+        per_type.select(
+            F.col("event_type").alias("type_a"), F.col("est_t").alias("est_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("est_t").alias("est_b"),
+                )
+            )
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    union_regs = (
+        spine.select("type_a", "type_b")
+        .join(reg.withColumnRenamed("event_type", "type_a"), "type_a")
+        .select("type_a", "type_b", "bucket", "m")
+        .unionByName(
+            spine.select("type_a", "type_b")
+            .join(reg.withColumnRenamed("event_type", "type_b"), "type_b")
+            .select("type_a", "type_b", "bucket", "m")
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    union_sk = sketch(union_regs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("nz").alias("union_zero_regs"),
+        F.col("rs").alias("union_reg_sum_e61"),
+        _hll_est(F.col("nz"), F.col("rs")).alias("est_union"),
+    )
+    est_cols = [
+        "type_a",
+        "type_b",
+        "union_zero_regs",
+        "union_reg_sum_e61",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0.0), (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+        ).alias("est_intersection"),
+    ]
+    joined = spine.join(union_sk, ["type_a", "type_b"])
+    if include_exact:
+        tu = (
+            read_table(spark, sf_dir, "events")
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        exact = (
+            tu.select(F.col("event_type").alias("type_a"), "user_id")
+            .join(
+                tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                "user_id",
+            )
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count("*").alias("exact_intersection"))
+        )
+        joined = joined.join(exact, ["type_a", "type_b"], "left")
+        est_cols.append(
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            )
+        )
+    return joined.select(*est_cols).localCheckpoint(eager=True)
 
 
 def events_kmv_set_ops(

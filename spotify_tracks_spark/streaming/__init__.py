@@ -8,6 +8,7 @@ from .sketch import (
     stream_events_cms,
     stream_events_hll,
     stream_events_kmv,
+    stream_events_hll_set_ops,
     stream_events_kmv_anotb,
     stream_events_kmv_set_ops,
     stream_events_quantile_hist,
@@ -46,6 +47,7 @@ __all__ = [
     "stream_events_cms",
     "stream_events_hll",
     "stream_events_kmv",
+    "stream_events_hll_set_ops",
     "stream_events_kmv_anotb",
     "stream_events_kmv_set_ops",
     "stream_events_quantile_hist",

@@ -346,25 +346,21 @@ def _batch_hll_registers(df: DataFrame) -> DataFrame:
     )
 
 
-def stream_events_hll(
+def _drain_hll_registers(
     spark: SparkSession,
     sf_dir: str,
     n_slices: int = N_SLICES,
     base: str | None = None,
 ) -> DataFrame:
-    """Maintain the per-type HyperLogLog registers over a micro-batched
-    event stream (availableNow drain) and return the final sketch —
-    hash-equal to the batch build (``events_hll_distinct``): HLL merge
-    is register-wise MAX, which is associative, commutative AND
-    idempotent, so the fold is insensitive to how the stream slices.
-
-    State per batch is ≤ 256 register rows per event type — constant in
-    stream length and user cardinality like the CMS/KMV folds, with the
-    same snapshot-per-batch replay idempotence (for HLL the max-merge
-    makes even a double-fold harmless; the snapshot discipline is kept
-    for uniformity and restart recovery).  Output: (event_type,
-    n_zero_regs, reg_sum_e61, est_distinct_users)."""
-    from ..operators.events import HLL_EST_NUMER, HLL_M
+    """Fold the per-type HLL registers over the micro-batched stream
+    (availableNow drain) and return the final (event_type, bucket, m)
+    register table.  Register-wise MAX merge is associative, commutative
+    AND idempotent, so the fold is insensitive to stream slicing and
+    replay — the drained registers are bit-identical to a batch build
+    over the same rows.  Shared by ``stream_events_hll`` (cardinality
+    estimate tail) and ``stream_events_hll_set_ops`` (pair-overlap
+    tail)."""
+    from ..operators.events import HLL_M  # noqa: F401  (documented contract)
 
     if base is None:
         base = tempfile.mkdtemp(prefix="stream_hll_")
@@ -426,7 +422,55 @@ def stream_events_hll(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
-    reg = spark.read.parquet(f"{base}/state_b{cur['batch']}")
+    return spark.read.parquet(f"{base}/state_b{cur['batch']}")
+
+
+def stream_events_hll_set_ops(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+    include_exact: bool = True,
+) -> DataFrame:
+    """Streaming fold of the HLL SET OPERATIONS report: drain the
+    per-type HLL registers (register-wise max merge — lossless), then
+    apply the identical pair union/inclusion-exclusion tail as the
+    batch build (operators/events.py:_hll_set_ops_tail) — hash-equal
+    to batch ``events_hll_set_ops`` (same oracle).  The sketch math
+    reads ≤ 256 register rows per type; the exact_intersection column
+    is a batch-scan validation rider — pass ``include_exact=False``
+    for the registers-only always-on shape."""
+    from ..operators.events import _hll_set_ops_tail
+
+    reg = _drain_hll_registers(spark, sf_dir, n_slices, base).persist()
+    try:
+        reg.count()
+        return _hll_set_ops_tail(spark, sf_dir, reg, include_exact)
+    finally:
+        reg.unpersist()
+
+
+def stream_events_hll(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain the per-type HyperLogLog registers over a micro-batched
+    event stream (availableNow drain) and return the final sketch —
+    hash-equal to the batch build (``events_hll_distinct``): HLL merge
+    is register-wise MAX, which is associative, commutative AND
+    idempotent, so the fold is insensitive to how the stream slices.
+
+    State per batch is ≤ 256 register rows per event type — constant in
+    stream length and user cardinality like the CMS/KMV folds, with the
+    same snapshot-per-batch replay idempotence (for HLL the max-merge
+    makes even a double-fold harmless; the snapshot discipline is kept
+    for uniformity and restart recovery).  Output: (event_type,
+    n_zero_regs, reg_sum_e61, est_distinct_users)."""
+    from ..operators.events import HLL_EST_NUMER, HLL_M
+
+    reg = _drain_hll_registers(spark, sf_dir, n_slices, base)
     agg = reg.groupBy("event_type").agg(
         F.count("*").alias("n_present"),
         F.sum(

@@ -197,3 +197,20 @@ def test_stream_kmv_anotb_equals_batch(spark):
     batch = events_kmv_anotb(spark, sf_dir)
     stream = stream_events_kmv_anotb(spark, sf_dir)
     assert sorted(batch.collect()) == sorted(stream.collect())
+
+
+def test_stream_hll_set_ops_equals_batch(spark):
+    """The streaming HLL fold's drained registers (register-wise max —
+    lossless, idempotent) produce the identical pair union/
+    inclusion-exclusion report as the batch build, and the
+    registers-only variant drops the exact rider."""
+    from .conftest import SF_SMOKE as sf_dir
+
+    from spotify_tracks_spark.operators.events import events_hll_set_ops
+    from spotify_tracks_spark.streaming.sketch import stream_events_hll_set_ops
+
+    batch = events_hll_set_ops(spark, sf_dir)
+    stream = stream_events_hll_set_ops(spark, sf_dir)
+    assert sorted(batch.collect()) == sorted(stream.collect())
+    lean = stream_events_hll_set_ops(spark, sf_dir, include_exact=False)
+    assert "exact_intersection" not in lean.columns
