@@ -751,6 +751,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-touch linear attribution (equal split across in-window
         # touches; the as-of op is its last-touch sibling)
         "events_attribution_linear": _events.events_attribution_linear,
+        # time-decay attribution (dyadic 2^-age weights — the third
+        # member of the standard trio; round-9 addition)
+        "events_attribution_time_decay": _events.events_attribution_time_decay,
         # (pagerank, clusters_star, containment, jaccard_exact_join,
         # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
@@ -1065,6 +1068,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
+        "events_attribution_time_decay": (
+            oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
+        ),
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

@@ -1295,6 +1295,64 @@ def events_attribution_linear(
     )
 
 
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str, window_days: int = ATTRIBUTION_WINDOW_DAYS
+) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: each purchase's unit of
+    credit splits across its in-window touches proportionally to
+    2^(−age_days) — recent touches earn exponentially more, the third
+    member of the standard attribution trio (last-touch =
+    ``events_asof_purchase_click``, equal-weight =
+    ``events_attribution_linear``) with the conventional halving-per-day
+    schedule.
+
+    Exactness (the repo's dyadic discipline, cf. EWMA/Holt): age is an
+    integer floor-division of the epoch-micros gap; the weight is
+    1 / (1::bigint << age) — an exact power of two (never libm ``pow``,
+    which is not required correctly rounded) — and the per-purchase
+    weight total is a sum of dyadic rationals on a 2^−(window−1) grid,
+    exact in a double in ANY summation order.  Each touch's credit is
+    then ONE correctly-rounded IEEE division of two exact values, so
+    only the final per-type credit sum carries ordering noise, ~6
+    orders of magnitude under the 6-dp hash rounding (the linear twin's
+    argument).
+
+    Scale shape: identical to the linear form — user-equi join with a
+    time-band residual, per-purchase window over already-narrowed
+    touches.  Output: (event_type, n_touches, attributed_purchases)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = epoch_micros(F.col("ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        us.alias("pus"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin(*ATTRIBUTION_TOUCH_TYPES)
+    ).select("user_id", "event_type", us.alias("tus"))
+    win_us = window_days * 86_400_000_000
+    j = purch.join(
+        touch,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") > F.col("pus") - F.lit(win_us)),
+    )
+    age = F.floor((F.col("pus") - F.col("tus")) / F.lit(86_400_000_000))
+    weight = F.lit(1.0) / F.expr(
+        "shiftleft(cast(1 as bigint), cast(age_days as int))"
+    )
+    w = Window.partitionBy("pid")
+    credited = (
+        j.withColumn("age_days", age)
+        .withColumn("wt", weight)
+        .withColumn("wsum", F.sum("wt").over(w))
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.col("wt") / F.col("wsum")).alias("attributed_purchases"),
+    )
+
+
 HLL_P = 8                       # 2^8 = 256 registers; rse ≈ 1.04/√m ≈ 6.5%
 HLL_M = 1 << HLL_P
 HLL_W_BITS = 60 - HLL_P         # suffix bits feeding the rank

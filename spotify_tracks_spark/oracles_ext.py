@@ -3770,6 +3770,48 @@ group by j.event_type
 EVENTS_ATTRIBUTION_LINEAR = _attribution_linear_sql()
 
 
+def _attribution_time_decay_sql() -> str:
+    """Mirror of events_attribution_time_decay: identical join band,
+    integer floor-division age, dyadic weight via 1::bigint << age
+    (both engines exact), per-purchase weight sum, one division per
+    touch (exact-over-exact, correctly rounded both engines)."""
+    from .operators.events import (
+        ATTRIBUTION_TOUCH_TYPES,
+        ATTRIBUTION_WINDOW_DAYS,
+    )
+
+    types = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCH_TYPES)
+    win_us = ATTRIBUTION_WINDOW_DAYS * 86_400_000_000
+    return f"""
+with p as (
+    select event_id as pid, user_id as pu, epoch_us(ts) as pus
+    from events where event_type = 'purchase'
+),
+t as (
+    select user_id, event_type, epoch_us(ts) as tus
+    from events where event_type in ({types})
+),
+j as (
+    select p.pid, t.event_type,
+           1.0e0 / (1::bigint << cast((p.pus - t.tus) // 86400000000 as int))
+             as wt
+    from p join t
+      on t.user_id = p.pu
+     and t.tus <= p.pus
+     and t.tus > p.pus - {win_us}
+),
+n as (select pid, sum(wt) as wsum from j group by pid)
+select j.event_type,
+       cast(count(*) as bigint) as n_touches,
+       sum(j.wt / n.wsum) as attributed_purchases
+from j join n using (pid)
+group by j.event_type
+"""
+
+
+EVENTS_ATTRIBUTION_TIME_DECAY = _attribution_time_decay_sql()
+
+
 EVENTS_WEEKDAY_PROFILE = """
 with daily as (
     select event_type, cast(ts as date) as day, count(*) as n

@@ -220,6 +220,41 @@ def test_attribution_linear_planted(spark, tmp_path):
     assert got == {"click": (2, 0.5 + 1.0), "view": (1, 0.5)}
 
 
+def test_attribution_time_decay_planted(spark, tmp_path):
+    """One purchase with touches at ages 0, 1 and 2 days: dyadic weights
+    1, 1/2, 1/4 → credits 4/7, 2/7, 1/7 EXACTLY (every weight a power
+    of two, the weight sum exact, one division per touch).  A second
+    purchase with a sole age-5 touch gets full credit regardless of its
+    tiny weight.  Same window boundary semantics as the linear twin."""
+    from datetime import datetime as d, timedelta
+
+    from spotify_tracks_spark.operators.events import (
+        events_attribution_time_decay,
+    )
+
+    T = d(2024, 3, 10, 12, 0, 0)
+    rows = [
+        (0, T, 1, "purchase", 1.0),
+        (1, T, 1, "view", 1.0),                        # age 0 -> weight 1
+        (2, T - timedelta(days=1), 1, "click", 1.0),   # age 1 -> 1/2
+        (3, T - timedelta(days=2), 1, "signup", 1.0),  # age 2 -> 1/4
+        (4, T, 2, "purchase", 1.0),
+        (5, T - timedelta(days=5), 2, "click", 1.0),   # sole touch
+        (6, T - timedelta(days=7), 1, "click", 1.0),   # exactly -7d: out
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n_touches, r.attributed_purchases)
+        for r in events_attribution_time_decay(spark, sf).collect()
+    }
+    assert got["view"] == (1, 4 / 7)
+    assert got["signup"] == (1, 1 / 7)
+    assert got["click"][0] == 2
+    assert abs(got["click"][1] - (2 / 7 + 1.0)) < 1e-12
+    # credits close: every attributed purchase hands out exactly one unit
+    assert abs(sum(v for _, v in got.values()) - 2.0) < 1e-12
+
+
 def test_weekday_profile_iso_numbering(spark, tmp_path):
     """2024-03-04 was a Monday: its events must land on iso_weekday 1,
     Sunday 2024-03-10 on 7; shares sum to 1 per type."""
