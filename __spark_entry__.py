@@ -754,6 +754,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-decay attribution (dyadic 2^-age weights — the third
         # member of the standard trio; round-9 addition)
         "events_attribution_time_decay": _events.events_attribution_time_decay,
+        # per-source frequency cap (web-corpus domain-cap curation step;
+        # WindowGroupLimit top-k per source — round-9 addition)
+        "corpus_source_cap": _llm.corpus_source_cap,
         # (pagerank, clusters_star, containment, jaccard_exact_join,
         # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
@@ -1071,6 +1074,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_attribution_time_decay": (
             oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
         ),
+        "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

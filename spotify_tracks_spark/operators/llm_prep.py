@@ -937,6 +937,45 @@ def corpus_curriculum_order(
     )
 
 
+SOURCE_CAP = 15  # max docs kept per source (domain-frequency cap)
+
+
+def corpus_source_cap(
+    spark: SparkSession, sf_dir: str, cap: int = SOURCE_CAP
+) -> DataFrame:
+    """SOURCE-FREQUENCY CAP: keep at most ``cap`` documents per source,
+    chosen by quality — the web-corpus "domain cap" curation step that
+    stops a single high-volume domain from dominating the training mix
+    (the frequency-based complement of the share-based rebalancers
+    ``corpus_language_balance`` / ``corpus_temperature_sample``).
+
+    Semantics: within each source, documents rank by
+    (quality_score desc, doc_id) — the same bit-deterministic
+    cross-engine key corpus_curriculum_order uses — and survive iff
+    their rank ≤ cap.
+
+    Scale shape: one partitioned window keyed on source; the rank ≤ cap
+    filter plans as WindowGroupLimit (per-partition top-k BEFORE the
+    full sort materializes), so a hot domain costs a bounded heap, not
+    a full-partition sort.  No global order anywhere.  Output: kept
+    docs — (source, doc_id, quality_score, source_rank)."""
+    from .text_analysis import text_quality
+
+    scored = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= cap)
+        .select("source", "doc_id", "quality_score", "source_rank")
+    )
+
+
 BUDGET_PCT = 25  # select the best ⌊25%⌋ of total corpus tokens
 
 

@@ -3812,6 +3812,26 @@ group by j.event_type
 EVENTS_ATTRIBUTION_TIME_DECAY = _attribution_time_decay_sql()
 
 
+def _source_cap_sql() -> str:
+    """Mirror of corpus_source_cap: the proven TEXT_QUALITY CTE and a
+    QUALIFY row_number over the identical (quality desc, doc_id) key."""
+    from .operators.llm_prep import SOURCE_CAP
+
+    return f"""
+with q as ({TEXT_QUALITY})
+select d.source, d.doc_id, q.quality_score,
+       row_number() over (
+           partition by d.source
+           order by q.quality_score desc, d.doc_id
+       ) as source_rank
+from documents d join q using (doc_id)
+qualify source_rank <= {SOURCE_CAP}
+"""
+
+
+CORPUS_SOURCE_CAP = _source_cap_sql()
+
+
 EVENTS_WEEKDAY_PROFILE = """
 with daily as (
     select event_type, cast(ts as date) as day, count(*) as n

@@ -300,3 +300,39 @@ def test_span_corruption_masks_reconstructibly(spark, tmp_path):
     # a 2-word doc is too short for a span: passthrough, no masking
     r2 = got[2]
     assert r2.n_spans == 0 and r2.input_text == "tiny doc" and r2.target_text == ""
+
+
+def test_source_cap_planted_and_plan(spark, tmp_path):
+    """Domain cap: a 5-doc source keeps exactly cap=3 docs — the three
+    HIGHEST-quality ones with rank following (quality desc, doc_id) —
+    while a 2-doc source keeps both.  Plan shape: the rank<=cap filter
+    must push into a WindowGroupLimit (per-partition top-k before the
+    sort materializes), the at-scale contract the docstring claims."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.llm_prep import corpus_source_cap
+
+    # quality_score rises with stopword density; give src_a a gradient
+    rows = []
+    for i, n_stop in enumerate([0, 1, 2, 3, 4]):  # doc i has i stopwords
+        text = " ".join(["the"] * n_stop + ["zzz"] * (5 - n_stop))
+        rows.append((i, text, "en", "src_a"))
+    rows.append((10, "the the the zzz zzz", "en", "src_b"))
+    rows.append((11, "zzz zzz zzz zzz zzz", "en", "src_b"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = corpus_source_cap(spark, str(tmp_path), cap=3)
+    got = {(r.source, r.doc_id): r.source_rank for r in out.collect()}
+    # src_a: quality order is doc 4 > 3 > 2 (most stopwords first)
+    assert got == {
+        ("src_a", 4): 1,
+        ("src_a", 3): 2,
+        ("src_a", 2): 3,
+        ("src_b", 10): 1,
+        ("src_b", 11): 2,
+    }
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]
