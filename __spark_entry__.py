@@ -47,6 +47,7 @@ from spotify_tracks_spark.operators.range_join import events_value_bands
 from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
     parts_copurchase_communities as _graph_communities,
+    parts_copurchase_adamic_adar as _graph_adamic_adar,
     parts_copurchase_eigencentrality as _graph_eigen,
     parts_copurchase_substitutes as _graph_substitutes,
     parts_copurchase_kcore as _graph_kcore,
@@ -555,6 +556,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.dedup_exact,
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "corpus_prep": corpus_prep,
+        # Adamic-Adar link prediction over the shared co-purchase graph
+        # (non-edge pairs, 1/ln(deg) center weights — round-9 addition)
+        "parts_copurchase_adamic_adar": _graph_adamic_adar,
         # --- rotated OUT of the driver surface in round 7 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
         "parts_copurchase_triangles": parts_copurchase_triangles,
@@ -757,6 +761,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source frequency cap (web-corpus domain-cap curation step;
         # WindowGroupLimit top-k per source — round-9 addition)
         "corpus_source_cap": _llm.corpus_source_cap,
+        # quality-threshold yield curve (docs/tokens retained per grid
+        # threshold; one corpus pass + broadcast spine — round-9 addition)
+        "corpus_quality_sweep": _llm.corpus_quality_sweep,
         # (pagerank, clusters_star, containment, jaccard_exact_join,
         # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
@@ -974,6 +981,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "corpus_prep": oracles_ext.CORPUS_PREP,
+        "parts_copurchase_adamic_adar": (
+            oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
+        ),
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
@@ -1075,6 +1085,7 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
         ),
         "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
+        "corpus_quality_sweep": oracles_ext.CORPUS_QUALITY_SWEEP,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,

@@ -1087,7 +1087,7 @@ def events_kmv_anotb(
     retained k-min set (theta ≤ theta_B), so "h < theta and h not in
     sketch_B" decides true non-membership exactly on the sample — the
     anti-join needs only the two sketches.  |{h ∈ S_A : h < theta,
-    h ∉ S_B}| · SPACE/theta estimates |A \ B|; the reverse direction
+    h ∉ S_B}| · SPACE/theta estimates |A∖B|; the reverse direction
     likewise.  Below k both thetas are the full space and the estimates
     collapse to the exact difference (the set-ops twin's no-branch
     exact-regime property).

@@ -746,3 +746,94 @@ def parts_copurchase_substitutes(
         .localCheckpoint(eager=True)
     )
     return out
+
+
+AA_MIN_COMMON = 2         # report pairs sharing >= this many neighbors
+AA_MAX_CENTER_DEG = 64    # hubs above this degree do not GENERATE pairs
+
+
+def parts_copurchase_adamic_adar(
+    spark: SparkSession,
+    sf_dir: str,
+    min_common: int = AA_MIN_COMMON,
+    max_center_deg: int = AA_MAX_CENTER_DEG,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """LINK PREDICTION over the co-purchase graph: Adamic-Adar scores for
+    part pairs that are NOT yet connected but share common neighborhood —
+    "these two parts are never bought together, but the market treats
+    them alike; an edge is likely to appear".  The predictive complement
+    of ``parts_copurchase_substitutes``: substitutes scores EVERY
+    co-neighborhood pair (cosine), this one anti-joins the existing edge
+    set away and weights each shared neighbor by 1/ln(deg) — a rare
+    shared neighbor is strong evidence, a hub says nothing (Adamic &
+    Adam, "Friends and neighbors on the Web", 2003).
+
+    Plan: wedge enumeration over the SESSION-SHARED memoized edge /
+    degree artifacts (copurchase_edges / copurchase_degrees — zero extra
+    scans of lineitem).  Each center u with 2 <= deg(u) <=
+    ``max_center_deg`` emits its C(deg,2) neighbor pairs carrying the
+    center weight 1/ln(deg(u)); pairs aggregate (count, weight-sum) in
+    one shuffle; the existing-edge anti-join runs on the same (x < y)
+    key the edge artifact is stored under.  The center cap is the knob
+    that bounds the wedge shuffle at |centers|*cap^2 — the identical
+    hub discipline substitutes documents — and it is WHERE the weight
+    function says the loss lives: a capped hub's weight is at most
+    1/ln(cap), the least informative evidence in the measure.
+
+    Determinism: the common-neighbor count is an exact integer; each
+    center weight is one libm ln + one IEEE division on an integer
+    degree (identical in both engines); the weight SUM is the only
+    order-sensitive float (error ~1e-13 against the 6-dp hash rounding,
+    the substitutes/pagerank-approved envelope).
+
+    Output: (part_a, part_b, common, aa_score) for non-edge pairs with
+    common >= ``min_common``; part_a < part_b."""
+    import warnings
+
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
+    )
+    n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
+    if n_dropped:
+        warnings.warn(
+            f"parts_copurchase_adamic_adar: {n_dropped} hub centers above "
+            f"deg {max_center_deg} excluded from pair generation",
+            stacklevel=2,
+        )
+    # deg >= 2: a degree-1 center has no pair to emit, and filtering it
+    # here keeps 1/ln(1) from ever materializing
+    centers = sym.join(
+        F.broadcast(
+            deg.filter(
+                (F.col("deg") >= 2) & (F.col("deg") <= max_center_deg)
+            ).withColumn(
+                "w", F.lit(1.0) / F.log(F.col("deg").cast("double"))
+            )
+        ),
+        "src",
+    ).select("src", "dst", "w")
+    ca, cb = centers.alias("ca"), centers.alias("cb")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.src") == F.col("cb.src"))
+            & (F.col("ca.dst") < F.col("cb.dst")),
+        )
+        .groupBy(F.col("ca.dst").alias("x"), F.col("cb.dst").alias("y"))
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.col("ca.w")).alias("aa"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    # predicted links only: pairs already connected are not predictions.
+    # Wedge pairs and the shared edge artifact use the same x < y key.
+    return pairs.join(edges, ["x", "y"], "left_anti").select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        "common",
+        F.round("aa", 6).alias("aa_score"),
+    )

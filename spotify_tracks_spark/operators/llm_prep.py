@@ -1167,3 +1167,74 @@ def corpus_span_corruption(
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+QUALITY_SWEEP_STEPS = 30  # thresholds k/10, k = 0..30 (score range [0, 3])
+
+
+def corpus_quality_sweep(
+    spark: SparkSession, sf_dir: str, steps: int = QUALITY_SWEEP_STEPS
+) -> DataFrame:
+    """QUALITY-THRESHOLD YIELD CURVE: for every threshold t on the fixed
+    grid k/10 (k = 0..steps), how many documents and tokens survive
+    ``quality_score >= t`` and what share of the corpus that is — the
+    table a curation run reads to PICK its filter threshold (the
+    yield-vs-quality tradeoff), before ``corpus_prep`` applies one.
+
+    One corpus pass: each doc buckets by floor(score*10) (clamped to the
+    grid top; the score expression is the byte-identical single-division
+    combination text_quality defines, so bucketing is bit-deterministic
+    cross-engine); the <= steps+1-row bucket aggregate then joins a
+    broadcast threshold spine on bucket >= k — a reverse cumulative sum
+    expressed as a tiny range join, never a second corpus scan and never
+    a partition-less window at corpus grain.  Shares divide by the k=0
+    row's totals (one IEEE division per row of the 31-row report).
+
+    Output: (threshold, docs_retained, tokens_retained, docs_share,
+    token_share), one row per grid point, sorted by threshold."""
+    from .text_analysis import text_quality
+
+    q = text_quality(spark, sf_dir).select(
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(steps)
+        ).alias("b"),
+        F.col("n_tokens"),
+    )
+    # the clamped bucket key has at most steps+1 distinct values, so the
+    # limit can never truncate — it exists to carry that bound INTO the
+    # plan, where the BNLJ lint rule can prove the broadcast build side.
+    # localCheckpoint pins the <=31-row aggregate so the two consumers
+    # below (spine join + totals) share ONE corpus scan, not two.
+    buckets = (
+        q.groupBy("b")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("toks"))
+        .localCheckpoint(eager=True)
+        .limit(steps + 1)
+    )
+    grid = spark.range(steps + 1).select(F.col("id").cast("int").alias("k"))
+    # buckets is <= steps+1 rows: broadcast it and let the spine's
+    # b >= k range condition express the reverse cumulative sum
+    retained = (
+        grid.join(F.broadcast(buckets), F.col("b") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0)).alias("docs_retained"),
+            F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_retained"),
+        )
+    )
+    totals = (
+        buckets.agg(
+            F.sum("docs").alias("td"), F.sum("toks").alias("tt")
+        )
+    )
+    return (
+        retained.join(F.broadcast(totals))
+        .select(
+            (F.col("k").cast("double") / F.lit(10.0)).alias("threshold"),
+            F.col("docs_retained").cast("long").alias("docs_retained"),
+            F.col("tokens_retained").cast("long").alias("tokens_retained"),
+            F.round(F.col("docs_retained") / F.col("td"), 6).alias("docs_share"),
+            F.round(F.col("tokens_retained") / F.col("tt"), 6).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )

@@ -3832,6 +3832,46 @@ qualify source_rank <= {SOURCE_CAP}
 CORPUS_SOURCE_CAP = _source_cap_sql()
 
 
+def _quality_sweep_sql() -> str:
+    """Mirror of corpus_quality_sweep: the proven TEXT_QUALITY CTE,
+    floor(score*10) bucketing clamped at the grid top, a generate_series
+    threshold spine with the b >= k reverse-cumulative range join, and
+    shares off the k=0 totals."""
+    from .operators.llm_prep import QUALITY_SWEEP_STEPS as S
+
+    return f"""
+with q as ({TEXT_QUALITY}),
+b as (
+    select least(cast(floor(quality_score * 10) as int), {S}) as b,
+           cast(count(*) as bigint) as docs,
+           cast(sum(n_tokens) as bigint) as toks
+    from q group by 1
+),
+grid as (select unnest(generate_series(0, {S})) as k),
+retained as (
+    select g.k,
+           cast(coalesce(sum(b.docs), 0) as bigint) as docs_retained,
+           cast(coalesce(sum(b.toks), 0) as bigint) as tokens_retained
+    from grid g left join b on b.b >= g.k
+    group by g.k
+),
+tot as (
+    select cast(sum(docs) as bigint) as td, cast(sum(toks) as bigint) as tt
+    from b
+)
+select cast(r.k as double) / 10.0e0 as threshold,
+       r.docs_retained,
+       r.tokens_retained,
+       round(r.docs_retained / t.td, 6) as docs_share,
+       round(r.tokens_retained / t.tt, 6) as token_share
+from retained r cross join tot t
+order by threshold
+"""
+
+
+CORPUS_QUALITY_SWEEP = _quality_sweep_sql()
+
+
 EVENTS_WEEKDAY_PROFILE = """
 with daily as (
     select event_type, cast(ts as date) as day, count(*) as n
@@ -6222,6 +6262,65 @@ qualify rank <= {SIM_TOP_K}
 
 
 PARTS_COPURCHASE_SUBSTITUTES = _substitutes_sql()
+
+
+def _adamic_adar_sql() -> str:
+    """Mirrors parts_copurchase_adamic_adar: same shared-edge
+    construction as the substitutes oracle, centers capped at
+    AA_MAX_CENTER_DEG (and floored at deg 2), weight 1/ln(deg) in IEEE
+    doubles, NOT EXISTS anti-join against the edge set, 6-dp rounded
+    weight sum."""
+    from .operators.graph import (
+        AA_MAX_CENTER_DEG,
+        AA_MIN_COMMON,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    return f"""
+with li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+keep as (
+    select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+li2 as (
+    select li.o, li.p from li join keep on keep.o = li.o
+),
+edges as materialized (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as materialized (
+    select x as src, y as dst from edges
+    union all
+    select y as src, x as dst from edges
+),
+deg as materialized (
+    select src, cast(count(*) as bigint) as deg from sym group by 1
+),
+centers as (
+    select sym.src, sym.dst, 1.0e0 / ln(cast(d.deg as double)) as w
+    from sym join deg d on d.src = sym.src
+    where d.deg between 2 and {AA_MAX_CENTER_DEG}
+),
+pairs as (
+    select a.dst as x, b.dst as y,
+           cast(count(*) as bigint) as common,
+           sum(a.w) as aa
+    from centers a join centers b on a.src = b.src and a.dst < b.dst
+    group by 1, 2
+    having count(*) >= {AA_MIN_COMMON}
+)
+select p.x as part_a, p.y as part_b, p.common,
+       round(p.aa, 6) as aa_score
+from pairs p
+where not exists (
+    select 1 from edges e where e.x = p.x and e.y = p.y
+)
+"""
+
+
+PARTS_COPURCHASE_ADAMIC_ADAR = _adamic_adar_sql()
 
 
 def _span_corruption_sql() -> str:

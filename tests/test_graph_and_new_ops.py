@@ -427,3 +427,47 @@ def test_edge_build_wide_order_gate_both_forms(spark, tmp_path):
         assert deg == {1: 1, 6: 4, 7: 3, 8: 3, 9: 3}
     finally:
         clear_copurchase_memo()
+
+
+def test_adamic_adar_planted(spark, tmp_path):
+    """Known graph: A,B both connect to C,D,E and D-E is also an edge.
+    Expected predictions (min_common=2): (A,B) with common=3 and weight
+    1/ln2 + 2/ln3 (C has degree 2, D and E degree 3); (C,D) and (C,E)
+    with common=2, weight 2/ln3 (centers A,B).  (D,E) has common=2 but
+    IS an edge — the anti-join must drop it.  A second call with
+    max_center_deg=2 keeps only C as a center, proving the hub cap
+    excludes degree-3 centers from pair generation."""
+    import math
+
+    from spotify_tracks_spark.operators.graph import (
+        parts_copurchase_adamic_adar,
+    )
+
+    A, B, C, D, E = 1, 2, 3, 4, 5
+    orders = {
+        1: [A, C], 2: [B, C], 3: [A, D], 4: [B, D],
+        5: [A, E], 6: [B, E], 7: [D, E],
+    }
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        (r.part_a, r.part_b): (r.common, r.aa_score)
+        for r in parts_copurchase_adamic_adar(spark, str(tmp_path)).collect()
+    }
+    w2, w3 = 1.0 / math.log(2.0), 1.0 / math.log(3.0)
+    assert got == {
+        (A, B): (3, round(w2 + 2 * w3, 6)),
+        (C, D): (2, round(2 * w3, 6)),
+        (C, E): (2, round(2 * w3, 6)),
+    }
+
+    capped = {
+        (r.part_a, r.part_b): (r.common, r.aa_score)
+        for r in parts_copurchase_adamic_adar(
+            spark, str(tmp_path), min_common=1, max_center_deg=2
+        ).collect()
+    }
+    assert capped == {(A, B): (1, round(w2, 6))}

@@ -336,3 +336,42 @@ def test_source_cap_planted_and_plan(spark, tmp_path):
     }
     plan = out._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_quality_sweep_planted(spark, tmp_path):
+    """Three docs with hand-computable scores: all-stopword text scores
+    2.0 + 1/n_tok distinct ratio; no-stopword all-distinct text scores
+    1.0; a mix lands between.  The curve must hold the full grid (31
+    rows), be monotonically non-increasing, retain everything at t=0,
+    and step down exactly at each doc's bucket boundary."""
+    from pyspark.sql import functions as F
+
+    from spotify_tracks_spark.operators.llm_prep import corpus_quality_sweep
+
+    rows = [
+        # 4 tokens, all "the": stop=4/4, uniq=1/4 -> 2*1 + 0.25 = 2.25
+        (0, "the the the the", "en", "s"),
+        # 4 distinct non-stopwords: 0 + 1.0 = 1.0
+        (1, "aa bb cc dd", "en", "s"),
+        # 2 stop of 4, all distinct: 2*0.5 + 1.0 = 2.0
+        (2, "the of aa bb", "en", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = corpus_quality_sweep(spark, str(tmp_path)).collect()
+    assert len(out) == 31
+    by_t = {round(r.threshold, 1): r for r in out}
+    # every doc has 4 tokens -> tokens track docs * 4
+    assert (by_t[0.0].docs_retained, by_t[0.0].tokens_retained) == (3, 12)
+    assert by_t[0.0].docs_share == 1.0 and by_t[0.0].token_share == 1.0
+    assert by_t[1.0].docs_retained == 3      # >= 1.0 keeps all three
+    assert by_t[1.1].docs_retained == 2      # drops the 1.0 doc
+    assert by_t[2.0].docs_retained == 2      # 2.0 and 2.25 survive
+    assert by_t[2.1].docs_retained == 1      # only the 2.25 doc
+    assert by_t[2.3].docs_retained == 0
+    assert by_t[3.0].docs_retained == 0 and by_t[3.0].token_share == 0.0
+    docs_curve = [r.docs_retained for r in out]
+    assert docs_curve == sorted(docs_curve, reverse=True)
