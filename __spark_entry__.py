@@ -48,6 +48,7 @@ from spotify_tracks_spark.operators import tpch_shapes as _tpch
 from spotify_tracks_spark.operators.graph import (
     parts_copurchase_communities as _graph_communities,
     parts_copurchase_adamic_adar as _graph_adamic_adar,
+    parts_copurchase_clustering_coef as _graph_clustering_coef,
     parts_copurchase_eigencentrality as _graph_eigen,
     parts_copurchase_substitutes as _graph_substitutes,
     parts_copurchase_kcore as _graph_kcore,
@@ -559,6 +560,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Adamic-Adar link prediction over the shared co-purchase graph
         # (non-edge pairs, 1/ln(deg) center weights — round-9 addition)
         "parts_copurchase_adamic_adar": _graph_adamic_adar,
+        # per-node local clustering coefficient (2*tri/(deg*(deg-1)) off
+        # the session-shared triangle counts — round-9 addition)
+        "parts_copurchase_clustering_coef": _graph_clustering_coef,
+        # additive trend/seasonal/residual decomposition of the daily
+        # series (centered 7-day trend, isodow seasonal — round-9 addition)
+        "events_seasonal_decompose": _ts.events_seasonal_decompose,
         # --- rotated OUT of the driver surface in round 7 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
         "parts_copurchase_triangles": parts_copurchase_triangles,
@@ -984,6 +991,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "parts_copurchase_adamic_adar": (
             oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
         ),
+        "parts_copurchase_clustering_coef": (
+            oracles_ext.PARTS_COPURCHASE_CLUSTERING_COEF
+        ),
+        "events_seasonal_decompose": oracles_ext.EVENTS_SEASONAL_DECOMPOSE,
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,

@@ -221,6 +221,7 @@ def _memo_probes() -> dict[str, dict]:
     return {
         "model_chain": _pipeline._MEMO,
         "copurchase_edges": _g._EDGE_MEMO,
+        "copurchase_triangles": _g._TRI_MEMO,
         "dedup_shingles": _d._SHINGLE_MEMO,
         "dedup_minhash_pairs": _d._MINHASH_MEMO,
         "ann_exact_baseline": _s._BRUTE_MEMO,

@@ -131,6 +131,7 @@ def clear_copurchase_memo() -> None:
     lets Spark's ContextCleaner reclaim the checkpointed blocks."""
     _EDGE_MEMO.clear()
     _DEG_MEMO.clear()
+    _TRI_MEMO.clear()
 
 
 def copurchase_edges(
@@ -322,6 +323,15 @@ def parts_copurchase_pagerank(
     return out
 
 
+# Per-node triangle counts, memoized like the edge/degree artifacts:
+# parts_copurchase_triangles and parts_copurchase_clustering_coef read
+# the SAME wedge-join output — the most expensive plan in the graph
+# family should run once per (session, dataset, params), not once per
+# consumer.  bench.py's carrier tracker records which family member
+# pays the build per pass ("copurchase_triangles" probe).
+_TRI_MEMO: dict[tuple[int, str, int, int], DataFrame] = {}
+
+
 def parts_copurchase_triangles(
     spark: SparkSession,
     sf_dir: str,
@@ -351,7 +361,14 @@ def parts_copurchase_triangles(
     fail outright.  Both paths are hash-equal by construction and pinned
     equal on the planted-graph fixture.
 
-    Output: (part_id, n_triangles), parts in ≥1 triangle."""
+    Output: (part_id, n_triangles), parts in ≥1 triangle.  The counts
+    are a session-memoized localCheckpointed artifact shared with the
+    clustering-coefficient report (same immutability contract as the
+    edge/degree artifacts)."""
+    key = (id(spark), sf_dir, max_order_items, broadcast_max_edges)
+    if key in _TRI_MEMO:
+        return _TRI_MEMO[key]
+    evict_stale_sessions(_TRI_MEMO, id(spark))
     edges = copurchase_edges(spark, sf_dir, max_order_items)
     # the count drives the broadcast-vs-shuffle gate on the closing-edge
     # probe (cheap: a scan of the checkpointed shared artifact)
@@ -404,11 +421,17 @@ def parts_copurchase_triangles(
             # wedges whose (v, w) might close survive into the semi-join
             wedges = wedges.filter(bloom_pred)
         tris = wedges.join(closing, ["v", "w"], "left_semi")
-    return (
+    out = (
         tris.select(F.explode(F.array("u", "v", "w")).alias("part_id"))
         .groupBy("part_id")
         .agg(F.count("*").alias("n_triangles"))
+        .localCheckpoint(eager=True)
     )
+    # the |V|-row counts are pinned; the oriented-edge layout was only
+    # needed to build them — release it (cache-release discipline)
+    oriented.unpersist()
+    _TRI_MEMO[key] = out
+    return out
 
 
 KCORE_DEG_NUM, KCORE_DEG_DEN = 7, 10   # k = ⌊0.7·mean degree⌋ (integer math)
@@ -836,4 +859,47 @@ def parts_copurchase_adamic_adar(
         F.col("y").alias("part_b"),
         "common",
         F.round("aa", 6).alias("aa_score"),
+    )
+
+
+def parts_copurchase_clustering_coef(
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+    broadcast_max_edges: int = TRI_BROADCAST_MAX_EDGES,
+) -> DataFrame:
+    """Per-node LOCAL CLUSTERING COEFFICIENT of the co-purchase graph:
+    c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for every node with deg ≥ 2 —
+    the fraction of a part's co-purchase neighbors that are themselves
+    co-purchased, the classic "how clique-like is this product's
+    market" signal (Watts–Strogatz).  Nodes in no triangle score an
+    exact 0 rather than vanishing, so the report separates "tightly
+    bundled" from "hub of unrelated baskets" at a glance.
+
+    Plan: a |V|-row left join of the SESSION-SHARED degree table against
+    the session-shared triangle counts (``_TRI_MEMO`` — the wedge join
+    runs once per session and is shared with
+    ``parts_copurchase_triangles``; bench's carrier tracker records who
+    pays it).  Nothing here touches an edge- or corpus-sized frame.
+
+    Determinism: 2·tri and deg·(deg−1) are exact integers; the
+    coefficient is one IEEE division — bit-identical cross-engine.
+
+    Output: (part_id, degree, n_triangles, clustering_coef), deg ≥ 2."""
+    tri = parts_copurchase_triangles(
+        spark, sf_dir, max_order_items, broadcast_max_edges
+    )
+    deg = copurchase_degrees(spark, sf_dir, max_order_items)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, deg["node"] == tri["part_id"], "left")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                (F.lit(2) * F.coalesce("n_triangles", F.lit(0)))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("clustering_coef"),
+        )
     )

@@ -1254,3 +1254,68 @@ def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (cov / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0))).alias("rho"),
     )
+
+
+SEASONAL_HALF_WINDOW = 3   # centered 7-day trend window (±3 days)
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition of each event type's
+    daily series: value = trend + seasonal + residual — the STL-lite
+    report an anomaly triager reads to separate "weekends are always
+    slow" from "something actually moved" (weekday_profile gives the
+    seasonal SHAPE; this one also removes the trend and hands back the
+    residual the alert should fire on).
+
+    Semantics (all grain-bounded, all mirrored exactly by the oracle):
+
+    - ``trend``: centered 7-day mean — sum/count over days PRESENT in
+      [d−3, d+3] via a RANGE frame on the day index, so calendar gaps
+      SHRINK the window instead of dragging in stale rows (the
+      rolling_7d discipline), and series edges use the observed half
+      window rather than inventing data;
+    - ``seasonal``: per (type, ISO weekday) mean of the detrended value
+      n − trend (Spark ``weekday()+1`` ↔ DuckDB ``isodow`` — the pinned
+      cross-engine numbering);
+    - ``residual``: n − trend − seasonal, evaluated left-to-right in
+      both engines.
+
+    Determinism: daily counts are integers; trend is one division of
+    exact integers (bit-exact).  ``seasonal`` is the one order-sensitive
+    float mean (~52 doubles per weekday cell, error ~1e−13 — far below
+    the 6-dp hash rounding, the substitutes/pagerank-approved envelope).
+
+    Scale shape: the fact log collapses to (type, day) in the shared
+    `_daily_counts` shuffle; both windows partition by event_type (and
+    weekday) at the ≤366-rows-per-type daily grain — no partition-less
+    window, nothing further at log scale.
+
+    Output: (event_type, day, n_events, trend, seasonal, residual)."""
+    daily = _daily_counts(spark, sf_dir)
+    day_idx = F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy(day_idx)
+        .rangeBetween(-SEASONAL_HALF_WINDOW, SEASONAL_HALF_WINDOW)
+    )
+    detrended = daily.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        (F.sum("n").over(wt) / F.count("n").over(wt)).alias("trend"),
+    )
+    ws = Window.partitionBy(
+        "event_type", (F.expr("weekday(day)") + F.lit(1))
+    )
+    out = detrended.withColumn(
+        "seasonal",
+        F.avg(F.col("n_events") - F.col("trend")).over(ws),
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        "trend",
+        "seasonal",
+        (F.col("n_events") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )

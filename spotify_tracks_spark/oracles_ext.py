@@ -6323,6 +6323,92 @@ where not exists (
 PARTS_COPURCHASE_ADAMIC_ADAR = _adamic_adar_sql()
 
 
+def _clustering_coef_sql() -> str:
+    """Mirrors parts_copurchase_clustering_coef: the proven triangles
+    oracle as a subquery (independent edge construction), the
+    substitutes-oracle degree CTE, a deg>=2 left join, and the exact
+    integer-ratio division 2*tri / (deg*(deg-1))."""
+    from .operators.graph import TRI_MAX_ORDER_ITEMS
+
+    # outer CTE names carry a cc_ prefix: the nested triangles query
+    # defines its own li/edges/deg CTEs and DuckDB resolves collisions
+    # against the OUTER scope inside the subquery
+    return f"""
+with cc_li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+cc_keep as (
+    select o from cc_li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+cc_li2 as (
+    select cc_li.o, cc_li.p from cc_li join cc_keep on cc_keep.o = cc_li.o
+),
+cc_edges as materialized (
+    select distinct a.p as x, b.p as y
+    from cc_li2 a join cc_li2 b on a.o = b.o and a.p < b.p
+),
+cc_sym as materialized (
+    select x as src, y as dst from cc_edges
+    union all
+    select y as src, x as dst from cc_edges
+),
+cc_deg as materialized (
+    select src, cast(count(*) as bigint) as deg from cc_sym group by 1
+),
+cc_tri as (
+    select part_id, n_triangles from ({PARTS_COPURCHASE_TRIANGLES}) t
+)
+select d.src as part_id,
+       d.deg as degree,
+       cast(coalesce(cc_tri.n_triangles, 0) as bigint) as n_triangles,
+       (2 * coalesce(cc_tri.n_triangles, 0)) / (d.deg * (d.deg - 1))
+           as clustering_coef
+from cc_deg d left join cc_tri on cc_tri.part_id = d.src
+where d.deg >= 2
+"""
+
+
+PARTS_COPURCHASE_CLUSTERING_COEF = _clustering_coef_sql()
+
+
+def _seasonal_decompose_sql() -> str:
+    """Mirrors events_seasonal_decompose: shared daily CTE, windowed
+    sum cast back from HUGEINT before the trend division (exact-integer
+    operands), isodow seasonal cells, left-to-right residual."""
+    from .operators.timeseries import SEASONAL_HALF_WINDOW as H
+
+    return f"""
+with d as (select event_type, cast(ts as date) as day from events),
+daily as (
+    select event_type, day, cast(count(*) as bigint) as n
+    from d group by event_type, day
+),
+tr as (
+    select event_type, day, n,
+           cast(sum(n) over w as bigint) / count(n) over w as trend
+    from daily
+    window w as (
+        partition by event_type
+        order by datediff('day', date '1970-01-01', day)
+        range between {H} preceding and {H} following
+    )
+),
+se as (
+    select *,
+           avg(n - trend) over (
+               partition by event_type, isodow(day)
+           ) as seasonal
+    from tr
+)
+select event_type, day, n as n_events, trend, seasonal,
+       n - trend - seasonal as residual
+from se
+"""
+
+
+EVENTS_SEASONAL_DECOMPOSE = _seasonal_decompose_sql()
+
+
 def _span_corruption_sql() -> str:
     """Mirror of corpus_span_corruption.  The span index uses the
     direct segment formulation (sp(i) = i // seg_len when i falls inside

@@ -471,3 +471,62 @@ def test_adamic_adar_planted(spark, tmp_path):
         ).collect()
     }
     assert capped == {(A, B): (1, round(w2, 6))}
+
+
+def test_clustering_coef_planted(spark, tmp_path):
+    """Same planted graph as the triangle test (triangle {A,B,C}, a
+    chordless 4-cycle, a pendant edge C-D): coefficients are exact
+    rationals — A and B (deg 2, 1 triangle) score 1.0; C (deg 3, 1
+    triangle) scores 2*1/(3*2) = 1/3; the cycle nodes (deg 2, 0
+    triangles) score exactly 0 and must be PRESENT."""
+    from spotify_tracks_spark.operators.graph import (
+        parts_copurchase_clustering_coef,
+    )
+
+    A, B, C, D, E, Fp, G = 1, 2, 3, 4, 5, 6, 7
+    orders = {
+        1: [A, B, C],
+        2: [A, B],
+        3: [C, D],
+        4: [D, E], 5: [E, Fp], 6: [Fp, G], 7: [G, D],
+    }
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.part_id: (r.degree, r.n_triangles, r.clustering_coef)
+        for r in parts_copurchase_clustering_coef(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        A: (2, 1, 1.0),
+        B: (2, 1, 1.0),
+        C: (3, 1, 2 * 1 / (3 * 2)),
+        D: (3, 0, 0.0),
+        E: (2, 0, 0.0),
+        Fp: (2, 0, 0.0),
+        G: (2, 0, 0.0),
+    }
+
+
+def test_triangle_counts_are_session_memoized(spark, tmp_path):
+    """The wedge join runs once per (session, dataset): a second
+    triangles call and the clustering-coefficient consumer must return
+    the SAME checkpointed frame, and clear_copurchase_memo releases it."""
+    from spotify_tracks_spark.operators import graph as g
+
+    rows = [(1, 1), (1, 2), (1, 3)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    g.clear_copurchase_memo()
+    t1 = g.parts_copurchase_triangles(spark, str(tmp_path))
+    t2 = g.parts_copurchase_triangles(spark, str(tmp_path))
+    assert t1 is t2
+    assert len(g._TRI_MEMO) == 1
+    g.parts_copurchase_clustering_coef(spark, str(tmp_path))
+    assert len(g._TRI_MEMO) == 1  # consumer reused, didn't rebuild
+    g.clear_copurchase_memo()
+    assert not g._TRI_MEMO

@@ -800,3 +800,44 @@ def test_retention_curve_fit_recovers_planted_half_life(spark, tmp_path):
 
     assert r.slope == pytest.approx(math.log(0.5), rel=1e-12)
     assert r.half_life_weeks == pytest.approx(1.0, rel=1e-12)
+
+
+def test_seasonal_decompose_planted(spark, tmp_path):
+    """Planted series: a constant-7 daily count for 14 consecutive days
+    decomposes to trend=7, seasonal=0, residual=0 everywhere (the mean
+    of any centered window of a constant is the constant, so the
+    detrended series is identically zero).  A second type with a single
+    +6 spike on day 8 must put the spike's weekday seasonal above the
+    others and reconstruct n = trend + seasonal + residual exactly."""
+    from datetime import datetime
+
+    from spotify_tracks_spark.operators.timeseries import (
+        events_seasonal_decompose,
+    )
+
+    rows = []
+    for d in range(1, 15):
+        for i in range(7):
+            rows.append((1000 + i, "flat", datetime(2024, 3, d, 10, 0, 0), 1.0))
+    for d in range(1, 15):
+        n = 8 if d == 8 else 2
+        for i in range(n):
+            rows.append((2000 + i, "spiky", datetime(2024, 3, d, 10, 0, 0), 1.0))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = events_seasonal_decompose(spark, str(tmp_path)).collect()
+    flat = [r for r in out if r.event_type == "flat"]
+    assert len(flat) == 14
+    for r in flat:
+        assert r.trend == 7.0 and r.seasonal == 0.0 and r.residual == 0.0
+    spiky = {r.day.day: r for r in out if r.event_type == "spiky"}
+    assert len(spiky) == 14
+    # reconstruction is exact up to float associativity
+    for r in spiky.values():
+        assert abs(r.n_events - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # day 8 (2024-03-08, a Friday) carries the only positive seasonal cell
+    fri = spiky[8].seasonal
+    assert fri > 0
+    assert all(spiky[d].seasonal < fri for d in spiky if d not in (1, 8))
