@@ -369,6 +369,28 @@ def parts_copurchase_triangles(
     if key in _TRI_MEMO:
         return _TRI_MEMO[key]
     evict_stale_sessions(_TRI_MEMO, id(spark))
+    lazy, oriented = _build_triangle_counts(
+        spark, sf_dir, max_order_items, broadcast_max_edges
+    )
+    out = lazy.localCheckpoint(eager=True)
+    # the |V|-row counts are pinned; the oriented-edge layout was only
+    # needed to build them — release it (cache-release discipline)
+    oriented.unpersist()
+    _TRI_MEMO[key] = out
+    return out
+
+
+def _build_triangle_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int,
+    broadcast_max_edges: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY triangle-count plan plus the persisted oriented-edge
+    handle it reads — split out of ``parts_copurchase_triangles`` so
+    plan tests can inspect the pre-checkpoint semi-join shape (the
+    memoized public frame is an RDD scan that hides it).  Callers own
+    the handle: unpersist it once the plan is materialized."""
     edges = copurchase_edges(spark, sf_dir, max_order_items)
     # the count drives the broadcast-vs-shuffle gate on the closing-edge
     # probe (cheap: a scan of the checkpointed shared artifact)
@@ -425,13 +447,8 @@ def parts_copurchase_triangles(
         tris.select(F.explode(F.array("u", "v", "w")).alias("part_id"))
         .groupBy("part_id")
         .agg(F.count("*").alias("n_triangles"))
-        .localCheckpoint(eager=True)
     )
-    # the |V|-row counts are pinned; the oriented-edge layout was only
-    # needed to build them — release it (cache-release discipline)
-    oriented.unpersist()
-    _TRI_MEMO[key] = out
-    return out
+    return out, oriented
 
 
 KCORE_DEG_NUM, KCORE_DEG_DEN = 7, 10   # k = ⌊0.7·mean degree⌋ (integer math)

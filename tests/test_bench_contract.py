@@ -104,9 +104,11 @@ def test_memo_probes_resolve_real_memos():
     assert set(probes) == {
         "model_chain",
         "copurchase_edges",
+        "copurchase_triangles",
         "dedup_shingles",
         "dedup_minhash_pairs",
         "ann_exact_baseline",
         "bpe_artifacts",
     }
     assert probes["copurchase_edges"] is _g._EDGE_MEMO
+    assert probes["copurchase_triangles"] is _g._TRI_MEMO

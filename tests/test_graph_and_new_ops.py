@@ -54,8 +54,19 @@ def test_triangle_shuffle_path_matches_broadcast(spark, tmp_path):
     assert {r.n_triangles for r in shuf.collect()} == {3}
 
     # initial (pre-AQE) plan: the LeftSemi closing probe must be a
-    # shuffle join, not a broadcast-hash join over the edge relation
-    plan = shuf._jdf.queryExecution().optimizedPlan().toString()
+    # shuffle join, not a broadcast-hash join over the edge relation.
+    # The public frame is memoized behind a localCheckpoint (an RDD scan
+    # that hides the join), so inspect the LAZY builder's plan.
+    from spotify_tracks_spark.operators.graph import (
+        TRI_MAX_ORDER_ITEMS,
+        _build_triangle_counts,
+    )
+
+    lazy, oriented = _build_triangle_counts(
+        spark, str(tmp_path), TRI_MAX_ORDER_ITEMS, 0
+    )
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    oriented.unpersist()
     import re
 
     semi_hints = re.findall(r"Join LeftSemi[^\n]*", plan)
