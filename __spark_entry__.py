@@ -560,15 +560,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Adamic-Adar link prediction over the shared co-purchase graph
         # (non-edge pairs, 1/ln(deg) center weights — round-9 addition)
         "parts_copurchase_adamic_adar": _graph_adamic_adar,
-        # per-node local clustering coefficient (2*tri/(deg*(deg-1)) off
-        # the session-shared triangle counts — round-9 addition)
-        "parts_copurchase_clustering_coef": _graph_clustering_coef,
         # additive trend/seasonal/residual decomposition of the daily
         # series (centered 7-day trend, isodow seasonal — round-9 addition)
         "events_seasonal_decompose": _ts.events_seasonal_decompose,
         # --- rotated OUT of the driver surface in round 7 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
         "parts_copurchase_triangles": parts_copurchase_triangles,
+        # per-node local clustering coefficient (2*tri/(deg*(deg-1)) off
+        # the session-shared triangle counts — round-9 addition).
+        # REGISTERED AFTER triangles on purpose: triangles is the
+        # anchored carrier of the shared wedge-join artifact; this
+        # consumer's anchor is warm-memo (the carriers key in BENCH_FULL
+        # caught the reversed order paying the build here).
+        "parts_copurchase_clustering_coef": _graph_clustering_coef,
         "text_doc_similarity": _text.text_doc_similarity,
         "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
         "events_stream_cms": _events_stream_cms,
