@@ -409,7 +409,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionize/join) and the whole 4-round round-5 cohort
     (hll_distinct, bloom_membership, minhash_incremental, kcore, the
     tpch trio, temperature_sample, split_drift, bm25).  The round-7
-    (2 driver rounds) and round-8 (1 round) cohorts stay."""
+    (2 driver rounds) and round-8 (1 round) cohorts stay.
+
+    ROUND-10 ROTATION (widened 20 → 26: 90/239 registered queries had
+    never held a driver slot after round 9 and both sitting cohorts
+    were rotation-eligible): 26 never-driver-rowed operators IN — the
+    mechanically-computed heaviest of the never-rowed tail (union over
+    CORRECTNESS_r01–r09 keys, ranked by BENCH_FULL_r09 time), which by
+    construction covers all nine round-9 additions
+    (kmv_anotb batch+stream, stream_hll_set_ops, adamic_adar,
+    clustering_coef, seasonal_decompose, attribution_time_decay,
+    source_cap, quality_sweep) plus the heaviest never-rowed tail
+    (excess_supply_candidates, dedup_ngram_jaccard_uncapped,
+    part_small_qty_revenue, dedup_edit_distance,
+    orders_top_revenue_unshipped, corpus_repeated_ngrams, the five
+    remaining nation_* warehouse shapes, orders_large_volume,
+    ann_topk_ivfpq, text_bigram_lm_score, lineitem_late_shipment_modes,
+    events_profile, events_session_cooccurrence).  Rotated OUT the 26
+    longest-green: the whole round-7 cohort (3 driver rounds r7–r9:
+    pagerank, jaccard_exact_join, containment, clusters_star,
+    semantic_ivf, welch_ttest, bootstrap_ci, bootstrap_ab, srm_check,
+    cuped_ab_test, curriculum_order, quantile_hist batch+stream) and
+    the whole round-8 cohort (2 driver rounds r8–r9: communities,
+    substitutes, sequential_ab batch+stream, did, retention_curve_fit,
+    naive_bayes_langid, rfm, pareto, pack_sequences, bpe_merges,
+    span_corruption, ann_recall_eval_all).  The round-9 cohort stays
+    (1 driver round).  Never-rowed tail after this round: 64."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -458,63 +483,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_min_cost_supplier": _tpch.part_min_cost_supplier,
         # token-budget corpus selection via the two-level prefix
         "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
-        # --- rotated IN round 8: first-ever driver rows, fronted ---
-        # frequency-based label propagation (Raghavan 2007): community
-        # detection, distinct from the dedup family's min-label CC
-        "parts_copurchase_communities": _graph_communities,
-        # neighborhood-cosine substitute candidates (structural twin of
-        # the co-occurrence complement miners)
-        "parts_copurchase_substitutes": _graph_substitutes,
-        # group-sequential conversion monitoring (OBF-shape boundary)
-        "events_sequential_ab": _an.events_sequential_ab,
-        # streaming fold of the sequential monitor (always-on looks)
-        "events_stream_sequential_ab": _events_stream_sequential_ab,
-        # paired difference-in-differences across the calendar midpoint
-        "events_did": _an.events_did,
-        # pooled retention decay fit (half-life one-number summary)
-        "events_retention_curve_fit": _an.events_retention_curve_fit,
-        # trained multinomial-NB language ID (confusion-matrix eval)
-        "text_naive_bayes_langid": _text.text_naive_bayes_langid,
-        # RFM quartile segmentation (entity-grain ntile scoring)
-        "events_rfm": _an.events_rfm,
-        # Pareto concentration curve (cumulative share, head flag)
-        "events_pareto": _ts.events_pareto,
-        # greedy first-fit sequence packing via the two-level prefix
-        "corpus_pack_sequences": _llm.corpus_pack_sequences,
-        # tokenizer TRAINING: first K learned BPE merges (iterative
-        # top-pair merge over the word-frequency table)
-        "corpus_bpe_merges": _llm.corpus_bpe_merges,
-        # T5-style span corruption (input/target denoising pairs)
-        "corpus_span_corruption": _llm.corpus_span_corruption,
-        # all-family ANN index evaluation: recall@k for lsh/ivf/ivf2/
-        # pq/ivfpq in one report against the shared exact baseline
-        "ann_recall_eval_all": _sim.ann_recall_eval_all,
-        # --- rotated IN round 7: first-ever driver rows, fronted ---
-        # fixed-depth power iteration over the co-purchase graph
-        "parts_copurchase_pagerank": _graph_pagerank,
-        # EXACT set-similarity join (prefix filtering, AllPairs/PPJoin)
-        "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
-        # asymmetric shingle containment (excerpt/quote detection)
-        "dedup_containment": _dedup.dedup_containment,
-        # alternating large-star/small-star connected components
-        "dedup_clusters_star": _dedup.dedup_clusters_star,
-        # SemDeDup-shape cluster-blocked (IVF-cell) semantic dedup
-        "dedup_semantic_ivf": _dedup_semantic_ivf,
-        # Welch unequal-variance t-test (exact per-arm integer moments)
-        "events_welch_ttest": _an.events_welch_ttest,
-        # Poisson bootstrap CI (hash-deterministic multiplicities)
-        "events_bootstrap_ci": _an.events_bootstrap_ci,
-        # bootstrap of the treatment effect (joint per-replica resample)
-        "events_bootstrap_ab": _an.events_bootstrap_ab,
-        # SRM assignment-health chi-square gate
-        "events_srm_check": _an.events_srm_check,
-        # CUPED-adjusted variance-reduced A/B readout
-        "events_cuped_ab_test": _an.events_cuped_ab_test,
-        # curriculum ordering via the two-level prefix primitive
-        "corpus_curriculum_order": _llm.corpus_curriculum_order,
-        # mergeable equi-width quantile sketch (batch + streaming fold)
-        "events_quantile_hist": _profile.events_quantile_hist,
-        "events_stream_quantile_hist": _events_stream_quantile_hist,
+        # --- rotated IN round 10: first-ever driver rows (the heaviest
+        # of the never-rowed tail; covers all nine round-9 additions) ---
+        # streaming fold of the HLL pair report (register-max drain)
+        "events_stream_hll_set_ops": _events_stream_hll_set_ops,
+        # theta-sketch A-NOT-B: directional audience difference per
+        # event-type pair (batch + streaming fold, same oracle)
+        "events_kmv_anotb": _events.events_kmv_anotb,
+        "events_stream_kmv_anotb": _events_stream_kmv_anotb,
+        # Adamic-Adar link prediction over the shared co-purchase graph
+        # (non-edge pairs, 1/ln(deg) center weights)
+        "parts_copurchase_adamic_adar": _graph_adamic_adar,
+        # per-node local clustering coefficient off the session-shared
+        # triangle counts.  NOTE: triangles now lives in the extras
+        # tier, so in bench order THIS query fronts the wedge-join
+        # build and becomes the copurchase_triangles carrier — the
+        # carriers key records it and the family was re-anchored.
+        "parts_copurchase_clustering_coef": _graph_clustering_coef,
+        # additive trend/seasonal/residual decomposition (daily grain)
+        "events_seasonal_decompose": _ts.events_seasonal_decompose,
+        # time-decay attribution (dyadic 2^-age weights)
+        "events_attribution_time_decay": _events.events_attribution_time_decay,
+        # per-source frequency cap (WindowGroupLimit top-k per source)
+        "corpus_source_cap": _llm.corpus_source_cap,
+        # quality-threshold yield curve (one pass + broadcast spine)
+        "corpus_quality_sweep": _llm.corpus_quality_sweep,
+        # nested semi-join dominance (warehouse Q20 shape)
+        "excess_supply_candidates": _tpch.excess_supply_candidates,
+        # uncapped exhaustive blocked-Jaccard (full reference semantics)
+        "dedup_ngram_jaccard_uncapped": _ngram_jaccard_uncapped,
+        # correlated-scalar decorrelation (warehouse Q17 shape)
+        "part_small_qty_revenue": _tpch.part_small_qty_revenue,
+        # fifth dedup family: Levenshtein verify over LSH candidates
+        "dedup_edit_distance": _dedup.dedup_edit_distance,
+        # top-k revenue join (warehouse Q3 shape)
+        "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
+        # cross-doc repeated-substring exposure (memorization ranking)
+        "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
+        # LIKE-dim profit rollup (warehouse Q9 shape)
+        "nation_product_profit": _tpch.nation_product_profit,
+        # HAVING semi-join (warehouse Q18 shape)
+        "orders_large_volume": _tpch.orders_large_volume,
+        # same-nation customer/supplier join (warehouse Q5 shape)
+        "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
+        # IVF×PQ composed index: cell prune + code-only ADC rerank
+        "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
+        # market-share ratio (warehouse Q8 shape)
+        "nation_market_share": _tpch.nation_market_share,
+        # corpus-fit character-bigram LM, per-doc mean log-likelihood
+        "text_bigram_lm_score": _text.text_bigram_lm_score,
+        # bidirectional nation pair (warehouse Q7 shape)
+        "nation_volume_shipping": _tpch.nation_volume_shipping,
+        # global-scalar HAVING concentration (warehouse Q11 shape)
+        "nation_part_value_concentration": _tpch.nation_part_value_concentration,
+        # CASE-count shipmode pair (warehouse Q12 shape)
+        "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
+        # one-scan per-column profile (multi-distinct Expand plan)
+        "events_profile": _profile.events_profile,
+        # market-basket co-occurrence + lift over sessions
+        "events_session_cooccurrence": _events.events_session_cooccurrence,
     }
     assert len(q) == 50, f"driver surface must stay at 50 entries, got {len(q)}"
     return q
@@ -557,22 +584,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup.dedup_exact,
         "ann_topk_bruteforce": _sim.ann_topk_bruteforce,
         "corpus_prep": corpus_prep,
-        # Adamic-Adar link prediction over the shared co-purchase graph
-        # (non-edge pairs, 1/ln(deg) center weights — round-9 addition)
-        "parts_copurchase_adamic_adar": _graph_adamic_adar,
-        # additive trend/seasonal/residual decomposition of the daily
-        # series (centered 7-day trend, isodow seasonal — round-9 addition)
-        "events_seasonal_decompose": _ts.events_seasonal_decompose,
+        # (adamic_adar, seasonal_decompose rotated INTO the driver
+        # round 10)
         # --- rotated OUT of the driver surface in round 7 (driver-green
         # ≥2 rounds; identical hash-compare continues here every run) ---
+        # NOTE: triangles shares the wedge-join artifact with the
+        # clustering-coefficient query, which round 10 rotated INTO the
+        # driver tier — in bench order clustering_coef now runs first
+        # and carries the build; this row reads the warm memo (both
+        # re-anchored, carriers key records the swap).
         "parts_copurchase_triangles": parts_copurchase_triangles,
-        # per-node local clustering coefficient (2*tri/(deg*(deg-1)) off
-        # the session-shared triangle counts — round-9 addition).
-        # REGISTERED AFTER triangles on purpose: triangles is the
-        # anchored carrier of the shared wedge-join artifact; this
-        # consumer's anchor is warm-memo (the carriers key in BENCH_FULL
-        # caught the reversed order paying the build here).
-        "parts_copurchase_clustering_coef": _graph_clustering_coef,
         "text_doc_similarity": _text.text_doc_similarity,
         "events_cms_heavy_hitters": _events.events_cms_heavy_hitters,
         "events_stream_cms": _events_stream_cms,
@@ -610,8 +631,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dropDuplicatesWithinWatermark variant of the streaming ingest
         # mapInArrow sibling of multimodal_bytes (zero-copy RecordBatches)
         "multimodal_bytes_arrow": multimodal_bytes_arrow,
-        # uncapped exhaustive blocked-Jaccard (full reference semantics)
-        "dedup_ngram_jaccard_uncapped": _ngram_jaccard_uncapped,
+        # (ngram_jaccard_uncapped rotated INTO the driver round 10)
         # probe-set top-1 embedding near-dup (baseline form)
         "dedup_embedding": _sim.dedup_embedding,
         # uniform deterministic sample (stratified generalizes it)
@@ -629,6 +649,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series surface (operators/timeseries.py): RANGE-frame
         # rolling aggregates, integer-exact z-score anomaly flags, and
         # ignore-nulls-window linear interpolation over a calendar spine
+        # (rolling_7d stays here — just below the round-10 rotation cut)
         "events_rolling_7d": _ts.events_rolling_7d,
         # calendar-aware EWMA with dyadic decay (bit-deterministic
         # cross-engine: every weight an exact power of two)
@@ -644,23 +665,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ann_recall_eval_all rotated INTO the driver round 8)
         # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
         "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
-        # IVF×PQ composed index: cell prune + code-only ADC rerank (the
-        # deployed billion-scale shape; corpus floats never read at query)
-        "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
+        # (ann_topk_ivfpq rotated INTO the driver round 10)
         # matryoshka-style dimension ablation: recall@k at truncated dims
         # multilingual rebalancing: down-sample every language to the
         # smallest one's volume (data-derived hash-mod rates)
         "corpus_language_balance": _llm.corpus_language_balance,
-        # one-scan per-column profile (multi-distinct Expand plan)
-        "events_profile": _profile.events_profile,
+        # (events_profile rotated INTO the driver round 10)
         # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
         "events_grouping_sets": _events.events_grouping_sets,
         # sliding-window streaming aggregate (window 1d, slide 12h)
         "events_stream_sliding": _events_stream_sliding,
         # int8-style scalar quantization + reconstruction-error report
         "embedding_quantize": _sim.embedding_quantize,
-        # corpus-fit character-bigram LM, per-doc mean log-likelihood
-        "text_bigram_lm_score": _text.text_bigram_lm_score,
+        # (text_bigram_lm_score rotated INTO the driver round 10)
         # heavy-hitter key report (the input to every skew-handling knob)
         "events_key_skew": _an.events_key_skew,
         # stream-static broadcast enrichment join (complete-mode drain)
@@ -703,40 +720,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairwise Pearson correlation of daily series (exact sums)
         "events_type_correlation": _ts.events_type_correlation,
         # left-outer stream-stream interval join (watermark null-emits)
-        # market-basket co-occurrence + lift over sessions
-        "events_session_cooccurrence": _events.events_session_cooccurrence,
+        # (session_cooccurrence rotated INTO the driver round 10)
         # classic warehouse-benchmark shapes over the TPC-H-ish tables
-        # (operators/tpch_shapes.py): Q1 pricing summary, Q3 top-k
-        # revenue join, Q2 min-cost-supplier ranking, basket rules
+        # (operators/tpch_shapes.py).  Round 10 rotated the never-rowed
+        # majority of the family INTO the driver tier (Q3/Q5/Q7/Q8/Q9/
+        # Q11/Q12/Q17/Q18/Q20 shapes); the rows already driver-green in
+        # earlier rounds stay here.
         "lineitem_pricing_summary": _tpch.lineitem_pricing_summary,
-        "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
-        # the benchmark's three canonical SUBQUERY shapes, decorrelated:
-        # correlated-scalar (Q17), HAVING semi-join (Q18), global-scalar
-        # + NOT-EXISTS anti-join (Q22)
-        "part_small_qty_revenue": _tpch.part_small_qty_revenue,
-        "orders_large_volume": _tpch.orders_large_volume,
         "customers_idle_high_balance": _tpch.customers_idle_high_balance,
         "orders_priority_late_ship": _tpch.orders_priority_late_ship,
-        # Q5's same-nation customer/supplier join; Q10's returned-revenue
-        # top-k — the last two canonical join shapes
-        "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
         "customers_returned_revenue": _tpch.customers_returned_revenue,
-        # the 12 shapes completing the canonical warehouse family:
-        # Q6 pure-scan forecast, Q7 bidirectional nation pair, Q8
-        # market-share ratio, Q9 LIKE-dim profit, Q11 global-scalar
-        # HAVING, Q12 CASE-count pair, Q13 outer-join histogram, Q14
-        # promo ratio, Q15 scalar-max view, Q16 distinct-count +
-        # NOT-IN anti-join, Q19 disjunctive pushdown, Q20 nested
-        # semi-join dominance, Q21 EXISTS/NOT-EXISTS decorrelation
-        "nation_volume_shipping": _tpch.nation_volume_shipping,
-        "nation_market_share": _tpch.nation_market_share,
-        "nation_product_profit": _tpch.nation_product_profit,
-        "nation_part_value_concentration": _tpch.nation_part_value_concentration,
-        "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
         "promo_revenue_share": _tpch.promo_revenue_share,
         "top_supplier_revenue": _tpch.top_supplier_revenue,
         "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
-        "excess_supply_candidates": _tpch.excess_supply_candidates,
         # HyperLogLog: the third mergeable-sketch family (register-wise
         # max merge; deterministic trailing-zero rank, register-exact
         # oracle like the CMS/KMV twins)
@@ -748,9 +744,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened multilingual mix (p^alpha, alpha=1/2:
         # the sqrt schedule between proportional and uniform)
         # streaming Bloom fold: the ingest-time seen-before index
-        # cross-doc repeated-substring exposure (seed-gram form of
-        # exact-substring dedup; memorization-risk ranking)
-        "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
+        # (corpus_repeated_ngrams rotated INTO the driver round 10)
         # PSI drift gate over the frozen splits (data-quality family)
         # k-core peel: the fourth classic graph primitive (dense
         # backbone extraction; data-derived scale-free k)
@@ -766,15 +760,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-touch linear attribution (equal split across in-window
         # touches; the as-of op is its last-touch sibling)
         "events_attribution_linear": _events.events_attribution_linear,
-        # time-decay attribution (dyadic 2^-age weights — the third
-        # member of the standard trio; round-9 addition)
-        "events_attribution_time_decay": _events.events_attribution_time_decay,
-        # per-source frequency cap (web-corpus domain-cap curation step;
-        # WindowGroupLimit top-k per source — round-9 addition)
-        "corpus_source_cap": _llm.corpus_source_cap,
-        # quality-threshold yield curve (docs/tokens retained per grid
-        # threshold; one corpus pass + broadcast spine — round-9 addition)
-        "corpus_quality_sweep": _llm.corpus_quality_sweep,
+        # (attribution_time_decay, corpus_source_cap,
+        # corpus_quality_sweep rotated INTO the driver round 10)
         # (pagerank, clusters_star, containment, jaccard_exact_join,
         # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
@@ -795,8 +782,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rank_functions": _events.events_rank_functions,
         # calendar date-spine dimension (ISO week/year handled explicitly)
         "dim_calendar": _ts.dim_calendar,
-        # fifth dedup family: Levenshtein verify over LSH candidates
-        "dedup_edit_distance": _dedup.dedup_edit_distance,
+        # (dedup_edit_distance rotated INTO the driver round 10)
         # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
         "events_dau_wau_mau": _ts.events_dau_wau_mau,
         # (events_pareto rotated INTO the driver round 8)
@@ -879,15 +865,40 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _sim.ann_topk_lsh,
         "embedding_kmeans_init_counts": kmeans_init_counts,
         "dedup_ngram_jaccard": _dedup.dedup_ngram_jaccard,
-        # --- round-9 additions ---
-        # theta-sketch A-NOT-B: directional audience difference per
-        # event-type pair (completes the union/intersection algebra of
-        # events_kmv_set_ops; anti-join of below-theta registers)
-        "events_kmv_anotb": _events.events_kmv_anotb,
-        # streaming fold of the same report (drained registers, same oracle)
-        "events_stream_kmv_anotb": _events_stream_kmv_anotb,
-        # streaming fold of the HLL pair report (register-max drain)
-        "events_stream_hll_set_ops": _events_stream_hll_set_ops,
+        # (the round-9 A-NOT-B / stream-HLL-set-ops additions rotated
+        # INTO the driver round 10)
+        # --- rotated OUT of the driver surface in round 10 (the 26
+        # longest-green: the whole round-7 cohort after 3 driver rounds
+        # and the whole round-8 cohort after 2; identical hash-compare
+        # continues here every pytest run) ---
+        # round-7 cohort:
+        "parts_copurchase_pagerank": _graph_pagerank,
+        "dedup_jaccard_exact_join": _dedup.dedup_jaccard_exact_join,
+        "dedup_containment": _dedup.dedup_containment,
+        "dedup_clusters_star": _dedup.dedup_clusters_star,
+        "dedup_semantic_ivf": _dedup_semantic_ivf,
+        "events_welch_ttest": _an.events_welch_ttest,
+        "events_bootstrap_ci": _an.events_bootstrap_ci,
+        "events_bootstrap_ab": _an.events_bootstrap_ab,
+        "events_srm_check": _an.events_srm_check,
+        "events_cuped_ab_test": _an.events_cuped_ab_test,
+        "corpus_curriculum_order": _llm.corpus_curriculum_order,
+        "events_quantile_hist": _profile.events_quantile_hist,
+        "events_stream_quantile_hist": _events_stream_quantile_hist,
+        # round-8 cohort:
+        "parts_copurchase_communities": _graph_communities,
+        "parts_copurchase_substitutes": _graph_substitutes,
+        "events_sequential_ab": _an.events_sequential_ab,
+        "events_stream_sequential_ab": _events_stream_sequential_ab,
+        "events_did": _an.events_did,
+        "events_retention_curve_fit": _an.events_retention_curve_fit,
+        "text_naive_bayes_langid": _text.text_naive_bayes_langid,
+        "events_rfm": _an.events_rfm,
+        "events_pareto": _ts.events_pareto,
+        "corpus_pack_sequences": _llm.corpus_pack_sequences,
+        "corpus_bpe_merges": _llm.corpus_bpe_merges,
+        "corpus_span_corruption": _llm.corpus_span_corruption,
+        "ann_recall_eval_all": _sim.ann_recall_eval_all,
         # --- rotated OUT of the driver surface in round 9 (the 20
         # longest-green: 8-round core-adjacent entries, the 7-round
         # streaming/sink/multimodal cohort, and the 10-strong 4-round
@@ -943,32 +954,40 @@ def oracle_sql() -> dict[str, str]:
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
         "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
-        "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
-        "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
-        "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
-        "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
-        "events_did": oracles_ext.EVENTS_DID,
-        "events_retention_curve_fit": oracles_ext.EVENTS_RETENTION_CURVE_FIT,
-        "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
-        "events_rfm": oracles_ext.EVENTS_RFM,
-        "events_pareto": oracles_ext.EVENTS_PARETO,
-        "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
-        "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
-        "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
-        "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
-        "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
-        "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
-        "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
-        "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
-        "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
-        "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
-        "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
-        "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
-        "events_srm_check": oracles_ext.EVENTS_SRM_CHECK,
-        "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
-        "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
-        "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
-        "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
+        "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
+        "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "parts_copurchase_adamic_adar": (
+            oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
+        ),
+        "parts_copurchase_clustering_coef": (
+            oracles_ext.PARTS_COPURCHASE_CLUSTERING_COEF
+        ),
+        "events_seasonal_decompose": oracles_ext.EVENTS_SEASONAL_DECOMPOSE,
+        "events_attribution_time_decay": (
+            oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
+        ),
+        "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
+        "corpus_quality_sweep": oracles_ext.CORPUS_QUALITY_SWEEP,
+        "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
+        "dedup_ngram_jaccard_uncapped": oracles_ext.DEDUP_NGRAM_JACCARD,
+        "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
+        "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
+        "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
+        "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
+        "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
+        "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
+        "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
+        "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
+        "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
+        "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
+        "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
+        "nation_part_value_concentration": (
+            oracles_ext.NATION_PART_VALUE_CONCENTRATION
+        ),
+        "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
+        "events_profile": oracles_ext.EVENTS_PROFILE,
+        "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
     }
 
 
@@ -992,13 +1011,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles_ext.DEDUP_EXACT,
         "ann_topk_bruteforce": oracles_ext.ANN_TOPK_BRUTEFORCE,
         "corpus_prep": oracles_ext.CORPUS_PREP,
-        "parts_copurchase_adamic_adar": (
-            oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
-        ),
-        "parts_copurchase_clustering_coef": (
-            oracles_ext.PARTS_COPURCHASE_CLUSTERING_COEF
-        ),
-        "events_seasonal_decompose": oracles_ext.EVENTS_SEASONAL_DECOMPOSE,
         "parts_copurchase_triangles": oracles_ext.PARTS_COPURCHASE_TRIANGLES,
         "text_doc_similarity": oracles_ext.TEXT_DOC_SIMILARITY,
         "events_cms_heavy_hitters": oracles_ext.EVENTS_CMS_HEAVY_HITTERS,
@@ -1032,7 +1044,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_sessionize_native": oracles_ext.EVENTS_SESSIONIZE,
         "events_topk_per_user_salted": oracles_ext.EVENTS_TOPK_PER_USER,
         "multimodal_bytes_arrow": oracles_ext.MULTIMODAL_BYTES,
-        "dedup_ngram_jaccard_uncapped": oracles_ext.DEDUP_NGRAM_JACCARD,
         "dedup_embedding": oracles_ext.DEDUP_EMBEDDING,
         "events_sample": oracles_ext.EVENTS_SAMPLE,
         "events_cube": oracles_ext.EVENTS_CUBE,
@@ -1048,13 +1059,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
         "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
-        "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
         "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
-        "events_profile": oracles_ext.EVENTS_PROFILE,
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
         "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
-        "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
@@ -1072,35 +1080,16 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
-        "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
         "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
-        "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
-        "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
-        "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
         "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
-        "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
         "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
-        "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
-        "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
-        "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
-        "nation_part_value_concentration": (
-            oracles_ext.NATION_PART_VALUE_CONCENTRATION
-        ),
-        "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
         "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
         "top_supplier_revenue": oracles_ext.TOP_SUPPLIER_REVENUE,
         "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
-        "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
-        "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
-        "events_attribution_time_decay": (
-            oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
-        ),
-        "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
-        "corpus_quality_sweep": oracles_ext.CORPUS_QUALITY_SWEEP,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
         "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
@@ -1110,7 +1099,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
         "dim_calendar": oracles_ext.DIM_CALENDAR,
-        "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
         "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
@@ -1146,9 +1134,32 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracles_ext.ANN_TOPK_LSH,
         "embedding_kmeans_init_counts": oracles_ext.KMEANS_INIT_COUNTS,
         "dedup_ngram_jaccard": oracles_ext.DEDUP_NGRAM_JACCARD_CAPPED,
-        "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
-        "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
-        "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
+        "parts_copurchase_pagerank": oracles_ext.PARTS_COPURCHASE_PAGERANK,
+        "dedup_jaccard_exact_join": oracles_ext.DEDUP_JACCARD_EXACT_JOIN,
+        "dedup_containment": oracles_ext.DEDUP_CONTAINMENT,
+        "dedup_clusters_star": oracles_ext.DEDUP_CLUSTERS,
+        "dedup_semantic_ivf": oracles_ext.DEDUP_SEMANTIC_IVF,
+        "events_welch_ttest": oracles_ext.EVENTS_WELCH_TTEST,
+        "events_bootstrap_ci": oracles_ext.EVENTS_BOOTSTRAP_CI,
+        "events_bootstrap_ab": oracles_ext.EVENTS_BOOTSTRAP_AB,
+        "events_srm_check": oracles_ext.EVENTS_SRM_CHECK,
+        "events_cuped_ab_test": oracles_ext.EVENTS_CUPED_AB_TEST,
+        "corpus_curriculum_order": oracles_ext.CORPUS_CURRICULUM_ORDER,
+        "events_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
+        "events_stream_quantile_hist": oracles_ext.EVENTS_QUANTILE_HIST,
+        "parts_copurchase_communities": oracles_ext.PARTS_COPURCHASE_COMMUNITIES,
+        "parts_copurchase_substitutes": oracles_ext.PARTS_COPURCHASE_SUBSTITUTES,
+        "events_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_stream_sequential_ab": oracles_ext.EVENTS_SEQUENTIAL_AB,
+        "events_did": oracles_ext.EVENTS_DID,
+        "events_retention_curve_fit": oracles_ext.EVENTS_RETENTION_CURVE_FIT,
+        "text_naive_bayes_langid": oracles_ext.TEXT_NAIVE_BAYES_LANGID,
+        "events_rfm": oracles_ext.EVENTS_RFM,
+        "events_pareto": oracles_ext.EVENTS_PARETO,
+        "corpus_pack_sequences": oracles_ext.CORPUS_PACK_SEQUENCES,
+        "corpus_bpe_merges": oracles_ext.CORPUS_BPE_MERGES,
+        "corpus_span_corruption": oracles_ext.CORPUS_SPAN_CORRUPTION,
+        "ann_recall_eval_all": oracles_ext.ANN_RECALL_EVAL_ALL,
         "q2_dim_track_streaming_incremental": oracles.Q2_DIM_TRACK,
         "publish_roundtrip": oracles.Q7_RPT_ARTIST_COUNTS,
         "dedup_clusters": oracles_ext.DEDUP_CLUSTERS,

@@ -120,15 +120,53 @@ _EDGE_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 # top of the shared edges for the same reason.
 _DEG_MEMO: dict[tuple[int, str, int], DataFrame] = {}
 
+# Hub-cap observability, once per (session, op, dataset, cap): the wedge
+# operators (substitutes, adamic_adar) drop high-degree CENTERS from pair
+# generation and report how many.  Counting the hubs is a Spark action, so
+# doing it per-call put a driver-blocking job on the hot path purely for a
+# warning (round-9 verdict item 5).  The count now runs at most once per
+# key and the result is memoized; repeat invocations emit zero extra jobs
+# and zero warning noise.  Deliberately NOT cleared by
+# ``clear_copurchase_memo``: the warning is observability, not a
+# bench-attributed build artifact, so cold-cache bench passes stay free of
+# the extra job too.  Stale-session entries are evicted like the memos.
+_HUB_WARNED: dict[tuple[int, str, str, int], int] = {}
+
+
+def _warn_hub_drop(
+    op: str, spark: SparkSession, sf_dir: str, deg: DataFrame, max_center_deg: int
+) -> None:
+    """Warn (once per session/op/dataset/cap) how many hub centers the
+    degree cap excludes from wedge-pair generation.  ``deg`` must carry
+    the degree column as ``deg``."""
+    import warnings
+
+    key = (id(spark), op, sf_dir, max_center_deg)
+    if key in _HUB_WARNED:
+        return
+    evict_stale_sessions(_HUB_WARNED, id(spark))
+    n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
+    _HUB_WARNED[key] = n_dropped
+    if n_dropped:
+        warnings.warn(
+            f"{op}: {n_dropped} hub centers above deg {max_center_deg} "
+            "excluded from pair generation",
+            stacklevel=3,
+        )
+
 
 def clear_copurchase_memo() -> None:
-    """Release the session-memoized edge/degree artifacts.
+    """Release the session-memoized graph artifacts: the shared edge set
+    (``_EDGE_MEMO``), the per-node degree table (``_DEG_MEMO``), and the
+    per-node triangle counts (``_TRI_MEMO``, shared by
+    ``parts_copurchase_triangles`` and ``parts_copurchase_clustering_coef``).
 
     Bench-harness hook: each cold-cache pass calls this next to
     ``pipeline._MEMO.clear()`` so the first graph query per pass re-pays
     the shared build exactly once — the same attribution discipline the
     model chain uses for q1's staging build.  Dropping the references
-    lets Spark's ContextCleaner reclaim the checkpointed blocks."""
+    lets Spark's ContextCleaner reclaim the checkpointed blocks.
+    (``_HUB_WARNED`` is intentionally left alone — see its comment.)"""
     _EDGE_MEMO.clear()
     _DEG_MEMO.clear()
     _TRI_MEMO.clear()
@@ -722,19 +760,13 @@ def parts_copurchase_substitutes(
 
     Output: (part_id, substitute_id, common, sim, rank) — top-k rows
     per part that has any candidate."""
-    import warnings
-
     sym = copurchase_sym(spark, sf_dir, max_order_items)
     deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
         F.col("node").alias("src"), "deg"
     )
-    n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
-    if n_dropped:
-        warnings.warn(
-            f"parts_copurchase_substitutes: {n_dropped} hub centers above "
-            f"deg {max_center_deg} excluded from wedge generation",
-            stacklevel=2,
-        )
+    _warn_hub_drop(
+        "parts_copurchase_substitutes", spark, sf_dir, deg, max_center_deg
+    )
     centers = sym.join(
         F.broadcast(
             deg.filter(F.col("deg") <= max_center_deg).select("src")
@@ -807,7 +839,7 @@ def parts_copurchase_adamic_adar(
     co-neighborhood pair (cosine), this one anti-joins the existing edge
     set away and weights each shared neighbor by 1/ln(deg) — a rare
     shared neighbor is strong evidence, a hub says nothing (Adamic &
-    Adam, "Friends and neighbors on the Web", 2003).
+    Adar, "Friends and neighbors on the Web", 2003).
 
     Plan: wedge enumeration over the SESSION-SHARED memoized edge /
     degree artifacts (copurchase_edges / copurchase_degrees — zero extra
@@ -829,20 +861,14 @@ def parts_copurchase_adamic_adar(
 
     Output: (part_a, part_b, common, aa_score) for non-edge pairs with
     common >= ``min_common``; part_a < part_b."""
-    import warnings
-
     edges = copurchase_edges(spark, sf_dir, max_order_items)
     sym = copurchase_sym(spark, sf_dir, max_order_items)
     deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
         F.col("node").alias("src"), "deg"
     )
-    n_dropped = deg.filter(F.col("deg") > max_center_deg).count()
-    if n_dropped:
-        warnings.warn(
-            f"parts_copurchase_adamic_adar: {n_dropped} hub centers above "
-            f"deg {max_center_deg} excluded from pair generation",
-            stacklevel=2,
-        )
+    _warn_hub_drop(
+        "parts_copurchase_adamic_adar", spark, sf_dir, deg, max_center_deg
+    )
     # deg >= 2: a degree-1 center has no pair to emit, and filtering it
     # here keeps 1/ln(1) from ever materializing
     centers = sym.join(

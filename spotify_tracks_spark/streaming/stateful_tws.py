@@ -45,6 +45,14 @@ disk.  Unlock recipe for a real cluster: ``pip install 'protobuf>=4'``
 matches this pyspark 4.1 dist's generated ``*_pb2.py`` modules; the
 gated test (tests/test_streaming.py::test_stream_sessionize_tws_matches_batch)
 then pins TWS hash-equal to the applyInPandasWithState sessionization.
+
+CLOSED PERMANENTLY (round 10): one final pinned attempt —
+``pip install protobuf`` → NewConnectionError (no DNS route to the
+index), ``import google.protobuf`` → ModuleNotFoundError.  Per the
+round-9 verdict this is now documented as a permanent environment
+limitation in README §Limitations and is no longer tracked as a
+residual; the skip-gated test remains the unlock path on a real
+cluster.
 """
 
 from __future__ import annotations

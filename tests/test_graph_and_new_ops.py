@@ -541,3 +541,59 @@ def test_triangle_counts_are_session_memoized(spark, tmp_path):
     assert len(g._TRI_MEMO) == 1  # consumer reused, didn't rebuild
     g.clear_copurchase_memo()
     assert not g._TRI_MEMO
+
+
+def test_hub_warning_once_and_jobless_repeat(spark, tmp_path):
+    """The hub-cap warning counts dropped centers AT MOST ONCE per
+    (session, op, dataset, cap) — round-9 verdict item 5: the per-call
+    eager ``deg.filter(...).count()`` put a driver-blocking Spark job on
+    the hot path purely for observability.  Pin (a) the warning fires
+    exactly once across repeat invocations, and (b) a repeat invocation
+    schedules ZERO Spark jobs at plan-construction time (everything it
+    needs — edges, degrees, hub count — is session-memoized)."""
+    import warnings as w
+
+    from spotify_tracks_spark.operators import graph as g
+
+    # star graph: center 9 has degree 4 > cap 3 → one dropped hub
+    rows = [(o, p) for o, (a, b) in enumerate(
+        [(9, 1), (9, 2), (9, 3), (9, 4), (1, 2)]
+    ) for p in (a, b)]
+    df = spark.createDataFrame(
+        [(o, p) for o, pair in enumerate([(9, 1), (9, 2), (9, 3), (9, 4), (1, 2)])
+         for p in pair],
+        "l_orderkey long, l_partkey long",
+    )
+    df.coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    g.clear_copurchase_memo()
+    g._HUB_WARNED.clear()
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        g.parts_copurchase_adamic_adar(
+            spark, str(tmp_path), max_center_deg=3
+        ).collect()
+        first = [c for c in caught if "hub centers" in str(c.message)]
+        assert len(first) == 1, [str(c.message) for c in caught]
+        assert "1 hub centers above deg 3" in str(first[0].message)
+
+    # repeat: same key → no warning, no count job.  Job-count pin via a
+    # dedicated job group: plan construction must schedule nothing.
+    sc = spark.sparkContext
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        sc.setJobGroup("hub-warn-repeat", "repeat adamic_adar plan build")
+        try:
+            g.parts_copurchase_adamic_adar(spark, str(tmp_path), max_center_deg=3)
+        finally:
+            sc.setJobGroup("", "")
+        assert not [c for c in caught if "hub centers" in str(c.message)]
+    assert sc.statusTracker().getJobIdsForGroup("hub-warn-repeat") == []
+
+    # substitutes shares the helper but warns under its own op key
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        g.parts_copurchase_substitutes(spark, str(tmp_path), max_center_deg=3)
+        subs = [c for c in caught if "parts_copurchase_substitutes" in str(c.message)]
+        assert len(subs) == 1
+    g._HUB_WARNED.clear()
