@@ -8,10 +8,20 @@ consumer at a ladder of scale factors and reports the growth exponent
 between consecutive rungs, so a family bending worse than ~O(n log n)
 shows up as a number, not a vibe.
 
-Fixtures: synthetic ladders from ``scripts/gen_testdata.py`` (row counts
-scale linearly in sf; same generator across rungs, so cross-sf ratios
-are apples-to-apples — the driver-generated /root/testdata set only goes
-up to sf0.1).  Results go into the SCALE section of BASELINE.md.
+Two fixture ladders, both reported in the SCALE section of BASELINE.md:
+
+1. the DRIVER set (/root/testdata, sf0.001 → 0.1 — a true 100× span on
+   the data every anchor was measured on), and
+2. a SYNTHETIC extension from ``scripts/gen_testdata.py`` (same
+   generator across rungs so cross-sf ratios are apples-to-apples).
+   CAVEAT: the synthetic co-purchase graph is ~30× DENSER than the
+   driver set's (avg degree ~119 vs ~4 at comparable sf — the generator
+   draws parts near-uniformly), so graph-family rungs there measure a
+   much harder absolute workload per row; use the within-ladder
+   exponents, never cross-ladder absolute times.
+
+``SCALE_TARGETS=a,b,c`` (env) restricts the target list — the dense
+synthetic graph makes the wedge-join families expensive above sf0.2.
 
 Protocol per sf rung: fresh memo state (the same cold-cache discipline
 bench.py uses), then a FIXED execution order so carrier attribution is
@@ -54,7 +64,7 @@ def _targets():
     from spotify_tracks_spark.operators import similarity as _s
     import __spark_entry__ as em
 
-    ex = em.extra_queries()
+    ex = {**em.queries(), **em.extra_queries()}
     return [
         ("triangles", _g.parts_copurchase_triangles),
         ("eigencentrality", _g.parts_copurchase_eigencentrality),
@@ -87,15 +97,23 @@ def main() -> None:
     spark = get_spark("scale-curves")
     targets = _targets()
 
+    only = os.environ.get("SCALE_TARGETS")
+    if only:
+        keep = set(only.split(","))
+        targets = [(n, f) for n, f in targets if n in keep]
+
     # one throwaway pass at the smallest rung to amortize codegen JIT /
     # Python-worker forks out of the rung-1 numbers
     warm_dir = os.path.join(root, f"sf{sfs[0]:g}")
     _clear_memos()
     for name, fn in targets:
+        t = time.perf_counter()
         try:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            print(f"warmup {name}: {time.perf_counter() - t:.1f}s",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"warmup {name} failed: {e}", file=sys.stderr)
+            print(f"warmup {name} failed: {e}", file=sys.stderr, flush=True)
 
     results: dict[str, dict[str, float]] = {}
     for sf in sfs:
@@ -109,13 +127,15 @@ def main() -> None:
                 try:
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 except Exception as e:  # noqa: BLE001
-                    print(f"sf{sf:g} {name} FAILED: {e}", file=sys.stderr)
+                    print(f"sf{sf:g} {name} FAILED: {e}", file=sys.stderr,
+                          flush=True)
                     continue
-                rung.setdefault(name, []).append(
-                    round(time.perf_counter() - t, 3)
-                )
+                dt = round(time.perf_counter() - t, 3)
+                rung.setdefault(name, []).append(dt)
+                print(f"  sf{sf:g} pass{_pass + 1} {name}: {dt}s",
+                      file=sys.stderr, flush=True)
         results[f"{sf:g}"] = {n: min(ts) for n, ts in rung.items()}
-        print(f"sf{sf:g}: {results[f'{sf:g}']}", file=sys.stderr)
+        print(f"sf{sf:g}: {results[f'{sf:g}']}", file=sys.stderr, flush=True)
 
     # growth exponents between consecutive rungs: t2/t1 = (sf2/sf1)^alpha
     # → alpha = log(t2/t1)/log(sf2/sf1).  alpha ≈ 1 is linear; report the

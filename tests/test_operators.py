@@ -634,3 +634,30 @@ def test_minhash_incremental_planted(spark, tmp_path):
     assert got[13] == (0, 1, False)     # batch dup of earlier doc 1
     assert got[1] == (0, 0, True)
     assert got[17] == (0, 0, True)
+
+
+def test_ann_probe_panel_is_capped(spark, tmp_path):
+    """The probe set is a fixed-size PANEL, not a rate sample: with
+    probe_mod=1 every vector qualifies, but only the `max_probes` lowest
+    vec_ids may probe — the round-10 scale fix that keeps the exact-
+    baseline evaluation linear in corpus size (a rate sample makes the
+    probe x corpus scan quadratic).  The cap never binds at the oracle
+    SFs (<=20 probes on driver data), which is why the ANN oracles are
+    unchanged; this planted fixture is the cap's own pin."""
+    import numpy as np
+
+    n, d, cap = 40, 4, 8
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    similarity.clear_similarity_memo()
+    rows = similarity.ann_topk_bruteforce(
+        spark, str(tmp_path), k=3, probe_mod=1, max_probes=cap
+    ).collect()
+    probed = {r.query_id for r in rows}
+    assert probed == set(range(cap))  # lowest vec_ids, exactly cap many
+    similarity.clear_similarity_memo()
