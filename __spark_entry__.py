@@ -51,6 +51,9 @@ from spotify_tracks_spark.operators.graph import (
     parts_copurchase_clustering_coef as _graph_clustering_coef,
     parts_copurchase_eigencentrality as _graph_eigen,
     parts_copurchase_substitutes as _graph_substitutes,
+    parts_copurchase_jaccard_links as _graph_jaccard_links,
+    parts_copurchase_degree_powerlaw as _graph_degree_powerlaw,
+    parts_copurchase_ppr as _graph_ppr,
     parts_copurchase_kcore as _graph_kcore,
     parts_copurchase_pagerank as _graph_pagerank,
     parts_copurchase_triangles,
@@ -323,6 +326,15 @@ def _rpt_track_counts_streaming_incremental(spark: SparkSession, sf_dir: str) ->
     from spotify_tracks_spark.streaming import stream_rpt_track_counts_incremental
 
     return stream_rpt_track_counts_incremental(spark, sf_dir)
+
+
+def _rpt_artist_counts_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND mart read over the Q6 fold's (track_id, play_date) state
+    design: rpt_artist_counts maintained incrementally; drained result
+    bit-equals batch Q7 (streaming/incremental.py)."""
+    from spotify_tracks_spark.streaming import stream_rpt_artist_counts_incremental
+
+    return stream_rpt_artist_counts_incremental(spark, sf_dir)
 
 
 def _events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,6 +935,27 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": _llm.corpus_temperature_sample,
         "corpus_split_drift": _llm.corpus_split_drift,
         "text_bm25_scores": _text.text_bm25_scores,
+        # --- round 10 additions (first registered this round; next
+        # round's rotation gives them driver rows) ---
+        # Jaccard-coefficient link prediction (unweighted AA sibling)
+        "parts_copurchase_jaccard_links": _graph_jaccard_links,
+        # degree-distribution summary + power-law MLE alpha
+        "parts_copurchase_degree_powerlaw": _graph_degree_powerlaw,
+        # personalized PageRank from the top-degree seed set
+        "parts_copurchase_ppr": _graph_ppr,
+        # per-doc Flesch reading ease (3 regex counts, scan speed)
+        "text_readability": _text.text_readability,
+        # distributed Misra-Gries heavy terms (exact via recount pass)
+        "text_heavy_terms_mg": _text.text_heavy_terms_mg,
+        # per-language BPE fertility / chars-per-token report
+        "corpus_tokenizer_fertility": _llm.corpus_tokenizer_fertility,
+        # lead/lag Pearson CCF between click and purchase daily series
+        "events_lagged_crosscorr": _ts.events_lagged_crosscorr,
+        # SECOND mart read over the Q6 fold's state design (same oracle
+        # as batch Q7)
+        "q7_rpt_artist_counts_streaming_incremental": (
+            _rpt_artist_counts_streaming_incremental
+        ),
     }
 
 
@@ -1182,4 +1215,18 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
         "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
+        "parts_copurchase_jaccard_links": (
+            oracles_ext.PARTS_COPURCHASE_JACCARD_LINKS
+        ),
+        "parts_copurchase_degree_powerlaw": (
+            oracles_ext.PARTS_COPURCHASE_DEGREE_POWERLAW
+        ),
+        "parts_copurchase_ppr": oracles_ext.PARTS_COPURCHASE_PPR,
+        "text_readability": oracles_ext.TEXT_READABILITY,
+        "text_heavy_terms_mg": oracles_ext.TEXT_HEAVY_TERMS_MG,
+        "corpus_tokenizer_fertility": oracles_ext.CORPUS_TOKENIZER_FERTILITY,
+        "events_lagged_crosscorr": oracles_ext.EVENTS_LAGGED_CROSSCORR,
+        "q7_rpt_artist_counts_streaming_incremental": (
+            oracles.Q7_RPT_ARTIST_COUNTS
+        ),
     }

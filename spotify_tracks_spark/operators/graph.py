@@ -946,3 +946,208 @@ def parts_copurchase_clustering_coef(
             ).alias("clustering_coef"),
         )
     )
+
+
+def parts_copurchase_jaccard_links(
+    spark: SparkSession,
+    sf_dir: str,
+    min_common: int = AA_MIN_COMMON,
+    max_center_deg: int = AA_MAX_CENTER_DEG,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """LINK PREDICTION via the JACCARD coefficient — the unweighted
+    sibling of ``parts_copurchase_adamic_adar``: for part pairs NOT yet
+    co-purchased, J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|.  Where Adamic-Adar
+    asks "how rare are the shared neighbors", Jaccard asks "how much of
+    the two neighborhoods overlap at all" (Liben-Nowell & Kleinberg,
+    "The link-prediction problem for social networks", 2007) — the two
+    rank candidate edges differently exactly when one endpoint is a hub,
+    so the pair of reports brackets the prediction.
+
+    Plan: the identical wedge enumeration over the SESSION-SHARED
+    memoized edge / degree artifacts as the Adamic-Adar twin (same
+    center floor deg ≥ 2 and hub cap — the shuffle stays bounded at
+    |centers|·cap² — and the same (x < y) anti-join key against the
+    edge artifact), minus the per-center weight column: the common
+    count is the wedge count, and |N(u)∪N(v)| = deg(u)+deg(v)−common
+    reads off the UNCAPPED degree table, so no second neighborhood
+    pass exists anywhere in the plan.
+
+    Determinism: common and both degrees are exact integers; the
+    coefficient is one IEEE division of exact operands — bit-identical
+    cross-engine (no order-sensitive float sum at all, unlike the AA
+    weight sum).
+
+    Output: (part_a, part_b, common, jaccard) for non-edge pairs with
+    common >= ``min_common``; part_a < part_b."""
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
+    )
+    _warn_hub_drop(
+        "parts_copurchase_jaccard_links", spark, sf_dir, deg, max_center_deg
+    )
+    centers = sym.join(
+        F.broadcast(
+            deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_center_deg))
+        ),
+        "src",
+    ).select("src", "dst")
+    ca, cb = centers.alias("ca"), centers.alias("cb")
+    pairs = (
+        ca.join(
+            cb,
+            (F.col("ca.src") == F.col("cb.src"))
+            & (F.col("ca.dst") < F.col("cb.dst")),
+        )
+        .groupBy(F.col("ca.dst").alias("x"), F.col("cb.dst").alias("y"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    nonedges = pairs.join(edges, ["x", "y"], "left_anti")
+    dx = deg.select(F.col("src").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("src").alias("y"), F.col("deg").alias("dy"))
+    return (
+        nonedges.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("dx") + F.col("dy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def parts_copurchase_degree_powerlaw(
+    spark: SparkSession,
+    sf_dir: str,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """DEGREE-DISTRIBUTION summary of the co-purchase graph with the
+    continuous power-law MLE exponent: α̂ = 1 + n / Σᵢ ln(dᵢ / (dmin−½))
+    with dmin = 1 (Clauset, Shalizi & Newman, "Power-law distributions
+    in empirical data", SIAM Review 2009, eq. 3.1) — the one-scan
+    "is this graph scale-free" diagnostic that decides whether the hub
+    caps the wedge operators carry are load-bearing at production scale.
+
+    Plan: one global aggregate over the SESSION-SHARED |V|-row degree
+    table plus one global count over the shared edge artifact, combined
+    on a broadcast one-row spine (lint-rule-5-provable: both sides are
+    grouping-free aggregates).  Nothing edge- or fact-sized shuffles.
+
+    Determinism: n, Σdeg, min, max and the edge count are exact
+    integers; mean_deg is one IEEE division; the ln-sum is the only
+    order-sensitive float (ulp noise ~9 orders below the 6-dp hash
+    rounding — the AA-weight-sum-approved envelope).
+
+    Output: one row (n_nodes, n_edges, min_deg, max_deg, mean_deg,
+    alpha_mle)."""
+    deg = copurchase_degrees(spark, sf_dir, max_order_items)
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    deg_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+        F.sum("deg").alias("sum_deg"),
+        F.sum(F.log(F.col("deg").cast("double") / F.lit(0.5))).alias("sum_ln"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return deg_stats.crossJoin(F.broadcast(n_edges)).select(
+        "n_nodes",
+        "n_edges",
+        "min_deg",
+        "max_deg",
+        F.round(F.col("sum_deg") / F.col("n_nodes"), 6).alias("mean_deg"),
+        F.round(
+            F.lit(1.0) + F.col("n_nodes") / F.col("sum_ln"), 6
+        ).alias("alpha_mle"),
+    )
+
+
+PPR_ITERS = 5
+PPR_DAMPING = 0.85
+PPR_N_SEEDS = 8
+
+
+def parts_copurchase_ppr(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = PPR_ITERS,
+    damping: float = PPR_DAMPING,
+    n_seeds: int = PPR_N_SEEDS,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """PERSONALIZED PageRank from a deterministic seed set — the
+    recommender primitive global PageRank is not: restart mass returns
+    to the SEEDS instead of spreading uniformly, so scores measure
+    proximity to the seed neighborhood ("parts the market treats as
+    close to our flagship parts"), the random-walk-with-restart kernel
+    of Pixie-style recommenders (Eksombatchai et al., WWW 2018).
+    Seeds are the ``n_seeds`` highest-degree nodes with the (deg DESC,
+    node ASC) total tie-break, so the report is reproducible without a
+    seed argument.
+
+    Plan: same pinned-adjacency loop as the global-PageRank twin (the
+    shared memoized edge/degree artifacts; only the rank vector moves
+    between rounds) with one structural difference: the restart term is
+    a |S|-row UNION into each round's dst-keyed sum rather than a
+    constant, so nodes the walk has not reached simply never appear —
+    the rank frame stays sparse (≤ the 5-hop ball around the seeds)
+    instead of |V|-dense, which at production scale is the entire point
+    of PPR over PageRank.  Each round's vector is localCheckpointed
+    (the eigencentrality 2^n-lineage discipline).
+
+    Determinism: seed choice is a total order on exact integers; ranks
+    are IEEE doubles whose only hazard is summation order (~9 orders
+    below the 6-dp rounding); iteration depth fixed, no convergence
+    branch.
+
+    Output: (part_id, degree, rank) for nodes with nonzero walk mass,
+    6-dp rounded."""
+    sym = copurchase_sym(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("src"), "deg"
+    )
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(n_seeds)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)  # pin: seeds feed every round + the output
+    )
+    restart = seeds.select(
+        "node", F.lit((1.0 - damping) / n_seeds).alias("val")
+    )
+    adj = sym.join(deg, "src").persist()  # pinned per-query layout
+    try:
+        ranks = seeds.select("node", F.lit(1.0 / n_seeds).alias("rank"))
+        for _ in range(n_iter):
+            contrib = (
+                adj.join(ranks, adj.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(damping) * F.col("rank") / F.col("deg")).alias("val"),
+                )
+            )
+            ranks = (
+                contrib.unionByName(restart)
+                .groupBy("node")
+                .agg(F.sum("val").alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+        out = ranks.join(
+            deg.select(F.col("src").alias("node"), "deg"), "node"
+        ).select(
+            F.col("node").alias("part_id"),
+            F.col("deg").alias("degree"),
+            F.round("rank", 6).alias("rank"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+    return out

@@ -1238,3 +1238,47 @@ def corpus_quality_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY report: per-language BPE-tokens-per-word and
+    chars-per-BPE-token — the standard multilingual-tokenizer health
+    metric (a language whose fertility is 2× English pays 2× the
+    sequence length for the same text, so training mixes and context
+    budgets are planned off exactly this table; cf. the fertility tables
+    in the BLOOM/XGLM tokenizer analyses).
+
+    Plan: one narrow projection over the documents scan computing the
+    pinned ``text_analysis`` regex counts (WORD_RE / BPE_RE — the same
+    leftmost-first token streams ``text_tokens`` and the BPE family
+    pin), then a |languages|-row aggregate.  JVM-side regex in
+    whole-stage codegen, one tiny shuffle, column-pruned to
+    (lang, text).
+
+    Determinism: all sums are exact integers; each ratio is one IEEE
+    division of exact operands, 6-dp rounded.
+
+    Output: (lang, n_docs, n_words, n_bpe_tokens, fertility,
+    chars_per_bpe_token) — one row per language."""
+    from .text_analysis import BPE_RE, WORD_RE
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    per_doc = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0))
+        .cast("long")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    )

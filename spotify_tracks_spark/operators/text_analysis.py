@@ -621,3 +621,153 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     model.unpersist()
     return result
+
+
+# Flesch reading-ease heuristics, pinned for the oracle twin: sentences
+# are terminator RUNS (an unterminated trailing sentence folds into the
+# max(1, ·) floor), words are the WORD_RE runs the token counter already
+# uses, syllables are vowel-group runs — the classic dictionary-free
+# approximation (one group per syllable nucleus).
+SENT_RE = "[.!?]+"
+SYLL_RE = "[aeiouy]+"
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring: per-document Flesch reading ease
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    (Flesch, "A new readability yardstick", J. Applied Psychology 1948)
+    — next to ``text_quality``'s structural signals, the corpus-curation
+    filter that targets PROSE COMPLEXITY: training mixes routinely gate
+    or re-weight on a readability band, and the score needs only three
+    regex counts, so it runs at full scan speed with no model artifact.
+
+    Plan: one narrow projection over the documents scan — three
+    ``regexp_extract_all`` counts (JVM-side, whole-stage codegen; the
+    same machinery as ``text_tokens``) and one fixed-order float
+    expression.  Zero joins, zero shuffles, column-pruned to (doc_id,
+    lang, text).
+
+    Determinism: all three counts are exact integers; the score applies
+    a FIXED sequence of IEEE ops (two divisions of exact integers, two
+    multiplies, two subtractions, left-associated) that the oracle
+    mirrors literally; 6-dp rounded.  Docs with zero words are excluded
+    in both engines rather than scored on a guard value.
+
+    Output: (doc_id, lang, n_words, n_sentences, n_syllables, flesch)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    words = F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0))
+    sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit(SENT_RE), 0))
+    )
+    syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit(SYLL_RE), 0))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            syll.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                6,
+            ).alias("flesch"),
+        )
+    )
+
+
+# Misra-Gries summary size per PARTITION for the heavy-terms report.
+# The report threshold is freq > n/MG_K; a k-counter MG summary's
+# decrement total is <= n_p/(k+1) per partition, so every globally-heavy
+# term survives at least one partition summary (averaging argument) and
+# the exact recount pass makes the final set independent of MG internals.
+MG_K = 64
+
+
+def text_heavy_terms_mg(
+    spark: SparkSession, sf_dir: str, k: int = MG_K
+) -> DataFrame:
+    """HEAVY HITTERS over the corpus token stream via distributed
+    MISRA-GRIES: the exact set of word tokens with frequency > n/k,
+    computed WITHOUT shuffling the full token vocabulary — the classic
+    two-pass deterministic heavy-hitter scheme (Misra & Gries, "Finding
+    repeated elements", 1982; mergeable-summary form per Agarwal et al.,
+    PODS 2012).  The corpus-curation use is stopword/boilerplate-term
+    discovery on a token stream whose vocabulary is too large to
+    groupBy at 100 TB.
+
+    Plan: pass 1 is a ``mapInPandas`` over the exploded token stream
+    keeping a k-counter MG summary PER PARTITION (Arrow-batched; each
+    batch folds via ``value_counts`` then one compress step) — each
+    partition emits <= k candidate rows plus one NULL-token sentinel
+    carrying the partition token count, so the global total n rides the
+    same single pass.  Pass 2 recounts ONLY the <= k·P candidate tokens
+    via a broadcast semi-join on the token stream and keeps
+    ``freq·k > n`` — an exact integer comparison, so the output set is
+    precisely the > n/k terms, independent of partitioning and of the
+    summary's decrement history.  Only candidate rows ever shuffle.
+
+    Determinism: the MG superset guarantee makes pass 2's output exact;
+    freq and n are exact integers; the share is one 6-dp-rounded IEEE
+    division.
+
+    Output: (token, freq, n_total, share) for tokens with
+    freq·k > n_total."""
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        ).alias("tok")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # compress: subtract the (k+1)-th largest stored count
+                # from every counter, drop the non-positive — the
+                # mergeable-summaries step whose total decrement per
+                # partition is bounded by n_p/(k+1)
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - m for t, c in counters.items() if c - m > 0
+                }
+        out = pd.DataFrame(
+            {"tok": list(counters) + [None], "cnt": list(counters.values()) + [n_part]}
+        )
+        yield out
+
+    summary = toks.mapInPandas(mg_partition, "tok string, cnt long")
+    summary = summary.localCheckpoint(eager=True)  # one MG pass feeds both reads
+    n_total = summary.filter(F.col("tok").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    cands = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n_total"))
+        .select(
+            F.col("tok").alias("token"),
+            "freq",
+            "n_total",
+            F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
+        )
+    )

@@ -6860,3 +6860,289 @@ left join exct e on e.type_a = s.type_a and e.type_b = s.type_b
 
 
 EVENTS_HLL_SET_OPS = _hll_set_ops_sql()
+
+
+def _jaccard_links_sql() -> str:
+    """Mirrors parts_copurchase_jaccard_links: the Adamic-Adar oracle's
+    shared-edge construction and capped wedge enumeration, the weight
+    column dropped, union size from the UNCAPPED degree table as
+    deg(u)+deg(v)-common, 6-dp rounded exact-integer division."""
+    from .operators.graph import (
+        AA_MAX_CENTER_DEG,
+        AA_MIN_COMMON,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    return f"""
+with li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+keep as (
+    select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+li2 as (
+    select li.o, li.p from li join keep on keep.o = li.o
+),
+edges as materialized (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as materialized (
+    select x as src, y as dst from edges
+    union all
+    select y as src, x as dst from edges
+),
+deg as materialized (
+    select src, cast(count(*) as bigint) as deg from sym group by 1
+),
+centers as (
+    select sym.src, sym.dst
+    from sym join deg d on d.src = sym.src
+    where d.deg between 2 and {AA_MAX_CENTER_DEG}
+),
+pairs as (
+    select a.dst as x, b.dst as y,
+           cast(count(*) as bigint) as common
+    from centers a join centers b on a.src = b.src and a.dst < b.dst
+    group by 1, 2
+    having count(*) >= {AA_MIN_COMMON}
+)
+select p.x as part_a, p.y as part_b, p.common,
+       round(p.common / (dx.deg + dy.deg - p.common), 6) as jaccard
+from pairs p
+join deg dx on dx.src = p.x
+join deg dy on dy.src = p.y
+where not exists (
+    select 1 from edges e where e.x = p.x and e.y = p.y
+)
+"""
+
+
+PARTS_COPURCHASE_JACCARD_LINKS = _jaccard_links_sql()
+
+
+def _degree_powerlaw_sql() -> str:
+    """Mirrors parts_copurchase_degree_powerlaw: same edge/degree CTEs,
+    exact-integer extrema/counts, one double division for the mean and
+    the Clauset-Shalizi-Newman continuous-MLE alpha over an ln-sum."""
+    from .operators.graph import TRI_MAX_ORDER_ITEMS
+
+    return f"""
+with li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+keep as (
+    select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+li2 as (
+    select li.o, li.p from li join keep on keep.o = li.o
+),
+edges as materialized (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as (
+    select x as src, y as dst from edges
+    union all
+    select y as src, x as dst from edges
+),
+deg as (
+    select src, cast(count(*) as bigint) as deg from sym group by 1
+),
+ds as (
+    select cast(count(*) as bigint) as n_nodes,
+           min(deg) as min_deg,
+           max(deg) as max_deg,
+           cast(sum(deg) as bigint) as sum_deg,
+           sum(ln(cast(deg as double) / 0.5e0)) as sum_ln
+    from deg
+),
+ne as (select cast(count(*) as bigint) as n_edges from edges)
+select ds.n_nodes, ne.n_edges, ds.min_deg, ds.max_deg,
+       round(ds.sum_deg / ds.n_nodes, 6) as mean_deg,
+       round(1.0e0 + ds.n_nodes / ds.sum_ln, 6) as alpha_mle
+from ds, ne
+"""
+
+
+PARTS_COPURCHASE_DEGREE_POWERLAW = _degree_powerlaw_sql()
+
+
+def _ppr_sql() -> str:
+    """Mirrors parts_copurchase_ppr: the PageRank oracle's unrolled power
+    iteration with the restart term as a per-round |S|-row UNION ALL into
+    the dst-keyed sum (so unreached nodes never appear), seeds = top-S by
+    (deg desc, src asc), every float literal e0-suffixed for IEEE
+    doubles."""
+    from .operators.graph import (
+        PPR_DAMPING,
+        PPR_ITERS,
+        PPR_N_SEEDS,
+        TRI_MAX_ORDER_ITEMS,
+    )
+
+    d = f"{PPR_DAMPING}e0"
+    s = PPR_N_SEEDS
+    steps = []
+    for k in range(1, PPR_ITERS + 1):
+        steps.append(
+            f"""it{k} as (
+    select node, sum(val) as "rank" from (
+        select s.dst as node, {d} * r."rank" / g.deg as val
+        from sym s
+        join it{k - 1} r on r.node = s.src
+        join deg g on g.src = s.src
+        union all
+        select node, (1.0e0 - {d}) / {s} as val from seeds
+    ) u group by node
+)"""
+        )
+    joined_steps = ",\n".join(steps)
+    return f"""
+with li as (select distinct l_orderkey as o, l_partkey as p from lineitem),
+ok as (select o from li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}),
+li2 as (select li.* from li join ok using (o)),
+edges as (
+    select distinct a.p as x, b.p as y
+    from li2 a join li2 b on a.o = b.o and a.p < b.p
+),
+sym as (select x as src, y as dst from edges
+        union all
+        select y as src, x as dst from edges),
+deg as (select src, cast(count(*) as bigint) as deg from sym group by src),
+seeds as (
+    select src as node from deg order by deg desc, src asc limit {s}
+),
+it0 as (select node, 1.0e0 / {s} as "rank" from seeds),
+{joined_steps}
+select r.node as part_id, g.deg as degree, round(r."rank", 6) as rank
+from it{PPR_ITERS} r join deg g on g.src = r.node
+"""
+
+
+PARTS_COPURCHASE_PPR = _ppr_sql()
+
+
+TEXT_READABILITY = """
+with c as (
+    select doc_id, lang,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) as n_words,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) as n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) as n_syllables
+    from documents
+)
+select doc_id, lang, n_words, n_sentences, n_syllables,
+       round(206.835e0
+             - 1.015e0 * (n_words / n_sentences)
+             - 84.6e0 * (n_syllables / n_words), 6) as flesch
+from c
+where n_words > 0
+"""
+
+
+def _tokenizer_fertility_sql() -> str:
+    """Mirrors corpus_tokenizer_fertility: the TEXT_TOKENS regex pair,
+    exact-integer sums per language, two 6-dp-rounded IEEE divisions."""
+    return f"""
+with c as (
+    select lang,
+           length(text) as n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) as n_words,
+           len(regexp_extract_all(lower(text), '{_BPE_SQL}')) as n_bpe
+    from documents
+),
+s as (
+    -- sum(bigint) is HUGEINT in DuckDB; cast back so the divisions
+    -- below are the same bigint/bigint -> double ops Spark runs
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_words) as bigint) as n_words,
+           cast(sum(n_bpe) as bigint) as n_bpe_tokens,
+           cast(sum(n_chars) as bigint) as n_chars
+    from c
+    group by lang
+)
+select lang, n_docs, n_words, n_bpe_tokens,
+       round(n_bpe_tokens / n_words, 6) as fertility,
+       round(n_chars / n_bpe_tokens, 6) as chars_per_bpe_token
+from s
+"""
+
+
+CORPUS_TOKENIZER_FERTILITY = _tokenizer_fertility_sql()
+
+
+def _heavy_terms_sql() -> str:
+    """Mirrors text_heavy_terms_mg: the exact > n/k token set (the MG
+    pass is a superset-then-exact-recount scheme, so the oracle is the
+    direct exact computation), integer threshold compare, 6-dp share."""
+    from .operators.text_analysis import MG_K
+
+    return f"""
+with w as (
+    select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as token
+    from documents
+),
+n as (select cast(count(*) as bigint) as n_total from w),
+c as (
+    select token, cast(count(*) as bigint) as freq from w group by token
+)
+select c.token, c.freq, n.n_total,
+       round(c.freq / n.n_total, 6) as share
+from c, n
+where c.freq * {MG_K} > n.n_total
+"""
+
+
+TEXT_HEAVY_TERMS_MG = _heavy_terms_sql()
+
+
+def _lagged_crosscorr_sql() -> str:
+    """Mirrors events_lagged_crosscorr: (type, day) aggregate, in-row
+    lag expansion, date-shift equi-join, exact bigint moments (HUGEINT
+    sums cast back), the textbook fixed-order Pearson expression."""
+    from .operators.timeseries import XCORR_MAX_LAG, XCORR_X_TYPE, XCORR_Y_TYPE
+
+    return f"""
+with daily as (
+    select event_type, cast(ts as date) as day,
+           cast(count(*) as bigint) as c
+    from events
+    where event_type in ('{XCORR_X_TYPE}', '{XCORR_Y_TYPE}')
+    group by 1, 2
+),
+xs as (select day, c as x from daily where event_type = '{XCORR_X_TYPE}'),
+ys as (select day as y_day, c as y from daily where event_type = '{XCORR_Y_TYPE}'),
+xl as (
+    select xs.day, xs.x, cast(l.lag_days as integer) as lag_days
+    from xs, (select unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1)) as lag_days) l
+),
+j as (
+    select xl.lag_days, xl.x, ys.y
+    from xl join ys on ys.y_day = xl.day + xl.lag_days
+),
+m as (
+    select lag_days,
+           cast(count(*) as bigint) as n_days,
+           cast(sum(x) as bigint) as sum_x,
+           cast(sum(y) as bigint) as sum_y,
+           cast(sum(x * y) as bigint) as sxy,
+           cast(sum(x * x) as bigint) as sxx,
+           cast(sum(y * y) as bigint) as syy
+    from j group by lag_days
+),
+v as (
+    select *,
+           n_days * sxx - sum_x * sum_x as vx,
+           n_days * syy - sum_y * sum_y as vy
+    from m
+)
+select lag_days, n_days, sum_x, sum_y,
+       round((n_days * sxy - sum_x * sum_y)
+             / sqrt(cast(vx as double) * cast(vy as double)), 6) as r
+from v
+where vx > 0 and vy > 0
+"""
+
+
+EVENTS_LAGGED_CROSSCORR = _lagged_crosscorr_sql()

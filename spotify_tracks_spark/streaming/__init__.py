@@ -1,5 +1,6 @@
 from .incremental import (
     stream_dim_track_incremental,
+    stream_rpt_artist_counts_incremental,
     stream_rpt_discovery_rate_incremental,
     stream_rpt_track_counts_incremental,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "stream_click_purchase_join_outer",
     "stream_events_enrich",
     "stream_dim_track_incremental",
+    "stream_rpt_artist_counts_incremental",
     "stream_rpt_discovery_rate_incremental",
     "stream_rpt_track_counts_incremental",
     "stream_events_bloom",

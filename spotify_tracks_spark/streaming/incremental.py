@@ -527,6 +527,53 @@ def stream_rpt_discovery_rate_incremental(
     )
 
 
+def stream_rpt_artist_counts_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Maintain ``rpt_artist_counts`` (Q7) incrementally — a SECOND mart
+    read over the SAME (track_id, play_date)-grain state design as the
+    Q6 fold: the state already carries everything Q7 needs (per-day play
+    counts inside the trailing window, the max-resolved duration and the
+    min-folded artists label), so the artist mart is just a different
+    final aggregation of the identical fold.  On a deployment both marts
+    read ONE shared state table (Delta/Iceberg) maintained by one
+    streaming job — the "one incremental state, N downstream views"
+    shape that makes state-grain design the load-bearing decision at
+    scale; here each call drains its own fold so bench cost attribution
+    stays per-query (the Q6 twin's discipline).
+
+    Exactness: per track the in-window minutes are plays × max-resolved
+    duration — exact integral doubles (< 2^53) — and Q7's artist-grain
+    ``sum(duration_ms)`` is their exact sum over the artist's tracks,
+    with the single /1000/60 division applied once at read: bit-equal to
+    the batch Q7 (same oracle).  Q7's INNER dim join is vacuous against
+    this state (every fct track has a dim row by construction), and the
+    artists label rides the sentinel rows min-folded — functionally
+    dependent on track_id, the dim_track attribute argument."""
+    state = _drain_fold(
+        spark, sf_dir, base, _rpt_partials, _rpt_remerge, n_slices,
+        prefix="incr_rpt7_",
+    )
+    per_track = (
+        state.groupBy("track_id")
+        .agg(
+            F.sum("plays").alias("plays"),
+            F.max("dur_max").alias("dur_max"),
+            F.min("artists").alias("artists"),
+        )
+        .filter(F.col("plays") > 0)
+    )
+    return per_track.groupBy("artists").agg(
+        F.sum("plays").alias("plays"),
+        (F.sum(F.col("plays") * F.col("dur_max")) / 1000 / 60).alias(
+            "minutes_played"
+        ),
+    )
+
+
 def stream_rpt_track_counts_incremental(
     spark: SparkSession,
     sf_dir: str,
