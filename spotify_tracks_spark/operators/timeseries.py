@@ -1322,6 +1322,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XCORR_MAX_LAG = 3
+XCORR_MIN_DAYS = 3  # a 2-point overlap is always |r| = 1 — degenerate
 XCORR_X_TYPE = "click"
 XCORR_Y_TYPE = "purchase"
 
@@ -1351,8 +1352,10 @@ def events_lagged_crosscorr(
     Determinism: the events_cuped moment discipline — n, Σx, Σy, Σxy,
     Σx², Σy² are exact bigints in any partition order; r applies the
     textbook fixed-order IEEE expression once per lag, 6-dp rounded.
-    Lags where either series is constant (zero variance) are excluded
-    in both engines rather than scored on a 0/0 guard.
+    Lags where either series is constant (zero variance) or where the
+    overlap is shorter than ``XCORR_MIN_DAYS`` are excluded in both
+    engines — a 2-point overlap correlates at ±1 by construction, so
+    reporting it would be noise dressed as signal.
 
     Output: (lag_days, n_days, sum_x, sum_y, r) — one row per lag with
     nonzero variance on both sides."""
@@ -1385,7 +1388,7 @@ def events_lagged_crosscorr(
     vx = m["n_days"] * m["sxx"] - m["sum_x"] * m["sum_x"]
     vy = m["n_days"] * m["syy"] - m["sum_y"] * m["sum_y"]
     return (
-        m.filter((vx > 0) & (vy > 0))
+        m.filter((vx > 0) & (vy > 0) & (m["n_days"] >= XCORR_MIN_DAYS))
         .select(
             "lag_days",
             "n_days",

@@ -7101,7 +7101,12 @@ def _lagged_crosscorr_sql() -> str:
     """Mirrors events_lagged_crosscorr: (type, day) aggregate, in-row
     lag expansion, date-shift equi-join, exact bigint moments (HUGEINT
     sums cast back), the textbook fixed-order Pearson expression."""
-    from .operators.timeseries import XCORR_MAX_LAG, XCORR_X_TYPE, XCORR_Y_TYPE
+    from .operators.timeseries import (
+        XCORR_MAX_LAG,
+        XCORR_MIN_DAYS,
+        XCORR_X_TYPE,
+        XCORR_Y_TYPE,
+    )
 
     return f"""
 with daily as (
@@ -7141,7 +7146,7 @@ select lag_days, n_days, sum_x, sum_y,
        round((n_days * sxy - sum_x * sum_y)
              / sqrt(cast(vx as double) * cast(vy as double)), 6) as r
 from v
-where vx > 0 and vy > 0
+where vx > 0 and vy > 0 and n_days >= {XCORR_MIN_DAYS}
 """
 
 
