@@ -37,6 +37,7 @@ from spotify_tracks_spark.operators.asof import (
     events_asof_purchase_click,
     events_time_to_convert,
 )
+from spotify_tracks_spark.operators import clustering as _clu
 from spotify_tracks_spark.operators.clustering import embedding_kmeans, kmeans_init_counts
 from spotify_tracks_spark.operators.corpus import (
     corpus_dup_inflation,
@@ -52,6 +53,7 @@ from spotify_tracks_spark.operators.graph import (
     parts_copurchase_eigencentrality as _graph_eigen,
     parts_copurchase_substitutes as _graph_substitutes,
     parts_copurchase_jaccard_links as _graph_jaccard_links,
+    parts_copurchase_modularity as _graph_modularity,
     parts_copurchase_degree_powerlaw as _graph_degree_powerlaw,
     parts_copurchase_ppr as _graph_ppr,
     parts_copurchase_kcore as _graph_kcore,
@@ -956,6 +958,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_rpt_artist_counts_streaming_incremental": (
             _rpt_artist_counts_streaming_incremental
         ),
+        # reciprocal-rank fusion of the IVF + LSH candidate lists
+        "ann_topk_rrf_fusion": _sim.ann_topk_rrf_fusion,
+        # per-dimension embedding QA profile (dead/runaway dims)
+        "embedding_dim_stats": _clu.embedding_dim_stats,
+        # per-state transition entropy of the behavior chain
+        "events_markov_entropy": _an.events_markov_entropy,
+        # Newman modularity of the LPA communities (partition quality)
+        "parts_copurchase_modularity": _graph_modularity,
+        # RAKE keyword phrases (corpus-wide deg/freq word scores)
+        "text_rake_phrases": _text.text_rake_phrases,
     }
 
 
@@ -1229,4 +1241,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "q7_rpt_artist_counts_streaming_incremental": (
             oracles.Q7_RPT_ARTIST_COUNTS
         ),
+        "ann_topk_rrf_fusion": oracles_ext.ANN_TOPK_RRF_FUSION,
+        "embedding_dim_stats": oracles_ext.EMBEDDING_DIM_STATS,
+        "events_markov_entropy": oracles_ext.EVENTS_MARKOV_ENTROPY,
+        "parts_copurchase_modularity": (
+            oracles_ext.PARTS_COPURCHASE_MODULARITY
+        ),
+        "text_rake_phrases": oracles_ext.TEXT_RAKE_PHRASES,
     }

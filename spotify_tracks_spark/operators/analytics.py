@@ -2391,3 +2391,28 @@ def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         F.when(slope < 0, -F.lit(LN2) / slope).alias("half_life_weeks"),
     )
+
+
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state TRANSITION ENTROPY of the first-order behavior chain —
+    the predictability report on top of ``events_markov_transitions``:
+    H(from) = −Σ p·log₂p over that state's outgoing distribution.  A
+    low-entropy state funnels (next action predictable — automate it);
+    a high-entropy one branches (an intervention point).  The classic
+    sequence-model diagnostic (entropy rate of the fitted chain).
+
+    Plan: the transitions operator's single log shuffle, then a
+    |types|-row aggregate.  Nothing new touches the log.
+
+    Determinism: probabilities are exact-integer divisions; log₂ is
+    libm-correctly-rounded in both engines on those exact quotients;
+    the ≤|types|-term sum's order noise sits far below the 6-dp
+    rounding.
+
+    Output: (from_type, n_out, n_successors, entropy_bits)."""
+    trans = events_markov_transitions(spark, sf_dir)
+    return trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_out"),
+        F.count("*").alias("n_successors"),
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+    )

@@ -257,3 +257,46 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str, n_iters: int) -> float:
     """Total within-cluster squared distance after n_iters (for tests)."""
     df = embedding_kmeans(spark, sf_dir, n_iters=n_iters)
     return df.agg(F.sum("sq_dist")).collect()[0][0]
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION profile of the embedding corpus — the embedding-QA
+    report a vector pipeline runs before indexing: a dead dimension
+    (std ≈ 0) wastes index bits, a runaway one (|mean| ≫ others)
+    dominates every distance; both are invisible in row-level checks.
+
+    Plan: one ``posexplode`` scan (|rows|·d values) into a |d|-row
+    aggregate — the only shuffle carries (dim, moment-partials) after
+    map-side combine.  Exact min/max plus the n/Σx/Σx² moment fold.
+
+    Determinism: float32 elements widen exactly to double; Σx and Σx²
+    are the only order-sensitive floats (ulp noise far below the 6-dp
+    rounding); mean and the sample-std expression apply a fixed IEEE op
+    order the oracle mirrors.
+
+    Output: (dim, n, mean, std, min_v, max_v) — one row per dimension,
+    0-based."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    v = F.col("val").cast("double")
+    per = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+    return per.select(
+        "dim",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (F.col("n") * (F.col("n") - 1))
+            ),
+            6,
+        ).alias("std"),
+        F.round("mn", 6).alias("min_v"),
+        F.round("mx", 6).alias("max_v"),
+    )

@@ -1151,3 +1151,78 @@ def parts_copurchase_ppr(
     finally:
         adj.unpersist()
     return out
+
+
+def parts_copurchase_modularity(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int = LPA_ROUNDS,
+    max_order_items: int = TRI_MAX_ORDER_ITEMS,
+) -> DataFrame:
+    """NEWMAN MODULARITY of the LPA communities — the quality score that
+    turns ``parts_copurchase_communities`` from a labeling into a
+    measurement: per community c, Q_c = m_c/m − (D_c/2m)² (intra-edge
+    share minus the share a degree-preserving random graph would give
+    it; Newman & Girvan 2004, eq. 15).  ΣQ_c is the partition's
+    modularity — the number you compare label-propagation variants or
+    round counts WITH; per-community rows also expose which "aisles"
+    are real structure vs hub spillover.
+
+    Plan: the LPA labeling (its own fixed-round plan over the shared
+    adjacency) joins the SESSION-SHARED edge artifact twice (both
+    endpoints → intra flag) and the shared degree table once — two
+    E-sized equi-joins and two small aggregates; m rides a broadcast
+    one-row spine (lint-rule-5-provable global aggregate).
+
+    Determinism: m, m_c, D_c are exact integers; Q_c is a fixed-order
+    IEEE expression of exact operands, 6-dp rounded.
+
+    Output: (community, n_nodes, m_intra, d_total, q_contrib), one row
+    per community."""
+    labels = parts_copurchase_communities(
+        spark, sf_dir, n_rounds, max_order_items
+    ).select(F.col("part_id").alias("node"), "community")
+    edges = copurchase_edges(spark, sf_dir, max_order_items)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items)
+    m_tbl = edges.agg(F.count("*").alias("m"))
+    la = labels.select(F.col("node").alias("x"), F.col("community").alias("cx"))
+    lb = labels.select(F.col("node").alias("y"), F.col("community").alias("cy"))
+    intra = (
+        edges.join(la, "x")
+        .join(lb, "y")
+        .filter(F.col("cx") == F.col("cy"))
+        .groupBy(F.col("cx").alias("community"))
+        .agg(F.count("*").alias("m_intra"))
+    )
+    dtot = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("d_total"),
+        )
+    )
+    return (
+        dtot.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("m_intra", F.lit(0)).cast("long").alias("m_intra"),
+            "d_total",
+            F.coalesce("m_intra", F.lit(0)).alias("mi"),
+            F.col("d_total").alias("dt"),
+        )
+        .crossJoin(F.broadcast(m_tbl))
+        .select(
+            "community",
+            "n_nodes",
+            "m_intra",
+            "d_total",
+            F.round(
+                F.col("mi") / F.col("m")
+                - (F.col("dt") / (F.lit(2) * F.col("m")))
+                * (F.col("dt") / (F.lit(2) * F.col("m"))),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -1086,3 +1086,54 @@ def embedding_knn_classifier(
         .groupBy("label_actual", "label_pred")
         .agg(F.count("*").alias("n_probes"))
     )
+
+
+RRF_K0 = 60
+RRF_TOP_K = 5
+
+
+def ann_topk_rrf_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = RRF_TOP_K,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of two ANN indexes — the standard hybrid-
+    retrieval combiner (Cormack, Clarke & Büttcher, SIGIR 2009):
+    rrf(q, n) = Σ_lists 1/(k0 + rank_list(n)), here over the IVF and
+    sign-LSH candidate lists, which err in DIFFERENT directions (cell
+    boundaries vs hyperplane boundaries) — fusing them recovers recall
+    neither index has alone, at zero extra scan cost since both lists
+    already exist.
+
+    Plan: union of the two (query_id, neighbor_id, rank) lists (each
+    index's own bounded plan — this operator adds no corpus scan), one
+    groupBy at candidate grain (≤ 2k rows per query), a per-query
+    window for the fused top-k.  At deployment the two lists are the
+    served indexes' outputs; fusion cost is O(queries · k).
+
+    Determinism: each term 1/(k0+rank) is one IEEE division of exact
+    integers; a candidate has ≤ 2 terms, so the sum is order-free; fused
+    ties break on neighbor_id.
+
+    Output: (query_id, neighbor_id, n_lists, rrf, rrf_rank) — fused
+    top-k per query."""
+    ivf = ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    lsh = ann_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    both = ivf.unionByName(lsh)
+    scored = both.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").alias("n_lists"),
+        F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_lists",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("rrf_rank").cast("long").alias("rrf_rank"),
+        )
+    )

@@ -771,3 +771,82 @@ def text_heavy_terms_mg(
             F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+RAKE_TOP_K = 3
+
+
+def rake_stopword_re() -> str:
+    """The phrase-delimiter regex RAKE splits on: every stopword the
+    repo's lang-id heuristic knows, word-bounded.  Shared verbatim with
+    the oracle (a diverging list would silently re-segment phrases)."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    return r"\b(?:" + "|".join(all_stop) + r")\b"
+
+
+def text_rake_phrases(
+    spark: SparkSession, sf_dir: str, k: int = RAKE_TOP_K
+) -> DataFrame:
+    """KEYWORD EXTRACTION via RAKE (Rose et al., "Automatic keyword
+    extraction from individual documents", 2010): candidate phrases are
+    maximal runs of non-stopword tokens between punctuation/stopword
+    delimiters; each word scores deg/freq over the whole corpus (deg =
+    Σ length of phrases containing it — co-occurrence reach; freq =
+    occurrence count) and a phrase scores the sum of its word scores —
+    multi-word domain terms outrank common single words, with no model
+    artifact and one scan.  The corpus-curation use is boilerplate/
+    topic-term surfacing next to ``text_tfidf_top_terms`` (which ranks
+    single tokens by rarity; RAKE ranks PHRASES by cohesion).
+
+    Plan: segmentation is three JVM-side regex rewrites + one explode
+    (scan speed, column-pruned); word stats are one token-grain
+    aggregate; phrase scoring joins candidates to the |vocab|-row score
+    table and re-aggregates at (doc, phrase) grain; the per-doc top-k
+    window is partitioned by doc_id.  Nothing unbounded, no Python.
+
+    Determinism: freq/deg are exact integers; each word score is one
+    IEEE division; the per-phrase sum's order noise sits far below the
+    6-dp rounding; ties break on the phrase string.
+
+    Output: (doc_id, phrase, n_words, score, phrase_rank) — top-k
+    phrases per document."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    seg = F.regexp_replace(norm, "[^a-z0-9 ]+", "|")
+    seg = F.regexp_replace(seg, rake_stopword_re(), "|")
+    phrases = (
+        docs.select("doc_id", F.explode(F.split(seg, r"\|")).alias("ph0"))
+        .select("doc_id", F.trim("ph0").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    inst_words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = inst_words.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    cand = phrases.distinct()
+    cw = cand.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    scored = (
+        cw.join(wstats, "word")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("deg") / F.col("freq")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("phrase_rank", F.row_number().over(w))
+        .filter(F.col("phrase_rank") <= k)
+        .select(
+            "doc_id",
+            "phrase",
+            "n_words",
+            F.round("score", 6).alias("score"),
+            F.col("phrase_rank").cast("long").alias("phrase_rank"),
+        )
+    )

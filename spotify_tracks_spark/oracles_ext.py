@@ -7151,3 +7151,196 @@ where vx > 0 and vy > 0 and n_days >= {XCORR_MIN_DAYS}
 
 
 EVENTS_LAGGED_CROSSCORR = _lagged_crosscorr_sql()
+
+
+def _rrf_fusion_sql() -> str:
+    """Mirrors ann_topk_rrf_fusion: the IVF and LSH oracles as scoped
+    subqueries (the recall-eval composition precedent), exact 1/(k0+rank)
+    terms, (rrf desc, neighbor asc) fused top-k."""
+    from .operators.similarity import RRF_K0, RRF_TOP_K
+
+    return f"""
+with rrf_a as (
+    select query_id, neighbor_id, "rank" from ({ANN_TOPK_IVF})
+),
+rrf_b as (
+    select query_id, neighbor_id, "rank" from ({ANN_TOPK_LSH})
+),
+u as (
+    select * from rrf_a union all select * from rrf_b
+),
+s as (
+    select query_id, neighbor_id,
+           cast(count(*) as bigint) as n_lists,
+           sum(1.0e0 / ({RRF_K0} + "rank")) as rrf
+    from u group by 1, 2
+),
+r as (
+    select *, row_number() over (
+        partition by query_id order by rrf desc, neighbor_id asc
+    ) as rrf_rank from s
+)
+select query_id, neighbor_id, n_lists, round(rrf, 6) as rrf,
+       cast(rrf_rank as bigint) as rrf_rank
+from r where rrf_rank <= {RRF_TOP_K}
+"""
+
+
+ANN_TOPK_RRF_FUSION = _rrf_fusion_sql()
+
+
+EMBEDDING_DIM_STATS = """
+with x as (
+    select cast(unnest(embedding) as double) as val,
+           unnest(range(0, len(embedding))) as dim
+    from embeddings
+),
+a as (
+    select dim,
+           cast(count(*) as bigint) as n,
+           sum(val) as s1,
+           sum(val * val) as s2,
+           min(val) as mn,
+           max(val) as mx
+    from x group by dim
+)
+select dim, n,
+       round(s1 / n, 6) as mean,
+       round(sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) as std,
+       round(mn, 6) as min_v,
+       round(mx, 6) as max_v
+from a
+"""
+
+
+EVENTS_MARKOV_ENTROPY = f"""
+with m as ({EVENTS_MARKOV})
+select from_type,
+       cast(sum(n_transitions) as bigint) as n_out,
+       cast(count(*) as bigint) as n_successors,
+       round(-sum(p * log2(p)), 6) as entropy_bits
+from m group by from_type
+"""
+
+
+def _modularity_sql() -> str:
+    """Mirrors parts_copurchase_modularity: the LPA-communities oracle
+    as a scoped subquery (labels), md_-prefixed edge/degree CTEs (the
+    cc_ nested-oracle discipline), exact integer m/m_c/D_c and the
+    fixed-order Newman Q_c expression."""
+    from .operators.graph import TRI_MAX_ORDER_ITEMS
+
+    return f"""
+with md_lab as (
+    select part_id as node, community from ({PARTS_COPURCHASE_COMMUNITIES})
+),
+md_li as (
+    select distinct l_orderkey as o, l_partkey as p from lineitem
+),
+md_keep as (
+    select o from md_li group by o having count(*) <= {TRI_MAX_ORDER_ITEMS}
+),
+md_li2 as (
+    select md_li.o, md_li.p from md_li join md_keep on md_keep.o = md_li.o
+),
+md_edges as materialized (
+    select distinct a.p as x, b.p as y
+    from md_li2 a join md_li2 b on a.o = b.o and a.p < b.p
+),
+md_sym as (
+    select x as src, y as dst from md_edges
+    union all
+    select y as src, x as dst from md_edges
+),
+md_deg as (
+    select src, cast(count(*) as bigint) as deg from md_sym group by 1
+),
+md_m as (select cast(count(*) as bigint) as m from md_edges),
+md_intra as (
+    select la.community, cast(count(*) as bigint) as m_intra
+    from md_edges e
+    join md_lab la on la.node = e.x
+    join md_lab lb on lb.node = e.y
+    where la.community = lb.community
+    group by 1
+),
+md_d as (
+    select la.community,
+           cast(count(*) as bigint) as n_nodes,
+           cast(sum(d.deg) as bigint) as d_total
+    from md_deg d join md_lab la on la.node = d.src
+    group by 1
+)
+select d.community, d.n_nodes,
+       coalesce(i.m_intra, 0) as m_intra,
+       d.d_total,
+       round(coalesce(i.m_intra, 0) / m.m
+             - (d.d_total / (2 * m.m)) * (d.d_total / (2 * m.m)), 6)
+         as q_contrib
+from md_d d
+left join md_intra i on i.community = d.community, md_m m
+"""
+
+
+PARTS_COPURCHASE_MODULARITY = _modularity_sql()
+
+
+def _rake_phrases_sql() -> str:
+    """Mirrors text_rake_phrases: identical three-stage segmentation
+    (whitespace normalize, punctuation -> '|', word-bounded stopword
+    alternation -> '|'), corpus-wide deg/freq word stats over ALL phrase
+    instances, distinct (doc, phrase) candidates, (score desc, phrase)
+    top-k."""
+    from .operators.text_analysis import RAKE_TOP_K, rake_stopword_re
+
+    stop_re = rake_stopword_re().replace("'", "''")
+    return f"""
+with p0 as (
+    select doc_id,
+           unnest(string_split(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                       '[^a-z0-9 ]+', '|', 'g'),
+                   '{stop_re}', '|', 'g'),
+               '|')) as ph0
+    from documents
+),
+ph as (
+    select doc_id, trim(ph0) as phrase from p0 where trim(ph0) <> ''
+),
+iw as (
+    select unnest(string_split(phrase, ' ')) as word,
+           len(string_split(phrase, ' ')) as plen
+    from ph
+),
+ws as (
+    select word, cast(count(*) as bigint) as freq,
+           cast(sum(plen) as bigint) as deg
+    from iw group by 1
+),
+cand as (select distinct doc_id, phrase from ph),
+cw as (
+    select doc_id, phrase,
+           unnest(string_split(phrase, ' ')) as word
+    from cand
+),
+sc as (
+    select cw.doc_id, cw.phrase,
+           cast(count(*) as bigint) as n_words,
+           sum(ws.deg / ws.freq) as score
+    from cw join ws on ws.word = cw.word
+    group by 1, 2
+),
+r as (
+    select *, row_number() over (
+        partition by doc_id order by score desc, phrase asc
+    ) as phrase_rank from sc
+)
+select doc_id, phrase, n_words, round(score, 6) as score,
+       cast(phrase_rank as bigint) as phrase_rank
+from r where phrase_rank <= {RAKE_TOP_K}
+"""
+
+
+TEXT_RAKE_PHRASES = _rake_phrases_sql()

@@ -65,6 +65,9 @@ ALLOW_FACT_BROADCAST: set[str] = {
     "ann_topk_ivfpq",
     "ann_topk_lsh",
     "ann_topk_pq",
+    # composes ann_topk_ivf + ann_topk_lsh: inherits exactly their
+    # adjudicated probe-set broadcasts, adds no scan of its own
+    "ann_topk_rrf_fusion",
     "dedup_embedding",
     "embedding_knn_classifier",
     "embedding_negative_samples",
@@ -89,6 +92,7 @@ ALLOW_UNBOUNDED_BNLJ: set[str] = {
     "ann_topk_ivf_nprobe",
     "ann_topk_ivfpq",
     "ann_topk_pq",
+    "ann_topk_rrf_fusion",  # composes ivf+lsh (same adjudication)
     "dedup_embedding",
     "embedding_knn_classifier",
     "embedding_negative_samples",

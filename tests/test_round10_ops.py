@@ -172,3 +172,120 @@ def test_lagged_crosscorr_planted(spark, tmp_path):
     }
     assert got[2] == 1.0
     assert all(v < 1.0 for lag, v in got.items() if lag != 2)
+
+
+def test_embedding_dim_stats_planted(spark, tmp_path):
+    """Two 2-d vectors [[0,2],[2,4]]: per-dim mean/std/min/max by hand
+    (sample std = sqrt(2) on both dims)."""
+    from spotify_tracks_spark.operators.clustering import embedding_dim_stats
+
+    spark.createDataFrame(
+        [(1, [0.0, 2.0], 0), (2, [2.0, 4.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        r.dim: (r.n, r.mean, r.std, r.min_v, r.max_v)
+        for r in embedding_dim_stats(spark, str(tmp_path)).collect()
+    }
+    s2 = round(math.sqrt(2.0), 6)
+    assert got == {0: (2, 1.0, s2, 0.0, 2.0), 1: (2, 3.0, s2, 2.0, 4.0)}
+
+
+def test_markov_entropy_planted(spark, tmp_path):
+    """One user, sequence a->b then a->c (interleaved): from 'a' the
+    chain branches 50/50 — exactly 1 bit; 'b' has one successor — 0."""
+    from spotify_tracks_spark.operators.analytics import events_markov_entropy
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 1, "a", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 1), 1, "b", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 2), 1, "a", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 3), 1, "c", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.from_type: (r.n_out, r.n_successors, r.entropy_bits)
+        for r in events_markov_entropy(spark, str(tmp_path)).collect()
+    }
+    # 'c' is terminal (no outgoing transition), so it has no row
+    assert set(got) == {"a", "b"}
+    assert got["a"] == (2, 2, 1.0)
+    assert got["b"] == (1, 1, 0.0)
+
+
+def test_modularity_two_triangles(spark, tmp_path):
+    """Two disjoint triangles: LPA keeps them apart, m=6, each community
+    has m_c=3 intra edges and D_c=6 — Q_c = 3/6 - (6/12)^2 = 0.25."""
+    from spotify_tracks_spark.operators.graph import (
+        clear_copurchase_memo,
+        parts_copurchase_modularity,
+    )
+
+    orders = {
+        1: [1, 2], 2: [2, 3], 3: [1, 3],      # triangle A
+        4: [4, 5], 5: [5, 6], 6: [4, 6],      # triangle B
+    }
+    rows = [(o, p) for o, parts in orders.items() for p in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    clear_copurchase_memo()
+    try:
+        got = sorted(
+            (r.n_nodes, r.m_intra, r.d_total, r.q_contrib)
+            for r in parts_copurchase_modularity(spark, str(tmp_path)).collect()
+        )
+    finally:
+        clear_copurchase_memo()
+    assert got == [(3, 3, 6, 0.25), (3, 3, 6, 0.25)]
+
+
+def test_rake_planted(spark, tmp_path):
+    """'red apple. green apple. of red apple' — 'of' is a stopword, so
+    three phrase instances, word scores red=2 apple=2 green=2, both
+    distinct phrases score 4.0 and tie-break alphabetically."""
+    from spotify_tracks_spark.operators.text_analysis import text_rake_phrases
+
+    spark.createDataFrame(
+        [(1, "red apple. green apple. of red apple", "en", "t", 36)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = text_rake_phrases(spark, str(tmp_path)).collect()
+    got = [(r.phrase, r.n_words, r.score, r.phrase_rank) for r in rows]
+    assert got == [("green apple", 2, 4.0, 1), ("red apple", 2, 4.0, 2)]
+
+
+def test_rrf_fusion_recomputes_from_lists(spark):
+    """Independent recomputation: collect the IVF and LSH lists at the
+    smoke SF and re-derive every fused row's score and rank in Python —
+    the operator must agree exactly (same 6-dp rounding)."""
+    from spotify_tracks_spark.operators.similarity import (
+        RRF_K0,
+        ann_topk_ivf,
+        ann_topk_lsh,
+        ann_topk_rrf_fusion,
+    )
+    from .conftest import SF_SMOKE
+
+    ivf = [(r.query_id, r.neighbor_id, r.rank) for r in ann_topk_ivf(spark, SF_SMOKE).collect()]
+    lsh = [(r.query_id, r.neighbor_id, r.rank) for r in ann_topk_lsh(spark, SF_SMOKE).collect()]
+    scores: dict = {}
+    for q, n, rk in ivf + lsh:
+        s, c = scores.get((q, n), (0.0, 0))
+        scores[(q, n)] = (s + 1.0 / (RRF_K0 + rk), c + 1)
+    expect = {}
+    by_q: dict = {}
+    for (q, n), (s, c) in scores.items():
+        by_q.setdefault(q, []).append((-s, n, c))
+    for q, cands in by_q.items():
+        for i, (neg_s, n, c) in enumerate(sorted(cands)[:5], start=1):
+            expect[(q, n)] = (c, round(-neg_s, 6), i)
+    got = {
+        (r.query_id, r.neighbor_id): (r.n_lists, r.rrf, r.rrf_rank)
+        for r in ann_topk_rrf_fusion(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
