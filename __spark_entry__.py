@@ -330,6 +330,15 @@ def _rpt_track_counts_streaming_incremental(spark: SparkSession, sf_dir: str) ->
     return stream_rpt_track_counts_incremental(spark, sf_dir)
 
 
+def _docs_stream_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries fold over the micro-batched document token
+    stream; drained candidates re-counted exactly (streaming/sketch.py),
+    so the report hash-equals the batch text_heavy_terms_mg oracle."""
+    from spotify_tracks_spark.streaming import stream_docs_heavy_terms
+
+    return stream_docs_heavy_terms(spark, sf_dir)
+
+
 def _rpt_artist_counts_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SECOND mart read over the Q6 fold's (track_id, play_date) state
     design: rpt_artist_counts maintained incrementally; drained result
@@ -968,6 +977,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_modularity": _graph_modularity,
         # RAKE keyword phrases (corpus-wide deg/freq word scores)
         "text_rake_phrases": _text.text_rake_phrases,
+        # Zipf rank-frequency OLS fit over the top vocabulary slice
+        "text_zipf_slope": _text.text_zipf_slope,
+        # centroid-distance z-score outliers (row-level embedding QA)
+        "embedding_centroid_outliers": _clu.embedding_centroid_outliers,
+        # per-segment reorder cadence (lag-window gap distribution)
+        "customers_reorder_intervals": _tpch.customers_reorder_intervals,
+        # streaming Misra-Gries fold (k-counter mergeable summary +
+        # exact recount at drain; same oracle as the batch op)
+        "docs_stream_heavy_terms": _docs_stream_heavy_terms,
     }
 
 
@@ -1248,4 +1266,12 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.PARTS_COPURCHASE_MODULARITY
         ),
         "text_rake_phrases": oracles_ext.TEXT_RAKE_PHRASES,
+        "text_zipf_slope": oracles_ext.TEXT_ZIPF_SLOPE,
+        "embedding_centroid_outliers": (
+            oracles_ext.EMBEDDING_CENTROID_OUTLIERS
+        ),
+        "customers_reorder_intervals": (
+            oracles_ext.CUSTOMERS_REORDER_INTERVALS
+        ),
+        "docs_stream_heavy_terms": oracles_ext.TEXT_HEAVY_TERMS_MG,
     }

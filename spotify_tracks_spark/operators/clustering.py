@@ -300,3 +300,62 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mn", 6).alias("min_v"),
         F.round("mx", 6).alias("max_v"),
     )
+
+
+OUTLIER_Z = 2.0
+
+
+def embedding_centroid_outliers(
+    spark: SparkSession, sf_dir: str, z_thresh: float = OUTLIER_Z
+) -> DataFrame:
+    """ROW-level embedding outlier report — the companion QA pass to the
+    dimension-level ``embedding_dim_stats``: distance of every vector to
+    the corpus centroid, z-scored against the distance distribution;
+    rows beyond ``z_thresh`` are the mis-embedded / out-of-domain
+    candidates a vector pipeline quarantines before indexing (centroid-
+    distance outlier detection, the classic first-pass embedding QA).
+
+    Plan: one ``posexplode`` scan into the |d|-row centroid (broadcast
+    back as a dim-keyed join — model state never leaves the cluster),
+    a second pass for per-row distances, then a one-row moment spine
+    for the z-score.  Two scans, no unbounded state.
+
+    Determinism: the centroid, distances and moments are float sums
+    (ulp noise far below 6 dp); the z-score applies a fixed IEEE op
+    order; the report thresholds on the ROUNDED z so both engines cut
+    the identical set.
+
+    Output: (vec_id, dist, z) for rows with rounded z > z_thresh."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
+        "vec_id", "dim", F.col("val").cast("double").alias("v")
+    )
+    cent = vals.groupBy("dim").agg(
+        (F.sum("v") / F.count("*")).alias("m")
+    )
+    dist = (
+        vals.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))).alias("dist"))
+    )
+    mom = dist.agg(
+        F.count("*").alias("n"),
+        F.sum("dist").alias("s1"),
+        F.sum(F.col("dist") * F.col("dist")).alias("s2"),
+    )
+    return (
+        dist.crossJoin(F.broadcast(mom))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(
+                (F.col("dist") - F.col("s1") / F.col("n"))
+                / F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    / (F.col("n") * (F.col("n") - 1))
+                ),
+                6,
+            ).alias("z"),
+        )
+        .filter(F.col("z") > z_thresh)
+    )

@@ -850,3 +850,67 @@ def text_rake_phrases(
             F.col("phrase_rank").cast("long").alias("phrase_rank"),
         )
     )
+
+
+ZIPF_TOP_TERMS = 256
+
+
+def text_zipf_slope(
+    spark: SparkSession, sf_dir: str, top_terms: int = ZIPF_TOP_TERMS
+) -> DataFrame:
+    """ZIPF-LAW fit of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the ``top_terms`` most frequent word
+    tokens — the one-number "is this corpus natural-language-shaped"
+    diagnostic (natural text slopes ≈ −1; boilerplate-heavy or
+    synthetic corpora flatten or steepen), the companion corpus-level
+    check to the per-doc quality scores.
+
+    Plan: one token-grain aggregate, a TakeOrderedAndProject for the
+    bounded top-``top_terms`` slice ((freq desc, token) total order),
+    rank assignment on that ≤256-row frame (the global window is
+    bounded by the limit BELOW it — lint rule 1's benign shape), and a
+    one-row moment fold.  The vocabulary never sorts globally.
+
+    Determinism: frequencies are exact integers; ln is libm-correctly-
+    rounded on exact operands in both engines; the ≤256-term moment
+    sums carry ulp noise far below the 6-dp rounding; the OLS closed
+    form applies a fixed IEEE op order the oracle mirrors.
+
+    Output: one row (n_terms, slope, intercept, r2)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        ).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(top_terms)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r_num = n * sxy - sx * sy
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("r2"),
+    )

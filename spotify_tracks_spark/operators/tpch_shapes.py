@@ -1112,3 +1112,51 @@ def suppliers_kept_orders_waiting(
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
     )
+
+
+def customers_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORDER-CADENCE report: per market segment, the distribution of
+    gaps between a customer's consecutive orders — the replenishment
+    metric behind inventory planning and churn-risk windows ("a
+    BUILDING customer who hasn't ordered in 2× their segment's mean gap
+    is lapsing").  The sequence-analytics twin of ``events_retention``
+    on the warehouse side of the schema.
+
+    Plan: one orders shuffle hash-partitioned by customer for the lag
+    window ((o_orderdate, o_orderkey) total order — ties exist in
+    date-grain data), then gaps aggregate straight to the |segments|-row
+    report with the micro-dim customer→segment map broadcast.  The
+    window never sees an unpartitioned frame.
+
+    Determinism: gaps are exact integer day counts; mean is one IEEE
+    division of exact sums, 6-dp rounded.
+
+    Output: (c_mktsegment, n_customers, n_gaps, avg_gap_days,
+    min_gap_days, max_gap_days)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(F.col("od"), F.lag("od").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_gaps"),
+            F.round(F.sum("gap") / F.count("*"), 6).alias("avg_gap_days"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+    )

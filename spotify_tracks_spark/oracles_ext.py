@@ -7344,3 +7344,103 @@ from r where phrase_rank <= {RAKE_TOP_K}
 
 
 TEXT_RAKE_PHRASES = _rake_phrases_sql()
+
+
+def _zipf_slope_sql() -> str:
+    """Mirrors text_zipf_slope: WORD_RE token counts, (freq desc, token)
+    top-N, ln/ln OLS closed form in the identical IEEE op order."""
+    from .operators.text_analysis import ZIPF_TOP_TERMS
+
+    return f"""
+with tk as (
+    select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+    from documents
+),
+f as (select tok, cast(count(*) as bigint) as freq from tk group by 1),
+top as (
+    select tok, freq,
+           row_number() over (order by freq desc, tok asc) as rk
+    from f qualify rk <= {ZIPF_TOP_TERMS}
+),
+xy as (
+    select ln(cast(rk as double)) as x, ln(cast(freq as double)) as y
+    from top
+),
+m as (
+    select cast(count(*) as bigint) as n,
+           sum(x) as sx, sum(y) as sy,
+           sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy
+    from xy
+)
+select n as n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         as intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+from m
+"""
+
+
+TEXT_ZIPF_SLOPE = _zipf_slope_sql()
+
+
+def _centroid_outliers_sql() -> str:
+    """Mirrors embedding_centroid_outliers: positional unnest zip,
+    per-dim centroid, centroid-distance z-score thresholded on the
+    ROUNDED z in both engines."""
+    from .operators.clustering import OUTLIER_Z
+
+    return f"""
+with vals as (
+    select vec_id,
+           cast(unnest(embedding) as double) as v,
+           unnest(range(0, len(embedding))) as dim
+    from embeddings
+),
+cent as (select dim, sum(v) / count(*) as m from vals group by dim),
+dist as (
+    select vals.vec_id, sqrt(sum((vals.v - cent.m) * (vals.v - cent.m))) as dist
+    from vals join cent on cent.dim = vals.dim
+    group by vals.vec_id
+),
+mom as (
+    select cast(count(*) as bigint) as n, sum(dist) as s1,
+           sum(dist * dist) as s2
+    from dist
+),
+z as (
+    select vec_id, round(dist, 6) as dist,
+           round((dist - s1 / n)
+                 / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 6) as z
+    from dist, mom
+)
+select vec_id, dist, z from z where z > {OUTLIER_Z}e0
+"""
+
+
+EMBEDDING_CENTROID_OUTLIERS = _centroid_outliers_sql()
+
+
+CUSTOMERS_REORDER_INTERVALS = """
+with o as (
+    select o_custkey, cast(o_orderdate as date) as od, o_orderkey from orders
+),
+g as (
+    select o_custkey,
+           date_diff('day',
+                     lag(od) over (partition by o_custkey
+                                   order by od, o_orderkey),
+                     od) as gap
+    from o
+),
+gg as (select o_custkey, gap from g where gap is not null)
+select c.c_mktsegment,
+       cast(count(distinct gg.o_custkey) as bigint) as n_customers,
+       cast(count(*) as bigint) as n_gaps,
+       round(cast(sum(gg.gap) as bigint) / count(*), 6) as avg_gap_days,
+       cast(min(gg.gap) as bigint) as min_gap_days,
+       cast(max(gg.gap) as bigint) as max_gap_days
+from gg join customer c on c.c_custkey = gg.o_custkey
+group by c.c_mktsegment
+"""

@@ -5,6 +5,7 @@ from .incremental import (
     stream_rpt_track_counts_incremental,
 )
 from .sketch import (
+    stream_docs_heavy_terms,
     stream_events_bloom,
     stream_events_cms,
     stream_events_hll,
@@ -45,6 +46,7 @@ __all__ = [
     "stream_rpt_artist_counts_incremental",
     "stream_rpt_discovery_rate_incremental",
     "stream_rpt_track_counts_incremental",
+    "stream_docs_heavy_terms",
     "stream_events_bloom",
     "stream_events_cms",
     "stream_events_hll",

@@ -845,3 +845,135 @@ def stream_events_sequential_ab(
     )
     days = state.filter(F.col("grain") == "d").select("day")
     return sequential_ab_report(users, days)
+
+
+def stream_docs_heavy_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_slices: int = N_SLICES,
+    base: str | None = None,
+) -> DataFrame:
+    """Streaming fold of ``text_heavy_terms_mg``: maintain a single
+    k-counter MISRA-GRIES summary over the micro-batched document
+    stream (availableNow drain), then run the batch operator's exact
+    recount pass over the drained candidate set — same oracle as the
+    batch op, because the output is the exact > n/k set either way.
+
+    The state story is the module's: like the CMS/KMV/HLL folds the
+    summary is MERGEABLE (sequential merge is the Agarwal et al. 2012
+    special case), so state is ≤ k rows REGARDLESS of stream length or
+    vocabulary size — the streaming answer to "top terms over an
+    unbounded token stream".  Each batch folds its exact token counts
+    into the summary; the compress step reads the (k+1)-th largest
+    stored count off a ≤(k+1)-row bounded collect and decrements — the
+    total decrement over the whole stream stays ≤ n/(k+1), so every
+    globally-heavy term survives to the drain (the batch operator's
+    superset guarantee, sequentially).  Replay-idempotence rides the
+    module's snapshot-per-batch-id discipline."""
+    from ..operators.text_analysis import MG_K, WORD_RE
+
+    if k is None:
+        k = MG_K
+    if base is None:
+        base = tempfile.mkdtemp(prefix="stream_mg_")
+        src_path = _SRC_CACHE.get((id(spark), sf_dir, "docs"))
+        if src_path is None or not os.path.isdir(src_path):
+            src_path = tempfile.mkdtemp(prefix="stream_mg_src_") + "/src"
+            _SRC_CACHE[(id(spark), sf_dir, "docs")] = src_path
+    else:
+        src_path = f"{base}/src"
+    if not os.path.isdir(src_path):
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "text"
+        ).repartition(n_slices).write.parquet(src_path)
+    schema = spark.read.parquet(src_path).schema
+
+    done = sorted(
+        int(m.group(1))
+        for p in glob.glob(f"{base}/state_b*")
+        if (m := re.search(r"state_b(\d+)$", p))
+    )
+    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= cur["batch"]:
+            return  # at-least-once replay: already folded
+        partial = (
+            batch_df.select(
+                F.explode(
+                    F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+        )
+        if cur["batch"] >= 0:
+            prev = (
+                cur["df"]
+                if cur["df"] is not None
+                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
+            )
+            partial = prev.unionByName(partial)
+        merged = partial.groupBy("tok").agg(F.sum("c").alias("c")).persist()
+        # MG compress: the (k+1)-th largest stored count off a bounded
+        # (k+1)-row collect; subtract it everywhere, drop the dead
+        top = merged.orderBy(F.desc("c"), F.asc("tok")).limit(k + 1).collect()
+        if len(top) > k:
+            m = int(top[-1].c)
+            state = merged.select(
+                "tok", (F.col("c") - m).alias("c")
+            ).filter(F.col("c") > 0)
+        else:
+            state = merged
+        state.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
+        merged.unpersist()
+        if cur["df"] is not None:
+            cur["df"].unpersist()
+        cur["df"] = None  # state read back from snapshot next batch
+        cur["batch"] = batch_id
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_path)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+    cands = spark.read.parquet(f"{base}/state_b{cur['batch']}").select("tok")
+    # exact recount over the full corpus — the batch operator's pass 2
+    from ..sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        ).alias("tok")
+    )
+    n_total = docs.agg(
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0))
+        ).cast("long").alias("n_total")
+    )
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n_total"))
+        .select(
+            F.col("tok").alias("token"),
+            "freq",
+            "n_total",
+            F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
+        )
+    )

@@ -289,3 +289,90 @@ def test_rrf_fusion_recomputes_from_lists(spark):
         for r in ann_topk_rrf_fusion(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_zipf_slope_exact_power_law(spark, tmp_path):
+    """freq = 12/rank exactly (12,6,4,3): ln-ln OLS must read slope -1,
+    r2 = 1."""
+    from spotify_tracks_spark.operators.text_analysis import text_zipf_slope
+
+    toks = ["w1"] * 12 + ["w2"] * 6 + ["w3"] * 4 + ["w4"] * 3
+    spark.createDataFrame(
+        [(1, " ".join(toks), "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    row = text_zipf_slope(spark, str(tmp_path)).collect()[0]
+    assert row.n_terms == 4
+    assert abs(row.slope - (-1.0)) < 1e-6
+    assert abs(row.r2 - 1.0) < 1e-6
+    assert abs(row.intercept - round(math.log(12.0), 6)) < 1e-6
+
+
+def test_centroid_outliers_planted(spark, tmp_path):
+    """Nine clustered vectors + one far point: exactly the far point
+    clears z > 2."""
+    from spotify_tracks_spark.operators.clustering import (
+        embedding_centroid_outliers,
+    )
+
+    rows = [(i, [float(i % 3) * 0.1, 0.0], 0) for i in range(9)]
+    rows.append((9, [10.0, 10.0], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = [r.vec_id for r in embedding_centroid_outliers(spark, str(tmp_path)).collect()]
+    assert got == [9]
+
+
+def test_reorder_intervals_planted(spark, tmp_path):
+    """Customer 1 orders on days 0/10/30 (gaps 10, 20); customer 2 has a
+    single order and contributes nothing."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        customers_reorder_intervals,
+    )
+
+    orders = [
+        (1, 1, "O", 0.0, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 1, "O", 0.0, datetime(2024, 1, 11), "1-URGENT"),
+        (3, 1, "O", 0.0, datetime(2024, 1, 31), "1-URGENT"),
+        (4, 2, "O", 0.0, datetime(2024, 1, 5), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "AUTOMOBILE", 0.0), (2, "BUILDING", 0.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    rows = customers_reorder_intervals(spark, str(tmp_path)).collect()
+    got = {
+        r.c_mktsegment: (
+            r.n_customers, r.n_gaps, r.avg_gap_days, r.min_gap_days, r.max_gap_days
+        )
+        for r in rows
+    }
+    assert got == {"AUTOMOBILE": (1, 2, 15.0, 10, 20)}
+
+
+def test_stream_heavy_terms_matches_batch_under_compress(spark, tmp_path):
+    """The streaming MG fold at k=3 over the planted skew corpus must
+    emit the identical exact heavy set as the batch operator — the
+    sequential-merge bound survives micro-batching."""
+    from spotify_tracks_spark.streaming import stream_docs_heavy_terms
+
+    fillers = [f"f{i}" for i in range(20)]
+    toks = ["aa"] * 50 + ["bb"] * 30 + fillers
+    docs = [
+        (i, " ".join(toks[i * 10 : (i + 1) * 10]), "en", "test", 0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(4).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = stream_docs_heavy_terms(
+        spark, str(tmp_path), k=3, base=f"{tmp_path}/fold"
+    ).collect()
+    got = {r.token: (r.freq, r.n_total, r.share) for r in rows}
+    assert got == {"aa": (50, 100, 0.5)}
