@@ -986,6 +986,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming Misra-Gries fold (k-counter mergeable summary +
         # exact recount at drain; same oracle as the batch op)
         "docs_stream_heavy_terms": _docs_stream_heavy_terms,
+        # the named Gopher quality-filter rule pack (integer-exact flags)
+        "corpus_gopher_rules": _llm.corpus_gopher_rules,
+        # order->ship latency percentiles per priority (SLA report)
+        "orders_fulfillment_latency": _tpch.orders_fulfillment_latency,
+        # matrix-free power iteration: top principal component + the
+        # variance it hoards (anisotropy / ABTT diagnostic)
+        "embedding_top_component": _clu.embedding_top_component,
     }
 
 
@@ -1274,4 +1281,9 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.CUSTOMERS_REORDER_INTERVALS
         ),
         "docs_stream_heavy_terms": oracles_ext.TEXT_HEAVY_TERMS_MG,
+        "corpus_gopher_rules": oracles_ext.CORPUS_GOPHER_RULES,
+        "orders_fulfillment_latency": (
+            oracles_ext.ORDERS_FULFILLMENT_LATENCY
+        ),
+        "embedding_top_component": oracles_ext.EMBEDDING_TOP_COMPONENT,
     }

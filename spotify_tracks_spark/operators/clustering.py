@@ -359,3 +359,73 @@ def embedding_centroid_outliers(
         )
         .filter(F.col("z") > z_thresh)
     )
+
+
+PCA_ITERS = 4
+
+
+def embedding_top_component(
+    spark: SparkSession, sf_dir: str, n_iter: int = PCA_ITERS
+) -> DataFrame:
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by MATRIX-FREE
+    power iteration — the dominant-axis report behind embedding
+    post-processing ("all-but-the-top" common-direction removal, Mu &
+    Viswanath ICLR 2018) and anisotropy diagnostics: a corpus whose top
+    component hoards variance wastes most of its dimensions.
+
+    Plan: the centered value table (vec_id, dim, cv) materializes ONCE
+    (localCheckpoint — every iteration reads it twice); each of the
+    ``n_iter`` rounds is two keyed aggregates, s_i = Σ_d cv·x (row
+    scores) then y_d = Σ_i cv·s (loadings), plus an L2 norm on a
+    broadcast one-row spine — never a d×d covariance materialization,
+    the only shape that survives high-d at corpus scale.  Fixed
+    iteration depth from the deterministic all-ones start, so the
+    result is a pure function of the data (no eigen-sign ambiguity —
+    that exists only at the convergence limit).
+
+    Determinism: float sums carry ulp noise ~9 orders below the 6-dp
+    rounding (compounded over 4 rounds it stays ≪ 1e-9); norms and
+    divisions are fixed-order IEEE ops the oracle unrolls literally.
+
+    Output: (dim, loading, variance_explained) — the L2-normalized top
+    component plus the sample variance along it (constant column)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("v"))
+    cent = vals.groupBy("dim").agg((F.sum("v") / F.count("*")).alias("m"))
+    cvals = (
+        vals.join(F.broadcast(cent), "dim")
+        .select("vec_id", "dim", (F.col("v") - F.col("m")).alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    x = cent.select("dim", F.lit(1.0).alias("x"))
+    for _ in range(n_iter):
+        s = (
+            cvals.join(x, "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("cv") * F.col("x")).alias("s"))
+        )
+        y = (
+            cvals.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("cv") * F.col("s")).alias("y"))
+            .localCheckpoint(eager=True)  # pin: norm + next x both read y
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        x = y.crossJoin(F.broadcast(norm)).select(
+            "dim", (F.col("y") / F.col("nrm")).alias("x")
+        )
+    s_final = (
+        cvals.join(x, "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("cv") * F.col("x")).alias("s"))
+    )
+    stats = s_final.agg(
+        F.count("*").alias("n"), F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    return x.crossJoin(F.broadcast(stats)).select(
+        "dim",
+        F.round("x", 6).alias("loading"),
+        F.round(F.col("ss") / (F.col("n") - 1), 6).alias("variance_explained"),
+    )

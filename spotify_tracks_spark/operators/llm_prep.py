@@ -1282,3 +1282,93 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_bpe_token"
         ),
     )
+
+
+# Gopher-rule thresholds (Rae et al., "Scaling Language Models: ...
+# Gopher", 2021, Table A1 — adapted to the signals this corpus carries).
+# Every rule comparison below is EXACT-INTEGER (cross-multiplied), so
+# the pass flags carry zero float hazard; the reported ratios are 6-dp
+# display values only.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # 3 <= sum_len/n_words <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO_10 = 1   # n_symbols/n_words <= 1/10
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO_5 = 4     # n_alpha_words/n_words >= 4/5
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER QUALITY-FILTER rule pack — the named, citable document
+    gate most large web-corpus pipelines start from (Rae et al. 2021;
+    reused by MassiveText descendants): word-count bounds, mean-word-
+    length bounds, symbol-to-word ratio, minimum distinct stopwords,
+    and the alphabetic-word ratio, each reported as an independent flag
+    plus the conjunction — the per-rule attrition view a curation run
+    tunes before committing to a corpus cut (``corpus_survival``'s
+    gate-funnel sibling, at per-document grain with named rules).
+
+    Plan: one narrow documents projection — every signal is a regex
+    count / higher-order array fold (JVM-side, codegen); no joins, no
+    shuffle at all.
+
+    Determinism: every rule is evaluated as a CROSS-MULTIPLIED integer
+    comparison (e.g. alpha ratio >= 4/5 as 5·n_alpha >= 4·n_words), so
+    the flags are bit-exact by construction; the 6-dp ratio columns are
+    display-only.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio, n_stopwords,
+    alpha_word_ratio, pass_word_count, pass_word_len, pass_symbol,
+    pass_stopwords, pass_alpha, passes_all) with flags as 0/1."""
+    from .text_analysis import LANG_STOPWORDS, WORD_RE
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    words = F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+    all_stop = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("long")
+        .alias("sum_len"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[^a-z0-9\s]"), 0)
+        ).cast("long").alias("n_symbols"),
+        F.size(
+            F.array_distinct(F.filter(words, lambda w: w.isin(*all_stop)))
+        ).cast("long").alias("n_stopwords"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+    ).filter(F.col("n_words") > 0)
+    nw = F.col("n_words")
+    flags = base.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_len") / nw, 6).alias("mean_word_len"),
+        F.round(F.col("n_symbols") / nw, 6).alias("symbol_ratio"),
+        "n_stopwords",
+        F.round(F.col("n_alpha") / nw, 6).alias("alpha_word_ratio"),
+        ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS))
+        .cast("int").alias("pass_word_count"),
+        (
+            (F.col("sum_len") >= GOPHER_MIN_MEAN_WORD_LEN * nw)
+            & (F.col("sum_len") <= GOPHER_MAX_MEAN_WORD_LEN * nw)
+        ).cast("int").alias("pass_word_len"),
+        (F.col("n_symbols") * 10 <= GOPHER_MAX_SYMBOL_RATIO_10 * nw)
+        .cast("int").alias("pass_symbol"),
+        (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+        .cast("int").alias("pass_stopwords"),
+        (F.col("n_alpha") * 5 >= GOPHER_MIN_ALPHA_RATIO_5 * nw)
+        .cast("int").alias("pass_alpha"),
+    )
+    return flags.withColumn(
+        "passes_all",
+        (
+            F.col("pass_word_count")
+            * F.col("pass_word_len")
+            * F.col("pass_symbol")
+            * F.col("pass_stopwords")
+            * F.col("pass_alpha")
+        ).cast("int"),
+    )

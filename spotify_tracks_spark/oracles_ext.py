@@ -7444,3 +7444,138 @@ select c.c_mktsegment,
 from gg join customer c on c.c_custkey = gg.o_custkey
 group by c.c_mktsegment
 """
+
+
+def _gopher_rules_sql() -> str:
+    """Mirrors corpus_gopher_rules: identical WORD_RE / symbol / stopword
+    regex counts, cross-multiplied integer rule comparisons, 6-dp
+    display ratios."""
+    from .operators.llm_prep import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO_10,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO_5,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+    )
+    from .operators.text_analysis import LANG_STOPWORDS
+
+    stops = ", ".join(
+        f"'{w}'" for ws in LANG_STOPWORDS.values() for w in ws
+    )
+    return f"""
+with base as (
+    select doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9]+') as words,
+           len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) as n_symbols
+    from documents
+),
+sig as (
+    select doc_id,
+           cast(len(words) as bigint) as n_words,
+           cast(len(array_to_string(words, '')) as bigint) as sum_len,
+           cast(n_symbols as bigint) as n_symbols,
+           cast(len(list_distinct(list_filter(words,
+                w -> list_contains([{stops}], w)))) as bigint) as n_stopwords,
+           cast(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                as bigint) as n_alpha
+    from base
+)
+select doc_id, n_words,
+       round(sum_len / n_words, 6) as mean_word_len,
+       round(n_symbols / n_words, 6) as symbol_ratio,
+       n_stopwords,
+       round(n_alpha / n_words, 6) as alpha_word_ratio,
+       cast(n_words >= {GOPHER_MIN_WORDS}
+            and n_words <= {GOPHER_MAX_WORDS} as int) as pass_word_count,
+       cast(sum_len >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+            and sum_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words as int)
+         as pass_word_len,
+       cast(n_symbols * 10 <= {GOPHER_MAX_SYMBOL_RATIO_10} * n_words as int)
+         as pass_symbol,
+       cast(n_stopwords >= {GOPHER_MIN_STOPWORDS} as int) as pass_stopwords,
+       cast(n_alpha * 5 >= {GOPHER_MIN_ALPHA_RATIO_5} * n_words as int)
+         as pass_alpha,
+       cast((n_words >= {GOPHER_MIN_WORDS} and n_words <= {GOPHER_MAX_WORDS})
+            and (sum_len >= {GOPHER_MIN_MEAN_WORD_LEN} * n_words
+                 and sum_len <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)
+            and (n_symbols * 10 <= {GOPHER_MAX_SYMBOL_RATIO_10} * n_words)
+            and (n_stopwords >= {GOPHER_MIN_STOPWORDS})
+            and (n_alpha * 5 >= {GOPHER_MIN_ALPHA_RATIO_5} * n_words)
+            as int) as passes_all
+from sig
+where n_words > 0
+"""
+
+
+CORPUS_GOPHER_RULES = _gopher_rules_sql()
+
+
+ORDERS_FULFILLMENT_LATENCY = """
+with g as (
+    select o.o_orderpriority,
+           date_diff('day', cast(o.o_orderdate as date),
+                     cast(l.l_shipdate as date)) as gap
+    from lineitem l join orders o on o.o_orderkey = l.l_orderkey
+)
+select o_orderpriority,
+       cast(count(*) as bigint) as n_items,
+       round(cast(sum(gap) as bigint) / count(*), 6) as avg_days,
+       quantile_cont(gap, 0.5) as p50,
+       quantile_cont(gap, 0.9) as p90,
+       quantile_cont(gap, 0.99) as p99
+from g group by o_orderpriority
+"""
+
+
+def _top_component_sql() -> str:
+    """Mirrors embedding_top_component: positional-unnest centering,
+    ``PCA_ITERS`` unrolled s/y/norm rounds from the all-ones start,
+    final variance-along projection."""
+    from .operators.clustering import PCA_ITERS
+
+    steps = []
+    for i in range(1, PCA_ITERS + 1):
+        prev = f"x{i - 1}"
+        steps.append(
+            f"""s{i} as (
+    select vec_id, sum(cv * x) as s
+    from cvals join {prev} using (dim) group by vec_id
+),
+y{i} as (
+    select dim, sum(cv * s) as y
+    from cvals join s{i} using (vec_id) group by dim
+),
+x{i} as (
+    select dim, y / (select sqrt(sum(y * y)) from y{i}) as x from y{i}
+)"""
+        )
+    joined = ",\n".join(steps)
+    last = f"x{PCA_ITERS}"
+    return f"""
+with vals as (
+    select vec_id,
+           cast(unnest(embedding) as double) as v,
+           unnest(range(0, len(embedding))) as dim
+    from embeddings
+),
+cent as (select dim, sum(v) / count(*) as m from vals group by dim),
+cvals as materialized (
+    select vals.vec_id, vals.dim, vals.v - cent.m as cv
+    from vals join cent on cent.dim = vals.dim
+),
+x0 as (select dim, 1.0e0 as x from cent),
+{joined},
+sf as (
+    select vec_id, sum(cv * x) as s
+    from cvals join {last} using (dim) group by vec_id
+),
+st as (select cast(count(*) as bigint) as n, sum(s * s) as ss from sf)
+select {last}.dim, round({last}.x, 6) as loading,
+       round(st.ss / (st.n - 1), 6) as variance_explained
+from {last}, st
+"""
+
+
+EMBEDDING_TOP_COMPONENT = _top_component_sql()

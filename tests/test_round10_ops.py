@@ -376,3 +376,72 @@ def test_stream_heavy_terms_matches_batch_under_compress(spark, tmp_path):
     ).collect()
     got = {r.token: (r.freq, r.n_total, r.share) for r in rows}
     assert got == {"aa": (50, 100, 0.5)}
+
+
+def test_gopher_rules_planted(spark, tmp_path):
+    """Doc 1 passes every rule (60 normal words incl. two stopwords);
+    doc 2 fails exactly the word-count and stopword gates."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_gopher_rules
+
+    good = "the quick brown fox jumps over a lazy dog today " * 6  # 60 words
+    bad = "zap zip zop"
+    spark.createDataFrame(
+        [(1, good.strip() + ".", "en", "t", 0), (2, bad, "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (
+            r.n_words, r.pass_word_count, r.pass_word_len, r.pass_symbol,
+            r.pass_stopwords, r.pass_alpha, r.passes_all,
+        )
+        for r in corpus_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (60, 1, 1, 1, 1, 1, 1)
+    assert got[2] == (3, 0, 1, 1, 0, 1, 0)
+
+
+def test_fulfillment_latency_planted(spark, tmp_path):
+    """Gaps [1, 3] under one priority: avg 2.0 and the interpolated
+    percentile triple (2.0, 2.8, 2.98)."""
+    from spotify_tracks_spark.operators.tpch_shapes import (
+        orders_fulfillment_latency,
+    )
+
+    spark.createDataFrame(
+        [(1, 1, "O", 0.0, datetime(2024, 1, 1), "1-URGENT"),
+         (2, 1, "O", 0.0, datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, 1, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (2, 1, 1, 1, 1.0, 0.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 4)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    row = orders_fulfillment_latency(spark, str(tmp_path)).collect()[0]
+    assert (row.n_items, row.avg_days) == (2, 2.0)
+    assert row.p50 == 2.0
+    assert abs(row.p90 - 2.8) < 1e-9
+    assert abs(row.p99 - 2.98) < 1e-9
+
+
+def test_top_component_planted_axis(spark, tmp_path):
+    """All variance along dim 0 ([(0,0),(2,0),(4,0),(6,0)]): the top
+    component must read (±1, 0) with variance 20/3."""
+    from spotify_tracks_spark.operators.clustering import embedding_top_component
+
+    rows = [(i, [float(2 * i), 0.0], 0) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.dim: (r.loading, r.variance_explained)
+           for r in embedding_top_component(spark, str(tmp_path)).collect()}
+    assert abs(abs(got[0][0]) - 1.0) < 1e-6
+    assert abs(got[1][0]) < 1e-6
+    assert abs(got[0][1] - round(20 / 3, 6)) < 1e-6
