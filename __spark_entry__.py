@@ -993,6 +993,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matrix-free power iteration: top principal component + the
         # variance it hoards (anisotropy / ABTT diagnostic)
         "embedding_top_component": _clu.embedding_top_component,
+        # Herfindahl supplier-concentration index per nation
+        "nation_supplier_hhi": _tpch.nation_supplier_hhi,
+        # Goh-Barabasi arrival burstiness per event type
+        "events_burstiness": _ts.events_burstiness,
+        # type-token ratio + hapax share per language
+        "text_lexical_diversity": _text.text_lexical_diversity,
     }
 
 
@@ -1286,4 +1292,7 @@ def extra_oracle_sql() -> dict[str, str]:
             oracles_ext.ORDERS_FULFILLMENT_LATENCY
         ),
         "embedding_top_component": oracles_ext.EMBEDDING_TOP_COMPONENT,
+        "nation_supplier_hhi": oracles_ext.NATION_SUPPLIER_HHI,
+        "events_burstiness": oracles_ext.EVENTS_BURSTINESS,
+        "text_lexical_diversity": oracles_ext.TEXT_LEXICAL_DIVERSITY,
     }

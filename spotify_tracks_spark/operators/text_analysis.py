@@ -914,3 +914,38 @@ def text_zipf_slope(
             (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
         ).alias("r2"),
     )
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL-DIVERSITY profile per language: type-token ratio and the
+    hapax-legomena share — the corpus-health pair next to
+    ``text_zipf_slope``: synthetic or template-heavy text collapses TTR
+    and starves the hapax tail long before it fails per-doc quality
+    gates (classic corpus linguistics diagnostics).
+
+    Plan: one token-grain aggregate at (lang, token) then a |langs|-row
+    fold — two small shuffles after map-side combine, scan-side column
+    pruning to (lang, text).
+
+    Determinism: all counts exact integers; the two ratios are single
+    IEEE divisions, 6-dp rounded.
+
+    Output: (lang, n_tokens, n_types, n_hapax, type_token_ratio,
+    hapax_share)."""
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        ).alias("tok"),
+    )
+    per_type = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    return per_type.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_share"),
+    )

@@ -1403,3 +1403,47 @@ def events_lagged_crosscorr(
             ).alias("r"),
         )
     )
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURSTINESS of each event type's arrival process: the Goh-Barabási
+    coefficient B = (σ−μ)/(σ+μ) over inter-event gaps (B → −1 periodic,
+    0 Poisson, → 1 bursty) — the one-number arrival-shape diagnostic
+    behind capacity planning and anomaly baselines, complementing
+    ``events_autocorrelation`` (which sees daily counts, not gap
+    texture).
+
+    Plan: one log shuffle for the per-type lag window ((ts, event_id)
+    total order), then gap moments fold to a |types|-row report.
+
+    Determinism: gaps are exact integer seconds; the moments accumulate
+    as DOUBLES (a µs² integer product overflows bigint — the
+    dim_stats float-moment envelope applies instead: ulp noise far
+    below the 6-dp rounding); μ, σ and B are fixed-order IEEE
+    expressions the oracle mirrors.
+
+    Output: (event_type, n_gaps, mean_gap_s, burstiness)."""
+    from ..functions.time_utils import epoch_seconds
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", epoch_seconds(F.col("ts")).alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).cast("double").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    mu = s1 / n
+    sigma = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    return m.filter(F.col("n_gaps") >= 2).select(
+        "event_type",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )

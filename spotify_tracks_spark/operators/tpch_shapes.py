@@ -1195,3 +1195,56 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[1].alias("p90"),
         pct[2].alias("p99"),
     )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLY-CONCENTRATION report: the Herfindahl-Hirschman index of
+    supplier revenue shares within each nation — the standard
+    concentration measure (HHI = Σ share², monopoly → 1, atomistic →
+    1/n) a sourcing or antitrust analysis reads before trusting a
+    nation's supply chain; the concentration twin of the Q11 value
+    threshold (which finds big PARTS, not lopsided NATIONS).
+
+    Plan: one fact shuffle to (nation, supplier) revenue in exact e4
+    fixed-point (the module's cents discipline), the supplier micro-dim
+    broadcast, then a |nations|-row aggregate of share squares.
+
+    Determinism: revenues are exact bigints; each share is one IEEE
+    division; the Σshare² fold's order noise sits far below the 6-dp
+    rounding.
+
+    Output: (n_name, n_suppliers, total_rev_e4, hhi, top_share)."""
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        "l_suppkey",
+        (_cents("l_extendedprice") * (F.lit(100) - _pct("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_supp = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("rev_e4").alias("rev"))
+    )
+    tot = Window.partitionBy("s_nationkey")
+    shares = per_supp.select(
+        "s_nationkey",
+        "rev",
+        (F.col("rev") / F.sum("rev").over(tot)).alias("share"),
+    )
+    return (
+        shares.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("rev").alias("total_rev_e4"),
+            F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_suppliers", "total_rev_e4", "hhi", "top_share")
+    )

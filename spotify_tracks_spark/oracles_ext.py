@@ -7579,3 +7579,86 @@ from {last}, st
 
 
 EMBEDDING_TOP_COMPONENT = _top_component_sql()
+
+
+NATION_SUPPLIER_HHI = """
+with li as (
+    select l_suppkey,
+           cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint)) as rev_e4
+    from lineitem
+),
+per_supp as (
+    select s.s_nationkey, s.s_suppkey,
+           cast(sum(li.rev_e4) as bigint) as rev
+    from li join supplier s on s.s_suppkey = li.l_suppkey
+    group by 1, 2
+),
+shares as (
+    select s_nationkey, rev,
+           rev / cast(sum(rev) over (partition by s_nationkey) as bigint)
+             as share
+    from per_supp
+),
+agg as (
+    select s_nationkey,
+           cast(count(*) as bigint) as n_suppliers,
+           cast(sum(rev) as bigint) as total_rev_e4,
+           round(sum(share * share), 6) as hhi,
+           round(max(share), 6) as top_share
+    from shares group by 1
+)
+select n.n_name, a.n_suppliers, a.total_rev_e4, a.hhi, a.top_share
+from agg a join nation n on n.n_nationkey = a.s_nationkey
+"""
+
+
+EVENTS_BURSTINESS = """
+with e as (
+    select event_type, cast(floor(epoch(ts)) as bigint) as sec, event_id
+    from events
+),
+g as (
+    select event_type,
+           cast(sec - lag(sec) over (partition by event_type
+                                     order by sec, event_id) as double) as gap
+    from e
+),
+gg as (select event_type, gap from g where gap is not null),
+m as (
+    select event_type,
+           cast(count(*) as bigint) as n,
+           sum(gap) as s1,
+           sum(gap * gap) as s2
+    from gg group by 1
+)
+select event_type, n as n_gaps,
+       round(s1 / n, 6) as mean_gap_s,
+       round((sqrt((n * s2 - s1 * s1) / (n * (n - 1))) - s1 / n)
+             / (sqrt((n * s2 - s1 * s1) / (n * (n - 1))) + s1 / n), 6)
+         as burstiness
+from m where n >= 2
+"""
+
+
+TEXT_LEXICAL_DIVERSITY = """
+with tk as (
+    select lang,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+    from documents
+),
+pt as (
+    select lang, tok, cast(count(*) as bigint) as c from tk group by 1, 2
+),
+a as (
+    select lang,
+           cast(sum(c) as bigint) as n_tokens,
+           cast(count(*) as bigint) as n_types,
+           cast(sum(case when c = 1 then 1 else 0 end) as bigint) as n_hapax
+    from pt group by lang
+)
+select lang, n_tokens, n_types, n_hapax,
+       round(n_types / n_tokens, 6) as type_token_ratio,
+       round(n_hapax / n_types, 6) as hapax_share
+from a
+"""

@@ -7,7 +7,7 @@ tokenizer fertility, and the lagged cross-correlation."""
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import datetime, timedelta
 
 
 def test_jaccard_links_planted(spark, tmp_path):
@@ -445,3 +445,68 @@ def test_top_component_planted_axis(spark, tmp_path):
     assert abs(abs(got[0][0]) - 1.0) < 1e-6
     assert abs(got[1][0]) < 1e-6
     assert abs(got[0][1] - round(20 / 3, 6)) < 1e-6
+
+
+def test_burstiness_planted(spark, tmp_path):
+    """Periodic arrivals (equal gaps) must read B = -1 exactly; a
+    bursty pattern (gaps 1,1,58) reads B > 0."""
+    from spotify_tracks_spark.operators.timeseries import events_burstiness
+
+    rows = []
+    for i in range(4):  # periodic: gaps 10,10,10
+        rows.append((i + 1, datetime(2024, 1, 1, 0, 0, 10 * i), 1, "tick", 0.0, "{}"))
+    base = datetime(2024, 1, 1, 1, 0, 0)
+    for i, sec in enumerate([0, 1, 2, 60]):  # bursty: gaps 1,1,58
+        rows.append((10 + i, base + timedelta(seconds=sec), 1, "burst", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_type: (r.n_gaps, r.mean_gap_s, r.burstiness)
+           for r in events_burstiness(spark, str(tmp_path)).collect()}
+    assert got["tick"] == (3, 10.0, -1.0)
+    assert got["burst"][0] == 3 and got["burst"][2] > 0.4
+
+
+def test_hhi_planted(spark, tmp_path):
+    """One nation with a monopoly supplier (HHI 1.0), one with two equal
+    suppliers (HHI 0.5)."""
+    from spotify_tracks_spark.operators.tpch_shapes import nation_supplier_hhi
+
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (2, 1, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+        (3, 1, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 2)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 10, "s1"), (2, 20, "s2"), (3, 20, "s3")],
+        "s_suppkey long, s_nationkey long, s_name string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/supplier.parquet")
+    spark.createDataFrame(
+        [(10, "MONO"), (20, "DUO")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/nation.parquet")
+    got = {r.n_name: (r.n_suppliers, r.hhi, r.top_share)
+           for r in nation_supplier_hhi(spark, str(tmp_path)).collect()}
+    assert got == {"MONO": (1, 1.0, 1.0), "DUO": (2, 0.5, 0.5)}
+
+
+def test_lexical_diversity_planted(spark, tmp_path):
+    """'a a b c' -> 4 tokens, 3 types (TTR 0.75), 2 hapax (share 2/3)."""
+    from spotify_tracks_spark.operators.text_analysis import text_lexical_diversity
+
+    spark.createDataFrame(
+        [(1, "a a b c", "xx", "t", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    row = text_lexical_diversity(spark, str(tmp_path)).collect()[0]
+    assert (row.n_tokens, row.n_types, row.n_hapax) == (4, 3, 2)
+    assert row.type_token_ratio == 0.75
+    assert row.hapax_share == round(2 / 3, 6)
