@@ -449,7 +449,8 @@ def test_top_component_planted_axis(spark, tmp_path):
 
 def test_burstiness_planted(spark, tmp_path):
     """Periodic arrivals (equal gaps) must read B = -1 exactly; a
-    bursty pattern (gaps 1,1,58) reads B > 0."""
+    bursty pattern (gaps 1,1,58) reads B = 0.243984 (sample-variance
+    sigma = sqrt(1083))."""
     from spotify_tracks_spark.operators.timeseries import events_burstiness
 
     rows = []
@@ -466,7 +467,9 @@ def test_burstiness_planted(spark, tmp_path):
     got = {r.event_type: (r.n_gaps, r.mean_gap_s, r.burstiness)
            for r in events_burstiness(spark, str(tmp_path)).collect()}
     assert got["tick"] == (3, 10.0, -1.0)
-    assert got["burst"][0] == 3 and got["burst"][2] > 0.4
+    assert got["burst"][0] == 3
+    mu, sig = 20.0, math.sqrt(1083.0)
+    assert abs(got["burst"][2] - round((sig - mu) / (sig + mu), 6)) < 1e-9
 
 
 def test_hhi_planted(spark, tmp_path):
