@@ -1218,11 +1218,17 @@ def parts_copurchase_modularity(
             "n_nodes",
             "m_intra",
             "d_total",
-            F.round(
-                F.col("mi") / F.col("m")
-                - (F.col("dt") / (F.lit(2) * F.col("m")))
-                * (F.col("dt") / (F.lit(2) * F.col("m"))),
-                6,
+            # + 0.0 normalizes IEEE negative zero: a zero-intra
+            # community's -(d/2m)^2 rounds to -0.0 in DuckDB but +0.0 in
+            # Spark, and the harness renders the sign (sf0.1 catch)
+            (
+                F.round(
+                    F.col("mi") / F.col("m")
+                    - (F.col("dt") / (F.lit(2) * F.col("m")))
+                    * (F.col("dt") / (F.lit(2) * F.col("m"))),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("q_contrib"),
         )
     )

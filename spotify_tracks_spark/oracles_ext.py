@@ -7275,7 +7275,7 @@ select d.community, d.n_nodes,
        coalesce(i.m_intra, 0) as m_intra,
        d.d_total,
        round(coalesce(i.m_intra, 0) / m.m
-             - (d.d_total / (2 * m.m)) * (d.d_total / (2 * m.m)), 6)
+             - (d.d_total / (2 * m.m)) * (d.d_total / (2 * m.m)), 6) + 0.0e0
          as q_contrib
 from md_d d
 left join md_intra i on i.community = d.community, md_m m
