@@ -999,6 +999,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burstiness": _ts.events_burstiness,
         # type-token ratio + hapax share per language
         "text_lexical_diversity": _text.text_lexical_diversity,
+        # per-source Jensen-Shannon drift vs the corpus mix
+        "corpus_source_divergence": _llm.corpus_source_divergence,
+        # exact mean pairwise distance via the moment identity (O(n*d))
+        "embedding_dispersion": _clu.embedding_dispersion,
     }
 
 
@@ -1295,4 +1299,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "nation_supplier_hhi": oracles_ext.NATION_SUPPLIER_HHI,
         "events_burstiness": oracles_ext.EVENTS_BURSTINESS,
         "text_lexical_diversity": oracles_ext.TEXT_LEXICAL_DIVERSITY,
+        "corpus_source_divergence": oracles_ext.CORPUS_SOURCE_DIVERGENCE,
+        "embedding_dispersion": oracles_ext.EMBEDDING_DISPERSION,
     }

@@ -429,3 +429,41 @@ def embedding_top_component(
         F.round("x", 6).alias("loading"),
         F.round(F.col("ss") / (F.col("n") - 1), 6).alias("variance_explained"),
     )
+
+
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DISPERSION in one pass: the exact mean squared pairwise
+    distance over ALL C(n,2) vector pairs WITHOUT materializing a
+    single pair, via the moment identity
+    Σ_{i<j} ||v_i − v_j||² = n·Σᵢ||v_i||² − ||Σᵢ v_i||²
+    — the collapse/mode-coverage diagnostic for an embedding corpus
+    (dispersion → 0 means the embedder is collapsing), and the poster
+    child for "an O(n²) question with an O(n·d) plan" at 100 TB.
+
+    Plan: one ``posexplode`` scan folds Σ||v||² (row grain) and the
+    per-dimension component sums (|d| grain) simultaneously; the final
+    row is a broadcast one-row combine.  Nothing pairwise ever exists.
+
+    Determinism: float sums under the dim_stats ulp envelope; the
+    identity itself is exact algebra; fixed-order IEEE ops, 6-dp
+    rounded.
+
+    Output: one row (n_vectors, mean_sq_dist, rms_dist,
+    center_norm)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("vec_id", "dim", F.col("val").cast("double").alias("v"))
+    sq = vals.groupBy("vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("sq"))
+    tot = sq.agg(F.count("*").alias("n"), F.sum("sq").alias("ssq"))
+    comp = vals.groupBy("dim").agg(F.sum("v").alias("s"))
+    cnorm = comp.agg(F.sum(F.col("s") * F.col("s")).alias("csq"))
+    n = F.col("n")
+    pair_sum = n * F.col("ssq") - F.col("csq")
+    n_pairs = n * (n - 1) / F.lit(2.0)
+    return tot.crossJoin(F.broadcast(cnorm)).select(
+        F.col("n").alias("n_vectors"),
+        F.round(pair_sum / n_pairs, 6).alias("mean_sq_dist"),
+        F.round(F.sqrt(pair_sum / n_pairs), 6).alias("rms_dist"),
+        F.round(F.sqrt(F.col("csq")) / n, 6).alias("center_norm"),
+    )

@@ -1372,3 +1372,64 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("pass_alpha")
         ).cast("int"),
     )
+
+
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-DRIFT report: Jensen-Shannon divergence (bits) between each
+    source's unigram distribution and the whole-corpus distribution —
+    the mixture-monitoring number a multi-source pipeline alarms on
+    ("src14 suddenly reads 3× further from the mix than its siblings"),
+    the distributional sibling of ``corpus_split_drift``'s PSI (which
+    compares two SPLITS on banded scores; this compares every SOURCE on
+    the full vocabulary).
+
+    Plan: token counts at (source, token) grain (one shuffle), the
+    per-source totals broadcast back, the global distribution joined at
+    token grain, the corpus total on a one-row broadcast spine.  The
+    q-only tail (corpus tokens a source never uses) is folded in CLOSED
+    FORM via the coverage identity Σ_{t∉P} q·log₂(2q/q) = 1 − Σ_{t∈P} q,
+    so the plan never materializes |sources|×|vocab| rows — the join is
+    inner on the source's own support.
+
+    Determinism: counts exact; p, q are exact-integer divisions; the
+    log₂ term sums carry ulp noise far below the 6-dp rounding.
+
+    Output: (source, n_tokens, coverage, jsd_bits) — one row per
+    source; jsd_bits ∈ [0, 1]."""
+    from .text_analysis import WORD_RE
+
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(WORD_RE), 0)
+        ).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    n_tot = g.agg(F.sum("c_t").alias("n"))
+    j = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    m = p + q
+    terms = j.select(
+        "source",
+        "n_s",
+        (p * F.log2(F.lit(2) * p / m)).alias("tp"),
+        (q * F.log2(F.lit(2) * q / m)).alias("tq"),
+        q.alias("qcov"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.round(F.sum("qcov"), 6).alias("coverage"),
+        F.round(
+            F.lit(0.5) * F.sum("tp")
+            + F.lit(0.5) * (F.sum("tq") + (F.lit(1.0) - F.sum("qcov"))),
+            6,
+        ).alias("jsd_bits"),
+    )

@@ -7662,3 +7662,59 @@ select lang, n_tokens, n_types, n_hapax,
        round(n_hapax / n_types, 6) as hapax_share
 from a
 """
+
+
+CORPUS_SOURCE_DIVERGENCE = """
+with tk as (
+    select source,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+    from documents
+),
+st as (
+    select source, tok, cast(count(*) as bigint) as c_st
+    from tk group by 1, 2
+),
+s_tot as (select source, cast(sum(c_st) as bigint) as n_s from st group by 1),
+g as (select tok, cast(count(*) as bigint) as c_t from tk group by 1),
+n_tot as (select cast(sum(c_t) as bigint) as n from g),
+terms as (
+    select st.source, s_tot.n_s,
+           (st.c_st / s_tot.n_s)
+             * log2(2 * (st.c_st / s_tot.n_s)
+                    / ((st.c_st / s_tot.n_s) + (g.c_t / n_tot.n))) as tp,
+           (g.c_t / n_tot.n)
+             * log2(2 * (g.c_t / n_tot.n)
+                    / ((st.c_st / s_tot.n_s) + (g.c_t / n_tot.n))) as tq,
+           (g.c_t / n_tot.n) as qcov
+    from st
+    join s_tot on s_tot.source = st.source
+    join g on g.tok = st.tok, n_tot
+)
+select source,
+       max(n_s) as n_tokens,
+       round(sum(qcov), 6) as coverage,
+       round(0.5e0 * sum(tp) + 0.5e0 * (sum(tq) + (1.0e0 - sum(qcov))), 6)
+         as jsd_bits
+from terms group by source
+"""
+
+
+EMBEDDING_DISPERSION = """
+with vals as (
+    select vec_id,
+           cast(unnest(embedding) as double) as v,
+           unnest(range(0, len(embedding))) as dim
+    from embeddings
+),
+sq as (select vec_id, sum(v * v) as sq from vals group by vec_id),
+tot as (select cast(count(*) as bigint) as n, sum(sq) as ssq from sq),
+comp as (select dim, sum(v) as s from vals group by dim),
+cnorm as (select sum(s * s) as csq from comp)
+select tot.n as n_vectors,
+       round((tot.n * tot.ssq - cnorm.csq) / (tot.n * (tot.n - 1) / 2.0e0), 6)
+         as mean_sq_dist,
+       round(sqrt((tot.n * tot.ssq - cnorm.csq)
+                  / (tot.n * (tot.n - 1) / 2.0e0)), 6) as rms_dist,
+       round(sqrt(cnorm.csq) / tot.n, 6) as center_norm
+from tot, cnorm
+"""

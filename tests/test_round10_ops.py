@@ -513,3 +513,39 @@ def test_lexical_diversity_planted(spark, tmp_path):
     assert (row.n_tokens, row.n_types, row.n_hapax) == (4, 3, 2)
     assert row.type_token_ratio == 0.75
     assert row.hapax_share == round(2 / 3, 6)
+
+
+def test_embedding_dispersion_identity(spark, tmp_path):
+    """Brute-force check of the moment identity on 3 vectors
+    ([0,0],[1,0],[0,2]): pair d² = 1, 4, 5 — mean 10/3; center norm
+    |(1,2)|/3."""
+    from spotify_tracks_spark.operators.clustering import embedding_dispersion
+
+    rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 2.0], 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    row = embedding_dispersion(spark, str(tmp_path)).collect()[0]
+    assert row.n_vectors == 3
+    assert abs(row.mean_sq_dist - round(10 / 3, 6)) < 1e-9
+    assert abs(row.rms_dist - round(math.sqrt(10 / 3), 6)) < 1e-6
+    assert abs(row.center_norm - round(math.sqrt(5) / 3, 6)) < 1e-6
+
+
+def test_source_divergence_planted(spark, tmp_path):
+    """Two single-token disjoint sources ('a a' vs 'b b'): symmetric JSD
+    with coverage 0.5 each — hand-computed via the coverage identity."""
+    from spotify_tracks_spark.operators.llm_prep import corpus_source_divergence
+
+    spark.createDataFrame(
+        [(1, "a a", "A", "A", 3), (2, "b b", "B", "B", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    # source A: p(a)=1, q(a)=0.5, m=1.5
+    tp = 1.0 * math.log2(2 * 1.0 / 1.5)
+    tq = 0.5 * math.log2(2 * 0.5 / 1.5)
+    expect = round(0.5 * tp + 0.5 * (tq + (1.0 - 0.5)), 6)
+    got = {r.source: (r.n_tokens, r.coverage, r.jsd_bits)
+           for r in corpus_source_divergence(spark, str(tmp_path)).collect()}
+    assert got["A"] == (2, 0.5, expect)
+    assert got["B"] == (2, 0.5, expect)
