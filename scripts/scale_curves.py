@@ -74,6 +74,12 @@ def _targets():
         ("corpus_bpe_encode", _l.corpus_bpe_encode),
         ("events_stream_kmv", ex["events_stream_kmv"]),
         ("ngram_jaccard_uncapped", ex["dedup_ngram_jaccard_uncapped"]),
+        # round-10 session-2 heavy additions (driver-ladder evidence)
+        ("ppr", _g.parts_copurchase_ppr),
+        ("modularity", _g.parts_copurchase_modularity),
+        ("heavy_terms_mg", ex["text_heavy_terms_mg"]),
+        ("top_component", ex["embedding_top_component"]),
+        ("source_divergence", ex["corpus_source_divergence"]),
     ]
 
 
