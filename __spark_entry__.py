@@ -457,7 +457,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     substitutes, sequential_ab batch+stream, did, retention_curve_fit,
     naive_bayes_langid, rfm, pareto, pack_sequences, bpe_merges,
     span_corruption, ann_recall_eval_all).  The round-9 cohort stays
-    (1 driver round).  Never-rowed tail after this round: 64."""
+    (1 driver round).  Never-rowed tail after this round: 64.
+
+    ROUND-11 ROTATION (same policy, 20 slots): 20 never-driver-rowed
+    operators IN — the mechanically-computed heaviest of the
+    never-rowed tail (union over CORRECTNESS_r01–r10 keys, 89 entries,
+    ranked by BENCH_FULL_r10 time), which covers the round-10
+    verdict's entire shortlist: parts_copurchase_modularity, ppr,
+    docs_stream_heavy_terms, q7 streaming-incremental twin,
+    embedding_top_component, corpus_source_divergence,
+    ann_topk_rrf_fusion, events_rolling_7d, ann_topk_ivf_nprobe,
+    ann_topk_pq, text_heavy_terms_mg, parts_copurchase_jaccard_links,
+    embedding_quantize, embedding_pq, corpus_gopher_rules,
+    corpus_tokenizer_fertility, embedding_dispersion,
+    events_grouping_sets, dim_calendar, documents_profile.  Rotated
+    OUT the whole round-9 cohort (driver-green exactly 2 rounds,
+    r9+r10): the q8/q6 streaming-incremental marts, eigencentrality,
+    basket_rules, bpe_encode, stream_join_outer, the KMV/HLL set-op
+    family and streaming folds, dedup_within_watermark,
+    stream_peak_rate, part_supplier_diversity, truncation_recall,
+    vocab_encode, corpus_survival, part_min_cost_supplier,
+    token_budget_pack.  The round-10 cohort stays (1 driver round).
+    Never-rowed tail after this round: 69 (tracked by the
+    rotation_debt gauge in bench.py and pinned monotonically
+    decreasing by tests/test_rotation_debt.py)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -466,46 +489,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_dim_track": _model("dim_track"),
         "q6_rpt_track_counts": _model("rpt_track_counts"),
         "q8_rpt_discovery_rate": _model("rpt_discovery_rate"),
-        # --- rotated IN round 9: first-ever driver rows, fronted ---
-        # streaming-incremental two-DISTINCT weekly mart (exact set-state
-        # per (year, week); same Q8 oracle as the batch build)
-        "q8_rpt_discovery_rate_streaming_incremental": _rpt_discovery_rate_streaming_incremental,
-        # streaming-incremental TRAILING-WINDOW mart (per-batch window
-        # eviction; same Q6 oracle as the batch build)
-        "q6_rpt_track_counts_streaming_incremental": _rpt_track_counts_streaming_incremental,
-        # L2-normalized power iteration over the shared co-purchase graph
-        "parts_copurchase_eigencentrality": _graph_eigen,
-        # co-occurrence association rules (support/confidence/lift)
-        "orders_basket_rules": _tpch.orders_basket_rules,
-        # tokenizer APPLICATION: per-doc token budget under learned merges
-        "corpus_bpe_encode": _llm.corpus_bpe_encode,
-        # LEFT OUTER stream-stream interval join (watermark null-emits)
-        "events_stream_join_outer": _events_stream_join_outer,
-        # theta-sketch set ops: batch + streaming fold (same oracle)
-        "events_kmv_set_ops": _events.events_kmv_set_ops,
-        "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
-        # HLL inclusion-exclusion pair overlap (register-max union merge)
-        "events_hll_set_ops": _events.events_hll_set_ops,
-        # streaming sketch folds (constant-size mergeable state each)
-        "events_stream_kmv": _events_stream_kmv,
-        "events_stream_hll": _events_stream_hll,
-        "events_stream_bloom": _events_stream_bloom,
-        # dropDuplicatesWithinWatermark variant of the streaming ingest
-        "events_stream_dedup_within_watermark": _events_stream_dedup_ww,
-        # chained stateful aggregation (window-over-window, Spark 4)
-        "events_stream_peak_rate": _events_stream_peak_rate,
-        # distinct-count + NOT-IN anti-join (warehouse Q16 shape)
-        "part_supplier_diversity": _tpch.part_supplier_diversity,
-        # matryoshka dimension ablation: recall@k at truncated dims
-        "embedding_truncation_recall": _sim.embedding_truncation_recall,
-        # vocabulary fit + broadcast-join encode (tokenize-to-ids)
-        "corpus_vocab_encode": _llm.corpus_vocab_encode,
-        # per-gate attrition funnel of the corpus-cleaning pipeline
-        "corpus_survival": corpus_survival,
-        # min-cost-supplier ranking (correlated-subquery decorrelation)
-        "part_min_cost_supplier": _tpch.part_min_cost_supplier,
-        # token-budget corpus selection via the two-level prefix
-        "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
+        # --- rotated IN round 11: first-ever driver rows, fronted (the
+        # mechanically-heaviest of the never-rowed tail per
+        # BENCH_FULL_r10, covering the round-10 verdict's shortlist) ---
+        # Newman modularity Q of the LPA partition (shared edge memo)
+        "parts_copurchase_modularity": _graph_modularity,
+        # personalized PageRank from a pinned seed (bounded iterations)
+        "parts_copurchase_ppr": _graph_ppr,
+        # streaming fold of the Misra-Gries heavy-terms pass (same
+        # exact-recount oracle as the batch twin)
+        "docs_stream_heavy_terms": _docs_stream_heavy_terms,
+        # streaming-incremental artist mart (same Q7 oracle as batch)
+        "q7_rpt_artist_counts_streaming_incremental": (
+            _rpt_artist_counts_streaming_incremental
+        ),
+        # top principal component via power iteration (O(n·d)/iter)
+        "embedding_top_component": _clu.embedding_top_component,
+        # per-source Jensen-Shannon divergence vs corpus unigram mix
+        "corpus_source_divergence": _llm.corpus_source_divergence,
+        # reciprocal-rank fusion of the IVF and sign-LSH candidate lists
+        "ann_topk_rrf_fusion": _sim.ann_topk_rrf_fusion,
+        # trailing-window frame aggregation (rows between 6 preceding)
+        "events_rolling_7d": _ts.events_rolling_7d,
+        # IVF probe-count sweep: recall@k per nprobe rung
+        "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
+        # product-quantized ADC top-k (codebook broadcast, capped panel)
+        "ann_topk_pq": _sim.ann_topk_pq,
+        # Misra-Gries heavy terms (mapInPandas partial + exact recount)
+        "text_heavy_terms_mg": _text.text_heavy_terms_mg,
+        # Jaccard link prediction over the shared co-purchase graph
+        "parts_copurchase_jaccard_links": _graph_jaccard_links,
+        # scalar (min-max int8) embedding quantization + recon error
+        "embedding_quantize": _sim.embedding_quantize,
+        # product quantization codebooks (subspace k-means, pinned seeds)
+        "embedding_pq": _sim.embedding_pq,
+        # Gopher-style quality rule pack (per-rule pass/fail + yield)
+        "corpus_gopher_rules": _llm.corpus_gopher_rules,
+        # tokens-per-word fertility of the learned BPE merges
+        "corpus_tokenizer_fertility": _llm.corpus_tokenizer_fertility,
+        # exact pairwise dispersion via the O(n·d) closed form
+        "embedding_dispersion": _clu.embedding_dispersion,
+        # GROUPING SETS multi-granularity rollup (Expand plan)
+        "events_grouping_sets": _events.events_grouping_sets,
+        # generated date spine with calendar attributes
+        "dim_calendar": _ts.dim_calendar,
+        # one-scan per-column profile of the documents table
+        "documents_profile": _profile.documents_profile,
         # --- rotated IN round 10: first-ever driver rows (the heaviest
         # of the never-rowed tail; covers all nine round-9 additions) ---
         # streaming fold of the HLL pair report (register-max drain)
@@ -672,8 +701,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series surface (operators/timeseries.py): RANGE-frame
         # rolling aggregates, integer-exact z-score anomaly flags, and
         # ignore-nulls-window linear interpolation over a calendar spine
-        # (rolling_7d stays here — just below the round-10 rotation cut)
-        "events_rolling_7d": _ts.events_rolling_7d,
+        # (events_rolling_7d rotated INTO the driver round 11)
         # calendar-aware EWMA with dyadic decay (bit-deterministic
         # cross-engine: every weight an exact power of two)
         "events_ewma_daily": _ts.events_ewma_daily,
@@ -686,20 +714,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
         # (ann_recall_eval_all rotated INTO the driver round 8)
-        # IVF at nprobe=2 (probe-side cell fan-out, the recall knob)
-        "ann_topk_ivf_nprobe": _ann_topk_ivf_nprobe,
+        # (ann_topk_ivf_nprobe rotated INTO the driver round 11)
         # (ann_topk_ivfpq rotated INTO the driver round 10)
         # matryoshka-style dimension ablation: recall@k at truncated dims
         # multilingual rebalancing: down-sample every language to the
         # smallest one's volume (data-derived hash-mod rates)
         "corpus_language_balance": _llm.corpus_language_balance,
         # (events_profile rotated INTO the driver round 10)
-        # arbitrary GROUPING SETS via the SQL surface (rollup/cube kin)
-        "events_grouping_sets": _events.events_grouping_sets,
+        # (events_grouping_sets rotated INTO the driver round 11)
         # sliding-window streaming aggregate (window 1d, slide 12h)
         "events_stream_sliding": _events_stream_sliding,
-        # int8-style scalar quantization + reconstruction-error report
-        "embedding_quantize": _sim.embedding_quantize,
+        # (embedding_quantize rotated INTO the driver round 11)
         # (text_bigram_lm_score rotated INTO the driver round 10)
         # heavy-hitter key report (the input to every skew-handling knob)
         "events_key_skew": _an.events_key_skew,
@@ -712,10 +737,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": _an.events_k_anonymity,
         # interval×interval overlap join (completes asof/range family)
         "events_session_overlap": _events.events_session_overlap,
-        # product quantization (codebook compression, d floats → n bytes)
-        "embedding_pq": _sim.embedding_pq,
-        # PQ asymmetric-distance search over codes (memory-bound ANN)
-        "ann_topk_pq": _sim.ann_topk_pq,
+        # (embedding_pq, ann_topk_pq rotated INTO the driver round 11)
         # langid confusion matrix + per-label recall (classifier eval)
         "text_langid_eval": _text.text_langid_eval,
         # dangling-reference audit between documents and embeddings
@@ -729,8 +751,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_median": _events.events_median,
         # update-mode streaming counts (third output mode; 1-batch drain)
         "events_stream_update_counts": _events_stream_update_counts,
-        # the generalized profiler applied to a second table
-        "documents_profile": _profile.documents_profile,
+        # (documents_profile rotated INTO the driver round 11)
         # (events_rfm, corpus_bpe_merges rotated INTO the driver round 8)
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
         # tokenizer APPLICATION: per-doc token budget under the learned
@@ -803,8 +824,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_score_topk": _sim.embedding_score_topk,
         # dense_rank / percent_rank / cume_dist (set-deterministic ties)
         "events_rank_functions": _events.events_rank_functions,
-        # calendar date-spine dimension (ISO week/year handled explicitly)
-        "dim_calendar": _ts.dim_calendar,
+        # (dim_calendar rotated INTO the driver round 11)
         # (dedup_edit_distance rotated INTO the driver round 10)
         # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
         "events_dau_wau_mau": _ts.events_dau_wau_mau,
@@ -946,35 +966,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": _llm.corpus_temperature_sample,
         "corpus_split_drift": _llm.corpus_split_drift,
         "text_bm25_scores": _text.text_bm25_scores,
-        # --- round 10 additions (first registered this round; next
-        # round's rotation gives them driver rows) ---
-        # Jaccard-coefficient link prediction (unweighted AA sibling)
-        "parts_copurchase_jaccard_links": _graph_jaccard_links,
+        # --- round 10 additions (first registered that round; the
+        # round-11 rotation gave the heaviest of them driver rows:
+        # jaccard_links, ppr, heavy_terms_mg, tokenizer_fertility,
+        # q7 streaming twin, rrf_fusion, modularity, stream heavy
+        # terms, gopher_rules, top_component, source_divergence,
+        # dispersion) ---
         # degree-distribution summary + power-law MLE alpha
         "parts_copurchase_degree_powerlaw": _graph_degree_powerlaw,
-        # personalized PageRank from the top-degree seed set
-        "parts_copurchase_ppr": _graph_ppr,
         # per-doc Flesch reading ease (3 regex counts, scan speed)
         "text_readability": _text.text_readability,
-        # distributed Misra-Gries heavy terms (exact via recount pass)
-        "text_heavy_terms_mg": _text.text_heavy_terms_mg,
-        # per-language BPE fertility / chars-per-token report
-        "corpus_tokenizer_fertility": _llm.corpus_tokenizer_fertility,
         # lead/lag Pearson CCF between click and purchase daily series
         "events_lagged_crosscorr": _ts.events_lagged_crosscorr,
-        # SECOND mart read over the Q6 fold's state design (same oracle
-        # as batch Q7)
-        "q7_rpt_artist_counts_streaming_incremental": (
-            _rpt_artist_counts_streaming_incremental
-        ),
-        # reciprocal-rank fusion of the IVF + LSH candidate lists
-        "ann_topk_rrf_fusion": _sim.ann_topk_rrf_fusion,
         # per-dimension embedding QA profile (dead/runaway dims)
         "embedding_dim_stats": _clu.embedding_dim_stats,
         # per-state transition entropy of the behavior chain
         "events_markov_entropy": _an.events_markov_entropy,
-        # Newman modularity of the LPA communities (partition quality)
-        "parts_copurchase_modularity": _graph_modularity,
         # RAKE keyword phrases (corpus-wide deg/freq word scores)
         "text_rake_phrases": _text.text_rake_phrases,
         # Zipf rank-frequency OLS fit over the top vocabulary slice
@@ -983,26 +990,59 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_outliers": _clu.embedding_centroid_outliers,
         # per-segment reorder cadence (lag-window gap distribution)
         "customers_reorder_intervals": _tpch.customers_reorder_intervals,
-        # streaming Misra-Gries fold (k-counter mergeable summary +
-        # exact recount at drain; same oracle as the batch op)
-        "docs_stream_heavy_terms": _docs_stream_heavy_terms,
-        # the named Gopher quality-filter rule pack (integer-exact flags)
-        "corpus_gopher_rules": _llm.corpus_gopher_rules,
         # order->ship latency percentiles per priority (SLA report)
         "orders_fulfillment_latency": _tpch.orders_fulfillment_latency,
-        # matrix-free power iteration: top principal component + the
-        # variance it hoards (anisotropy / ABTT diagnostic)
-        "embedding_top_component": _clu.embedding_top_component,
         # Herfindahl supplier-concentration index per nation
         "nation_supplier_hhi": _tpch.nation_supplier_hhi,
         # Goh-Barabasi arrival burstiness per event type
         "events_burstiness": _ts.events_burstiness,
         # type-token ratio + hapax share per language
         "text_lexical_diversity": _text.text_lexical_diversity,
-        # per-source Jensen-Shannon drift vs the corpus mix
-        "corpus_source_divergence": _llm.corpus_source_divergence,
-        # exact mean pairwise distance via the moment identity (O(n*d))
-        "embedding_dispersion": _clu.embedding_dispersion,
+        # --- rotated OUT of the driver surface in round 11 (the whole
+        # round-9 cohort, driver-green r9+r10; identical hash-compare
+        # continues here every pytest run) ---
+        # streaming-incremental two-DISTINCT weekly mart (same Q8
+        # oracle as the batch build)
+        "q8_rpt_discovery_rate_streaming_incremental": (
+            _rpt_discovery_rate_streaming_incremental
+        ),
+        # streaming-incremental TRAILING-WINDOW mart (same Q6 oracle)
+        "q6_rpt_track_counts_streaming_incremental": (
+            _rpt_track_counts_streaming_incremental
+        ),
+        # L2-normalized power iteration over the shared co-purchase graph
+        "parts_copurchase_eigencentrality": _graph_eigen,
+        # co-occurrence association rules (support/confidence/lift)
+        "orders_basket_rules": _tpch.orders_basket_rules,
+        # tokenizer APPLICATION: per-doc token budget under learned merges
+        "corpus_bpe_encode": _llm.corpus_bpe_encode,
+        # LEFT OUTER stream-stream interval join (watermark null-emits)
+        "events_stream_join_outer": _events_stream_join_outer,
+        # theta-sketch set ops: batch + streaming fold (same oracle)
+        "events_kmv_set_ops": _events.events_kmv_set_ops,
+        "events_stream_kmv_set_ops": _events_stream_kmv_set_ops,
+        # HLL inclusion-exclusion pair overlap (register-max union merge)
+        "events_hll_set_ops": _events.events_hll_set_ops,
+        # streaming sketch folds (constant-size mergeable state each)
+        "events_stream_kmv": _events_stream_kmv,
+        "events_stream_hll": _events_stream_hll,
+        "events_stream_bloom": _events_stream_bloom,
+        # dropDuplicatesWithinWatermark variant of the streaming ingest
+        "events_stream_dedup_within_watermark": _events_stream_dedup_ww,
+        # chained stateful aggregation (window-over-window, Spark 4)
+        "events_stream_peak_rate": _events_stream_peak_rate,
+        # distinct-count + NOT-IN anti-join (warehouse Q16 shape)
+        "part_supplier_diversity": _tpch.part_supplier_diversity,
+        # matryoshka dimension ablation: recall@k at truncated dims
+        "embedding_truncation_recall": _sim.embedding_truncation_recall,
+        # vocabulary fit + broadcast-join encode (tokenize-to-ids)
+        "corpus_vocab_encode": _llm.corpus_vocab_encode,
+        # per-gate attrition funnel of the corpus-cleaning pipeline
+        "corpus_survival": corpus_survival,
+        # min-cost-supplier ranking (correlated-subquery decorrelation)
+        "part_min_cost_supplier": _tpch.part_min_cost_supplier,
+        # token-budget corpus selection via the two-level prefix
+        "corpus_token_budget_pack": _llm.corpus_token_budget_pack,
     }
 
 
@@ -1012,28 +1052,32 @@ def oracle_sql() -> dict[str, str]:
         "q2_dim_track": oracles.Q2_DIM_TRACK,
         "q6_rpt_track_counts": oracles.Q6_RPT_TRACK_COUNTS,
         "q8_rpt_discovery_rate": oracles.Q8_RPT_DISCOVERY_RATE,
-        "q8_rpt_discovery_rate_streaming_incremental": oracles.Q8_RPT_DISCOVERY_RATE,
-        "q6_rpt_track_counts_streaming_incremental": oracles.Q6_RPT_TRACK_COUNTS,
-        "parts_copurchase_eigencentrality": (
-            oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
+        "parts_copurchase_modularity": (
+            oracles_ext.PARTS_COPURCHASE_MODULARITY
         ),
-        "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
-        "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
-        "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
-        "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
-        "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
-        "events_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
-        "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
-        "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
-        "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
-        "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
-        "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
-        "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
-        "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
-        "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
-        "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
-        "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
-        "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
+        "parts_copurchase_ppr": oracles_ext.PARTS_COPURCHASE_PPR,
+        "docs_stream_heavy_terms": oracles_ext.TEXT_HEAVY_TERMS_MG,
+        "q7_rpt_artist_counts_streaming_incremental": (
+            oracles.Q7_RPT_ARTIST_COUNTS
+        ),
+        "embedding_top_component": oracles_ext.EMBEDDING_TOP_COMPONENT,
+        "corpus_source_divergence": oracles_ext.CORPUS_SOURCE_DIVERGENCE,
+        "ann_topk_rrf_fusion": oracles_ext.ANN_TOPK_RRF_FUSION,
+        "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
+        "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
+        "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
+        "text_heavy_terms_mg": oracles_ext.TEXT_HEAVY_TERMS_MG,
+        "parts_copurchase_jaccard_links": (
+            oracles_ext.PARTS_COPURCHASE_JACCARD_LINKS
+        ),
+        "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
+        "embedding_pq": oracles_ext.EMBEDDING_PQ,
+        "corpus_gopher_rules": oracles_ext.CORPUS_GOPHER_RULES,
+        "corpus_tokenizer_fertility": oracles_ext.CORPUS_TOKENIZER_FERTILITY,
+        "embedding_dispersion": oracles_ext.EMBEDDING_DISPERSION,
+        "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
+        "dim_calendar": oracles_ext.DIM_CALENDAR,
+        "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
         "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
         "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
         "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
@@ -1131,32 +1175,25 @@ def extra_oracle_sql() -> dict[str, str]:
         "text_pii_redact": oracles_ext.TEXT_PII_REDACT,
         "text_repetition": oracles_ext.TEXT_REPETITION,
         "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
-        "events_rolling_7d": oracles_ext.EVENTS_ROLLING_7D,
         "events_ewma_daily": oracles_ext.EVENTS_EWMA_DAILY,
         "events_weekday_profile": oracles_ext.EVENTS_WEEKDAY_PROFILE,
         "embedding_negative_samples": oracles_ext.EMBEDDING_NEGATIVE_SAMPLES,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
-        "ann_topk_ivf_nprobe": oracles_ext.ANN_TOPK_IVF_NPROBE,
         "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
-        "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
-        "embedding_quantize": oracles_ext.EMBEDDING_QUANTIZE,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
         "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
         "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
         "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
-        "embedding_pq": oracles_ext.EMBEDDING_PQ,
-        "ann_topk_pq": oracles_ext.ANN_TOPK_PQ,
         "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
         "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
         "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
         "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
         "events_median": oracles_ext.EVENTS_MEDIAN,
         "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
-        "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
@@ -1178,7 +1215,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
         "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
-        "dim_calendar": oracles_ext.DIM_CALENDAR,
         "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
@@ -1262,26 +1298,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": oracles_ext.CORPUS_TEMPERATURE_SAMPLE,
         "corpus_split_drift": oracles_ext.CORPUS_SPLIT_DRIFT,
         "text_bm25_scores": oracles_ext.TEXT_BM25_SCORES,
-        "parts_copurchase_jaccard_links": (
-            oracles_ext.PARTS_COPURCHASE_JACCARD_LINKS
-        ),
         "parts_copurchase_degree_powerlaw": (
             oracles_ext.PARTS_COPURCHASE_DEGREE_POWERLAW
         ),
-        "parts_copurchase_ppr": oracles_ext.PARTS_COPURCHASE_PPR,
         "text_readability": oracles_ext.TEXT_READABILITY,
-        "text_heavy_terms_mg": oracles_ext.TEXT_HEAVY_TERMS_MG,
-        "corpus_tokenizer_fertility": oracles_ext.CORPUS_TOKENIZER_FERTILITY,
         "events_lagged_crosscorr": oracles_ext.EVENTS_LAGGED_CROSSCORR,
-        "q7_rpt_artist_counts_streaming_incremental": (
-            oracles.Q7_RPT_ARTIST_COUNTS
-        ),
-        "ann_topk_rrf_fusion": oracles_ext.ANN_TOPK_RRF_FUSION,
         "embedding_dim_stats": oracles_ext.EMBEDDING_DIM_STATS,
         "events_markov_entropy": oracles_ext.EVENTS_MARKOV_ENTROPY,
-        "parts_copurchase_modularity": (
-            oracles_ext.PARTS_COPURCHASE_MODULARITY
-        ),
         "text_rake_phrases": oracles_ext.TEXT_RAKE_PHRASES,
         "text_zipf_slope": oracles_ext.TEXT_ZIPF_SLOPE,
         "embedding_centroid_outliers": (
@@ -1290,15 +1313,38 @@ def extra_oracle_sql() -> dict[str, str]:
         "customers_reorder_intervals": (
             oracles_ext.CUSTOMERS_REORDER_INTERVALS
         ),
-        "docs_stream_heavy_terms": oracles_ext.TEXT_HEAVY_TERMS_MG,
-        "corpus_gopher_rules": oracles_ext.CORPUS_GOPHER_RULES,
         "orders_fulfillment_latency": (
             oracles_ext.ORDERS_FULFILLMENT_LATENCY
         ),
-        "embedding_top_component": oracles_ext.EMBEDDING_TOP_COMPONENT,
         "nation_supplier_hhi": oracles_ext.NATION_SUPPLIER_HHI,
         "events_burstiness": oracles_ext.EVENTS_BURSTINESS,
         "text_lexical_diversity": oracles_ext.TEXT_LEXICAL_DIVERSITY,
-        "corpus_source_divergence": oracles_ext.CORPUS_SOURCE_DIVERGENCE,
-        "embedding_dispersion": oracles_ext.EMBEDDING_DISPERSION,
+        # --- rotated OUT of the driver surface in round 11 (round-9
+        # cohort, driver-green r9+r10) ---
+        "q8_rpt_discovery_rate_streaming_incremental": (
+            oracles.Q8_RPT_DISCOVERY_RATE
+        ),
+        "q6_rpt_track_counts_streaming_incremental": (
+            oracles.Q6_RPT_TRACK_COUNTS
+        ),
+        "parts_copurchase_eigencentrality": (
+            oracles_ext.PARTS_COPURCHASE_EIGENCENTRALITY
+        ),
+        "orders_basket_rules": oracles_ext.ORDERS_BASKET_RULES,
+        "corpus_bpe_encode": oracles_ext.CORPUS_BPE_ENCODE,
+        "events_stream_join_outer": oracles_ext.EVENTS_STREAM_JOIN_OUTER,
+        "events_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "events_stream_kmv_set_ops": oracles_ext.EVENTS_KMV_SET_OPS,
+        "events_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
+        "events_stream_kmv": oracles_ext.EVENTS_STREAM_KMV,
+        "events_stream_hll": oracles_ext.EVENTS_STREAM_HLL,
+        "events_stream_bloom": oracles_ext.EVENTS_STREAM_BLOOM,
+        "events_stream_dedup_within_watermark": oracles_ext.EVENTS_STREAM_DEDUP,
+        "events_stream_peak_rate": oracles_ext.EVENTS_STREAM_PEAK_RATE,
+        "part_supplier_diversity": oracles_ext.PART_SUPPLIER_DIVERSITY,
+        "embedding_truncation_recall": oracles_ext.EMBEDDING_TRUNCATION_RECALL,
+        "corpus_vocab_encode": oracles_ext.CORPUS_VOCAB_ENCODE,
+        "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
+        "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
+        "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
     }

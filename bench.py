@@ -253,6 +253,27 @@ class CarrierTracker:
                 self.carriers[family] = query_name
 
 
+def rotation_debt() -> list[str]:
+    """Registered queries that (a) have never held a driver correctness
+    slot in any checked-in CORRECTNESS_r*.json and (b) are not on the
+    current 50-entry driver surface (those get their first row this
+    round).  The round-10 verdict asked for this gauge to be emitted
+    mechanically so the tail-retirement pace is visible in the bench
+    artifact instead of recomputed by each judge; the count is pinned
+    monotonically decreasing by tests/test_rotation_debt.py."""
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rowed: set[str] = set()
+    for f in os.listdir(root):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+            with open(os.path.join(root, f)) as fh:
+                rowed |= set(json.load(fh))
+    driver = set(entrymod.queries())
+    surface = driver | set(entrymod.extra_queries())
+    return sorted(surface - rowed - driver)
+
+
 def _next_round_no() -> int:
     return 1 + max(
         [
@@ -299,6 +320,9 @@ def build_outputs(
         full["errors"] = errors
     if carriers is not None:
         full["carriers"] = carriers
+    debt = rotation_debt()
+    full["rotation_debt"] = len(debt)
+    full["rotation_debt_queries"] = debt
     out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 2),
@@ -309,6 +333,7 @@ def build_outputs(
         "sf": sf,
         "startup_s": round(startup_s, 2),
         "n_queries_total": len(times),
+        "rotation_debt": len(debt),
         "full_map": full_name,
     }
     if errors:

@@ -1,0 +1,54 @@
+"""Ratchet on the never-driver-rowed tail (round-10 verdict item 7).
+
+``bench.rotation_debt()`` counts registered queries that have never held
+a driver correctness slot (union of checked-in CORRECTNESS_r*.json keys)
+and are not on the current 50-entry driver surface (those receive their
+first row when the driver runs this round).  The ceiling below must be
+RATCHETED DOWN each round as the rotation retires the tail — raising it
+is a process regression, and the test failing on a raise makes that
+mechanically visible instead of judge-recomputed.
+
+History: r10 close = 89 never-rowed / 264 registered; r11 rotation put
+20 of them on the driver surface → debt 69.
+"""
+
+from __future__ import annotations
+
+import bench
+
+# Highest allowed debt.  Ratchet DOWN when a rotation lands; never raise.
+ROTATION_DEBT_CEILING = 69
+
+
+def test_rotation_debt_monotonically_decreases() -> None:
+    debt = bench.rotation_debt()
+    assert len(debt) <= ROTATION_DEBT_CEILING, (
+        f"rotation debt grew to {len(debt)} (> {ROTATION_DEBT_CEILING}): "
+        f"newly-registered queries must be queued into the driver "
+        f"rotation, not left pytest-only; tail = {debt[:10]}..."
+    )
+
+
+def test_driver_surface_spends_slots_on_never_rowed() -> None:
+    """Every rotation must keep >= 20 first-ever rows queued while debt
+    remains (the round-9/10 verdict pace), so the tail drains in a
+    bounded number of rounds."""
+    import json
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    rowed: set[str] = set()
+    for f in os.listdir(root):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+            with open(os.path.join(root, f)) as fh:
+                rowed |= set(json.load(fh))
+    driver = set(entrymod.queries())
+    queued_first_rows = driver - rowed
+    if bench.rotation_debt():
+        assert len(queued_first_rows) >= 20, (
+            f"only {len(queued_first_rows)} never-rowed queries hold "
+            f"driver slots while {len(bench.rotation_debt())} wait"
+        )
