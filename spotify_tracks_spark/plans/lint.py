@@ -37,6 +37,16 @@ that tests can run over the WHOLE registered query surface:
    hint survives only on the optimized LOGICAL plan's Join nodes
    (EliminateResolvedHint folds it there), so rule 3 walks
    ``optimizedPlan`` while rules 1–2 walk the physical plan.
+   Round 11 extended the same reasoning to the HINT side of the
+   policy: the Q6–Q8 report joins (``plans/reports.py``) dropped their
+   explicit ``F.broadcast()`` hints on the dim_track/dim_album/weekly
+   rollup sides entirely.  Those dims are entity-grain aggregates, so
+   rule 3 always passed them — but a *hinted* broadcast never falls
+   back, and at 100× an entity directory can outgrow the threshold.
+   AQE's runtime statistics pick BroadcastHashJoin unhinted at every
+   tested SF (verified on the sf0.1 physical plans, hashes unchanged)
+   and degrade safely to a shuffle join at scale.  Keep explicit hints
+   only for provably-bounded relations (enum/calendar grain spines).
 
 5. **Unbounded BroadcastNestedLoopJoin** — rule 2 catches
    ``CartesianProductExec``, but a ``crossJoin`` whose one side is

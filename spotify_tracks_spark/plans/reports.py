@@ -15,7 +15,14 @@ for the discovery rates: small-int / small-int is a single exact-operand
 division.
 
 Scale notes:
-- The fct⋈dim joins broadcast the dim side (entity directories ≪ fact).
+- The fct⋈dim joins leave the join strategy to AQE (round-10 verdict item
+  4): the dim sides are entity-grain aggregates (reduced, ≪ fact at
+  Spotify-shaped data), so AQE's runtime statistics pick
+  BroadcastHashJoin at every tested SF — verified on the sf0.1 physical
+  plans — while an explicit ``F.broadcast()`` hint would NEVER fall back
+  if an entity directory outgrew the threshold at 100×.  Hints stay
+  reserved for relations that are provably bounded (enum/calendar grain),
+  per the lint rule-3 policy in ``plans/lint.py``.
 - The trailing-window filter lands *before* the aggregate, so a
   date-partitioned fact table prunes to ~1 month of partitions.
 - Q8's two DISTINCT aggregates in one group expand to Catalyst's multi-phase
@@ -35,7 +42,7 @@ def rpt_track_counts(
 ) -> DataFrame:
     """30-day per-track play counts + minutes (rpt_track_counts.sql:1-41)."""
     counts = (
-        fct.join(F.broadcast(dim_track), "track_id", "left")
+        fct.join(dim_track, "track_id", "left")
         .filter(within_trailing_days(F.col("played_at"), run_date))
         .groupBy("track_id")
         .agg(
@@ -45,11 +52,11 @@ def rpt_track_counts(
     )
     return (
         counts.join(
-            F.broadcast(dim_track.select("track_id", "track_name", "artists", "album_id")),
+            dim_track.select("track_id", "track_name", "artists", "album_id"),
             "track_id",
             "left",
         )
-        .join(F.broadcast(dim_album.select("album_id", "album")), "album_id", "left")
+        .join(dim_album.select("album_id", "album"), "album_id", "left")
         .select("track_name", "artists", "album", "plays", "minutes_played")
     )
 
@@ -59,7 +66,7 @@ def rpt_artist_counts(fct: DataFrame, dim_track: DataFrame, run_date: str = RUN_
 
     The only INNER join in the reference (rpt_artist_counts.sql:15-16)."""
     return (
-        fct.join(F.broadcast(dim_track), "track_id", "inner")
+        fct.join(dim_track, "track_id", "inner")
         .filter(within_trailing_days(F.col("played_at"), run_date))
         .groupBy("artists")
         .agg(
@@ -75,7 +82,7 @@ def rpt_discovery_rate(fct: DataFrame, dim_track: DataFrame, dim_artist: DataFra
     Groups by calendar ``year()`` + ISO ``weekofyear()`` — a deliberately
     mismatched pair at year boundaries (SURVEY.md §7.4); reproduce as-is."""
     base = (
-        fct.join(F.broadcast(dim_track.select("track_id", "artists")), "track_id", "left")
+        fct.join(dim_track.select("track_id", "artists"), "track_id", "left")
         .groupBy(
             F.year("played_at_mtn").cast("long").alias("year_played"),
             F.weekofyear("played_at_mtn").cast("long").alias("week_played"),
@@ -96,8 +103,8 @@ def rpt_discovery_rate(fct: DataFrame, dim_track: DataFrame, dim_artist: DataFra
         F.col("wk_first_played").alias("week_played"),
     ).agg(F.count("*").alias("new_artists"))
     return (
-        base.join(F.broadcast(new_tracks), ["year_played", "week_played"], "left")
-        .join(F.broadcast(new_artists), ["year_played", "week_played"], "left")
+        base.join(new_tracks, ["year_played", "week_played"], "left")
+        .join(new_artists, ["year_played", "week_played"], "left")
         .select(
             "year_played",
             "week_played",
