@@ -971,7 +971,23 @@ def parts_copurchase_jaccard_links(
     edge artifact), minus the per-center weight column: the common
     count is the wedge count, and |N(u)∪N(v)| = deg(u)+deg(v)−common
     reads off the UNCAPPED degree table, so no second neighborhood
-    pass exists anywhere in the plan.
+    pass exists anywhere in the plan.  The endpoint-degree joins carry
+    no broadcast hint: the pair table is bounded (|centers|·cap²) but
+    the degree table is |V|-row — AQE broadcasts it at test SF and
+    falls back to a shuffle join when |V| outgrows the threshold
+    (round-10 advice: this was the module's one unbounded-at-scale
+    hinted broadcast of a fact-derived table).
+
+    KNOWN DOWNWARD BIAS (deliberate, oracle-mirrored): ``common``
+    counts only shared neighbors that are eligible CENTERS — degree in
+    [2, ``max_center_deg``] — while the denominator's deg(u)+deg(v)
+    are UNCAPPED, so J is systematically understated for pairs whose
+    shared neighbors include hubs (deg > cap) or leaves (deg = 1).
+    The two sides of the ratio are measured over different graphs by
+    construction; this is the price of the single bounded wedge pass
+    (no second neighborhood enumeration at hub scale).  Rankings are
+    still consistent for pairs whose common neighborhoods have the
+    same hub exposure; absolute J values near hubs are lower bounds.
 
     Determinism: common and both degrees are exact integers; the
     coefficient is one IEEE division of exact operands — bit-identical
@@ -1009,8 +1025,8 @@ def parts_copurchase_jaccard_links(
     dx = deg.select(F.col("src").alias("x"), F.col("deg").alias("dx"))
     dy = deg.select(F.col("src").alias("y"), F.col("deg").alias("dy"))
     return (
-        nonedges.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        nonedges.join(dx, "x")
+        .join(dy, "y")
         .select(
             F.col("x").alias("part_a"),
             F.col("y").alias("part_b"),
@@ -1045,6 +1061,18 @@ def parts_copurchase_degree_powerlaw(
     integers; mean_deg is one IEEE division; the ln-sum is the only
     order-sensitive float (ulp noise ~9 orders below the 6-dp hash
     rounding — the AA-weight-sum-approved envelope).
+
+    OUTPUT CONTRACT on ``alpha_mle`` (round-10 advice): this is the
+    CSN continuous estimator evaluated at FIXED dmin = 1 over the
+    ENTIRE degree distribution.  CSN eq. 3.1 assumes the power law
+    holds from a *fitted* dmin (their §3.3 KS-minimization step); a
+    distribution that is only power-law in its tail will pull the
+    fixed-dmin α̂ toward the body's shape, so treat the reported value
+    as a whole-distribution summary statistic — a cheap screen for
+    "does a heavy tail exist at all" — not a publication-grade tail
+    exponent.  For tail sensitivity, re-run the same closed form with
+    the degree table pre-filtered to a few pinned dmin values and
+    compare; the estimator is one aggregate either way.
 
     Output: one row (n_nodes, n_edges, min_deg, max_deg, mean_deg,
     alpha_mle)."""

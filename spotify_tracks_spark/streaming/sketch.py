@@ -894,7 +894,7 @@ def stream_docs_heavy_terms(
         for p in glob.glob(f"{base}/state_b*")
         if (m := re.search(r"state_b(\d+)$", p))
     )
-    cur: dict = {"batch": done[-1] if done else -1, "df": None}
+    cur: dict = {"batch": done[-1] if done else -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= cur["batch"]:
@@ -909,11 +909,12 @@ def stream_docs_heavy_terms(
             .agg(F.count("*").alias("c"))
         )
         if cur["batch"] >= 0:
-            prev = (
-                cur["df"]
-                if cur["df"] is not None
-                else spark.read.parquet(f"{base}/state_b{cur['batch']}")
-            )
+            # prior state always re-read from its parquet snapshot: the
+            # snapshot IS the recovery contract (restart-idempotent),
+            # and a k-row read is cheaper than keeping a per-batch
+            # persisted frame alive (round-10 advice: the in-memory
+            # hand-off this replaced was dead code)
+            prev = spark.read.parquet(f"{base}/state_b{cur['batch']}")
             partial = prev.unionByName(partial)
         merged = partial.groupBy("tok").agg(F.sum("c").alias("c")).persist()
         # MG compress: the (k+1)-th largest stored count off a bounded
@@ -928,9 +929,6 @@ def stream_docs_heavy_terms(
             state = merged
         state.write.mode("overwrite").parquet(f"{base}/state_b{batch_id}")
         merged.unpersist()
-        if cur["df"] is not None:
-            cur["df"].unpersist()
-        cur["df"] = None  # state read back from snapshot next batch
         cur["batch"] = batch_id
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
