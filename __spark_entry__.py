@@ -714,6 +714,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
         # (ann_recall_eval_all rotated INTO the driver round 8)
+        # probe-panel cap BINDING path: 16-probe lowest-vec_id panel
+        # over ~|corpus|/2 candidates, oracle computes the same panel
+        "ann_topk_bruteforce_capped": _sim.ann_topk_bruteforce_capped,
         # (ann_topk_ivf_nprobe rotated INTO the driver round 11)
         # (ann_topk_ivfpq rotated INTO the driver round 10)
         # matryoshka-style dimension ablation: recall@k at truncated dims
@@ -1181,6 +1184,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
+        "ann_topk_bruteforce_capped": oracles_ext.ANN_TOPK_BRUTEFORCE_CAPPED,
         "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
         "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,

@@ -121,6 +121,33 @@ def ann_topk_bruteforce(
     return out
 
 
+# Cap-binding demonstration parameters: probe_mod=2 makes ~half the
+# corpus probe-eligible at every SF, so the 16-probe cap BINDS from
+# sf0.001 up — the oracle computes the identical lowest-vec_id panel.
+ANN_CAP_DEMO_PROBE_MOD = 2
+ANN_CAP_DEMO_MAX_PROBES = 16
+
+
+def ann_topk_bruteforce_capped(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k where the probe-panel cap BINDS (round-10 verdict
+    item 3): at the default registration the ANN_MAX_PROBES cap never
+    binds at any oracle-checked SF, so the capped panel's *selection
+    semantics* (lowest-vec_id TakeOrdered) were pinned only by a unit
+    test.  This parameterization (probe_mod=2, max_probes=16) makes the
+    cap bind at every SF — ~|corpus|/2 candidates, 16 kept — and its
+    DuckDB oracle computes the same ORDER BY vec_id LIMIT panel, giving
+    the bound path a hash-matched oracle row."""
+    return ann_topk_bruteforce(
+        spark,
+        sf_dir,
+        k=k,
+        probe_mod=ANN_CAP_DEMO_PROBE_MOD,
+        max_probes=ANN_CAP_DEMO_MAX_PROBES,
+    )
+
+
 def _ann_topk_bruteforce_plan(
     spark: SparkSession,
     sf_dir: str,

@@ -278,10 +278,13 @@ where bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 _EMB = "list_transform(embedding, x -> cast(x as double))"
 
-def _ann_sql(k: int, probe_mod: int) -> str:
+def _ann_sql(k: int, probe_mod: int, max_probes: int | None = None) -> str:
+    # max_probes mirrors the operator's probe-panel cap (the max_probes
+    # lowest eligible vec_ids); None = the uncapped historical form
+    cap = f" order by vec_id limit {max_probes}" if max_probes else ""
     return f"""
 with emb as (select vec_id, {_EMB} as e from embeddings),
-probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0),
+probes as (select vec_id as query_id, e as qe from emb where vec_id % {probe_mod} = 0{cap}),
 scored as (
     select p.query_id, emb.vec_id as neighbor_id,
            list_sum(list_transform(generate_series(1, len(emb.e)), i -> p.qe[i] * emb.e[i]))
@@ -301,6 +304,11 @@ from ranked where rank <= {k}
 
 
 ANN_TOPK_BRUTEFORCE = _ann_sql(5, 100)
+
+#: Cap-BINDING parameterization (probe_mod=2, cap=16): pins the capped
+#: panel's lowest-vec_id selection semantics with a hash oracle — at the
+#: default registration the ANN_MAX_PROBES cap never binds at test SFs.
+ANN_TOPK_BRUTEFORCE_CAPPED = _ann_sql(5, 2, 16)
 
 _SIGN_SIG = (
     "list_aggregate(list_transform({e}[1:8],"

@@ -820,3 +820,24 @@ def test_ann_probe_panel_is_capped(spark, tmp_path):
     probed = {r.query_id for r in rows}
     assert probed == set(range(cap))  # lowest vec_ids, exactly cap many
     similarity.clear_similarity_memo()
+
+
+def test_ann_capped_registration_binds_on_fixture_data(spark):
+    """The REGISTERED cap-binding parameterization
+    (ann_topk_bruteforce_capped: probe_mod=2, cap=16) must actually
+    bind on the driver fixtures — the whole point of the round-11
+    registration is that its DuckDB oracle exercises the bound path,
+    unlike the default registration where the cap is slack."""
+    rows = similarity.ann_topk_bruteforce_capped(spark, SF_SMOKE).collect()
+    probed = sorted({r.query_id for r in rows})
+    assert len(probed) == similarity.ANN_CAP_DEMO_MAX_PROBES
+    # the panel is exactly the 16 lowest even vec_ids
+    n_eligible = (
+        read_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") % similarity.ANN_CAP_DEMO_PROBE_MOD == 0)
+        .count()
+    )
+    assert n_eligible > similarity.ANN_CAP_DEMO_MAX_PROBES  # cap binds
+    assert probed == [
+        2 * i for i in range(similarity.ANN_CAP_DEMO_MAX_PROBES)
+    ]
