@@ -80,6 +80,12 @@ def _targets():
         ("heavy_terms_mg", ex["text_heavy_terms_mg"]),
         ("top_component", ex["embedding_top_component"]),
         ("source_divergence", ex["corpus_source_divergence"]),
+        # round-11: the CAPPED production shapes, laddered alongside the
+        # exhaustive forms so the cap's scale value is an observed
+        # number, not an argument (uncapped blocked-Jaccard is
+        # Θ(Σ block²) by definition on any corpus with common shingles)
+        ("ngram_jaccard_capped", ex["dedup_ngram_jaccard"]),
+        ("minhash_lsh", ex["dedup_minhash_lsh"]),
     ]
 
 
