@@ -222,9 +222,14 @@ def _memo_probes() -> dict[str, dict]:
         "model_chain": _pipeline._MEMO,
         "copurchase_edges": _g._EDGE_MEMO,
         "copurchase_triangles": _g._TRI_MEMO,
+        "copurchase_lpa": _g._LPA_MEMO,
         "dedup_shingles": _d._SHINGLE_MEMO,
         "dedup_minhash_pairs": _d._MINHASH_MEMO,
+        "dedup_simhash_pairs": _d._SIMHASH_MEMO,
+        "dedup_ngram_pairs": _d._NGRAM_MEMO,
+        "dedup_edit_pairs": _d._EDIT_MEMO,
         "ann_exact_baseline": _s._BRUTE_MEMO,
+        "ann_topk_lists": _s._TOPK_MEMO,
         "bpe_artifacts": _l._BPE_MEMO,
     }
 

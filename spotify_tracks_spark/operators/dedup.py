@@ -145,12 +145,29 @@ def _with_shingle_hash_sets(docs: DataFrame) -> DataFrame:
 _SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
 _MINHASH_MEMO: dict[tuple[int, str, float], DataFrame] = {}
 
+# Session-memoized verified-pair tables for the OTHER fuzzy families
+# (round-11 optimization), the _MINHASH_MEMO discipline extended: the
+# simhash / blocked-ngram / edit-distance pair sets are each consumed
+# by the family's own registered query AND by ``dedup_recall_eval``'s
+# pooled evaluation, and before this memo each consumer re-ran the
+# candidate-generation + verify plan from scratch.  All three results
+# are pair-grain (bounded), checkpointed once per (session, dataset,
+# params); at 100 TB each is the written pair table an evaluation
+# reads back.  bench.py clears these per cold-cache pass and tracks
+# which query paid each build (dedup_{simhash,ngram,edit}_pairs probes).
+_SIMHASH_MEMO: dict[tuple[int, str, int], DataFrame] = {}
+_NGRAM_MEMO: dict[tuple[int, str, float, int | None], DataFrame] = {}
+_EDIT_MEMO: dict[tuple[int, str, int, int, int, int], DataFrame] = {}
+
 
 def clear_dedup_memo() -> None:
-    """Release the session-memoized shingle / minhash-pair artifacts
+    """Release the session-memoized shingle / pair-table artifacts
     (bench-harness hook, mirroring graph.clear_copurchase_memo)."""
     _SHINGLE_MEMO.clear()
     _MINHASH_MEMO.clear()
+    _SIMHASH_MEMO.clear()
+    _NGRAM_MEMO.clear()
+    _EDIT_MEMO.clear()
 
 
 def shingle_hash_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,17 +212,51 @@ def dedup_ngram_jaccard(
     re-hashing every shingle twice (at 100 TB this intermediate would be a
     written table; MEMORY_AND_DISK is its single-job equivalent).
 
-    ``hash_sets`` lets composed callers (dedup_recall_eval) pass an
-    already-persisted (doc_id, hs) frame so the shingle/md5 pass runs
-    once per evaluation, not once per family."""
-    sh = (
-        shingle_hash_sets(spark, sf_dir) if hash_sets is None else hash_sets
-    )
+    ``hash_sets`` lets composed callers (fixture corpora, incremental
+    slices) pass an already-persisted (doc_id, hs) frame so the
+    shingle/md5 pass runs once per evaluation, not once per family.
+
+    The full-corpus default path is SESSION-MEMOIZED (checkpointed
+    verified-pair table per (session, dataset, threshold, cap)): the
+    registered capped query and ``dedup_recall_eval``'s ngram family
+    consume the identical pair set, and previously each re-ran the
+    blocked self-join — at 100 TB the pair table is written once and
+    scanned by every downstream job (the ``_MINHASH_MEMO``
+    discipline)."""
+    if hash_sets is None:
+        key = (id(spark), sf_dir, threshold, max_block)
+        memo = _NGRAM_MEMO.get(key)
+        if memo is not None:
+            return memo
+        evict_stale_sessions(_NGRAM_MEMO, id(spark))
+        pinned: list[DataFrame] = []
+        try:
+            # pair-grain output is tiny; pin it, then release the blocked
+            # projection cache backing the self-join (pre-memo it leaked
+            # one persisted frame per call)
+            out = _ngram_jaccard_pairs(
+                threshold, max_block, shingle_hash_sets(spark, sf_dir), pinned
+            ).localCheckpoint(eager=True)
+        finally:
+            for df in pinned:
+                df.unpersist()
+        _NGRAM_MEMO[key] = out
+        return out
+    return _ngram_jaccard_pairs(threshold, max_block, hash_sets, [])
+
+
+def _ngram_jaccard_pairs(
+    threshold: float,
+    max_block: int | None,
+    sh: DataFrame,
+    pinned: list[DataFrame],
+) -> DataFrame:
     blocked = sh.select(
         "doc_id",
         "hs",
         F.array_min("hs").alias("block"),
     ).persist()
+    pinned.append(blocked)
     # materialize BEFORE the self-join: a lazy persist lets both join sides
     # (and AQE's broadcast-side estimation) race to compute the expensive
     # projection concurrently — the count() pins one computation
@@ -462,7 +513,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_M
     Scale: narrower chunks (6-7 bits at radius 8 vs 15 at radius 3) mean
     denser buckets — the price of a wide radius.  Bucket cardinality is
     2^width per chunk index; at corpus scale pick the radius the product
-    (docs / 2^width)² per bucket affords, or tighten ``max_hamming``."""
+    (docs / 2^width)² per bucket affords, or tighten ``max_hamming``.
+
+    The pair-grain result is SESSION-MEMOIZED per (session, dataset,
+    radius) — the registered query and ``dedup_recall_eval``'s simhash
+    family consume the identical pair set (the ``_MINHASH_MEMO``
+    discipline; at 100 TB this is the written pair table every
+    evaluation reads back)."""
+    key = (id(spark), sf_dir, max_hamming)
+    memo = _SIMHASH_MEMO.get(key)
+    if memo is not None:
+        return memo
+    evict_stale_sessions(_SIMHASH_MEMO, id(spark))
     docs = read_table(spark, sf_dir, "documents", spread=True)
     fps = simhash_fingerprints(docs).persist()
     fps.count()  # materialize before the self-join (see dedup_ngram_jaccard)
@@ -493,9 +555,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_M
         .distinct()
     )
     hamming = F.bit_count(F.expr("simhash_a ^ simhash_b"))
-    return pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    try:
+        # pin the pair-grain result, then release the fingerprint cache
+        # backing the chunk self-join (pre-memo it leaked per call)
+        out = (
+            pairs.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        fps.unpersist()
+    _SIMHASH_MEMO[key] = out
+    return out
 
 
 SMALL_GRAPH_EDGES = 200_000
@@ -1046,7 +1117,18 @@ def dedup_edit_distance(
     ``levenshtein`` is JVM-side in Spark and built-in in DuckDB with
     identical unit-cost semantics, so the oracle is byte-exact.
 
-    Output: (doc_a, doc_b, edit_distance), candidates that pass."""
+    Output: (doc_a, doc_b, edit_distance), candidates that pass.  The
+    full-corpus default path (no caller-supplied ``lsh_pairs``) is
+    SESSION-MEMOIZED per (session, dataset, params) — the registered
+    query and ``dedup_recall_eval``'s edit family consume the identical
+    pair set (the ``_MINHASH_MEMO`` discipline)."""
+    memo_key = None
+    if lsh_pairs is None:
+        memo_key = (id(spark), sf_dir, prefix_len, max_edits, block_len, max_block)
+        memo = _EDIT_MEMO.get(memo_key)
+        if memo is not None:
+            return memo
+        evict_stale_sessions(_EDIT_MEMO, id(spark))
     keyed = read_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.substring(_norm(F.col("text")), 1, prefix_len).alias("prefix"),
@@ -1092,7 +1174,10 @@ def dedup_edit_distance(
         # pin the (small, pair-grain) result so the cache backing its four
         # self-join references can be released — repeated calls in one
         # session otherwise accumulate executor storage
-        return out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
+        if memo_key is not None:
+            _EDIT_MEMO[memo_key] = out
+        return out
     finally:
         keyed.unpersist()
 
@@ -1137,11 +1222,15 @@ def dedup_recall_eval(
     pairs: dict[str, DataFrame] = {}
     pool = truth = None
     try:
+        # every family resolves through its session-memoized default
+        # path (round-11): the registered per-family queries and this
+        # evaluation consume the same checkpointed pair tables, so
+        # whichever runs first per session pays each family's build
         fams = {
-            "ngram": dedup_ngram_jaccard(spark, sf_dir, hash_sets=hs_shared),
+            "ngram": dedup_ngram_jaccard(spark, sf_dir),
             "minhash": minhash_pairs,
             "simhash": dedup_simhash(spark, sf_dir),
-            "edit": dedup_edit_distance(spark, sf_dir, lsh_pairs=minhash_pairs),
+            "edit": dedup_edit_distance(spark, sf_dir),
         }
         pairs = {
             fam: df.select("doc_a", "doc_b").persist() for fam, df in fams.items()

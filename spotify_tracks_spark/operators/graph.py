@@ -157,9 +157,11 @@ def _warn_hub_drop(
 
 def clear_copurchase_memo() -> None:
     """Release the session-memoized graph artifacts: the shared edge set
-    (``_EDGE_MEMO``), the per-node degree table (``_DEG_MEMO``), and the
+    (``_EDGE_MEMO``), the per-node degree table (``_DEG_MEMO``), the
     per-node triangle counts (``_TRI_MEMO``, shared by
-    ``parts_copurchase_triangles`` and ``parts_copurchase_clustering_coef``).
+    ``parts_copurchase_triangles`` and ``parts_copurchase_clustering_coef``)
+    and the LPA community labeling (``_LPA_MEMO``, shared by
+    ``parts_copurchase_communities`` and ``parts_copurchase_modularity``).
 
     Bench-harness hook: each cold-cache pass calls this next to
     ``pipeline._MEMO.clear()`` so the first graph query per pass re-pays
@@ -170,6 +172,7 @@ def clear_copurchase_memo() -> None:
     _EDGE_MEMO.clear()
     _DEG_MEMO.clear()
     _TRI_MEMO.clear()
+    _LPA_MEMO.clear()
 
 
 def copurchase_edges(
@@ -541,9 +544,19 @@ def parts_copurchase_kcore(
     cur = sym
     prev_alive = -1
     for _ in range(max_rounds):
-        keep = cur.groupBy("s").agg(F.count("*").alias("dg")).filter(
-            F.col("dg") >= k
-        ).select("s")
+        # Pin the per-round survivor set (round-11 optimization): ``keep``
+        # feeds BOTH semi-joins and the convergence count, and unpinned it
+        # re-ran the degree aggregate over ``cur`` three times per round
+        # (once per broadcast build side, once for the count).  The eager
+        # checkpoint runs the aggregate exactly once; the count and both
+        # semi-join builds then read the |V|-row checkpointed blocks.
+        keep = (
+            cur.groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("s")
+            .localCheckpoint(eager=True)
+        )
         alive = keep.count()
         if alive == prev_alive:
             break
@@ -569,6 +582,18 @@ def parts_copurchase_kcore(
 # same depth); 4 rounds stabilizes the fixture graph and keeps the
 # oracle's unrolled CTE chain readable.
 LPA_ROUNDS = 4
+
+# Session-memoized LPA labeling, the edge/degree/triangle discipline
+# applied to the second-most-expensive build in the family (round-11
+# optimization): ``parts_copurchase_modularity`` consumes the SAME
+# fixed-round labeling ``parts_copurchase_communities`` emits, and
+# before this memo each ran the full 4-round propagation independently
+# (~9 s × 2 at sf0.1 — the LPA loop dominates both queries).  At 100 TB
+# the equivalent is a written community-assignment table every
+# modularity/report job scans instead of re-propagating labels.
+# bench.py clears this per cold-cache pass and its carrier tracker
+# records which query paid the build ("copurchase_lpa" probe).
+_LPA_MEMO: dict[tuple[int, str, int, int], DataFrame] = {}
 
 
 def parts_copurchase_communities(
@@ -605,7 +630,14 @@ def parts_copurchase_communities(
     round count rather than a convergence test, so no nondeterministic
     early exit.
 
-    Output: (part_id, community, community_size), one row per node."""
+    Output: (part_id, community, community_size), one row per node.
+    The |V|-row report is a session-memoized localCheckpointed artifact
+    shared with the modularity scorer (same immutability contract as
+    the edge/degree/triangle artifacts)."""
+    memo_key = (id(spark), sf_dir, n_rounds, max_order_items)
+    if memo_key in _LPA_MEMO:
+        return _LPA_MEMO[memo_key]
+    evict_stale_sessions(_LPA_MEMO, id(spark))
     sym = copurchase_sym(spark, sf_dir, max_order_items)
     # hash-partition the pinned adjacency ON THE ROUND JOIN KEY (dst):
     # the cached layout then satisfies every round's join requirement,
@@ -646,6 +678,7 @@ def parts_copurchase_communities(
         # shared edge artifact stays memoized; only the query-local
         # dst-partitioned adjacency layout is released
         adj.unpersist()
+    _LPA_MEMO[memo_key] = out
     return out
 
 
@@ -1162,11 +1195,17 @@ def parts_copurchase_ppr(
                     (F.lit(damping) * F.col("rank") / F.col("deg")).alias("val"),
                 )
             )
+            # No per-round checkpoint (round-11 optimization): unlike the
+            # eigencentrality loop (whose pre-norm vector feeds BOTH the
+            # norm scalar and the normalized vector — the 2^n replay
+            # hazard), each PPR rank vector feeds exactly ONE consumer,
+            # the next round's join.  Lineage is linear, so the whole
+            # fixed-depth loop executes as one pipelined query instead of
+            # n_iter separate materialization jobs.
             ranks = (
                 contrib.unionByName(restart)
                 .groupBy("node")
                 .agg(F.sum("val").alias("rank"))
-                .localCheckpoint(eager=True)
             )
         out = ranks.join(
             deg.select(F.col("src").alias("node"), "deg"), "node"

@@ -92,10 +92,37 @@ def _queries_and_corpus(
 # computed once per corpus snapshot.  bench.py clears this per pass.
 _BRUTE_MEMO: dict[tuple[int, str, int, int, int], DataFrame] = {}
 
+# Session-memoized APPROXIMATE top-k lists (round-11 optimization), the
+# _BRUTE_MEMO discipline extended to the four index families: each
+# family's (query_id, neighbor_id, rank, cos/adc) list is ≤ probes×k
+# rows, yet before this memo the full corpus-scoring scan behind it ran
+# once per CONSUMER — the family's own registered query, the
+# ``ann_recall_eval_all`` five-family report, ``ann_recall_eval`` and
+# ``ann_topk_rrf_fusion`` each re-scored the corpus for identical lists.
+# At 100 TB the served index's result lists are exactly the artifact an
+# evaluation pipeline reads back rather than recomputes.  Keyed by every
+# semantic parameter; bench.py clears this per cold-cache pass and its
+# carrier tracker records which query paid each family's build.
+_TOPK_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo_topk(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Return the memoized checkpointed top-k list for ``key``, building
+    it via ``build()`` (a lazy-plan thunk) on first use."""
+    memo = _TOPK_MEMO.get(key)
+    if memo is not None:
+        return memo
+    evict_stale_sessions(_TOPK_MEMO, id(spark))
+    out = build().localCheckpoint(eager=True)
+    _TOPK_MEMO[key] = out
+    return out
+
 
 def clear_similarity_memo() -> None:
-    """Release the memoized exact-top-k baseline (bench-harness hook)."""
+    """Release the memoized exact-top-k baseline and the approximate
+    per-family top-k lists (bench-harness hook)."""
     _BRUTE_MEMO.clear()
+    _TOPK_MEMO.clear()
 
 
 def ann_topk_bruteforce(
@@ -189,7 +216,18 @@ def ann_topk_lsh(
     """Approximate top-k: candidates share the probe's sign-bit bucket.
 
     Recall < 1 by design (bucket boundaries); the oracle applies the same
-    bucketing, so results still hash-match exactly."""
+    bucketing, so results still hash-match exactly.  The probes×k list
+    is session-memoized (see _TOPK_MEMO)."""
+    return _memo_topk(
+        spark,
+        (id(spark), "lsh", sf_dir, k, probe_mod, dims),
+        lambda: _ann_topk_lsh_plan(spark, sf_dir, k, probe_mod, dims),
+    )
+
+
+def _ann_topk_lsh_plan(
+    spark: SparkSession, sf_dir: str, k: int, probe_mod: int, dims: int
+) -> DataFrame:
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
     emb_sig = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -281,7 +319,22 @@ def ann_topk_ivf(
     formulation would shuffle corpus×k rows twice).  Then an equi-join on
     cell id replaces the corpus-wide cross product, then exact rerank
     within the cell.  Ties on cosine break to the lower centroid id in
-    both engines."""
+    both engines.  The probes×k list is session-memoized (_TOPK_MEMO)."""
+    return _memo_topk(
+        spark,
+        (id(spark), "ivf", sf_dir, k, probe_mod, n_centroids, nprobe),
+        lambda: _ann_topk_ivf_plan(spark, sf_dir, k, probe_mod, n_centroids, nprobe),
+    )
+
+
+def _ann_topk_ivf_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    probe_mod: int,
+    n_centroids: int,
+    nprobe: int,
+) -> DataFrame:
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
     cent_df = _ivf_centroid_relation(emb, n_centroids)
     scored_cells, cell = _ivf_scored_cells, _ivf_cell
@@ -729,7 +782,23 @@ def ann_topk_pq(
     a centroid, not to the true vector) but deterministic, so the oracle
     hash-matches exactly.  Ties break (distance asc, neighbor_id asc).
 
-    Output: (query_id, neighbor_id, rank, adc) — adc rounded 6 dp."""
+    Output: (query_id, neighbor_id, rank, adc) — adc rounded 6 dp.
+    The probes×k list is session-memoized (_TOPK_MEMO)."""
+    return _memo_topk(
+        spark,
+        (id(spark), "pq", sf_dir, k, probe_mod, n_sub, n_cent),
+        lambda: _ann_topk_pq_plan(spark, sf_dir, k, probe_mod, n_sub, n_cent),
+    )
+
+
+def _ann_topk_pq_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    probe_mod: int,
+    n_sub: int,
+    n_cent: int,
+) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", spread=True)
     cb_df, sub_len = _pq_codebook(emb, n_sub, n_cent)
     codebook = F.col("codebook")
@@ -808,7 +877,27 @@ def ann_topk_ivfpq(
     one-row broadcast relation (cent_df × cb_df) — plan O(1) in both.
 
     Output: (query_id, neighbor_id, rank, adc) — per probe, the k
-    nearest in-cell candidates by ADC (asc, ties to lower neighbor)."""
+    nearest in-cell candidates by ADC (asc, ties to lower neighbor).
+    The probes×k list is session-memoized (_TOPK_MEMO)."""
+    return _memo_topk(
+        spark,
+        (id(spark), "ivfpq", sf_dir, k, probe_mod, n_centroids, nprobe, n_sub, n_cent),
+        lambda: _ann_topk_ivfpq_plan(
+            spark, sf_dir, k, probe_mod, n_centroids, nprobe, n_sub, n_cent
+        ),
+    )
+
+
+def _ann_topk_ivfpq_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    probe_mod: int,
+    n_centroids: int,
+    nprobe: int,
+    n_sub: int,
+    n_cent: int,
+) -> DataFrame:
     emb, probes = _queries_and_corpus(spark, sf_dir, probe_mod)
     cent_df = _ivf_centroid_relation(emb, n_centroids)
     cb_df, sub_len = _pq_codebook(emb, n_sub, n_cent)

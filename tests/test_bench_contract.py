@@ -105,10 +105,16 @@ def test_memo_probes_resolve_real_memos():
         "model_chain",
         "copurchase_edges",
         "copurchase_triangles",
+        "copurchase_lpa",
         "dedup_shingles",
         "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "dedup_ngram_pairs",
+        "dedup_edit_pairs",
         "ann_exact_baseline",
+        "ann_topk_lists",
         "bpe_artifacts",
     }
     assert probes["copurchase_edges"] is _g._EDGE_MEMO
     assert probes["copurchase_triangles"] is _g._TRI_MEMO
+    assert probes["copurchase_lpa"] is _g._LPA_MEMO
