@@ -351,54 +351,84 @@ def orders_basket_rules(
     are single divisions of exact operands.
 
     Output: (part_a, part_b, n_ab, n_a, n_b, conf_a_to_b, conf_b_to_a,
-    lift), pairs with part_a < part_b."""
-    li = (
+    lift), pairs with part_a < part_b.
+
+    Build shape (round 11, the ``copurchase_edges`` round-8 rewire
+    applied here): ONE groupBy(order) → sorted distinct item array
+    replaces the distinct + size-count + anti-join + per-order
+    self-join pipeline — the size gate reads the array length, pairs
+    explode in-row (index pairs i < j over the sorted array, so
+    part_a < part_b holds by construction), and the same persisted
+    basket table feeds the scalar basket count and the item counts.
+    Saves three shuffles (distinct, size aggregate, the join's second
+    exchange); output is row-identical (same gate, same pair set).
+    Unlike the graph edge build, single-item baskets are KEPT in the
+    basket/item counts — they only drop out of pairing, exactly as
+    they produced no self-join rows before."""
+    grouped = (
         read_table(spark, sf_dir, "lineitem", spread=True)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") <= max_order_items)
+        .persist()
     )
-    sized = li.groupBy("o").agg(F.count("*").alias("w"))
-    li = li.join(
-        F.broadcast(sized.filter(F.col("w") > max_order_items).select("o")),
-        "o",
-        "left_anti",
-    ).persist()
-    # persisted: the filtered basket table feeds the scalar count, the
-    # item counts AND both sides of the pair self-join (the cache is the
-    # single-job stand-in for the written intermediate a production DAG
-    # would materialize)
-    n_baskets = li.select("o").distinct().count()  # one scalar, plan constant
-    item = li.groupBy("p").agg(F.count("*").alias("n_item"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_support)
-    )
-    out = (
-        pairs.join(
-            item.select(F.col("p").alias("part_a"), F.col("n_item").alias("n_a")),
-            "part_a",
+    try:
+        n_baskets = grouped.count()  # one scalar, plan constant; also
+        # materializes the cache before its three consumers fan out
+        item = (
+            grouped.select(F.explode("ps").alias("p"))
+            .groupBy("p")
+            .agg(F.count("*").alias("n_item"))
         )
-        .join(
-            item.select(F.col("p").alias("part_b"), F.col("n_item").alias("n_b")),
-            "part_b",
+        pairs = (
+            grouped.filter(F.size("ps") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.slice("ps", 1, F.size("ps") - 1),
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                                lambda y: F.struct(x.alias("x"), y.alias("y")),
+                            ),
+                        )
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.x").alias("part_a"), F.col("e.y").alias("part_b"))
+            .agg(F.count("*").alias("n_ab"))
+            .filter(F.col("n_ab") >= min_support)
         )
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            (F.col("n_ab") / F.col("n_a")).alias("conf_a_to_b"),
-            (F.col("n_ab") / F.col("n_b")).alias("conf_b_to_a"),
-            (
-                F.col("n_ab") * F.lit(int(n_baskets)) / (F.col("n_a") * F.col("n_b"))
-            ).alias("lift"),
+        out = (
+            pairs.join(
+                item.select(F.col("p").alias("part_a"), F.col("n_item").alias("n_a")),
+                "part_a",
+            )
+            .join(
+                item.select(F.col("p").alias("part_b"), F.col("n_item").alias("n_b")),
+                "part_b",
+            )
+            .select(
+                "part_a",
+                "part_b",
+                "n_ab",
+                "n_a",
+                "n_b",
+                (F.col("n_ab") / F.col("n_a")).alias("conf_a_to_b"),
+                (F.col("n_ab") / F.col("n_b")).alias("conf_b_to_a"),
+                (
+                    F.col("n_ab")
+                    * F.lit(int(n_baskets))
+                    / (F.col("n_a") * F.col("n_b"))
+                ).alias("lift"),
+            )
         )
-    )
-    return out
+        # pin the (rule-grain, support-pruned) report so the basket cache
+        # releases — the previous form leaked its persisted table per call
+        return out.localCheckpoint(eager=True)
+    finally:
+        grouped.unpersist()
 
 
 def nation_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
