@@ -566,7 +566,12 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.explode(grams).alias("g"))
         .groupBy("doc_id", "lang", "g")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
+    # pinned (round-11): the per-doc distinct-gram table feeds BOTH the
+    # model aggregate and the scoring fan-out — unpinned, the corpus-wide
+    # bigram explode + aggregate (the dominant scan) ran twice
+    doc_grams.count()
     # --- train: per-(lang, gram) counts, per-lang totals, priors, vocab
     model = doc_grams.groupBy(F.col("lang").alias("ml"), "g").agg(
         F.sum("c").alias("n_gl")
@@ -620,6 +625,7 @@ def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs")
     ).localCheckpoint(eager=True)
     model.unpersist()
+    doc_grams.unpersist()
     return result
 
 
