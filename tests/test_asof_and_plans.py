@@ -247,7 +247,10 @@ def test_centroid_plans_are_constant_size_in_k(spark):
     Pin it by planning at two k and asserting near-identical plan size,
     plus the BroadcastNestedLoopJoin single-row spine."""
     from spotify_tracks_spark.operators.clustering import kmeans_init_counts
-    from spotify_tracks_spark.operators.similarity import ann_topk_ivf, embedding_pq
+    from spotify_tracks_spark.operators.similarity import (
+        _ann_topk_ivf_plan,
+        embedding_pq,
+    )
 
     def plan_of(df):
         return df._jdf.queryExecution().executedPlan().toString()
@@ -259,7 +262,13 @@ def test_centroid_plans_are_constant_size_in_k(spark):
     # extra doubles ≈ 2+ kB of literal text)
     assert abs(len(p8) - len(p4)) < 200, (len(p4), len(p8))
 
-    for df in (ann_topk_ivf(spark, SF_SMOKE), embedding_pq(spark, SF_SMOKE)):
+    # ann_topk_ivf's registered frame is the session-memoized checkpointed
+    # top-k list (round 11) — the centroid-spine contract lives in the
+    # INTERIOR plan the memo materializes, so pin that plan directly
+    for df in (
+        _ann_topk_ivf_plan(spark, SF_SMOKE, 5, 100, 16, 1),
+        embedding_pq(spark, SF_SMOKE),
+    ):
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" in p
         assert len(p) < 20_000, len(p)

@@ -32,14 +32,20 @@ ROTATION_DEBT_CEILING = 69
 
 
 def _prev_round_surface() -> set[str]:
-    """Query names benched at the previous round's close (the latest
-    checked-in BENCH_FULL's per-query map)."""
+    """Query names benched at the PREVIOUS round's close.
+
+    The previous round is derived from the driver-written BENCH_r*.json
+    counter (``bench._next_round_no() - 1``), NOT from the highest
+    BENCH_FULL present: the current round may legitimately check in its
+    own BENCH_FULL before close (round 11 commits a before/after pair),
+    and reading that file would wrongly promote operators registered
+    THIS round into the pre-existing set."""
     root = os.path.dirname(os.path.abspath(bench.__file__))
-    latest = max(
-        (f for f in os.listdir(root) if re.fullmatch(r"BENCH_FULL_r\d+\.json", f)),
-        key=lambda f: int(re.search(r"\d+", f).group()),
-    )
-    with open(os.path.join(root, latest)) as fh:
+    prev = bench._next_round_no() - 1
+    path = os.path.join(root, f"BENCH_FULL_r{prev:02d}.json")
+    if not os.path.exists(path):
+        path = os.path.join(root, f"BENCH_FULL_r{prev}.json")
+    with open(path) as fh:
         return set(json.load(fh)["queries"])
 
 
