@@ -195,15 +195,21 @@ def copurchase_edges(
     where the join form anti-joined them away pre-pairing — an O(W)
     spillable buffer in exchange for never materializing the join's
     two map outputs.  The gate itself is equivalent: |distinct items|
-    ≤ max_order_items either way."""
+    ≤ max_order_items either way.
+
+    Round-11 optimization (guide §2.4 "remove shuffles outright"): the
+    per-(order, part) ``distinct`` that used to precede the groupBy was
+    REDUNDANT — ``collect_set`` dedups parts within each order anyway,
+    so the distinct's whole exchange + aggregate over the (o, p) table
+    bought nothing.  Dropping it removes one of the build's three
+    shuffles; output is row-identical (same pinned test) because the
+    size gate reads |collect_set| = |distinct items| either way."""
     key = (id(spark), sf_dir, max_order_items)
     if key in _EDGE_MEMO:
         return _EDGE_MEMO[key]
     evict_stale_sessions(_EDGE_MEMO, id(spark))
-    li = (
-        read_table(spark, sf_dir, "lineitem", spread=True)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = read_table(spark, sf_dir, "lineitem", spread=True).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     arrs = (
         li.groupBy("o")
@@ -648,7 +654,12 @@ def parts_copurchase_communities(
     adj = sym.repartition(F.col("dst")).persist()
     adj.count()  # materialize once; rounds reuse this layout
     try:
-        labels = adj.select(F.col("src").alias("node")).distinct().select(
+        # node table from the SESSION-SHARED degree artifact (every node
+        # appears as src in the symmetrized edges, so the two node sets
+        # are identical by construction) — replaces an E-sized distinct
+        # over the adjacency with a scan of the memoized |V|-row frame
+        # (round-11 session 2, guide §2.4)
+        labels = copurchase_degrees(spark, sf_dir, max_order_items).select(
             "node", F.col("node").alias("label")
         )
         for _ in range(n_rounds):
@@ -664,6 +675,15 @@ def parts_copurchase_communities(
                 .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
                 .select("node", (-F.col("m.neg")).alias("label"))
             )
+        # Pin the FINAL labeling before fanning out (round-11 session 2,
+        # guide §1.3 lazy-eval traps): the label vector feeds TWO
+        # consumers — the community-size aggregate and the size join —
+        # and unpinned, each replayed the entire n_rounds propagation
+        # (AQE plans the broadcast build and the probe side as separate
+        # query stages, so exchange reuse does not bridge them).
+        # Same-session A/B at sf0.1: 15.3 → 10.6 s min-of-3, labeling
+        # row-identical.
+        labels = labels.localCheckpoint(eager=True)
         sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
         out = (
             labels.join(F.broadcast(sizes), "label")
