@@ -197,13 +197,16 @@ def copurchase_edges(
     two map outputs.  The gate itself is equivalent: |distinct items|
     ≤ max_order_items either way.
 
-    Round-11 optimization (guide §2.4 "remove shuffles outright"): the
-    per-(order, part) ``distinct`` that used to precede the groupBy was
-    REDUNDANT — ``collect_set`` dedups parts within each order anyway,
-    so the distinct's whole exchange + aggregate over the (o, p) table
-    bought nothing.  Dropping it removes one of the build's three
-    shuffles; output is row-identical (same pinned test) because the
-    size gate reads |collect_set| = |distinct items| either way."""
+    Round-11 session 3: the per-(order, part) ``distinct`` that used to
+    precede the groupBy is gone from the CODE, but the physical plan is
+    UNCHANGED — Catalyst's RemoveRedundantAggregates already eliminated
+    the aggregate-below-aggregate because ``collect_set`` is duplicate-
+    insensitive (verified: the before/after formatted plans in
+    plans/r11/copurchase_edges_build_{before,after}.txt are identical,
+    3 exchanges each incl. the spread repartition).  The removal is
+    intent-clarifying simplification, not a shuffle win; output is
+    row-identical (same pinned test) because the size gate reads
+    |collect_set| = |distinct items| either way."""
     key = (id(spark), sf_dir, max_order_items)
     if key in _EDGE_MEMO:
         return _EDGE_MEMO[key]
