@@ -480,7 +480,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     token_budget_pack.  The round-10 cohort stays (1 driver round).
     Never-rowed tail after this round: 69 (tracked by the
     rotation_debt gauge in bench.py and pinned monotonically
-    decreasing by tests/test_rotation_debt.py)."""
+    decreasing by tests/test_rotation_debt.py).
+
+    ROUND-12 ROTATION (round-11 verdict item 6; 21 slots this round):
+    21 never-driver-rowed operators IN — the 20 mechanically-heaviest
+    of the 69 PRE-EXISTING never-rowed tail (union over
+    CORRECTNESS_r01–r11 keys, ranked by the committed BENCH_FULL_r11
+    times: nation_supplier_hhi, events_stream_enrich,
+    text_rake_phrases, events_stream_sliding, promo_revenue_share,
+    orders_priority_late_ship, customers_returned_revenue,
+    orders_fulfillment_latency, events_mad_outliers,
+    events_session_paths, corpus_train_manifest,
+    events_autocorrelation, lineitem_pricing_summary,
+    events_dau_wau_mau, events_k_anonymity,
+    disjunctive_branch_revenue, customers_reorder_intervals,
+    events_session_overlap, events_stream_update_counts,
+    events_window_funnel) PLUS ann_topk_bruteforce_capped (registered
+    round 11; the verdict asked for its cap-binding oracle to get a
+    driver row).  Rotated OUT 21 of the 26-strong round-10 cohort
+    (driver-green exactly 2 rounds, r10+r11).  Five round-10 entries
+    stay a third round, each for a stated reason: the three
+    shared-artifact CARRIERS (parts_copurchase_clustering_coef carries
+    the triangle build, dedup_ngram_jaccard_uncapped the shingle+ngram
+    pair builds, dedup_edit_distance the minhash+edit pair builds —
+    keeping them in the driver tier keeps the bench ``carriers`` map
+    and the BASELINE anchors stable) and the two heaviest non-carriers
+    (ann_topk_ivfpq — also first _TOPK consumer of its own family list
+    — and text_bigram_lm_score) so the driver tier keeps its heaviest
+    distinct plans.  The round-11 cohort stays (1 driver round).
+    Carrier diff vs round 11 (adjudicated): only ``ann_exact_baseline``
+    — ann_topk_bruteforce_capped now runs in the driver tier before the
+    extras' ann_topk_bruteforce and populates _BRUTE_MEMO first (with
+    its OWN probe_mod=2/cap=16 key), so the gauge attributes the family
+    to it; the default-key exact baseline is still built and paid by
+    ann_topk_bruteforce exactly as before (different memo key — no cost
+    moved).  Pre-existing never-rowed tail after this round:
+    69 − 20 = 49 (ceiling ratcheted 69 → 49 in
+    tests/test_rotation_debt.py, which now reads the committed
+    BENCH_FULL_r11.json manifest instead of deriving the round from
+    driver-written files)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference model chain (SURVEY.md §2.1).  q3/q4/q5/q7 rotated to
         # the extras tier (run_models builds every mart anyway — q1/q2/q6/
@@ -535,65 +573,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_calendar": _ts.dim_calendar,
         # one-scan per-column profile of the documents table
         "documents_profile": _profile.documents_profile,
-        # --- rotated IN round 10: first-ever driver rows (the heaviest
-        # of the never-rowed tail; covers all nine round-9 additions) ---
-        # streaming fold of the HLL pair report (register-max drain)
-        "events_stream_hll_set_ops": _events_stream_hll_set_ops,
-        # theta-sketch A-NOT-B: directional audience difference per
-        # event-type pair (batch + streaming fold, same oracle)
-        "events_kmv_anotb": _events.events_kmv_anotb,
-        "events_stream_kmv_anotb": _events_stream_kmv_anotb,
-        # Adamic-Adar link prediction over the shared co-purchase graph
-        # (non-edge pairs, 1/ln(deg) center weights)
-        "parts_copurchase_adamic_adar": _graph_adamic_adar,
+        # --- rotated IN round 12: first-ever driver rows (the 20
+        # mechanically-heaviest of the pre-existing never-rowed tail per
+        # the committed BENCH_FULL_r11, plus the cap-binding ANN panel
+        # the round-11 verdict asked to row) ---
+        # Herfindahl supplier-concentration index per nation
+        "nation_supplier_hhi": _tpch.nation_supplier_hhi,
+        # stream-static broadcast enrichment join (complete-mode drain)
+        "events_stream_enrich": _events_stream_enrich,
+        # RAKE keyword phrases (corpus-wide deg/freq word scores)
+        "text_rake_phrases": _text.text_rake_phrases,
+        # sliding-window streaming aggregate (window 1d, slide 12h)
+        "events_stream_sliding": _events_stream_sliding,
+        # promo revenue share (warehouse Q14 shape)
+        "promo_revenue_share": _tpch.promo_revenue_share,
+        # priority x lateness order counts (warehouse Q4 shape)
+        "orders_priority_late_ship": _tpch.orders_priority_late_ship,
+        # returned-item revenue ranking (warehouse Q10 shape)
+        "customers_returned_revenue": _tpch.customers_returned_revenue,
+        # order->ship latency percentiles per priority (SLA report)
+        "orders_fulfillment_latency": _tpch.orders_fulfillment_latency,
+        # robust MEDIAN/MAD outlier flags (order-statistic twin of z)
+        "events_mad_outliers": _ts.events_mad_outliers,
+        # top-k session opening paths (multi-step sequence mining)
+        "events_session_paths": _events.events_session_paths,
+        # end-of-pipeline manifest: per (split, lang) docs + token budget
+        "corpus_train_manifest": _llm.corpus_train_manifest,
+        # lag-1..7 autocorrelation of daily counts (seasonality probe)
+        "events_autocorrelation": _ts.events_autocorrelation,
+        # full-scan pricing summary (warehouse Q1 shape)
+        "lineitem_pricing_summary": _tpch.lineitem_pricing_summary,
+        # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
+        "events_dau_wau_mau": _ts.events_dau_wau_mau,
+        # salted-pseudonym + k-anonymity release report (privacy gate)
+        "events_k_anonymity": _an.events_k_anonymity,
+        # disjunctive multi-branch predicate revenue (warehouse Q19 shape)
+        "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
+        # per-segment reorder cadence (lag-window gap distribution)
+        "customers_reorder_intervals": _tpch.customers_reorder_intervals,
+        # interval×interval overlap join (completes asof/range family)
+        "events_session_overlap": _events.events_session_overlap,
+        # update-mode streaming counts (third output mode; 1-batch drain)
+        "events_stream_update_counts": _events_stream_update_counts,
+        # attribution-window funnel (each step within N days of previous)
+        "events_window_funnel": _an.events_window_funnel,
+        # probe-panel cap BINDING path: 16-probe lowest-vec_id panel
+        # over ~|corpus|/2 candidates, oracle computes the same panel
+        "ann_topk_bruteforce_capped": _sim.ann_topk_bruteforce_capped,
+        # --- round-10 cohort members kept a third round (see the
+        # ROUND-12 ROTATION docstring: three shared-artifact carriers +
+        # the two heaviest non-carriers) ---
         # per-node local clustering coefficient off the session-shared
-        # triangle counts.  NOTE: triangles now lives in the extras
-        # tier, so in bench order THIS query fronts the wedge-join
-        # build and becomes the copurchase_triangles carrier — the
-        # carriers key records it and the family was re-anchored.
+        # triangle counts.  NOTE: triangles lives in the extras tier,
+        # so in bench order THIS query fronts the wedge-join build and
+        # is the copurchase_triangles carrier — kept in the driver tier
+        # so the carrier does not shift (round-12 rotation).
         "parts_copurchase_clustering_coef": _graph_clustering_coef,
-        # additive trend/seasonal/residual decomposition (daily grain)
-        "events_seasonal_decompose": _ts.events_seasonal_decompose,
-        # time-decay attribution (dyadic 2^-age weights)
-        "events_attribution_time_decay": _events.events_attribution_time_decay,
-        # per-source frequency cap (WindowGroupLimit top-k per source)
-        "corpus_source_cap": _llm.corpus_source_cap,
-        # quality-threshold yield curve (one pass + broadcast spine)
-        "corpus_quality_sweep": _llm.corpus_quality_sweep,
-        # nested semi-join dominance (warehouse Q20 shape)
-        "excess_supply_candidates": _tpch.excess_supply_candidates,
-        # uncapped exhaustive blocked-Jaccard (full reference semantics)
+        # uncapped exhaustive blocked-Jaccard (full reference semantics);
+        # carrier of the shingle + ngram pair builds — kept (round 12)
         "dedup_ngram_jaccard_uncapped": _ngram_jaccard_uncapped,
-        # correlated-scalar decorrelation (warehouse Q17 shape)
-        "part_small_qty_revenue": _tpch.part_small_qty_revenue,
-        # fifth dedup family: Levenshtein verify over LSH candidates
+        # fifth dedup family: Levenshtein verify over LSH candidates;
+        # carrier of the minhash + edit pair builds — kept (round 12)
         "dedup_edit_distance": _dedup.dedup_edit_distance,
-        # top-k revenue join (warehouse Q3 shape)
-        "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
-        # cross-doc repeated-substring exposure (memorization ranking)
-        "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
-        # LIKE-dim profit rollup (warehouse Q9 shape)
-        "nation_product_profit": _tpch.nation_product_profit,
-        # HAVING semi-join (warehouse Q18 shape)
-        "orders_large_volume": _tpch.orders_large_volume,
-        # same-nation customer/supplier join (warehouse Q5 shape)
-        "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
         # IVF×PQ composed index: cell prune + code-only ADC rerank
         "ann_topk_ivfpq": _sim.ann_topk_ivfpq,
-        # market-share ratio (warehouse Q8 shape)
-        "nation_market_share": _tpch.nation_market_share,
         # corpus-fit character-bigram LM, per-doc mean log-likelihood
         "text_bigram_lm_score": _text.text_bigram_lm_score,
-        # bidirectional nation pair (warehouse Q7 shape)
-        "nation_volume_shipping": _tpch.nation_volume_shipping,
-        # global-scalar HAVING concentration (warehouse Q11 shape)
-        "nation_part_value_concentration": _tpch.nation_part_value_concentration,
-        # CASE-count shipmode pair (warehouse Q12 shape)
-        "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
-        # one-scan per-column profile (multi-distinct Expand plan)
-        "events_profile": _profile.events_profile,
-        # market-basket co-occurrence + lift over sessions
-        "events_session_cooccurrence": _events.events_session_cooccurrence,
     }
     assert len(q) == 50, f"driver surface must stay at 50 entries, got {len(q)}"
     return q
@@ -609,6 +654,53 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tolerance-tested in their own unit tests.
     """
     return {
+        # --- rotated OUT of the driver surface in round 12 (21 of the
+        # round-10 cohort, driver-green r10+r11; identical hash-compare
+        # continues here every pytest run).  Placed FIRST among the
+        # extras so each entry keeps its bench position ahead of every
+        # other family member — no shared-artifact carrier shifts. ---
+        # streaming fold of the HLL pair report (register-max drain)
+        "events_stream_hll_set_ops": _events_stream_hll_set_ops,
+        # theta-sketch A-NOT-B: directional audience difference per
+        # event-type pair (batch + streaming fold, same oracle)
+        "events_kmv_anotb": _events.events_kmv_anotb,
+        "events_stream_kmv_anotb": _events_stream_kmv_anotb,
+        # Adamic-Adar link prediction over the shared co-purchase graph
+        "parts_copurchase_adamic_adar": _graph_adamic_adar,
+        # additive trend/seasonal/residual decomposition (daily grain)
+        "events_seasonal_decompose": _ts.events_seasonal_decompose,
+        # time-decay attribution (dyadic 2^-age weights)
+        "events_attribution_time_decay": _events.events_attribution_time_decay,
+        # per-source frequency cap (WindowGroupLimit top-k per source)
+        "corpus_source_cap": _llm.corpus_source_cap,
+        # quality-threshold yield curve (one pass + broadcast spine)
+        "corpus_quality_sweep": _llm.corpus_quality_sweep,
+        # nested semi-join dominance (warehouse Q20 shape)
+        "excess_supply_candidates": _tpch.excess_supply_candidates,
+        # correlated-scalar decorrelation (warehouse Q17 shape)
+        "part_small_qty_revenue": _tpch.part_small_qty_revenue,
+        # top-k revenue join (warehouse Q3 shape)
+        "orders_top_revenue_unshipped": _tpch.orders_top_revenue_unshipped,
+        # cross-doc repeated-substring exposure (memorization ranking)
+        "corpus_repeated_ngrams": _llm.corpus_repeated_ngrams,
+        # LIKE-dim profit rollup (warehouse Q9 shape)
+        "nation_product_profit": _tpch.nation_product_profit,
+        # HAVING semi-join (warehouse Q18 shape)
+        "orders_large_volume": _tpch.orders_large_volume,
+        # same-nation customer/supplier join (warehouse Q5 shape)
+        "nation_local_supplier_revenue": _tpch.nation_local_supplier_revenue,
+        # market-share ratio (warehouse Q8 shape)
+        "nation_market_share": _tpch.nation_market_share,
+        # bidirectional nation pair (warehouse Q7 shape)
+        "nation_volume_shipping": _tpch.nation_volume_shipping,
+        # global-scalar HAVING concentration (warehouse Q11 shape)
+        "nation_part_value_concentration": _tpch.nation_part_value_concentration,
+        # CASE-count shipmode pair (warehouse Q12 shape)
+        "lineitem_late_shipment_modes": _tpch.lineitem_late_shipment_modes,
+        # one-scan per-column profile (multi-distinct Expand plan)
+        "events_profile": _profile.events_profile,
+        # market-basket co-occurrence + lift over sessions
+        "events_session_cooccurrence": _events.events_session_cooccurrence,
         # --- rotated OUT of the driver surface in round 4 (long-stable
         # green; identical hash-compare continues here every pytest run)
         "q3_dim_artist": _model("dim_artist"),
@@ -696,8 +788,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (corpus_pack_sequences rotated INTO the driver round 8)
         # Gopher-style repetition gate (dup-line / dup-bigram fractions)
         "text_repetition": _llm.text_repetition,
-        # attribution-window funnel (each step within N days of previous)
-        "events_window_funnel": _an.events_window_funnel,
+        # (events_window_funnel rotated INTO the driver round 12)
         # time-series surface (operators/timeseries.py): RANGE-frame
         # rolling aggregates, integer-exact z-score anomaly flags, and
         # ignore-nulls-window linear interpolation over a calendar spine
@@ -714,9 +805,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN index evaluation: recall@k of the LSH index vs exact top-k
         "ann_recall_eval": _sim.ann_recall_eval,
         # (ann_recall_eval_all rotated INTO the driver round 8)
-        # probe-panel cap BINDING path: 16-probe lowest-vec_id panel
-        # over ~|corpus|/2 candidates, oracle computes the same panel
-        "ann_topk_bruteforce_capped": _sim.ann_topk_bruteforce_capped,
+        # (ann_topk_bruteforce_capped rotated INTO the driver round 12)
         # (ann_topk_ivf_nprobe rotated INTO the driver round 11)
         # (ann_topk_ivfpq rotated INTO the driver round 10)
         # matryoshka-style dimension ablation: recall@k at truncated dims
@@ -725,35 +814,29 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_language_balance": _llm.corpus_language_balance,
         # (events_profile rotated INTO the driver round 10)
         # (events_grouping_sets rotated INTO the driver round 11)
-        # sliding-window streaming aggregate (window 1d, slide 12h)
-        "events_stream_sliding": _events_stream_sliding,
+        # (events_stream_sliding rotated INTO the driver round 12)
         # (embedding_quantize rotated INTO the driver round 11)
         # (text_bigram_lm_score rotated INTO the driver round 10)
         # heavy-hitter key report (the input to every skew-handling knob)
         "events_key_skew": _an.events_key_skew,
-        # stream-static broadcast enrichment join (complete-mode drain)
-        "events_stream_enrich": _events_stream_enrich,
+        # (events_stream_enrich rotated INTO the driver round 12)
         # per-user OLS trend: built-in closed form (the driver-checkable
         # one); the applyInPandas twin is pytest-pinned equal to it
         "events_user_trend": _an.events_user_trend,
-        # salted-pseudonym + k-anonymity release report (privacy gate)
-        "events_k_anonymity": _an.events_k_anonymity,
-        # interval×interval overlap join (completes asof/range family)
-        "events_session_overlap": _events.events_session_overlap,
+        # (events_k_anonymity, events_session_overlap rotated INTO the
+        # driver round 12)
         # (embedding_pq, ann_topk_pq rotated INTO the driver round 11)
         # langid confusion matrix + per-label recall (classifier eval)
         "text_langid_eval": _text.text_langid_eval,
         # dangling-reference audit between documents and embeddings
         "corpus_integrity": _llm.corpus_integrity,
-        # end-of-pipeline manifest: per (split, lang) docs + token budget
-        "corpus_train_manifest": _llm.corpus_train_manifest,
+        # (corpus_train_manifest rotated INTO the driver round 12)
         # ROWS-frame moving average (count-based window sibling of 7d)
         "events_moving_avg": _ts.events_moving_avg,
         # exact lower median per type (order-statistic aggregate);
         # the GROUPED_AGG pandas-UDAF twin is pytest-pinned equal
         "events_median": _events.events_median,
-        # update-mode streaming counts (third output mode; 1-batch drain)
-        "events_stream_update_counts": _events_stream_update_counts,
+        # (events_stream_update_counts rotated INTO the driver round 12)
         # (documents_profile rotated INTO the driver round 11)
         # (events_rfm, corpus_bpe_merges rotated INTO the driver round 8)
         # vocabulary fit + broadcast-join encode (tokenize-to-ids)
@@ -773,13 +856,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # majority of the family INTO the driver tier (Q3/Q5/Q7/Q8/Q9/
         # Q11/Q12/Q17/Q18/Q20 shapes); the rows already driver-green in
         # earlier rounds stay here.
-        "lineitem_pricing_summary": _tpch.lineitem_pricing_summary,
+        # (lineitem_pricing_summary, orders_priority_late_ship,
+        # customers_returned_revenue, promo_revenue_share,
+        # disjunctive_branch_revenue rotated INTO the driver round 12)
         "customers_idle_high_balance": _tpch.customers_idle_high_balance,
-        "orders_priority_late_ship": _tpch.orders_priority_late_ship,
-        "customers_returned_revenue": _tpch.customers_returned_revenue,
-        "promo_revenue_share": _tpch.promo_revenue_share,
         "top_supplier_revenue": _tpch.top_supplier_revenue,
-        "disjunctive_branch_revenue": _tpch.disjunctive_branch_revenue,
         # HyperLogLog: the third mergeable-sketch family (register-wise
         # max merge; deterministic trailing-zero rank, register-exact
         # oracle like the CMS/KMV twins)
@@ -813,24 +894,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile_hist batch+stream rotated INTO the driver round 7)
         # two-pass equi-width histogram (bounds broadcast back)
         "events_value_histogram": _profile.events_value_histogram,
-        # top-k session opening paths (multi-step sequence mining)
-        "events_session_paths": _events.events_session_paths,
+        # (events_session_paths rotated INTO the driver round 12)
         # per-user type entropy (fixed-order IEEE expression, byte-exact)
         "events_user_entropy": _an.events_user_entropy,
         # deterministic weighted sampling (Efraimidis-Spirakis top-k)
         "events_weighted_sample": _an.events_weighted_sample,
         # chi-square type x weekday independence diagnostic
         "events_chi2_independence": _ts.events_chi2_independence,
-        # robust MEDIAN/MAD outlier flags (order-statistic twin of z)
-        "events_mad_outliers": _ts.events_mad_outliers,
+        # (events_mad_outliers rotated INTO the driver round 12)
         # batch inference: logistic head over embeddings, top-k by score
         "embedding_score_topk": _sim.embedding_score_topk,
         # dense_rank / percent_rank / cume_dist (set-deterministic ties)
         "events_rank_functions": _events.events_rank_functions,
         # (dim_calendar rotated INTO the driver round 11)
         # (dedup_edit_distance rotated INTO the driver round 10)
-        # DAU/WAU/MAU + stickiness from one conditional-distinct expansion
-        "events_dau_wau_mau": _ts.events_dau_wau_mau,
+        # (events_dau_wau_mau rotated INTO the driver round 12)
         # (events_pareto rotated INTO the driver round 8)
         # daily bounce rate over the shared sessionization
         "events_bounce_rate": _events.events_bounce_rate,
@@ -846,8 +924,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 additions (communities, substitutes, did,
         # naive_bayes_langid, sequential_ab batch+stream, span_corruption,
         # retention_curve_fit rotated INTO the driver round 8) ---
-        # lag-1..7 autocorrelation of daily counts (seasonality probe)
-        "events_autocorrelation": _ts.events_autocorrelation,
+        # (events_autocorrelation rotated INTO the driver round 12)
         # integer-exact CUSUM single change-point per type
         "events_cusum_changepoint": _ts.events_cusum_changepoint,
         # Spearman rank correlation (robust twin of type_correlation)
@@ -985,18 +1062,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": _clu.embedding_dim_stats,
         # per-state transition entropy of the behavior chain
         "events_markov_entropy": _an.events_markov_entropy,
-        # RAKE keyword phrases (corpus-wide deg/freq word scores)
-        "text_rake_phrases": _text.text_rake_phrases,
+        # (text_rake_phrases rotated INTO the driver round 12)
         # Zipf rank-frequency OLS fit over the top vocabulary slice
         "text_zipf_slope": _text.text_zipf_slope,
         # centroid-distance z-score outliers (row-level embedding QA)
         "embedding_centroid_outliers": _clu.embedding_centroid_outliers,
-        # per-segment reorder cadence (lag-window gap distribution)
-        "customers_reorder_intervals": _tpch.customers_reorder_intervals,
-        # order->ship latency percentiles per priority (SLA report)
-        "orders_fulfillment_latency": _tpch.orders_fulfillment_latency,
-        # Herfindahl supplier-concentration index per nation
-        "nation_supplier_hhi": _tpch.nation_supplier_hhi,
+        # (customers_reorder_intervals, orders_fulfillment_latency,
+        # nation_supplier_hhi rotated INTO the driver round 12)
         # Goh-Barabasi arrival burstiness per event type
         "events_burstiness": _ts.events_burstiness,
         # type-token ratio + hapax share per language
@@ -1081,40 +1153,40 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": oracles_ext.EVENTS_GROUPING_SETS,
         "dim_calendar": oracles_ext.DIM_CALENDAR,
         "documents_profile": oracles_ext.DOCUMENTS_PROFILE,
-        "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
-        "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
-        "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
-        "parts_copurchase_adamic_adar": (
-            oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
+        # round-12 rotation: first-ever driver rows
+        "nation_supplier_hhi": oracles_ext.NATION_SUPPLIER_HHI,
+        "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
+        "text_rake_phrases": oracles_ext.TEXT_RAKE_PHRASES,
+        "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
+        "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
+        "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
+        "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
+        "orders_fulfillment_latency": (
+            oracles_ext.ORDERS_FULFILLMENT_LATENCY
         ),
+        "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
+        "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
+        "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
+        "events_autocorrelation": oracles_ext.EVENTS_AUTOCORRELATION,
+        "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
+        "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
+        "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
+        "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
+        "customers_reorder_intervals": (
+            oracles_ext.CUSTOMERS_REORDER_INTERVALS
+        ),
+        "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
+        "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
+        "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
+        "ann_topk_bruteforce_capped": oracles_ext.ANN_TOPK_BRUTEFORCE_CAPPED,
+        # round-10 cohort members kept a third round (carriers + heaviest)
         "parts_copurchase_clustering_coef": (
             oracles_ext.PARTS_COPURCHASE_CLUSTERING_COEF
         ),
-        "events_seasonal_decompose": oracles_ext.EVENTS_SEASONAL_DECOMPOSE,
-        "events_attribution_time_decay": (
-            oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
-        ),
-        "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
-        "corpus_quality_sweep": oracles_ext.CORPUS_QUALITY_SWEEP,
-        "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
         "dedup_ngram_jaccard_uncapped": oracles_ext.DEDUP_NGRAM_JACCARD,
-        "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
         "dedup_edit_distance": oracles_ext.DEDUP_EDIT_DISTANCE,
-        "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
-        "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
-        "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
-        "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
-        "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
         "ann_topk_ivfpq": oracles_ext.ANN_TOPK_IVFPQ,
-        "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
         "text_bigram_lm_score": oracles_ext.TEXT_BIGRAM_LM_SCORE,
-        "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
-        "nation_part_value_concentration": (
-            oracles_ext.NATION_PART_VALUE_CONCENTRATION
-        ),
-        "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
-        "events_profile": oracles_ext.EVENTS_PROFILE,
-        "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
     }
 
 
@@ -1177,55 +1249,38 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_unpivot": oracles_ext.EVENTS_UNPIVOT,
         "text_pii_redact": oracles_ext.TEXT_PII_REDACT,
         "text_repetition": oracles_ext.TEXT_REPETITION,
-        "events_window_funnel": oracles_ext.EVENTS_WINDOW_FUNNEL,
         "events_ewma_daily": oracles_ext.EVENTS_EWMA_DAILY,
         "events_weekday_profile": oracles_ext.EVENTS_WEEKDAY_PROFILE,
         "embedding_negative_samples": oracles_ext.EMBEDDING_NEGATIVE_SAMPLES,
         "events_anomaly": oracles_ext.EVENTS_ANOMALY,
         "events_interpolate": oracles_ext.EVENTS_INTERPOLATE,
         "ann_recall_eval": oracles_ext.ANN_RECALL_EVAL,
-        "ann_topk_bruteforce_capped": oracles_ext.ANN_TOPK_BRUTEFORCE_CAPPED,
         "corpus_language_balance": oracles_ext.CORPUS_LANGUAGE_BALANCE,
-        "events_stream_sliding": oracles_ext.EVENTS_STREAM_SLIDING,
         "events_key_skew": oracles_ext.EVENTS_KEY_SKEW,
-        "events_stream_enrich": oracles_ext.EVENTS_STREAM_ENRICH,
         "events_user_trend": oracles_ext.EVENTS_USER_TREND,
-        "events_k_anonymity": oracles_ext.EVENTS_K_ANONYMITY,
-        "events_session_overlap": oracles_ext.EVENTS_SESSION_OVERLAP,
         "text_langid_eval": oracles_ext.TEXT_LANGID_EVAL,
         "corpus_integrity": oracles_ext.CORPUS_INTEGRITY,
-        "corpus_train_manifest": oracles_ext.CORPUS_TRAIN_MANIFEST,
         "events_moving_avg": oracles_ext.EVENTS_MOVING_AVG,
         "events_median": oracles_ext.EVENTS_MEDIAN,
-        "events_stream_update_counts": oracles_ext.EVENTS_STREAM_UPDATE_COUNTS,
         "corpus_length_batches": oracles_ext.CORPUS_LENGTH_BATCHES,
         "events_zorder_key": oracles_ext.EVENTS_ZORDER_KEY,
         "events_type_correlation": oracles_ext.EVENTS_TYPE_CORRELATION,
-        "lineitem_pricing_summary": oracles_ext.LINEITEM_PRICING_SUMMARY,
         "customers_idle_high_balance": oracles_ext.CUSTOMERS_IDLE_HIGH_BALANCE,
-        "orders_priority_late_ship": oracles_ext.ORDERS_PRIORITY_LATE_SHIP,
-        "customers_returned_revenue": oracles_ext.CUSTOMERS_RETURNED_REVENUE,
-        "promo_revenue_share": oracles_ext.PROMO_REVENUE_SHARE,
         "top_supplier_revenue": oracles_ext.TOP_SUPPLIER_REVENUE,
-        "disjunctive_branch_revenue": oracles_ext.DISJUNCTIVE_BRANCH_REVENUE,
         "events_weekly_drift": oracles_ext.EVENTS_WEEKLY_DRIFT,
         "events_theil_sen_sampled": oracles_ext.EVENTS_THEIL_SEN_SAMPLED,
         "events_attribution_linear": oracles_ext.EVENTS_ATTRIBUTION_LINEAR,
         "events_value_histogram": oracles_ext.EVENTS_VALUE_HISTOGRAM,
-        "events_session_paths": oracles_ext.EVENTS_SESSION_PATHS,
         "events_user_entropy": oracles_ext.EVENTS_USER_ENTROPY,
         "events_weighted_sample": oracles_ext.EVENTS_WEIGHTED_SAMPLE,
         "events_chi2_independence": oracles_ext.EVENTS_CHI2_INDEPENDENCE,
-        "events_mad_outliers": oracles_ext.EVENTS_MAD_OUTLIERS,
         "embedding_score_topk": oracles_ext.EMBEDDING_SCORE_TOPK,
         "events_rank_functions": oracles_ext.EVENTS_RANK_FUNCTIONS,
-        "events_dau_wau_mau": oracles_ext.EVENTS_DAU_WAU_MAU,
         "events_bounce_rate": oracles_ext.EVENTS_BOUNCE_RATE,
         "events_time_to_convert": oracles_ext.EVENTS_TIME_TO_CONVERT,
         "sql_udf_user_buckets": oracles_ext.SQL_UDF_USER_BUCKETS,
         "events_retention_rate": oracles_ext.EVENTS_RETENTION_RATE,
         "documents_source_mix": oracles_ext.DOCUMENTS_SOURCE_MIX,
-        "events_autocorrelation": oracles_ext.EVENTS_AUTOCORRELATION,
         "events_cusum_changepoint": oracles_ext.EVENTS_CUSUM_CHANGEPOINT,
         "events_spearman_corr": oracles_ext.EVENTS_SPEARMAN_CORR,
         "events_power_mde": oracles_ext.EVENTS_POWER_MDE,
@@ -1309,18 +1364,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_lagged_crosscorr": oracles_ext.EVENTS_LAGGED_CROSSCORR,
         "embedding_dim_stats": oracles_ext.EMBEDDING_DIM_STATS,
         "events_markov_entropy": oracles_ext.EVENTS_MARKOV_ENTROPY,
-        "text_rake_phrases": oracles_ext.TEXT_RAKE_PHRASES,
         "text_zipf_slope": oracles_ext.TEXT_ZIPF_SLOPE,
         "embedding_centroid_outliers": (
             oracles_ext.EMBEDDING_CENTROID_OUTLIERS
         ),
-        "customers_reorder_intervals": (
-            oracles_ext.CUSTOMERS_REORDER_INTERVALS
-        ),
-        "orders_fulfillment_latency": (
-            oracles_ext.ORDERS_FULFILLMENT_LATENCY
-        ),
-        "nation_supplier_hhi": oracles_ext.NATION_SUPPLIER_HHI,
         "events_burstiness": oracles_ext.EVENTS_BURSTINESS,
         "text_lexical_diversity": oracles_ext.TEXT_LEXICAL_DIVERSITY,
         # --- rotated OUT of the driver surface in round 11 (round-9
@@ -1351,4 +1398,33 @@ def extra_oracle_sql() -> dict[str, str]:
         "corpus_survival": oracles_ext.CORPUS_SURVIVAL,
         "part_min_cost_supplier": oracles_ext.PART_MIN_COST_SUPPLIER,
         "corpus_token_budget_pack": oracles_ext.CORPUS_TOKEN_BUDGET_PACK,
+        # --- rotated OUT of the driver surface in round 12 (round-10
+        # cohort, driver-green r10+r11) ---
+        "events_stream_hll_set_ops": oracles_ext.EVENTS_HLL_SET_OPS,
+        "events_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "events_stream_kmv_anotb": oracles_ext.EVENTS_KMV_ANOTB,
+        "parts_copurchase_adamic_adar": (
+            oracles_ext.PARTS_COPURCHASE_ADAMIC_ADAR
+        ),
+        "events_seasonal_decompose": oracles_ext.EVENTS_SEASONAL_DECOMPOSE,
+        "events_attribution_time_decay": (
+            oracles_ext.EVENTS_ATTRIBUTION_TIME_DECAY
+        ),
+        "corpus_source_cap": oracles_ext.CORPUS_SOURCE_CAP,
+        "corpus_quality_sweep": oracles_ext.CORPUS_QUALITY_SWEEP,
+        "excess_supply_candidates": oracles_ext.EXCESS_SUPPLY_CANDIDATES,
+        "part_small_qty_revenue": oracles_ext.PART_SMALL_QTY_REVENUE,
+        "orders_top_revenue_unshipped": oracles_ext.ORDERS_TOP_REVENUE_UNSHIPPED,
+        "corpus_repeated_ngrams": oracles_ext.CORPUS_REPEATED_NGRAMS,
+        "nation_product_profit": oracles_ext.NATION_PRODUCT_PROFIT,
+        "orders_large_volume": oracles_ext.ORDERS_LARGE_VOLUME,
+        "nation_local_supplier_revenue": oracles_ext.NATION_LOCAL_SUPPLIER_REVENUE,
+        "nation_market_share": oracles_ext.NATION_MARKET_SHARE,
+        "nation_volume_shipping": oracles_ext.NATION_VOLUME_SHIPPING,
+        "nation_part_value_concentration": (
+            oracles_ext.NATION_PART_VALUE_CONCENTRATION
+        ),
+        "lineitem_late_shipment_modes": oracles_ext.LINEITEM_LATE_SHIPMENT_MODES,
+        "events_profile": oracles_ext.EVENTS_PROFILE,
+        "events_session_cooccurrence": oracles_ext.EVENTS_SESSION_COOCCURRENCE,
     }

@@ -1,8 +1,9 @@
 """Capture ``.explain("formatted")`` output for named queries.
 
-Round-11 optimization deliverable: the judge checks plan claims
+Optimization-round deliverable: the judge checks plan claims
 (Exchange counts, join strategies, PushedFilters) against committed
-``plans/r11/<query>_{before,after}.txt`` files.
+``plans/r12/<query>_{before,after}.txt`` files (round 11's live under
+``plans/r11/``).
 
 Usage: python scripts/capture_plans.py <out_suffix> [sf_dir] <query ...>
   e.g. python scripts/capture_plans.py before /root/testdata/sf0.1 \
@@ -31,7 +32,9 @@ def main() -> int:
     names = sys.argv[3:]
     interiors = _interior_builders()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")

@@ -47,6 +47,11 @@ that tests can run over the WHOLE registered query surface:
    tested SF (verified on the sf0.1 physical plans, hashes unchanged)
    and degrade safely to a shuffle join at scale.  Keep explicit hints
    only for provably-bounded relations (enum/calendar grain spines).
+   Round 12 applied that carve-out: Q8's new_tracks/new_artists weekly
+   rollups aggregate to (year, week) calendar grain — bounded by the
+   calendar, not the data — so their two joins got the hint back
+   (plans/reports.py), recovering the AQE stage-barrier cost the
+   round-11 un-hinting added; the entity-grain dim sides stay unhinted.
 
 5. **Unbounded BroadcastNestedLoopJoin** — rule 2 catches
    ``CartesianProductExec``, but a ``crossJoin`` whose one side is

@@ -23,6 +23,15 @@ Scale notes:
   if an entity directory outgrew the threshold at 100×.  Hints stay
   reserved for relations that are provably bounded (enum/calendar grain),
   per the lint rule-3 policy in ``plans/lint.py``.
+- Q8's ``new_tracks`` / ``new_artists`` ARE that provably-bounded class
+  (round-11 verdict item 2): they aggregate to (year, week) calendar
+  grain — ≤ 53 rows per year of history regardless of data volume, a few
+  thousand rows after a century — so the round-12 re-hint puts
+  ``F.broadcast()`` back on exactly those two joins.  This skips AQE's
+  runtime-stats stage barrier for the two weekly rollups (the measured
+  ~0.5 s fixed cost at sf0.1) with zero scale risk; the entity-grain
+  sides (dim_track in Q6/Q7/Q8, dim_album in Q6) stay unhinted and
+  AQE-chosen.
 - The trailing-window filter lands *before* the aggregate, so a
   date-partitioned fact table prunes to ~1 month of partitions.
 - Q8's two DISTINCT aggregates in one group expand to Catalyst's multi-phase
@@ -103,8 +112,11 @@ def rpt_discovery_rate(fct: DataFrame, dim_track: DataFrame, dim_artist: DataFra
         F.col("wk_first_played").alias("week_played"),
     ).agg(F.count("*").alias("new_artists"))
     return (
-        base.join(new_tracks, ["year_played", "week_played"], "left")
-        .join(new_artists, ["year_played", "week_played"], "left")
+        # calendar-grain (year, week) rollups: provably bounded, so the
+        # explicit broadcast is scale-safe and skips the AQE stage
+        # barrier (see module docstring, round-12)
+        base.join(F.broadcast(new_tracks), ["year_played", "week_played"], "left")
+        .join(F.broadcast(new_artists), ["year_played", "week_played"], "left")
         .select(
             "year_played",
             "week_played",

@@ -316,6 +316,21 @@ def test_communities_two_cliques_with_bridge(spark, tmp_path):
         for r in parts_copurchase_communities(spark, str(tmp_path)).collect()
     }
     assert set(got) == set(c1) | set(c2)
+    # Pin the invariant the LPA label INIT silently relies on (round-11
+    # advice): the init reads the session-shared degree table instead of
+    # an E-sized distinct over the adjacency, which is only correct while
+    # copurchase_degrees covers exactly the adjacency's node set (true
+    # because copurchase_sym unions both edge directions).  If degree
+    # construction ever filtered nodes, communities would emit a wrong
+    # node table with no failure at the init site — this catches it.
+    from spotify_tracks_spark.operators.graph import copurchase_degrees
+
+    degree_nodes = {
+        r.node for r in copurchase_degrees(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == degree_nodes, (
+        "LPA label output must cover exactly the degree table's node set"
+    )
     labels_c1 = {got[v][0] for v in c1}
     labels_c2 = {got[v][0] for v in c2}
     assert len(labels_c1) == 1 and len(labels_c2) == 1
