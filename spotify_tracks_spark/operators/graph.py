@@ -528,11 +528,34 @@ def parts_copurchase_kcore(
     BECAUSE peeling is idempotent at the fixpoint, so over-unrolling
     is a no-op.
 
-    Scale shape: every round's degree count is a map-side-combinable
-    aggregate on the current edge set, and the edge filter is two
-    same-key semi-joins; the graph only SHRINKS, so round cost is
-    monotone decreasing.  Output: (part_id, core_degree) for k-core
-    members."""
+    Scale shape (round-12 DEGREE-DECREMENT formulation, round-11 verdict
+    item 5): the loop maintains the per-node degree table incrementally
+    instead of re-aggregating the full edge set every round.  Per round:
+    nodes with ``deg < k`` are removed; survivors' degrees DECREMENT by
+    their edge count into the removed set (an aggregate over only the
+    edges incident to this round's removals — ≪ E after round 1); the
+    working edge set drops edges with a removed endpoint (two anti-joins
+    over a monotonically shrinking set).  The old formulation paid a
+    full E-sized degree aggregate per round on top of the E-sized edge
+    rewrite; this one replaces the aggregate with a removed-incident one
+    while keeping the same round semantics.
+
+    EQUIVALENCE (row-identical to the recount formulation, pinned by
+    test_kcore_* and the unchanged oracle): let V_r be the survivors
+    after round r (V_0 = all nodes) and G[V_r] the induced subgraph.
+    Invariant: entering round r+1, ``deg(v) = deg_{G[V_r]}(v)`` for
+    every v ∈ V_r.  Base: init from the full-degree table.  Step: the
+    round removes R = {v : deg(v) < k} — exactly the recount
+    formulation's removals, by the invariant.  For a survivor v, its
+    induced degree drops by |edges v→R|; the symmetrized edge table
+    carries BOTH directions of every edge, so grouping the edges whose
+    dst ∈ R by src counts exactly that, and each edge decrements at
+    most once because edges touching R leave the working set the same
+    round.  Convergence (R = ∅) ⟺ the recount loop's alive-count
+    fixpoint, so the round count is unchanged.  The final degree table
+    IS the output: core_degree(v) = deg_{G[V_final]}(v).
+
+    Output: (part_id, core_degree) for k-core members."""
     # the peel loop destructively filters its working edge set, so the
     # shared symmetrized view is re-checkpointed into a query-local copy
     sym = (
@@ -550,29 +573,36 @@ def parts_copurchase_kcore(
         )
     k = (KCORE_DEG_NUM * n_sym) // (KCORE_DEG_DEN * n_nodes)
 
+    # init from the session-shared degree artifact (identical node set:
+    # every node appears as src in the symmetrized edges)
+    deg = copurchase_degrees(spark, sf_dir, max_order_items).select(
+        F.col("node").alias("s"), F.col("deg").alias("dg")
+    ).localCheckpoint(eager=True)
     cur = sym
-    prev_alive = -1
     for _ in range(max_rounds):
-        # Pin the per-round survivor set (round-11 optimization): ``keep``
-        # feeds BOTH semi-joins and the convergence count, and unpinned it
-        # re-ran the degree aggregate over ``cur`` three times per round
-        # (once per broadcast build side, once for the count).  The eager
-        # checkpoint runs the aggregate exactly once; the count and both
-        # semi-join builds then read the |V|-row checkpointed blocks.
-        keep = (
-            cur.groupBy("s")
-            .agg(F.count("*").alias("dg"))
-            .filter(F.col("dg") >= k)
-            .select("s")
+        # this round's removals; the eager pin feeds three consumers
+        # (the convergence count, the decrement semi-join, both edge
+        # anti-joins) with one |removed|-row materialization — the
+        # round-11 ``keep`` checkpoint discipline carried over
+        removed = deg.filter(F.col("dg") < k).select("s").localCheckpoint(eager=True)
+        if removed.count() == 0:
+            break
+        # decrements: edges whose dst is removed, grouped by surviving
+        # src — only removed-incident edges aggregate, not the full set
+        dec = (
+            cur.join(removed.select(F.col("s").alias("d")), "d", "left_semi")
+            .groupBy("s")
+            .agg(F.count("*").alias("cut"))
+        )
+        deg = (
+            deg.join(removed, "s", "left_anti")
+            .join(dec, "s", "left")
+            .select("s", (F.col("dg") - F.coalesce("cut", F.lit(0))).alias("dg"))
             .localCheckpoint(eager=True)
         )
-        alive = keep.count()
-        if alive == prev_alive:
-            break
-        prev_alive = alive
         cur = (
-            cur.join(keep, "s", "left_semi")
-            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            cur.join(removed, "s", "left_anti")
+            .join(removed.select(F.col("s").alias("d")), "d", "left_anti")
             .localCheckpoint(eager=True)
         )
     else:
@@ -580,11 +610,7 @@ def parts_copurchase_kcore(
             f"k-core (k={k}) did not converge within {max_rounds} rounds; "
             "raise max_rounds (and the oracle unroll) for this graph"
         )
-    return (
-        cur.groupBy("s")
-        .agg(F.count("*").alias("core_degree"))
-        .select(F.col("s").alias("part_id"), "core_degree")
-    )
+    return deg.select(F.col("s").alias("part_id"), F.col("dg").alias("core_degree"))
 
 
 # Community LPA: synchronous rounds are fixed (both engines unroll the
@@ -661,7 +687,7 @@ def parts_copurchase_communities(
         # appears as src in the symmetrized edges, so the two node sets
         # are identical by construction) — replaces an E-sized distinct
         # over the adjacency with a scan of the memoized |V|-row frame
-        # (round-11 session 2, guide §2.4)
+        # (round-11 session 3, guide §2.4)
         labels = copurchase_degrees(spark, sf_dir, max_order_items).select(
             "node", F.col("node").alias("label")
         )
@@ -678,7 +704,7 @@ def parts_copurchase_communities(
                 .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
                 .select("node", (-F.col("m.neg")).alias("label"))
             )
-        # Pin the FINAL labeling before fanning out (round-11 session 2,
+        # Pin the FINAL labeling before fanning out (round-11 session 3,
         # guide §1.3 lazy-eval traps): the label vector feeds TWO
         # consumers — the community-size aggregate and the size join —
         # and unpinned, each replayed the entire n_rounds propagation

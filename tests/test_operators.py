@@ -577,6 +577,34 @@ def test_dedup_clusters_paths_agree(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
 
 
+def test_dedup_clusters_distributed_above_gate(spark):
+    """Exercise the distributed min-label fallback ABOVE its 200 k-edge
+    gate (round-11 verdict item 3: the path had never run under load).
+    Synthetic dup graph with known components: 60 k chains of 5 nodes
+    (nodes 10g..10g+4, edges (v, v+1)) = 240 k edges > SMALL_GRAPH_EDGES.
+    Chains have diameter 4 — the worst shallow-dup-cluster shape for a
+    1-hop-per-round propagation — so this also pins multi-round
+    convergence, not just the 1-round star case."""
+    n_groups = 60_000
+    groups = F.floor(F.col("id") / 4)
+    pairs = (
+        spark.range(n_groups * 4)
+        .select(
+            (groups * 10 + (F.col("id") % 4)).alias("doc_a"),
+            (groups * 10 + (F.col("id") % 4) + 1).alias("doc_b"),
+        )
+    )
+    assert pairs.count() == 240_000 > dedup.SMALL_GRAPH_EDGES
+    out = dedup._min_label_components(pairs)
+    # every node labeled with its chain's min id, every chain size 5
+    bad = out.filter(
+        (F.col("cluster_id") != (F.floor(F.col("doc_id") / 10) * 10))
+        | (F.col("cluster_size") != 5)
+    ).count()
+    assert bad == 0
+    assert out.count() == n_groups * 5
+
+
 def test_dedup_embedding_corpus_contract(spark):
     """Corpus-wide near-dup: ordered pairs, threshold respected, same
     bucket by construction, and cosine agrees with a direct computation."""
