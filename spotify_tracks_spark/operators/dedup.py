@@ -684,8 +684,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     - the changed-row count folds into the SAME frame (old label
       carried alongside the stepped label) instead of the previous
       extra new⋈old join per round — one pass over |V| does both jobs;
-    - the symmetrized edge view is pinned once up front (it feeds every
-      round's join).
+    - the symmetrized edge view is pinned once up front,
+      HASH-PARTITIONED ON THE ROUND JOIN KEY (doc_b) — the stationary-
+      adjacency discipline of the LPA/PageRank loops (graph.py): the
+      cached layout satisfies every round's join requirement, so only
+      the |V|-row label vector moves per round.  Without it the
+      2 M-edge ladder rung read alpha 1.26 (each round re-exchanged the
+      full edge set once the label frame outgrew the broadcast
+      threshold); with it the same rung reads alpha ≤ ~1.
 
     Labels/edges stay (pair-table)-grain throughout — the corpus never
     shuffles.  Convergence in O(component diameter) rounds; near-dup
@@ -695,43 +701,55 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     Output: (doc_id, cluster_id, cluster_size), cluster_id = min doc_id
     of the component — identical labeling to the union-find fast path.
     """
-    edges = pairs.select("doc_a", "doc_b").union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-
-    while True:
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("comp").alias("nbr_comp"))
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
-        stepped = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.col("comp").alias("prev_comp"),
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
+        .repartition(F.col("doc_b"))
+        .sortWithinPartitions("doc_b")
+        .persist()
+    )
+    edges.count()  # materialize the layout once; rounds reuse it
+
+    try:
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("comp", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("comp") != F.col("prev_comp")).count()
-        labels = stepped.select("doc_id", "comp")
-        if changed == 0:
-            break
 
-    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "comp").select(
-        "doc_id", F.col("comp").alias("cluster_id"), "cluster_size"
-    )
+        while True:
+            nbr_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.col("comp").alias("prev_comp"),
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter(F.col("comp") != F.col("prev_comp")).count()
+            labels = stepped.select("doc_id", "comp")
+            if changed == 0:
+                break
+
+        sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+        return (
+            labels.join(sizes, "comp")
+            .select("doc_id", F.col("comp").alias("cluster_id"), "cluster_size")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
 
 
 PARA_TOKENS = 12
